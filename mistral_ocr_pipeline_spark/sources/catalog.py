@@ -1,0 +1,83 @@
+"""Iceberg-shaped table catalog with a Parquet fallback.
+
+The production design is Iceberg (bucketed transcripts, snapshot commits,
+schema evolution — SURVEY.md §1.4); this sandbox has no
+``iceberg-spark-runtime`` jar, so the same API is served by a thin
+Parquet-backed catalog (SURVEY.md §7.4.5 fallback plan).  Jobs program
+against ``TableCatalog`` only, so swapping in a real Iceberg catalog is a
+constructor change, not a code change:
+
+* ``append(df, table)``      → Iceberg ``df.writeTo(t).append()``
+* ``overwrite(df, table)``   → Iceberg ``df.writeTo(t).createOrReplace()``
+* ``read(table)``            → ``spark.table(t)``
+* atomic visibility is approximated with a write-audit-publish pattern:
+  data lands in a staging directory, then an atomic ``rename`` publishes it
+  (one commit per partition-batch, mirroring Iceberg snapshot semantics and
+  the reference's incremental appender, utils/utils.py:163-206).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for root, _d, files in os.walk(p)
+            for f in files
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        """WAP append: stage → atomic publish into the table directory."""
+        table_dir = self.path(table)
+        os.makedirs(table_dir, exist_ok=True)
+        staging = os.path.join(self.warehouse, f"_staging_{table}_{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        # publish: move staged files in, preserving partition dirs
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            dest_dir = table_dir if rel == "." else os.path.join(table_dir, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                os.rename(
+                    os.path.join(root, f),
+                    os.path.join(dest_dir, f"{uuid.uuid4().hex}-{f}"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        staging = os.path.join(self.warehouse, f"_staging_{table}_{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        table_dir = self.path(table)
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        os.rename(staging, table_dir)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.path(table), ignore_errors=True)
