@@ -1,0 +1,107 @@
+"""Kill/resume protocol test (SURVEY.md §5.2.4): kill after k bucket-batches
+commit → rerun → identical final table, zero recomputation of committed
+buckets, lineage metrics recorded per partition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mistral_ocr_pipeline_spark.checkpoint.lineage import (
+    committed_buckets,
+    run_extraction,
+    with_conv_bucket,
+)
+from mistral_ocr_pipeline_spark.fixtures.gen import gen_transcripts, transcripts_schema
+from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def input_df(spark):
+    rows = gen_transcripts(24, (2, 10), seed=5, profile="unit")
+    return spark.createDataFrame(rows, schema=transcripts_schema())
+
+
+def _sorted_rows(df):
+    return [
+        tuple(r)
+        for r in df.select(
+            "conv_id", "turn_idx", "payload_kind", "extracted_text", "md", "error"
+        )
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+
+
+def test_kill_resume_equals_single_shot(spark, tmp_path, input_df):
+    # single-shot reference run
+    cat_a = TableCatalog(spark, str(tmp_path / "wh_a"))
+    run_extraction(spark, cat_a, input_df, run_id="oneshot", n_buckets=N_BUCKETS)
+    expected = _sorted_rows(cat_a.read("extracted"))
+
+    # killed run: only half the buckets commit
+    cat_b = TableCatalog(spark, str(tmp_path / "wh_b"))
+    first_half = set(range(N_BUCKETS // 2))
+    s1 = run_extraction(
+        spark, cat_b, input_df, run_id="run-1", n_buckets=N_BUCKETS,
+        only_buckets=first_half,
+    )
+    assert s1["processed_buckets"] <= len(first_half)
+    committed_mid = committed_buckets(cat_b, "run_partitions")
+    assert committed_mid and committed_mid.issubset(first_half)
+
+    # resume: must process only the remaining buckets
+    s2 = run_extraction(spark, cat_b, input_df, run_id="run-2", n_buckets=N_BUCKETS)
+    assert s2["skipped_buckets"] == len(committed_mid)
+
+    got = _sorted_rows(cat_b.read("extracted"))
+    assert got == expected
+
+    # zero recomputation: no bucket appears under two run_ids
+    lineage = cat_b.read("run_partitions").collect()
+    seen = {}
+    for r in lineage:
+        assert r.status == "committed"
+        assert r.conv_bucket not in seen, "bucket committed twice"
+        seen[r.conv_bucket] = r.run_id
+        assert r.rows > 0 and r.bytes >= 0 and r.failures >= 0
+    # lineage row count covers every non-empty bucket exactly once
+    n_nonempty = (
+        with_conv_bucket(input_df, N_BUCKETS).select("conv_bucket").distinct().count()
+    )
+    assert len(seen) == n_nonempty
+
+    # lineage rows total == table rows (metrics faithful)
+    total = sum(r.rows for r in lineage)
+    assert total == cat_b.read("extracted").count()
+    failures = sum(r.failures for r in lineage)
+    assert failures == cat_b.read("extracted").filter(F.col("error").isNotNull()).count()
+
+
+def test_orphan_bucket_dropped_before_resume(spark, tmp_path, input_df):
+    """Data published but lineage missing (kill between publish and lineage
+    commit) → resume must drop the orphan and reprocess it exactly once."""
+    cat = TableCatalog(spark, str(tmp_path / "wh_c"))
+    run_extraction(
+        spark, cat, input_df, run_id="r1", n_buckets=N_BUCKETS, only_buckets={0, 1}
+    )
+    # simulate mid-commit kill: wipe lineage for bucket 1 only
+    lineage = cat.read("run_partitions").filter(F.col("conv_bucket") != 1)
+    cat.overwrite(lineage.coalesce(1), "run_partitions")
+
+    s = run_extraction(spark, cat, input_df, run_id="r2", n_buckets=N_BUCKETS)
+    assert 1 in s["orphans_dropped"]
+
+    # final table identical to a clean one-shot run
+    cat_ref = TableCatalog(spark, str(tmp_path / "wh_ref"))
+    run_extraction(spark, cat_ref, input_df, run_id="ref", n_buckets=N_BUCKETS)
+    assert _sorted_rows(cat.read("extracted")) == _sorted_rows(cat_ref.read("extracted"))
+
+
+def test_idempotent_rerun_noop(spark, tmp_path, input_df):
+    cat = TableCatalog(spark, str(tmp_path / "wh_d"))
+    run_extraction(spark, cat, input_df, run_id="r1", n_buckets=N_BUCKETS)
+    before = _sorted_rows(cat.read("extracted"))
+    s = run_extraction(spark, cat, input_df, run_id="r2", n_buckets=N_BUCKETS)
+    assert s["processed_buckets"] == 0
+    assert _sorted_rows(cat.read("extracted")) == before
