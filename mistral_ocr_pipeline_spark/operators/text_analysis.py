@@ -1,0 +1,139 @@
+"""Text analysis for training-data curation — all Catalyst expressions
+(JVM, codegen'd) except the rolling-hash fingerprint's numpy kernel.
+
+Every SQL-expressible operator documents its DuckDB twin so the
+correctness harness can replay it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A small pinned stopword inventory per language — enough for a reliable
+# n-gram/stopword-ratio language heuristic on en/de/fr/es prose.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "dans", "pour"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# the unit a GPT-style byte-pair pre-tokenizer would split on.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count.  DuckDB:
+    ``case when trim(t)='' then 0 else length(regexp_split_to_array(trim(t),'\\s+')) end``"""
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish token count via regexp_count.  DuckDB:
+    ``length(regexp_extract_all(t, pattern))``"""
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def stopword_hits(c: Column, lang: str = "en") -> Column:
+    """Occurrences of the language's stopwords as standalone words.
+    DuckDB: ``length(regexp_extract_all(lower(t), pattern))`` with the same
+    RE2-safe alternation."""
+    words = "|".join(STOPWORDS[lang])
+    pat = rf"\b({words})\b"
+    return F.regexp_count(F.lower(c), F.lit(pat)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape features + a composite
+    quality score in [0,1] — the curation gate a pretraining pipeline runs
+    over every document.  Pure expressions, fully SQL-replayable."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = ws_token_count(t)
+    n_stop = stopword_hits(t, "en")
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("long")
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]")).cast("long")
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    stop_ratio = n_stop / safe_tokens
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    mean_word_len = n_chars / safe_tokens
+    score = (
+        F.when(n_tokens < 5, F.lit(0.0))
+        .otherwise(
+            F.least(F.lit(1.0), stop_ratio * 2)
+            * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 4))
+            * (F.lit(1.0) - F.least(F.lit(1.0), digit_ratio * 4))
+        )
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(stop_ratio, 6).alias("q_stop_ratio"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(digit_ratio, 6).alias("q_digit_ratio"),
+        F.round(mean_word_len, 6).alias("q_mean_word_len"),
+        F.round(score, 6).alias("q_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: script detection (CJK/Arabic/Cyrillic ranges)
+    first, else argmax of per-language stopword hit rates, else 'unknown'.
+    Pure expressions — a greatest/when cascade, no UDF."""
+    t = F.col(text_col)
+    cjk = F.regexp_count(t, F.lit(r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]"))
+    arabic = F.regexp_count(t, F.lit(r"[\x{0600}-\x{06FF}]"))
+    cyrillic = F.regexp_count(t, F.lit(r"[\x{0400}-\x{04FF}]"))
+    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    best_hits = F.greatest(*hits.values())
+    # deterministic tie-break: first lang in pinned order wins ties
+    lang_col = F.when(cjk > 0, F.lit("cjk")).when(arabic > 0, F.lit("ar")).when(
+        cyrillic > 0, F.lit("ru")
+    )
+    for lang in ("en", "de", "fr", "es"):
+        lang_col = lang_col.when(
+            (best_hits > 0) & (hits[lang] == best_hits), F.lit(lang)
+        )
+    lang_col = lang_col.otherwise(F.lit("unknown"))
+    return df.withColumn("lang_id", lang_col)
+
+
+def fingerprint_md5(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Document fingerprint = md5 of the normalized text.  DuckDB:
+    ``md5(trim(regexp_replace(lower(t),'\\s+',' ','g')))``"""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def fingerprint_rolling(
+    df: DataFrame, id_col: str, text_col: str = "text", window: int = 16
+) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: min of a polynomial rolling
+    hash over byte windows — robust to small local edits.  Vectorized numpy
+    kernel in one Arrow pass (pandas UDF)."""
+
+    @F.pandas_udf("long")
+    def roll(texts: pd.Series) -> pd.Series:
+        base = np.uint64(1099511628211)
+        out = []
+        for t in texts:
+            if not isinstance(t, str) or len(t) < window:
+                out.append(0)
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                out.append(0)
+                continue
+            pw = base ** np.arange(window, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(b, window)
+            hashes = (win * pw[None, :]).sum(axis=1)
+            out.append(int(hashes.min().astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), roll(F.col(text_col)).alias("rolling_fp"))

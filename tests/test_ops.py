@@ -1,0 +1,260 @@
+"""Operator tests: dedup family, similarity search, text analysis, fuzzy
+join, multimodal plumbing — on crafted micro-data plus the driver's sf0.001
+tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestExactDedup:
+    def test_groups(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "Other text!"), (4, "other TEXT")],
+            "id long, text string",
+        )
+        out = {r.id: (r.dup_count, r.is_canonical) for r in exact_dedup(df, "id", "text").collect()}
+        assert out[1] == (2, True) and out[2] == (2, False)
+        assert out[3] == (2, True) and out[4] == (2, False)
+
+
+class TestMinhashSimhash:
+    @pytest.fixture(scope="class")
+    def near_dups(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog and keeps running "
+            "through the green field towards the old farm house every day"
+        )
+        rows = [
+            (1, base),
+            (2, base.replace("green", "wide")),        # near-dup of 1
+            (3, "completely different content about spark shuffles and "
+                "partitioning strategies for large scale data processing work"),
+            (4, base),                                  # exact dup of 1
+        ]
+        return spark.createDataFrame(rows, "id long, text string")
+
+    def test_minhash_finds_near_dups(self, spark, near_dups):
+        from mistral_ocr_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                near_dups, "id", "text", n=3, num_perm=32, bands=8, threshold=0.5
+            ).collect()
+        }
+        assert (1, 4) in pairs and (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_simhash_finds_near_dups(self, spark, near_dups):
+        from mistral_ocr_pipeline_spark.operators.dedup import simhash_pairs
+
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(near_dups, "id", "text", max_hamming=8).collect()
+        }
+        assert (1, 4) in pairs and pairs[(1, 4)] == 0
+        assert not any(3 in p for p in pairs)
+
+    def test_ngram_jaccard_exact(self, spark, near_dups):
+        from mistral_ocr_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = spark.createDataFrame([(1, 4), (1, 3)], "id_a long, id_b long")
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                near_dups, "id", "text", pairs, n=3, threshold=0.0
+            ).collect()
+        }
+        assert got[(1, 4)] == 1.0
+        assert got[(1, 3)] < 0.05
+
+
+class TestEmbeddingOps:
+    def test_brute_force_topk_matches_numpy(self, spark, emb):
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.similarity import brute_force_topk
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        got = brute_force_topk(emb.repartition(4), queries, k=3).collect()
+        rows = emb.collect()
+        ids = np.array([r.vec_id for r in rows])
+        mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        for qid in range(5):
+            qv = mat[ids == qid][0]
+            sims = mat @ qv
+            sims[ids == qid] = -np.inf
+            order = np.lexsort((ids, -np.round(sims, 6)))[:3]
+            expected = [int(ids[i]) for i in order]
+            mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+            assert mine == expected, qid
+
+    def test_lsh_recall_reasonable(self, spark, emb):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_topk,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, queries, k=5)
+        approx = lsh_topk(emb, queries, k=5, n_planes=5, n_probe=4, n_tables=8)
+        e = {(r.query_id, r.vec_id) for r in exact.collect()}
+        a = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, recall
+
+    def test_embedding_neardup_finds_self_dups(self, spark, emb):
+        from mistral_ocr_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+        # duplicate a few vectors under new ids → must be found at cos≈1
+        dups = emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+        df = emb.unionByName(dups)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(
+                df, "vec_id", "embedding", threshold=0.999
+            ).collect()
+        }
+        for i in range(3):
+            assert (i, i + 100000) in pairs
+
+
+class TestTextAnalysis:
+    def test_quality_and_tokens(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            quality_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat on the mat and it was happy for hours."),
+             (2, "!!! ??? ###"),
+             (3, "a b")],
+            "id long, text string",
+        )
+        out = {r.id: r for r in quality_features(df).collect()}
+        assert out[1].q_score > 0.3
+        assert out[2].q_score == 0.0  # <5 tokens
+        assert out[3].q_score == 0.0
+        assert out[1].q_tokens == 12
+
+    def test_language_id(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import language_id
+
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog sat in the house"),
+             (2, "der Hund ist nicht mit der Katze auf dem Dach"),
+             (3, "le chat est dans la maison et il dort pour le moment"),
+             (4, "日本語のテキストです"),
+             (5, "мама мыла раму"),
+             (6, "zzz qqq xxx")],
+            "id long, text string",
+        )
+        out = {r.id: r.lang_id for r in language_id(df).collect()}
+        assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+        assert out[4] == "cjk" and out[5] == "ru" and out[6] == "unknown"
+
+    def test_fingerprints(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            fingerprint_md5,
+            fingerprint_rolling,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Same   Text here"), (2, "same text HERE"), (3, "different body")],
+            "id long, text string",
+        )
+        md5s = {r.id: r.fingerprint for r in fingerprint_md5(df, "id").collect()}
+        assert md5s[1] == md5s[2] != md5s[3]
+        rolls = {r.id: r.rolling_fp for r in fingerprint_rolling(df, "id").collect()}
+        assert rolls[1] != 0 and rolls[3] != 0
+
+
+class TestFuzzyJoin:
+    def test_best_match_with_perturbations(self, spark):
+        from mistral_ocr_pipeline_spark.operators.fuzzy_join import fuzzy_best_match
+
+        review = spark.createDataFrame(
+            [(1, "Anticoagulation outcomes in elderly patients", "2021", "J Clin Med"),
+             (2, "Renal dosing of DOACs: a cohort study", "2022", "Lancet"),
+             (3, "No match exists for this title at all", "1999", "Unknown")],
+            "rid long, title string, year string, journal string",
+        )
+        output = spark.createDataFrame(
+            [(10, "anticoagulation OUTCOMES in elderly patients!", "2021.0", "j clin med"),
+             (20, "Renal dosing of doacs — a cohort study", "2022", "The Lancet"),
+             (30, "Completely unrelated paper on fisheries", "2005", "Mar Biol")],
+            "oid long, title string, year string, journal string",
+        )
+        got = {
+            r.left_id: r.right_id
+            for r in fuzzy_best_match(
+                review, output, "rid", "oid",
+                title_cols=("title", "title"),
+                year_cols=("year", "year"),
+                journal_cols=("journal", "journal"),
+            ).collect()
+        }
+        assert got[1] == 10 and got[2] == 20
+        assert got[3] is None  # below threshold → left-outer null
+
+    def test_one_to_one_uniqueness(self, spark):
+        from mistral_ocr_pipeline_spark.operators.fuzzy_join import fuzzy_best_match
+
+        review = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+            "rid long, title string",
+        )
+        output = spark.createDataFrame(
+            [(10, "alpha beta gamma")], "oid long, title string"
+        )
+        got = fuzzy_best_match(
+            review, output, "rid", "oid", title_cols=("title", "title")
+        ).collect()
+        matched = [r for r in got if r.right_id is not None]
+        assert len(matched) == 1  # output row used at most once
+
+
+class TestMultimodal:
+    def test_decode_stub_plumbing(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.multimodal import (
+            decode_features,
+            documents_as_media,
+        )
+
+        media = documents_as_media(docs.limit(20))
+        feats = decode_features(media, deterministic_fake=True).collect()
+        assert len(feats) == 20
+        for r in feats:
+            assert r.n_bytes > 0
+            assert len(r.checksum) == 64
+            assert len(r.features) == 8
+            assert all(0.0 <= x <= 1.0 for x in r.features)
+
+    def test_decode_without_codec_raises(self, spark, docs):
+        from py4j.protocol import Py4JJavaError
+        from mistral_ocr_pipeline_spark.operators.multimodal import (
+            decode_features,
+            documents_as_media,
+        )
+
+        media = documents_as_media(docs.limit(1))
+        with pytest.raises(Exception) as ei:
+            decode_features(media, deterministic_fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
