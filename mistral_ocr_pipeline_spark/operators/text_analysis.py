@@ -123,15 +123,13 @@ def fingerprint_rolling(
         base = np.uint64(1099511628211)
         out = []
         for t in texts:
-            if not isinstance(t, str) or len(t) < window:
+            if not isinstance(t, str) or not t:
                 out.append(0)
                 continue
             b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(b) < window:
-                out.append(0)
-                continue
-            pw = base ** np.arange(window, dtype=np.uint64)
-            win = np.lib.stride_tricks.sliding_window_view(b, window)
+            w = min(window, len(b))  # short texts: one window over the whole text
+            pw = base ** np.arange(w, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(b, w)
             hashes = (win * pw[None, :]).sum(axis=1)
             out.append(int(hashes.min().astype(np.int64)))
         return pd.Series(out, dtype="int64")
