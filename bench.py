@@ -1,0 +1,162 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec},
+ "sf": ..., "turns_per_sec": ..., "extract_turns": ...}
+
+Headline: mixed-payload per-turn extraction throughput (turns/sec) — the
+BASELINE.json metric.  The mixed corpus derives deterministically from the
+sf documents table (plain + HTML-wrapped + PDF-layout payloads), replicated
+``SPARK_GRAFT_BENCH_REP``× so the run is long enough to measure.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REP (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_ROOT = str(Path(__file__).resolve().parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def mixed_transcripts(spark, sf_dir: str, rep: int):
+    """documents × rep → transcripts with a deterministic payload mix:
+    1/3 plain, 1/3 full HTML page, 1/3 PDF-layout tool payload."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r")
+    )
+    uid = F.col("doc_id") * rep + F.col("r")
+    fam = uid % 3
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+            "<header><p>Site tagline</p></header><article><h1>Doc "
+        ),
+        uid.cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p></article><aside><ul><li><a href="/r">Related junk</a></li></ul>'
+            "</aside><footer><p>© 2024</p></footer></body></html>"
+        ),
+    )
+
+    def line(text_col, size, y0):
+        bbox = F.array(F.lit(72.0), F.lit(y0), F.lit(272.0), F.lit(y0 + size + 2))
+        return F.struct(
+            bbox.alias("bbox"),
+            F.array(
+                F.struct(text_col.alias("text"), F.lit(size).alias("size"), bbox.alias("bbox"))
+            ).alias("spans"),
+        )
+
+    def page(lines):
+        return F.struct(
+            F.lit(612.0).alias("width"),
+            F.lit(792.0).alias("height"),
+            F.array(
+                F.struct(
+                    F.lit(0).alias("type"),
+                    F.array(F.lit(50.0), F.lit(50.0), F.lit(562.0), F.lit(700.0)).alias("bbox"),
+                    lines.alias("lines"),
+                )
+            ).alias("blocks"),
+        )
+
+    pdf = F.to_json(
+        F.struct(
+            F.lit("pdf_layout").alias("kind"),
+            F.array(
+                page(F.array(line(F.lit("Introduction"), 12.5, 60.0), line(F.col("text"), 10.0, 90.0))),
+                page(F.array(line(F.lit("References"), 12.5, 60.0), line(F.lit("[1] cite."), 10.0, 90.0))),
+            ).alias("pages"),
+        )
+    )
+    return rows.select(
+        F.concat(F.lit("conv-"), F.lpad((uid % 997).cast("string"), 6, "0")).alias("conv_id"),
+        (uid / 997).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.when(fam == 0, F.col("text")).when(fam == 1, html).alias("text"),
+        F.when(fam == 2, pdf).alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "20"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
+    from mistral_ocr_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus)
+
+    timings: dict[str, float] = {}
+
+    # headline: mixed-payload extraction throughput
+    t_input = mixed_transcripts(spark, sf_dir, rep)
+    n_turns = t_input.count()
+    t0 = time.perf_counter()
+    _run_noop(extract_transcripts(t_input, num_partitions=int(cpus) * 4))
+    extract_sec = time.perf_counter() - t0
+    timings["extract_mixed"] = round(extract_sec, 3)
+    turns_per_sec = round(n_turns / extract_sec, 1)
+
+    bench_queries = [
+        "flagship_extract_plain",
+        "extract_html_boilerplate",
+        "extract_pdf_layout",
+        "a1_conversation_assembly",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "ann_cosine_topk",
+        "ann_brute_force_numpy",
+        "ann_lsh_topk",
+        "text_quality_score",
+        "text_langid",
+        "j2_fuzzy_best_match",
+        "pricing_summary",
+        "w6_stable_turn_ordering",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        _run_noop(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec (headline: extract_mixed turns/sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1097 @@
+"""Driver-contract queries: every implemented operator from SURVEY.md §2
+exposed as a (spark, sf_dir) → DataFrame callable, with a DuckDB oracle SQL
+twin wherever the semantics are ANSI-SQL-expressible.
+
+Column names/types are aligned pair-wise (the driver hash-compares sorted
+columns); float aggregates are rounded or decimal-cast on BOTH sides so
+associativity differences cannot flip the hash.
+
+The transcripts input required by BASELINE.json is derived deterministically
+from the ``documents`` table (no external data): doc_id → (conv_id =
+doc_id % 50, turn_idx = doc_id // 50) — identical arithmetic in both
+engines."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# transcripts derivation (shared by extraction queries)
+# --------------------------------------------------------------------------
+_TRANSCRIPTS_SQL = """
+    SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+           (doc_id // 50)::int AS turn_idx,
+           (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+           text,
+           CAST(NULL AS varchar) AS tool
+    FROM documents
+"""
+
+
+def transcripts_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic transcripts in the BASELINE.json input shape."""
+    d = F.col("doc_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system"))
+    return docs.select(
+        F.concat(F.lit("conv-"), F.lpad((d % 50).cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        F.floor(d / 50).cast("int").alias("turn_idx"),
+        F.get(roles, (d % 4).cast("int")).alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=d.cast("double"))
+        ).alias("ts"),
+    )
+
+
+# normalized plain text, shared SQL fragment (engine: extractors.textnorm)
+_NORM = "trim(regexp_replace(nfc_normalize({c}), '\\s+', ' ', 'g'))"
+# matching key (functions.text_functions.norm_key_col)
+_KEY = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s/\\-]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# --------------------------------------------------------------------------
+# 1. flagship: per-turn plain extraction (north-rule pipeline, SQL-checked)
+# --------------------------------------------------------------------------
+@register(
+    "flagship_extract_plain",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL})
+    SELECT conv_id, turn_idx,
+           CASE WHEN {_NORM.format(c='text')} = '' THEN 'empty' ELSE 'plain' END
+               AS payload_kind,
+           {_NORM.format(c='text')} AS extracted_text,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS turn_rank
+    FROM t
+    """,
+)
+def flagship_extract_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transcripts → salted repartition → mapInPandas extraction → W6 window.
+
+    The documents corpus is plain prose, so the whole engine path (dispatch,
+    normalization, span/md assembly) is replayable as SQL — the one
+    extraction query with a full value-level oracle."""
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+        extract_transcripts,
+        with_stable_order,
+    )
+
+    t = transcripts_from_documents(_t(spark, sf_dir, "documents"))
+    out = with_stable_order(extract_transcripts(t))
+    return out.select(
+        "conv_id", "turn_idx", "payload_kind", "extracted_text", "turn_rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. HTML boilerplate strip, SQL-checked via a deterministic wrapper doc
+# --------------------------------------------------------------------------
+@register(
+    "extract_html_boilerplate",
+    oracle=f"""
+    SELECT doc_id,
+           'Doc ' || doc_id::varchar || chr(10) || chr(10) ||
+               {_NORM.format(c='text')} AS extracted_text,
+           '# Doc ' || doc_id::varchar || chr(10) || chr(10) ||
+               {_NORM.format(c='text')} AS md
+    FROM documents
+    WHERE {_NORM.format(c='text')} != ''
+    """,
+)
+def extract_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap every document in an HTML page with nav/aside/footer boilerplate
+    and a link-farm paragraph; the extractor must recover exactly the
+    heading + content paragraph.  The oracle reconstructs that expectation
+    in SQL, so the block classifier is value-checked at every scale."""
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>x</title><style>p{color:red}</style></head><body>"
+            '<nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">More</a></nav>'
+            "<header><p>Site tagline boilerplate</p></header><article><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            "</p></article>"
+            '<p><a href="/x">read</a> <a href="/y">more</a> <a href="/z">links</a></p>'
+            '<aside><ul><li><a href="/r">Related article teaser junk</a></li></ul></aside>'
+            "<footer><p>© 2024 example.org</p></footer></body></html>"
+        ),
+    )
+    t = docs.select(
+        F.lit("c").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        html.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = extract_transcripts(t)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"), "extracted_text", "md"
+    ).filter(F.col("extracted_text") != F.concat(F.lit("Doc "), F.col("doc_id")))
+
+
+# --------------------------------------------------------------------------
+# 3. PDF-layout extraction at scale (rows-only: layout semantics not SQL)
+# --------------------------------------------------------------------------
+@register("extract_pdf_layout")
+def extract_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout payloads synthesized JVM-side (to_json over nested structs):
+    page 0 = Introduction heading + body line per document sentence chunk,
+    page 1 = References heading + citation line (must be cut).  Exercises
+    XY-ordering, heading detection, refs-cut and span bookkeeping on every
+    row of the corpus; value-checked by the pytest golden suite, row/schema
+    checked here."""
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def line(text_col, size, x0, y0):
+        return F.struct(
+            F.array(F.lit(x0), F.lit(y0), F.lit(x0 + 200.0), F.lit(y0 + size + 2)).alias("bbox"),
+            F.array(
+                F.struct(
+                    text_col.alias("text"),
+                    F.lit(size).alias("size"),
+                    F.array(
+                        F.lit(x0), F.lit(y0), F.lit(x0 + 200.0), F.lit(y0 + size + 2)
+                    ).alias("bbox"),
+                )
+            ).alias("spans"),
+        )
+
+    def page(lines):
+        return F.struct(
+            F.lit(612.0).alias("width"),
+            F.lit(792.0).alias("height"),
+            F.array(
+                F.struct(
+                    F.lit(0).alias("type"),
+                    F.array(F.lit(50.0), F.lit(50.0), F.lit(562.0), F.lit(700.0)).alias("bbox"),
+                    lines.alias("lines"),
+                )
+            ).alias("blocks"),
+        )
+
+    body = F.col("text")
+    p0 = page(
+        F.array(
+            line(F.lit("Introduction"), 12.5, 72.0, 60.0),
+            line(body, 10.0, 72.0, 90.0),
+        )
+    )
+    p1 = page(
+        F.array(
+            line(F.lit("References"), 12.5, 72.0, 60.0),
+            line(F.lit("[1] A citation entry 2020."), 10.0, 72.0, 90.0),
+        )
+    )
+    payload = F.to_json(
+        F.struct(F.lit("pdf_layout").alias("kind"), F.array(p0, p1).alias("pages"))
+    )
+    t = docs.select(
+        F.lit("c").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        payload.alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = extract_transcripts(t)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        "payload_kind",
+        "extracted_text",
+        F.to_json("spans").alias("spans_json"),
+        "error",
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — resume anti-join (SURVEY §2.4)
+# --------------------------------------------------------------------------
+@register(
+    "j1_resume_anti_join",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 < 3)
+    """,
+)
+def j1_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processed-set exclusion: left_anti against a (broadcastable) index —
+    the reference's resume filter (main.py:244-257)."""
+    docs = _t(spark, sf_dir, "documents")
+    processed = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    return docs.join(F.broadcast(processed), "doc_id", "left_anti").select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# P5/P6 — sink-side cleanup filter (reference utils/utils.py:208-251,307-327)
+# --------------------------------------------------------------------------
+@register(
+    "p5_sink_cleanup_filter",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN ' 42.5 '
+                  WHEN doc_id % 11 = 0 THEN ''
+                  ELSE text END AS t
+      FROM documents)
+    SELECT doc_id FROM d
+    WHERE t IS NOT NULL AND trim(t) != ''
+      AND NOT regexp_matches(t, '^\s*[+-]?(\d+(\.\d+)?|\.\d+)([eE][+-]?\d+)?\s*$')
+    """,
+)
+def p5_sink_cleanup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.functions.text_functions import (
+        is_numeric_string_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" 42.5 "))
+        .when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    d = docs.select("doc_id", t.alias("t"))
+    return d.filter(
+        F.col("t").isNotNull()
+        & (F.trim("t") != "")
+        & ~is_numeric_string_col(F.col("t"))
+    ).select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# P7/X8 — gate/consistency rules (reference main.py:114-159)
+# --------------------------------------------------------------------------
+@register(
+    "p7_gate_rules",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' AND value > 0 THEN 'Yes' ELSE 'No' END
+               AS gate,
+           CASE WHEN event_type = 'purchase' AND value > 0
+                THEN round(value, 4) ELSE NULL END AS gated_value
+    FROM events
+    """,
+)
+def p7_gate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    gate = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0), F.lit("Yes")
+    ).otherwise(F.lit("No"))
+    return ev.select(
+        "event_id",
+        gate.alias("gate"),
+        F.when(gate == "Yes", F.round("value", 4)).alias("gated_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — first-non-empty-wins ordered merge (reference utils/utils.py:94-103)
+# --------------------------------------------------------------------------
+@register(
+    "a2_first_nonempty_merge",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CASE WHEN value < 0.2 THEN '' ELSE event_type END AS v
+      FROM events)
+    SELECT user_id,
+           arg_min(v, event_id) FILTER (WHERE v IS NOT NULL AND trim(v) != '')
+               AS first_val
+    FROM e GROUP BY user_id
+    """,
+)
+def a2_first_nonempty_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.merge import first_nonempty_ordered
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 0.2, F.lit("")).otherwise(F.col("event_type"))
+    return (
+        ev.select("user_id", "event_id", v.alias("v"))
+        .groupBy("user_id")
+        .agg(first_nonempty_ordered(F.col("v"), F.col("event_id")).alias("first_val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — ordered concat + stable dedup (reference utils/utils.py:105-117)
+# --------------------------------------------------------------------------
+@register(
+    "a3_concat_dedup_ordered",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id)
+                 AS rn
+      FROM events
+      WHERE event_type IS NOT NULL AND trim(event_type) != '')
+    SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS seq
+    FROM r WHERE rn = 1 GROUP BY user_id
+    """,
+)
+def a3_concat_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.merge import concat_dedup_ordered
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                concat_dedup_ordered(F.col("event_type"), F.col("event_id")), ","
+            ).alias("seq")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — count aggregates (reference main.py:258,281-303)
+# --------------------------------------------------------------------------
+@register(
+    "a6_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — mean-score rollups excluding sentinel scores (compare_results.py:858-901)
+# --------------------------------------------------------------------------
+@register(
+    "a7_mean_rollups",
+    oracle="""
+    SELECT event_type,
+           round(avg(value) FILTER (WHERE value >= 1.0), 4) AS mean_value,
+           count(*) FILTER (WHERE value >= 1.0) AS n_scored
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_mean_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    scored = F.when(F.col("value") >= 1.0, F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(scored), 4).alias("mean_value"),
+        F.count(scored).alias("n_scored"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 — distribution counts (compare_results.py:866-869; notebook value_counts)
+# --------------------------------------------------------------------------
+@register(
+    "a8_distribution",
+    oracle="SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
+)
+def a8_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — set-overlap (Jaccard) measures (compare_results.py:490-524)
+# --------------------------------------------------------------------------
+@register(
+    "a9_set_overlap_jaccard",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(string_split({_KEY.format(c='text')}, ' ')))
+                 AS w
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, count(*) AS i
+      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
+      GROUP BY a.doc_id)
+    SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+           round(coalesce(i.i, 0)::double / (s1.n + s2.n - coalesce(i.i, 0)), 6)
+               AS jaccard
+    FROM sizes s1
+    JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
+    LEFT JOIN inter i ON i.id_a = s1.doc_id
+    """,
+)
+def a9_set_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(norm_key_col(F.col("text")), " ")).alias("ws"),
+    )
+    a = w.alias("a")
+    b = w.select((F.col("doc_id") - 1).alias("doc_id"), F.col("ws").alias("ws_b")).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("ws", "ws_b"))
+                / (
+                    F.size("ws")
+                    + F.size("ws_b")
+                    - F.size(F.array_intersect("ws", "ws_b"))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — best-per-group (heading_detector.py:157-164)
+# --------------------------------------------------------------------------
+@register(
+    "w1_best_per_group",
+    oracle="""
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def w1_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# W4 — top-k (compare_results.py:1193-1199)
+# --------------------------------------------------------------------------
+@register(
+    "w4_topk",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+)
+def w4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# W5/W6 — ordered limit + stable ordering rank (main.py:209; north rule W6)
+# --------------------------------------------------------------------------
+@register(
+    "w5_ordered_limit",
+    oracle="SELECT event_id FROM events ORDER BY ts, event_id LIMIT 20",
+)
+def w5_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id")
+    )
+
+
+@register(
+    "w6_stable_turn_ordering",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_event_id
+    FROM events
+    """,
+)
+def w6_stable_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — ordered per-conversation assembly (main.py:203-216)
+# --------------------------------------------------------------------------
+@register(
+    "a1_conversation_assembly",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL})
+    SELECT conv_id,
+           string_agg({_NORM.format(c='text')}, chr(10) || chr(10) ORDER BY turn_idx)
+               AS conv_md,
+           count(*)::bigint AS n_turns
+    FROM t GROUP BY conv_id
+    """,
+)
+def a1_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+        assemble_conversations,
+        extract_transcripts,
+    )
+
+    t = transcripts_from_documents(_t(spark, sf_dir, "documents"))
+    ext = extract_transcripts(t)
+    out = assemble_conversations(ext, text_col="md")
+    return out.select("conv_id", "conv_md", F.col("n_turns").cast("long").alias("n_turns"))
+
+
+# --------------------------------------------------------------------------
+# C2 — references-heading regex (utils/utils.py:21-24)
+# --------------------------------------------------------------------------
+@register(
+    "c2_references_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_matches(
+             CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || 'References' ELSE text END,
+             '(?im)^\s*(references?|bibliography|works\s+cited)\s*:?\s*$') AS has_refs
+    FROM documents
+    """,
+)
+def c2_references_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.functions.text_functions import (
+        references_heading_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("\nReferences"))
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id", references_heading_col(injected).alias("has_refs")
+    )
+
+
+# --------------------------------------------------------------------------
+# C7 — sha256 provenance hash (utils/utils.py:147-149)
+# --------------------------------------------------------------------------
+@register(
+    "c7_sha256_provenance",
+    oracle="""
+    SELECT doc_id, sha256(source || '/' || doc_id::varchar) AS prov
+    FROM documents
+    """,
+)
+def c7_sha256_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.functions.text_functions import sha256_provenance
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        sha256_provenance(
+            F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+        ).alias("prov"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C11 — trailing-.0 year strip (compare_results.py:95,551)
+# --------------------------------------------------------------------------
+@register(
+    "c11_year_strip",
+    oracle=r"""
+    SELECT o_orderkey,
+           regexp_replace(year(o_orderdate)::varchar || '.0', '\.0$', '')
+               AS year_clean
+    FROM orders
+    """,
+)
+def c11_year_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.functions.text_functions import (
+        strip_trailing_dot_zero,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ys = F.concat(F.year("o_orderdate").cast("string"), F.lit(".0"))
+    return o.select("o_orderkey", strip_trailing_dot_zero(ys).alias("year_clean"))
+
+
+# --------------------------------------------------------------------------
+# J2 — fuzzy 1:1 best-match join (compare_results.py:74-121)
+# --------------------------------------------------------------------------
+@register(
+    "j2_fuzzy_best_match",
+    oracle=f"""
+    WITH l AS (
+      SELECT p_partkey AS lid, {_KEY.format(c='p_name')} AS lt
+      FROM part WHERE p_partkey % 23 = 1),
+    r AS (
+      SELECT p_partkey + 1000000 AS rid,
+             {_KEY.format(c="upper(p_name) || '!'")} AS rt
+      FROM part WHERE p_partkey % 3 = 0),
+    s AS (
+      SELECT lid, rid,
+             round(3 * (1 - levenshtein(lt, rt)::double /
+                        greatest(length(lt), length(rt), 1)), 9) AS score
+      FROM l CROSS JOIN r),
+    b AS (SELECT *, row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid) rn_l
+          FROM s),
+    u AS (SELECT *, row_number() OVER (PARTITION BY rid ORDER BY score DESC, lid) rn_r
+          FROM b WHERE rn_l = 1)
+    SELECT l.lid AS left_id, u2.rid AS right_id, u2.score AS match_score
+    FROM l LEFT JOIN (SELECT * FROM u WHERE rn_r = 1 AND score >= 1.5) u2
+      ON u2.lid = l.lid
+    """,
+)
+def j2_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.fuzzy_join import fuzzy_best_match
+
+    part = _t(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") % 23 == 1).select(
+        F.col("p_partkey").alias("lid"), F.col("p_name").alias("title")
+    )
+    right = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(F.upper("p_name"), F.lit("!")).alias("title"),
+    )
+    return fuzzy_best_match(
+        left, right, "lid", "rid", title_cols=("title", "title"), threshold=1.5
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+    k AS (SELECT id, md5({_KEY.format(c='text')}) AS content_key FROM u),
+    g AS (SELECT content_key, count(*) AS dup_count, min(id) AS canonical_id
+          FROM k GROUP BY content_key)
+    SELECT k.id, k.content_key, g.dup_count, k.id = g.canonical_id AS is_canonical
+    FROM k JOIN g USING (content_key)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(F.col("doc_id").alias("id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"), "text"
+        )
+    )
+    return exact_dedup(u, "id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_KEY.format(c='text')}, ' ') AS ws
+      FROM documents),
+    ok AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i:i+2], ' ')))) AS gram
+      FROM ok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, count(*) AS i
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gram = a.gram
+      GROUP BY a.doc_id)
+    SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+           round(coalesce(i.i, 0)::double / (s1.n + s2.n - coalesce(i.i, 0)), 6)
+               AS jaccard
+    FROM sizes s1
+    JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
+    LEFT JOIN inter i ON i.id_a = s1.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for adjacent-id candidate pairs — the
+    verification kernel of the LSH dedup path, value-checked in SQL."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.dedup import _word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(_word_ngrams(F.col("text"), 3)).alias("gs"),
+        F.size(F.split(norm_key_col(F.col("text")), " ")).alias("nw"),
+    ).filter(F.col("nw") >= 3)
+    a = g.alias("a")
+    b = g.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("gs").alias("gs_b")
+    ).alias("b")
+    inter = F.size(F.array_intersect("gs", "gs_b"))
+    union = F.size("gs") + F.size("gs_b") - inter
+    return a.join(b, "doc_id").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        F.round(inter / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents ∪ perturbed clones (one
+    word changed), verified by exact Jaccard.  Rows-only (banding not SQL);
+    semantics pinned by tests/test_ops.py."""
+    from mistral_ocr_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    u = docs.select("doc_id", "text").unionAll(clones)
+    return minhash_lsh_pairs(
+        u, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (bit-band blocking + hamming ≤ 3) over
+    documents ∪ exact clones.  Rows-only; semantics pinned by tests."""
+    from mistral_ocr_pipeline_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    u = docs.select("doc_id", "text").unionAll(clones)
+    return simhash_pairs(u, "doc_id", "text", n=2, max_hamming=3)
+
+
+@register("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH buckets + exact cosine ≥ 0.99
+    over embeddings ∪ cloned vectors.  Rows-only."""
+    from mistral_ocr_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    u = emb.unionByName(clones)
+    return embedding_neardup_pairs(u, "vec_id", "embedding", threshold=0.99)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT qid, vec_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                   6) AS cosine
+      FROM q CROSS JOIN c WHERE vec_id != qid),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM s)
+    SELECT qid AS query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k as pure Catalyst expressions (zip_with/aggregate
+    fold in array order → bit-identical to the sequential SQL dot product,
+    so the oracle checks values, not just shape).  The numpy-matmul variant
+    (operators/similarity.brute_force_topk) is the throughput path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), dvec.alias("qv")
+    )
+    c = emb.select("vec_id", dvec.alias("v"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("qid").alias("query_id"), "vec_id", "cosine", "rank")
+    )
+
+
+@register("ann_brute_force_numpy")
+def ann_brute_force_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of exact top-k: numpy matmul per Arrow batch,
+    per-partition partial top-k.  Rows-only here; value-equivalence to the
+    expression variant is asserted in tests/test_ops.py."""
+    from mistral_ocr_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe LSH ANN (scale path).  Rows-only; recall
+    vs exact asserted in tests."""
+    from mistral_ocr_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=5, n_probe=4, n_tables=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END::bigint
+               AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::bigint
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        bpe_token_count,
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::bigint AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint
+                 AS n_tokens,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|that|it|was|for)\b'))::bigint AS n_stop,
+             len(regexp_extract_all(text, '[^\w\s]'))::bigint AS n_punct,
+             len(regexp_extract_all(text, '[0-9]'))::bigint AS n_digit
+      FROM documents)
+    SELECT doc_id,
+           n_chars AS q_chars, n_tokens AS q_tokens,
+           round(n_stop::double / greatest(n_tokens, 1), 6) AS q_stop_ratio,
+           round(n_punct::double / greatest(n_chars, 1), 6) AS q_punct_ratio,
+           CASE WHEN n_tokens < 5 THEN 0.0
+                ELSE round(
+                  least(1.0, (n_stop::double / greatest(n_tokens, 1)) * 2)
+                  * (1.0 - least(1.0, (n_punct::double / greatest(n_chars, 1)) * 4))
+                  * (1.0 - least(1.0, (n_digit::double / greatest(n_chars, 1)) * 4)),
+                  6) END AS q_score
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.text_analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs.select("doc_id", "text")).select(
+        "doc_id", "q_chars", "q_tokens", "q_stop_ratio", "q_punct_ratio", "q_score"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+             len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS ar,
+             len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS ru,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS en,
+             len(regexp_extract_all(lower(text),
+                 '\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS de,
+             len(regexp_extract_all(lower(text),
+                 '\b(le|la|les|et|de|un|une|est|dans|pour)\b')) AS fr,
+             len(regexp_extract_all(lower(text),
+                 '\b(el|la|los|de|que|y|en|un|una|es)\b')) AS es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN cjk > 0 THEN 'cjk'
+                WHEN ar > 0 THEN 'ar'
+                WHEN ru > 0 THEN 'ru'
+                WHEN greatest(en, de, fr, es) > 0 AND en = greatest(en, de, fr, es)
+                    THEN 'en'
+                WHEN greatest(en, de, fr, es) > 0 AND de = greatest(en, de, fr, es)
+                    THEN 'de'
+                WHEN greatest(en, de, fr, es) > 0 AND fr = greatest(en, de, fr, es)
+                    THEN 'fr'
+                WHEN greatest(en, de, fr, es) > 0 AND es = greatest(en, de, fr, es)
+                    THEN 'es'
+                ELSE 'unknown' END AS lang_id
+    FROM f
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.text_analysis import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs.select("doc_id", "text")).select("doc_id", "lang_id")
+
+
+@register(
+    "text_fingerprint_md5",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.text_analysis import fingerprint_md5
+
+    return fingerprint_md5(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@register("text_fingerprint_rolling")
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint (numpy kernel) — rows-only."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import fingerprint_rolling
+
+    return fingerprint_rolling(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; checksum/size SQL-checked)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           octet_length(encode(text))::bigint AS n_bytes,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.multimodal import (
+        decode_features,
+        documents_as_media,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return decode_features(media, deterministic_fake=True).select(
+        "media_id", "kind", "n_bytes", "checksum"
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style pricing summary (A6/A7 composite; bench anchor for partial agg)
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round((sum(l_quantity::DECIMAL(18,4)))::double, 2) AS sum_qty,
+           round((sum(l_extendedprice::DECIMAL(18,4)))::double, 2) AS sum_base,
+           round((sum(l_extendedprice::DECIMAL(18,4) *
+                      (1 - l_discount::DECIMAL(18,4))))::double, 2) AS sum_disc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact distributed sums (associativity-proof), filter pushed
+    to the parquet scan, map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    ep = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(ep).cast("double"), 2).alias("sum_base"),
+            F.round(F.sum(ep * (F.lit(1) - disc)).cast("double"), 2).alias("sum_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
