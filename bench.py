@@ -29,7 +29,10 @@ from pyspark.sql import functions as F  # noqa: E402
 def mixed_transcripts(spark, sf_dir: str, rep: int):
     """documents × rep → transcripts with a deterministic payload mix:
     1/3 plain, 1/3 full HTML page, 1/3 PDF-layout tool payload."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the small documents file is one input split — fan it out BEFORE the
+    # explode so payload construction and the downstream shuffle map side
+    # are parallel (serial stages are what kill N→4N scaling)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(128, "doc_id")
     rows = docs.select(
         "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r")
     )

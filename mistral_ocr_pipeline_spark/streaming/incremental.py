@@ -1,0 +1,71 @@
+"""Incremental extraction as Structured Streaming (Trigger.AvailableNow).
+
+The reference's streaming-shaped behavior (SURVEY.md §2.10) — incremental
+one-row-at-a-time appends, resume-after-kill without recompute
+(reference main.py:283-295, utils/utils.py:153-206) — maps to Spark as a
+file-source stream over the transcripts directory with AvailableNow
+semantics: each run drains exactly the files not yet processed (the
+streaming checkpoint replaces the CSV resume index), extracts per
+micro-batch via the same mapInPandas pipeline, and appends output +
+per-batch lineage metrics inside ``foreachBatch``.
+
+Killed run → next run resumes from the checkpoint offsets; already-drained
+files are never re-read, the exact analog of the reference's hash-index
+skip (utils/utils.py:291-304)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from mistral_ocr_pipeline_spark.fixtures.gen import transcripts_schema
+from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
+from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+
+def run_incremental_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    catalog: TableCatalog,
+    checkpoint_dir: str,
+    output_table: str = "extracted_stream",
+    lineage_table: str = "stream_batches",
+    run_id: str = "stream-0",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all currently-available input files, then stop (AvailableNow).
+
+    ``max_files_per_trigger`` bounds micro-batch size (the reference's
+    bounded concurrency, main.py:37).  Blocking: returns when the drain
+    completes."""
+    reader = (
+        spark.readStream.schema(transcripts_schema())
+        .format("parquet")
+        .option("path", input_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load()
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        extracted = extract_transcripts(batch_df, repartition=False).persist()
+        try:
+            catalog.append(extracted, output_table)
+            agg = extracted.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("error").isNotNull().cast("long")).alias("failures"),
+            ).first()
+            metrics = batch_df.sparkSession.createDataFrame(
+                [(run_id, int(batch_id), int(agg.rows or 0), int(agg.failures or 0))],
+                "run_id string, batch_id long, rows long, failures long",
+            )
+            catalog.append(metrics, lineage_table)
+        finally:
+            extracted.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

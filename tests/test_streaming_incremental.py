@@ -1,0 +1,55 @@
+"""Structured-Streaming incremental extraction: AvailableNow drain, resume
+from checkpoint without re-reading drained files, per-batch lineage."""
+
+import pandas as pd
+import pytest
+
+from mistral_ocr_pipeline_spark.fixtures.gen import gen_transcripts
+from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+from mistral_ocr_pipeline_spark.streaming.incremental import (
+    run_incremental_extraction,
+)
+
+
+def _write_parquet(rows, path):
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = (
+        pd.to_datetime(pdf["ts"], utc=True).dt.tz_localize(None).astype("datetime64[us]")
+    )
+    pdf.to_parquet(path, index=False)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_incremental_drain_and_resume(spark, tmp_path):
+    input_dir = tmp_path / "stream_in"
+    input_dir.mkdir()
+    rows = gen_transcripts(10, 6, seed=21, profile="tiny")
+    _write_parquet(rows[:30], input_dir / "part1.parquet")
+    _write_parquet(rows[30:], input_dir / "part2.parquet")
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # first drain: both files
+    run_incremental_extraction(spark, str(input_dir), cat, ckpt, run_id="s1")
+    n1 = cat.read("extracted_stream").count()
+    assert n1 == len(rows)
+
+    # second run with NO new files: checkpoint prevents re-processing
+    run_incremental_extraction(spark, str(input_dir), cat, ckpt, run_id="s2")
+    assert cat.read("extracted_stream").count() == n1
+
+    # drop a new file: only the delta is processed
+    more = gen_transcripts(3, 4, seed=99, profile="tiny")
+    more = [(f"late-{c}", t, r, x, tl, ts) for (c, t, r, x, tl, ts) in more]
+    _write_parquet(more, input_dir / "part3.parquet")
+    run_incremental_extraction(spark, str(input_dir), cat, ckpt, run_id="s3")
+    assert cat.read("extracted_stream").count() == n1 + len(more)
+
+    lineage = cat.read("stream_batches").collect()
+    assert sum(r.rows for r in lineage) == n1 + len(more)
+    runs = {r.run_id for r in lineage}
+    assert "s1" in runs and "s3" in runs and "s2" not in runs  # s2 was a no-op
