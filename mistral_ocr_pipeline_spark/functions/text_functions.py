@@ -58,3 +58,29 @@ def sha256_provenance(c: Column) -> Column:
     utils/utils.py:147-149 hashes the file name; function says sha1, does
     sha256).  DuckDB: ``sha256(c)``."""
     return F.sha2(c, 256)
+
+
+def truncate_at_references(c: Column) -> Column:
+    """S4 — stop processing at the references heading: everything before the
+    first standalone references/bibliography line (the reference counts
+    pages only up to that heading, utils/utils.py:78-91).
+    DuckDB: ``regexp_split_to_array(c, pattern)[1]``."""
+    return F.split(c, REFERENCES_HEADING_PATTERN).getItem(0)
+
+
+# C14 — country alias canonicalization (reference compare_results.py:574-586)
+COUNTRY_ALIASES = {
+    "usa": "united states", "us": "united states", "u.s.": "united states",
+    "uk": "united kingdom", "u.k.": "united kingdom",
+    "deutschland": "germany", "holland": "netherlands",
+}
+
+
+def canonical_country(c: Column) -> Column:
+    """Map-literal lookup with identity fallback.
+    DuckDB: CASE/``map`` equivalent."""
+    m = F.create_map(
+        *[F.lit(x) for kv in COUNTRY_ALIASES.items() for x in kv]
+    )
+    key = F.lower(F.trim(c))
+    return F.coalesce(m[key], key)

@@ -135,3 +135,29 @@ def fingerprint_rolling(
         return pd.Series(out, dtype="int64")
 
     return df.select(F.col(id_col), roll(F.col(text_col)).alias("rolling_fp"))
+
+
+# C13 — keyword→concept mapping (reference compare_results.py:129-482: six
+# literal keyword dictionaries matched after normalization).  Pure SQL
+# higher-order functions: no UDF, vocab folded into the plan as literals.
+CONCEPT_VOCAB = {
+    "query": ("query", "sql", "filter", "join", "scan"),
+    "perf": ("fast", "slow", "vector", "batch", "hash"),
+    "data": ("table", "row", "column", "key", "value"),
+}
+
+
+def concept_tags(c: Column, vocab: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Array of concept tags whose keyword set intersects the normalized
+    token set — ``array_intersect`` against literal arrays, tags in pinned
+    dict order.  DuckDB twin: list_has_any/EXISTS per concept."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.split(norm_key_col(c), " ")
+    tags = [
+        F.when(
+            F.arrays_overlap(toks, F.array(*[F.lit(k) for k in kws])), F.lit(name)
+        )
+        for name, kws in (vocab or CONCEPT_VOCAB).items()
+    ]
+    return F.filter(F.array(*tags), lambda x: x.isNotNull())

@@ -1095,3 +1095,246 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S4 — truncate at references heading (utils/utils.py:78-91)
+# --------------------------------------------------------------------------
+@register(
+    "s4_truncate_references",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || chr(10) || 'References' || chr(10) || '[1] tail cite.'
+                  ELSE text END AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_split_to_array(t,
+             '(?im)^\s*(references?|bibliography|works\s+cited)\s*:?\s*$')[1]
+               AS kept
+    FROM d
+    """,
+)
+def s4_truncate_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.functions.text_functions import (
+        truncate_at_references,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit("\nReferences\n[1] tail cite.")),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", truncate_at_references(t).alias("kept"))
+
+
+# --------------------------------------------------------------------------
+# C13 — keyword→concept mapping (compare_results.py:129-482)
+# --------------------------------------------------------------------------
+@register(
+    "c13_concept_tags",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split({_KEY.format(c='text')}, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           list_filter([
+             CASE WHEN len(list_intersect(toks,
+                 ['query','sql','filter','join','scan'])) > 0 THEN 'query' END,
+             CASE WHEN len(list_intersect(toks,
+                 ['fast','slow','vector','batch','hash'])) > 0 THEN 'perf' END,
+             CASE WHEN len(list_intersect(toks,
+                 ['table','row','column','key','value'])) > 0 THEN 'data' END
+           ], x -> x IS NOT NULL) AS tags
+    FROM w
+    """,
+)
+def c13_concept_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.text_analysis import concept_tags
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", concept_tags(F.col("text")).alias("tags"))
+
+
+# --------------------------------------------------------------------------
+# C14 — alias canonicalization map (compare_results.py:574-586)
+# --------------------------------------------------------------------------
+@register(
+    "c14_country_canonical",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             (['USA','uk','Deutschland','france','Holland'])[(doc_id % 5) + 1]
+                 AS raw
+      FROM documents)
+    SELECT doc_id,
+           CASE lower(trim(raw))
+                WHEN 'usa' THEN 'united states'
+                WHEN 'us' THEN 'united states'
+                WHEN 'u.s.' THEN 'united states'
+                WHEN 'uk' THEN 'united kingdom'
+                WHEN 'u.k.' THEN 'united kingdom'
+                WHEN 'deutschland' THEN 'germany'
+                WHEN 'holland' THEN 'netherlands'
+                ELSE lower(trim(raw)) END AS country
+    FROM d
+    """,
+)
+def c14_country_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.functions.text_functions import canonical_country
+
+    docs = _t(spark, sf_dir, "documents")
+    names = F.array(
+        F.lit("USA"), F.lit("uk"), F.lit("Deutschland"), F.lit("france"), F.lit("Holland")
+    )
+    raw = F.get(names, (F.col("doc_id") % 5).cast("int"))
+    return docs.select("doc_id", canonical_country(raw).alias("country"))
+
+
+# --------------------------------------------------------------------------
+# A10 — median (heading_detector.py:29-41 page-median font size)
+# --------------------------------------------------------------------------
+@register(
+    "a10_median",
+    oracle="""
+    SELECT event_type, round(median(value), 6) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# F1 — chunk fan-out: explode fixed-size page windows (main.py:188-200)
+# --------------------------------------------------------------------------
+@register(
+    "f1_chunk_fanout",
+    oracle="""
+    WITH d AS (SELECT o_orderkey, (o_orderkey % 40)::int + 1 AS n_pages FROM orders)
+    SELECT o_orderkey, n_pages,
+           unnest(generate_series(0, n_pages - 1, 8))::int AS chunk_start
+    FROM d
+    """,
+)
+def f1_chunk_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-page chunk windows per document — the reference's fan-out unit,
+    as explode(sequence(...)) (no UDF, no driver loop)."""
+    o = _t(spark, sf_dir, "orders")
+    n_pages = (F.col("o_orderkey") % 40).cast("int") + F.lit(1)
+    return o.select(
+        "o_orderkey",
+        n_pages.alias("n_pages"),
+        F.explode(F.sequence(F.lit(0), n_pages - 1, F.lit(8))).alias("chunk_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C8 — JSON payload parse (post_processing.py:105-117)
+# --------------------------------------------------------------------------
+@register(
+    "c8_json_parse",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k')::bigint AS k
+    FROM events
+    """,
+)
+def c8_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# W2 — first-match-per-kind latching (outline_detector.py:57-78)
+# --------------------------------------------------------------------------
+@register(
+    "w2_first_match",
+    oracle="""
+    SELECT user_id,
+           min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase_ts,
+           min(event_id) FILTER (WHERE event_type = 'purchase') AS first_purchase_id
+    FROM events GROUP BY user_id
+    """,
+)
+def w2_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.min(F.when(is_p, F.col("ts"))).alias("first_purchase_ts"),
+        F.min(F.when(is_p, F.col("event_id"))).alias("first_purchase_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P9 — schema-align projection (utils/utils.py:254-288 table_cast_like)
+# --------------------------------------------------------------------------
+@register(
+    "p9_schema_align",
+    oracle="""
+    SELECT event_id::bigint AS event_id,
+           event_type::varchar AS event_type,
+           value::double AS value,
+           CAST(NULL AS varchar) AS added_col
+    FROM events
+    """,
+)
+def p9_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from mistral_ocr_pipeline_spark.operators.schema_align import align_to_schema
+
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("added_col", T.StringType()),
+        ]
+    )
+    return align_to_schema(_t(spark, sf_dir, "events"), target)
+
+
+# --------------------------------------------------------------------------
+# A4 — struct (nested) merge, per-leaf first-non-empty (utils/utils.py:118-138)
+# --------------------------------------------------------------------------
+@register(
+    "a4_struct_merge",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CASE WHEN value < 1.0 THEN NULL ELSE event_type END AS f1,
+             props AS f2
+      FROM events)
+    SELECT user_id,
+           arg_min(f1, event_id) FILTER (WHERE f1 IS NOT NULL AND trim(f1) != '')
+               AS f1,
+           arg_min(f2, event_id) FILTER (WHERE f2 IS NOT NULL AND trim(f2) != '')
+               AS f2
+    FROM e GROUP BY user_id
+    """,
+)
+def a4_struct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.schema_align import merge_struct_ordered
+
+    ev = _t(spark, sf_dir, "events")
+    nested = F.struct(
+        F.when(F.col("value") < 1.0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("f1"),
+        F.col("props").alias("f2"),
+    )
+    merged = (
+        ev.select("user_id", "event_id", nested.alias("payload"))
+        .groupBy("user_id")
+        .agg(
+            merge_struct_ordered(
+                F.col("payload"), F.col("event_id"), ["f1", "f2"]
+            ).alias("m")
+        )
+    )
+    return merged.select("user_id", F.col("m.f1").alias("f1"), F.col("m.f2").alias("f2"))

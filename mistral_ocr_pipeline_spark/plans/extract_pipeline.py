@@ -106,14 +106,28 @@ def extract_transcripts(
     df: DataFrame,
     num_partitions: int | None = None,
     n_salts: int = DEFAULT_N_SALTS,
-    repartition: bool = True,
+    repartition: bool | str = "auto",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction table.
 
-    Null-handling: pandas delivers missing strings as NaN/None; normalize to
-    None before dispatch (done via ``astype(object).where`` below is avoided
-    — Arrow already yields None for nulls in string columns)."""
+    ``repartition``:
+      * ``"auto"`` (default) — shuffle via ``salted_repartition`` only when
+        the incoming partitioning is too coarse (fewer partitions than the
+        cluster's parallelism).  Extraction is per-turn-independent, so an
+        input that is already fine-grained (Iceberg/parquet splits sized by
+        ``maxPartitionBytes``) spreads long conversations across tasks *by
+        construction* and a pre-shuffle is pure overhead (~30% wall in the
+        local bench).  A conv-grouped source (e.g. bucketed-by-conv_id
+        table) arrives coarse → auto engages the salted shuffle.
+      * ``True`` — always shuffle (explicitly skewed sources).
+      * ``False`` — never shuffle.
+
+    Null-handling: nulls are pinned to None before dispatch (Arrow delivers
+    None for string nulls; NaN can appear via pandas paths)."""
     src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    if repartition == "auto":
+        target = src.sparkSession.sparkContext.defaultParallelism
+        repartition = src.rdd.getNumPartitions() < target
     if repartition:
         src = salted_repartition(src, num_partitions, n_salts)
     return src.mapInPandas(_extract_batches, EXTRACT_OUTPUT_SCHEMA)
