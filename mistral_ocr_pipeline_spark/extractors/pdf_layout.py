@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from difflib import SequenceMatcher
+from functools import lru_cache
 
 from mistral_ocr_pipeline_spark.extractors.blocks import (
     HEADING,
@@ -64,12 +65,10 @@ SECTION_VOCAB: dict[str, tuple[str, ...]] = {
 _DROP_UNTIL = {"refs": None, "ack": "refs", "intro": "methods"}
 
 
-def fuzzy_score(a: str, b: str) -> float:
-    """0-100 similarity: max of full ratio and best-window partial ratio.
-
-    Deterministic stand-in for rapidfuzz's max(ratio, partial_ratio)
-    (reference heading_detector.py:44-57)."""
-    a, b = norm_key(a), norm_key(b)
+def _fuzzy_on_keys(a: str, b: str) -> float:
+    """0-100 similarity on already-normalized keys: max of full ratio and
+    best-window partial ratio.  Deterministic stand-in for rapidfuzz's
+    max(ratio, partial_ratio) (reference heading_detector.py:44-57)."""
     if not a or not b:
         return 0.0
     if a == b:
@@ -88,15 +87,37 @@ def fuzzy_score(a: str, b: str) -> float:
     return 100.0 * max(full, partial)
 
 
-def match_section(title: str) -> tuple[str | None, float]:
-    """Best section kind for a candidate heading, (kind, score)."""
+def fuzzy_score(a: str, b: str) -> float:
+    """Public scorer on raw strings (normalizes both)."""
+    return _fuzzy_on_keys(norm_key(a), norm_key(b))
+
+
+# vocab normalized ONCE; exact-key lookup handles the overwhelmingly common
+# case (headings repeat across millions of documents) without any difflib
+_VOCAB_KEYS: list[tuple[str, str]] = [
+    (kind, norm_key(v)) for kind, vocab in SECTION_VOCAB.items() for v in vocab
+]
+_EXACT_KEY_TO_KIND: dict[str, str] = {v: kind for kind, v in _VOCAB_KEYS}
+
+
+@lru_cache(maxsize=65536)
+def _match_section_key(key: str) -> tuple[str | None, float]:
+    exact = _EXACT_KEY_TO_KIND.get(key)
+    if exact is not None:
+        return exact, 100.0
     best_kind, best = None, 0.0
-    for kind, vocab in SECTION_VOCAB.items():
-        for v in vocab:
-            s = fuzzy_score(title, v)
-            if s > best:
-                best_kind, best = kind, s
+    for kind, vkey in _VOCAB_KEYS:
+        s = _fuzzy_on_keys(key, vkey)
+        if s > best:
+            best_kind, best = kind, s
     return (best_kind, best) if best >= MIN_HEADING_SCORE else (None, best)
+
+
+def match_section(title: str) -> tuple[str | None, float]:
+    """Best section kind for a candidate heading, (kind, score).  Results
+    are memoized on the normalized title — headings recur corpus-wide, so
+    the fuzzy path runs once per distinct heading, not once per turn."""
+    return _match_section_key(norm_key(title))
 
 
 @dataclass

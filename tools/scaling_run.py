@@ -34,7 +34,7 @@ ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REP = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "60"))
+REP = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "240"))
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
 
 _ROWS = None
@@ -76,8 +76,12 @@ def child(cores: int, rep: int) -> None:
     from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
     from mistral_ocr_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
-    t_input = mixed_transcripts(spark, SF_DIR, rep).persist()
+    spark = get_spark(
+        app_name=f"scaling_{cores}", cores=cores,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"},
+    )
+    # 256 equal partitions at both levels: same physical work, balanced waves
+    t_input = mixed_transcripts(spark, SF_DIR, rep).repartition(256).persist()
     n_turns = t_input.count()
 
     def drain():
