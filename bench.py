@@ -143,6 +143,30 @@ def main() -> None:
         _run_noop(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # per-turn text-equality pass rate vs the pure-Python oracle (the
+    # BASELINE.json correctness metric), on a deterministic sample
+    from mistral_ocr_pipeline_spark.extractors.dispatch import extract_turn_golden
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+        extract_transcripts as _ext,
+    )
+
+    sample = t_input.filter(
+        (F.col("turn_idx") % 29 == 0)
+    ).persist()
+    got = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.md, r.error)
+        for r in _ext(sample).collect()
+    }
+    n_pass = 0
+    src_rows = sample.select("conv_id", "turn_idx", "text", "tool").collect()
+    for r in src_rows:
+        g = extract_turn_golden(r.text, r.tool)
+        if got.get((r.conv_id, r.turn_idx)) == (
+            g["extracted_text"], g["md"], g["error"]
+        ):
+            n_pass += 1
+    pass_rate = round(n_pass / max(len(src_rows), 1), 6)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -154,6 +178,8 @@ def main() -> None:
                 "sf": sf,
                 "extract_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
+                "pass_rate": pass_rate,
+                "pass_sample": len(src_rows),
                 "cpus": int(cpus),
             }
         )

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
 
 _MERSENNE = (1 << 61) - 1
 
@@ -87,7 +88,7 @@ def ngram_jaccard_pairs(
     Verification stage shared by the LSH strategies; also usable directly
     with any blocking scheme.  All set math is array_intersect/array_union
     (codegen'd)."""
-    sets = df.select(
+    sets = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), n).alias("sh")
     )
     a = sets.alias("a")
@@ -156,7 +157,7 @@ def minhash_lsh_pairs(
     verification join — each on well-distributed hash keys."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = df.select(
+    sigs = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         _shingle_hashes(F.col(text_col), n).alias("sh"),
     ).withColumn("sig", _minhash_signature_udf(num_perm, seed)(F.col("sh")))
@@ -239,7 +240,9 @@ def simhash_pairs(
     """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking
     (any pair within hamming ≤3 of identical fingerprint shares ≥1 band),
     verification via bit_count(xor) — JVM."""
-    fps = df.select(F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), n).alias("sh"))
+    fps = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), n).alias("sh")
+    )
     fps = fps.withColumn("fp", _simhash_udf()(F.col("sh"))).drop("sh")
     bands = fps.select(
         "id",
@@ -320,7 +323,7 @@ def embedding_neardup_pairs(
         .cast("string")
         for plane in planes
     ]
-    keyed = df.select(
+    keyed = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.concat(*sign_bits).alias("bucket"),

@@ -1,0 +1,159 @@
+"""Evaluation harness — the Spark re-expression of the reference's semantic
+comparison job (post_processing/compare_results.py, 1276 LoC): fuzzy 1:1
+matching of a human-review table against the engine output, per-field
+semantic comparison, and accuracy rollups.
+
+Field comparators (reference compare_results.py:490-787):
+* ``exact``   — normalized-key equality (C3/C4 normalization);
+* ``year``    — equality after the '.0'-strip (C11);
+* ``set``     — Jaccard overlap of ';'-separated concept lists ≥ threshold
+                counts as a match, with recall/precision reported (A9);
+* ``text``    — normalized Levenshtein similarity ≥ threshold (C5-family;
+                SQL-replayable, unlike difflib).
+
+Rollups (reference compare_results.py:858-901,1022-1101): overall accuracy,
+per-field accuracy, per-row (per-paper) accuracy, each as mean of 0/1
+scores excluding unmatched rows — one groupBy each, all Catalyst exprs."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mistral_ocr_pipeline_spark.functions.text_functions import (
+    norm_key_col,
+    strip_trailing_dot_zero,
+)
+from mistral_ocr_pipeline_spark.operators.fuzzy_join import (
+    fuzzy_best_match,
+    levenshtein_sim,
+)
+
+
+@dataclass
+class FieldSpec:
+    name: str  # column name present in both tables
+    kind: str  # exact | year | set | text
+    threshold: float = 0.6
+
+
+def _field_score(l: Column, r: Column, spec: FieldSpec) -> Column:
+    """1.0 match / 0.0 mismatch / NULL when review side is empty (excluded
+    from rollups, mirroring the reference's score<0 sentinel exclusion)."""
+    both_null = l.isNull() & r.isNull()
+    if spec.kind == "exact":
+        hit = norm_key_col(l) == norm_key_col(r)
+    elif spec.kind == "year":
+        hit = strip_trailing_dot_zero(l.cast("string")) == strip_trailing_dot_zero(
+            r.cast("string")
+        )
+    elif spec.kind == "set":
+        def to_set(c: Column) -> Column:
+            # split on ';' FIRST (normalization strips punctuation incl. ';')
+            return F.array_distinct(
+                F.filter(
+                    F.transform(F.split(c, ";"), lambda x: norm_key_col(x)),
+                    lambda x: x != "",
+                )
+            )
+
+        ls, rs = to_set(l), to_set(r)
+        inter = F.size(F.array_intersect(ls, rs))
+        union = F.size(F.array_union(ls, rs))
+        hit = (union > 0) & (inter / union.cast("double") >= F.lit(spec.threshold))
+    elif spec.kind == "text":
+        hit = levenshtein_sim(l, r) >= F.lit(spec.threshold)
+    else:
+        raise ValueError(spec.kind)
+    return (
+        F.when(l.isNull() & ~both_null, F.lit(None).cast("double"))
+        .when(both_null, F.lit(1.0))
+        .otherwise(hit.cast("double"))
+    )
+
+
+def evaluate(
+    review: DataFrame,
+    output: DataFrame,
+    review_id: str,
+    output_id: str,
+    match_title: tuple[str, str],
+    fields: list[FieldSpec],
+    match_threshold: float = 1.5,
+) -> dict[str, DataFrame]:
+    """Returns {"scores", "per_field", "per_row", "overall"} DataFrames.
+
+    Match stage = J2 fuzzy best-match (broadcast cross join + two-stage
+    windows); unmatched review rows score NULL on every field and surface
+    in ``overall.n_unmatched`` (left-outer semantics,
+    compare_results.py:113-121)."""
+    matches = fuzzy_best_match(
+        review, output, review_id, output_id,
+        title_cols=match_title, threshold=match_threshold,
+    )
+    l = review.select(
+        F.col(review_id).alias("left_id"),
+        *[F.col(s.name).alias(f"l_{s.name}") for s in fields],
+    )
+    r = output.select(
+        F.col(output_id).alias("right_id"),
+        *[F.col(s.name).alias(f"r_{s.name}") for s in fields],
+    )
+    joined = matches.join(l, "left_id").join(r, "right_id", "left")
+    scores = joined.select(
+        "left_id",
+        "right_id",
+        *[
+            _field_score(F.col(f"l_{s.name}"), F.col(f"r_{s.name}"), s).alias(
+                f"score_{s.name}"
+            )
+            for s in fields
+        ],
+    )
+    score_cols = [F.col(f"score_{s.name}") for s in fields]
+    per_row = scores.select(
+        "left_id",
+        "right_id",
+        F.round(
+            F.aggregate(
+                F.filter(F.array(*score_cols), lambda x: x.isNotNull()),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.greatest(
+                F.size(F.filter(F.array(*score_cols), lambda x: x.isNotNull())),
+                F.lit(1),
+            ),
+            6,
+        ).alias("row_accuracy"),
+        (F.col("right_id").isNull()).alias("unmatched"),
+    )
+    per_field_rows = []
+    for s in fields:
+        per_field_rows.append(
+            scores.select(
+                F.lit(s.name).alias("field"),
+                F.col(f"score_{s.name}").alias("score"),
+            )
+        )
+    stacked = per_field_rows[0]
+    for extra in per_field_rows[1:]:
+        stacked = stacked.unionByName(extra)
+    per_field = stacked.groupBy("field").agg(
+        F.round(F.avg("score"), 6).alias("accuracy"),
+        F.count("score").alias("n_scored"),
+    )
+    overall = per_row.agg(
+        F.round(F.avg(F.when(~F.col("unmatched"), F.col("row_accuracy"))), 6).alias(
+            "overall_accuracy"
+        ),
+        F.sum(F.col("unmatched").cast("long")).alias("n_unmatched"),
+        F.count(F.lit(1)).alias("n_review_rows"),
+    )
+    return {
+        "scores": scores,
+        "per_row": per_row,
+        "per_field": per_field,
+        "overall": overall,
+    }

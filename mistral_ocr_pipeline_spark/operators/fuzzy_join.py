@@ -95,7 +95,15 @@ def fuzzy_best_match(
         score = score + sim(
             F.col(f"_l_{journal_cols[0]}"), F.col(f"_r_{journal_cols[1]}")
         )
-    pairs = F.broadcast(l).crossJoin(r).withColumn("score", F.round(score, 9))
+    from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
+
+    # the big (right) side carries the nested-loop work — fan it out so the
+    # broadcast NLJ parallelizes instead of grinding one input split
+    pairs = (
+        F.broadcast(l)
+        .crossJoin(ensure_parallelism(r))
+        .withColumn("score", F.round(score, 9))
+    )
 
     best_per_left = W.partitionBy("_lid").orderBy(
         F.col("score").desc(), F.col("_rid").asc()

@@ -81,7 +81,9 @@ def brute_force_topk(
                 {"query_id": out_q, "vec_id": out_v, "cosine": out_s}
             ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
 
-    local = corpus.select(
+    from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
+
+    local = ensure_parallelism(corpus).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     ).mapInPandas(kernel, _TOPK_SCHEMA)
     w = W.partitionBy("query_id").orderBy(
@@ -171,7 +173,9 @@ def lsh_topk(
                 {"query_id": out_q, "vec_id": out_v, "cosine": out_s}
             ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
 
-    local = corpus.select(
+    from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
+
+    local = ensure_parallelism(corpus).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     ).mapInPandas(kernel, _TOPK_SCHEMA)
     w = W.partitionBy("query_id").orderBy(

@@ -1,0 +1,53 @@
+"""Evaluation harness: fuzzy match + field comparators + rollups, on the
+FIXTURES.md §5 shape (title/year/journal perturbations, '2022.0' years,
+missing rows)."""
+
+from mistral_ocr_pipeline_spark.operators.eval_harness import FieldSpec, evaluate
+
+
+def test_evaluate_end_to_end(spark):
+    review = spark.createDataFrame(
+        [
+            (1, "Anticoagulation outcomes in elderly patients", "2021",
+             "apixaban;rivaroxaban", "prospective cohort"),
+            (2, "Renal dosing of DOACs a cohort study", "2022",
+             "dabigatran", "retrospective cohort"),
+            (3, "A title that matches nothing in the output", "1999", "x", "y"),
+        ],
+        "rid long, title string, year string, drugs string, design string",
+    )
+    output = spark.createDataFrame(
+        [
+            (10, "anticoagulation OUTCOMES in elderly patients!", "2021.0",
+             "rivaroxaban;apixaban", "Prospective Cohort!"),
+            (20, "Renal dosing of doacs — a cohort study", "2022",
+             "edoxaban", "case control"),
+        ],
+        "oid long, title string, year string, drugs string, design string",
+    )
+    res = evaluate(
+        review, output, "rid", "oid",
+        match_title=("title", "title"),
+        fields=[
+            FieldSpec("year", "year"),
+            FieldSpec("drugs", "set", 0.5),
+            FieldSpec("design", "text", 0.8),
+        ],
+    )
+    scores = {r.left_id: r for r in res["scores"].collect()}
+    assert scores[1].right_id == 10
+    assert scores[1].score_year == 1.0        # 2021 == 2021.0 after strip
+    assert scores[1].score_drugs == 1.0       # same set, different order
+    assert scores[1].score_design == 1.0      # punctuation/case normalized
+    assert scores[2].right_id == 20
+    assert scores[2].score_drugs == 0.0       # disjoint sets
+    assert scores[3].right_id is None         # unmatched → left outer
+
+    per_field = {r.field: r for r in res["per_field"].collect()}
+    assert per_field["year"].accuracy == 1.0
+    assert per_field["drugs"].n_scored == 2   # unmatched row excluded? no: null r side scores 0/NULL
+
+    overall = res["overall"].first()
+    assert overall.n_review_rows == 3
+    assert overall.n_unmatched == 1
+    assert overall.overall_accuracy is not None
