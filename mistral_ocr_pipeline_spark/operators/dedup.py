@@ -58,21 +58,40 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # word n-gram shingle helpers (pure Catalyst)
 # --------------------------------------------------------------------------
-def _word_ngrams(text: F.Column, n: int) -> F.Column:
-    """Array of space-joined word n-grams over the normalized text (JVM)."""
-    toks = F.split(norm_key_col(text), " ")
+def _ngrams_from_tokens(toks: F.Column, n: int) -> F.Column:
+    """Space-joined word n-grams from a MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column reference, not an expression tree:
+    Catalyst does no common-subexpression elimination inside higher-order
+    lambdas, so an inline split(norm(text)) here would re-normalize the
+    document once per gram (measured 4× slowdown).  Gram i is built by
+    O(1) array indexing (F.get), not O(n) slices."""
+    grams = F.transform(
+        toks,
+        lambda x, i: F.concat_ws(
+            " ", *([x] + [F.get(toks, i + k) for k in range(1, n)])
+        ),
+    )
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.slice(grams, 1, count)
 
 
-def _shingle_hashes(text: F.Column, n: int) -> F.Column:
-    """Distinct xxhash64 of each n-gram — the set MinHash/Jaccard operate on."""
-    return F.array_distinct(
-        F.transform(_word_ngrams(text, n), lambda s: F.xxhash64(s))
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
+) -> DataFrame:
+    """(id, sh) where sh = distinct n-gram set of the normalized text —
+    xxhash64 longs (MinHash/Jaccard input) or raw gram strings.  Two-step
+    select so the token array materializes once per row."""
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(norm_key_col(F.col(text_col)), " ").alias("_toks"),
     )
+    grams = _ngrams_from_tokens(F.col("_toks"), n)
+    if hashed:
+        sh = F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s)))
+    else:
+        sh = F.array_distinct(grams)
+    return toks.select("id", sh.alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -88,9 +107,7 @@ def ngram_jaccard_pairs(
     Verification stage shared by the LSH strategies; also usable directly
     with any blocking scheme.  All set math is array_intersect/array_union
     (codegen'd)."""
-    sets = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), n).alias("sh")
-    )
+    sets = shingle_sets(df, id_col, text_col, n)
     a = sets.alias("a")
     b = sets.alias("b")
     return (
@@ -157,10 +174,9 @@ def minhash_lsh_pairs(
     verification join — each on well-distributed hash keys."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        _shingle_hashes(F.col(text_col), n).alias("sh"),
-    ).withColumn("sig", _minhash_signature_udf(num_perm, seed)(F.col("sh")))
+    sigs = shingle_sets(df, id_col, text_col, n).withColumn(
+        "sig", _minhash_signature_udf(num_perm, seed)(F.col("sh"))
+    )
 
     band_keys = sigs.select(
         "id",
@@ -240,10 +256,9 @@ def simhash_pairs(
     """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking
     (any pair within hamming ≤3 of identical fingerprint shares ≥1 band),
     verification via bit_count(xor) — JVM."""
-    fps = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), n).alias("sh")
-    )
-    fps = fps.withColumn("fp", _simhash_udf()(F.col("sh"))).drop("sh")
+    fps = shingle_sets(df, id_col, text_col, n).withColumn(
+        "fp", _simhash_udf()(F.col("sh"))
+    ).drop("sh")
     bands = fps.select(
         "id",
         "fp",
