@@ -174,11 +174,17 @@ def minhash_lsh_pairs(
     verification join — each on well-distributed hash keys."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = shingle_sets(df, id_col, text_col, n).withColumn(
+    # the shingle sets feed three subplans (signatures + both verification
+    # join sides); persist so the normalize/shingle scan runs once
+    sets = shingle_sets(df, id_col, text_col, n).persist()
+    sigs = sets.withColumn(
         "sig", _minhash_signature_udf(num_perm, seed)(F.col("sh"))
     )
 
-    band_keys = sigs.select(
+    # drop the shingle array before the generator: Generate does not prune
+    # parent columns, so `sh` would be duplicated into all 16 band rows and
+    # ride the shuffle (measured 6× slowdown)
+    band_keys = sigs.drop("sh").select(
         "id",
         F.posexplode(
             F.transform(
@@ -204,7 +210,21 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return ngram_jaccard_pairs(df, id_col, text_col, pairs, n=n, threshold=threshold)
+    # verify against the SAME (persisted) shingle sets — no re-derivation
+    a, b = sets.alias("a"), sets.alias("b")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("a.id"))
+        .join(b, pairs["id_b"] == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _pairs_from_sorted(ids_col: str) -> F.Column:

@@ -757,14 +757,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for adjacent-id candidate pairs — the
     verification kernel of the LSH dedup path, value-checked in SQL."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
     from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    # ≥3 words ⟺ at least one 3-gram (matches the oracle's len(ws) >= 3)
-    g = (
-        shingle_sets(docs, "doc_id", "text", 3, hashed=False)
-        .select(F.col("id").alias("doc_id"), F.col("sh").alias("gs"))
-        .filter(F.size("gs") >= 1)
+    # eligibility filtered on the cheap word-count BEFORE shingling: a
+    # post-filter on the gram column gets pushed below the projection and
+    # re-inlines the gram lambda into the Filter (measured 6× slowdown)
+    eligible = docs.filter(
+        F.size(F.split(norm_key_col(F.col("text")), " ")) >= 3
+    )
+    g = shingle_sets(eligible, "doc_id", "text", 3, hashed=False).select(
+        F.col("id").alias("doc_id"), F.col("sh").alias("gs")
     )
     a = g.alias("a")
     b = g.select(
