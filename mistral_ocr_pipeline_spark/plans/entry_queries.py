@@ -1342,3 +1342,43 @@ def a4_struct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.select("user_id", F.col("m.f1").alias("f1"), F.col("m.f2").alias("f2"))
+
+
+# --------------------------------------------------------------------------
+# A8b — multi-dimensional distribution (cube / grouping sets)
+# --------------------------------------------------------------------------
+@register(
+    "a8_cube_distribution",
+    oracle="""
+    SELECT lang, source, count(*) AS n
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def a8_cube_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# C5 — difflib SequenceMatcher parity variant of J2 (rows-only: difflib is
+# not SQL-expressible; byte-parity with the reference metric is the point)
+# --------------------------------------------------------------------------
+@register("j2_fuzzy_difflib")
+def j2_fuzzy_difflib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mistral_ocr_pipeline_spark.operators.fuzzy_join import fuzzy_best_match
+
+    part = _t(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") % 29 == 1).select(
+        F.col("p_partkey").alias("lid"), F.col("p_name").alias("title")
+    )
+    right = part.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(F.upper("p_name"), F.lit("!")).alias("title"),
+    )
+    return fuzzy_best_match(
+        left, right, "lid", "rid", title_cols=("title", "title"),
+        threshold=1.5, use_difflib=True,
+    )
