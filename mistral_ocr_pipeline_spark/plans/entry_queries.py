@@ -1382,3 +1382,16 @@ def j2_fuzzy_difflib(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, "lid", "rid", title_cols=("title", "title"),
         threshold=1.5, use_difflib=True,
     )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (seeded mini-k-means cells + n_probe search) — the
+    scale-path counterpart of the LSH variant.  Rows-only; recall vs exact
+    asserted in tests."""
+    from mistral_ocr_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=6
+    )

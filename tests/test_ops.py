@@ -258,3 +258,21 @@ class TestMultimodal:
         with pytest.raises(Exception) as ei:
             decode_features(media, deterministic_fake=False).collect()
         assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+class TestIvf:
+    def test_ivf_recall_reasonable(self, spark, emb):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+        from pyspark.sql import functions as F
+
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.7, recall
