@@ -8,7 +8,7 @@ sf documents table (plain + HTML-wrapped + PDF-layout payloads), replicated
 ``SPARK_GRAFT_BENCH_REP``× so the run is long enough to measure.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REP (default 20).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REP (default 60).
 """
 
 from __future__ import annotations
@@ -100,7 +100,7 @@ def _run_noop(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "20"))
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "60"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
     from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
@@ -111,9 +111,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: mixed-payload extraction throughput
-    t_input = mixed_transcripts(spark, sf_dir, rep)
+    # headline: mixed-payload extraction throughput.  Persist the input and
+    # run one warmup drain first so the number measures the engine, not
+    # JVM codegen + python-worker spin-up.
+    t_input = mixed_transcripts(spark, sf_dir, rep).persist()
     n_turns = t_input.count()
+    _run_noop(extract_transcripts(t_input, num_partitions=int(cpus) * 4))
     t0 = time.perf_counter()
     _run_noop(extract_transcripts(t_input, num_partitions=int(cpus) * 4))
     extract_sec = time.perf_counter() - t0
@@ -132,6 +135,7 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_brute_force_numpy",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "text_quality_score",
         "text_langid",
         "j2_fuzzy_best_match",
@@ -150,7 +154,7 @@ def main() -> None:
         extract_transcripts as _ext,
     )
 
-    sample = t_input.filter(
+    sample = t_input.unpersist().filter(
         (F.col("turn_idx") % 29 == 0)
     ).persist()
     got = {

@@ -71,20 +71,41 @@ def fuzzy_best_match(
     BroadcastNestedLoopJoin.  Greedy uniqueness = second window on the
     right id ordered by score (reference's `used` set,
     compare_results.py:87-119)."""
-    sim = difflib_sim if use_difflib else levenshtein_sim
+    # normalization happens ONCE per row in the pre-join projections —
+    # inside the score expression it would re-run per cross-join pair
+    # (O(|l|·|r|) regex passes; measured 10× slowdown)
+    def raw_sim(a: Column, b: Column) -> Column:
+        if use_difflib:
+            @F.pandas_udf("double")
+            def ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [SequenceMatcher(None, x or "", y or "").ratio()
+                     for x, y in zip(s1, s2)]
+                )
+            return ratio(a, b)
+        return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
+            F.length(a), F.length(b), F.lit(1)
+        ).cast("double")
+
+    def norm_if_text(c: str, side: str) -> Column:
+        col = F.col(c)
+        if year_cols and c == (year_cols[0] if side == "l" else year_cols[1]):
+            return col.alias(f"_{side}_{c}")  # years compared post-strip, not fuzzily
+        return norm_key_col(col).alias(f"_{side}_{c}")
+
     l = left.select(
         F.col(left_id).alias("_lid"),
-        *[F.col(c).alias(f"_l_{c}") for c in {title_cols[0],
-                                              *( [year_cols[0]] if year_cols else []),
-                                              *( [journal_cols[0]] if journal_cols else [])}],
+        *[norm_if_text(c, "l") for c in {title_cols[0],
+                                         *( [year_cols[0]] if year_cols else []),
+                                         *( [journal_cols[0]] if journal_cols else [])}],
     )
     r = right.select(
         F.col(right_id).alias("_rid"),
-        *[F.col(c).alias(f"_r_{c}") for c in {title_cols[1],
-                                              *( [year_cols[1]] if year_cols else []),
-                                              *( [journal_cols[1]] if journal_cols else [])}],
+        *[norm_if_text(c, "r") for c in {title_cols[1],
+                                         *( [year_cols[1]] if year_cols else []),
+                                         *( [journal_cols[1]] if journal_cols else [])}],
     )
-    score: Column = 3.0 * sim(
+    score: Column = 3.0 * raw_sim(
         F.col(f"_l_{title_cols[0]}"), F.col(f"_r_{title_cols[1]}")
     )
     if year_cols:
@@ -92,7 +113,7 @@ def fuzzy_best_match(
         ry = strip_trailing_dot_zero(F.col(f"_r_{year_cols[1]}").cast("string"))
         score = score + F.when(ly == ry, 1.0).otherwise(0.0)
     if journal_cols:
-        score = score + sim(
+        score = score + raw_sim(
             F.col(f"_l_{journal_cols[0]}"), F.col(f"_r_{journal_cols[1]}")
         )
     from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
