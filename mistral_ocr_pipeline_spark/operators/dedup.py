@@ -177,8 +177,18 @@ def minhash_lsh_pairs(
     # the shingle sets feed three subplans (signatures + both verification
     # join sides); persist so the normalize/shingle scan runs once
     sets = shingle_sets(df, id_col, text_col, n).persist()
+    # JVM-only signature: perm_i(x) = xxhash64(x, seed+i); sig_i = min over
+    # the shingle set.  Equivalent minhash family to the affine-mod-prime
+    # construction, with no Arrow round-trip (the numpy variant stays
+    # available as _minhash_signature_udf for byte-parity experiments).
     sigs = sets.withColumn(
-        "sig", _minhash_signature_udf(num_perm, seed)(F.col("sh"))
+        "sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("sh"), lambda h: F.xxhash64(h, i + F.lit(seed)))
+            ),
+        ),
     )
 
     # drop the shingle array before the generator: Generate does not prune
