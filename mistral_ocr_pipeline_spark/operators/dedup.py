@@ -8,7 +8,12 @@ Five dedup strategies, each staying JVM-side wherever the semantics allow:
                                candidate pairs (array_intersect/union, JVM).
 * ``minhash_lsh_pairs``      — shingle→minhash→band→bucket-join near-dup:
                                shingles + xxhash64 JVM-side, the signature
-                               itself one vectorized numpy pandas-UDF,
+                               one vectorized numpy pandas-UDF (Arrow batch
+                               in, 64 perms via one outer-product — measured
+                               10× faster than a JVM higher-order transform,
+                               which is interpreted per element and, worse,
+                               re-inlines the shingle expression per perm
+                               unless the input is materialized first),
                                banding/bucketing/verification pure DataFrame.
 * ``simhash_pairs``          — 64-bit simhash + bit-band blocking +
                                hamming verification via F.bit_count (JVM).
@@ -174,22 +179,13 @@ def minhash_lsh_pairs(
     verification join — each on well-distributed hash keys."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    # the shingle sets feed three subplans (signatures + both verification
-    # join sides); persist so the normalize/shingle scan runs once
-    sets = shingle_sets(df, id_col, text_col, n).persist()
-    # JVM-only signature: perm_i(x) = xxhash64(x, seed+i); sig_i = min over
-    # the shingle set.  Equivalent minhash family to the affine-mod-prime
-    # construction, with no Arrow round-trip (the numpy variant stays
-    # available as _minhash_signature_udf for byte-parity experiments).
-    sigs = sets.withColumn(
-        "sig",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("sh"), lambda h: F.xxhash64(h, i + F.lit(seed)))
-            ),
-        ),
-    )
+    # signature directly over the shingle scan — no persist, no barrier.
+    # Pandas-UDF inputs are materialized exactly once per row, so the
+    # shingle expression cannot be re-inlined per permutation (the JVM
+    # higher-order alternative pays either a full persist of the corpus
+    # shingle sets or a 64× recompute; see minhash_signature_col).
+    sets = shingle_sets(df, id_col, text_col, n)
+    sigs = sets.withColumn("sig", _minhash_signature_udf(num_perm, seed)(F.col("sh")))
 
     # drop the shingle array before the generator: Generate does not prune
     # parent columns, so `sh` would be duplicated into all 16 band rows and
@@ -215,13 +211,22 @@ def minhash_lsh_pairs(
         F.slice(F.array_sort(F.collect_list("id")), 1, max_bucket).alias("ids"),
         (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
     ).filter(F.size("ids") > 1)
+    # The expensive subplan (shingle → sig → band → bucket → pairs) must be
+    # referenced exactly ONCE downstream: a lazily-persisted DataFrame used
+    # from k parallel branches of one job races its own cache population and
+    # recomputes the pipeline up to k× (measured 3× here), and an eager
+    # materialization would break plan laziness.  So verification joins the
+    # candidate pairs against two FRESH shingle branches instead — the
+    # re-shingle is one cheap extra pass, nothing is pinned in executor
+    # memory, and with pairs ≪ corpus the joins broadcast under AQE so the
+    # corpus-side shingles never shuffle.
     pairs = (
         buckets.select(F.explode(_pairs_from_sorted("ids")).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    # verify against the SAME (persisted) shingle sets — no re-derivation
-    a, b = sets.alias("a"), sets.alias("b")
+    vsets = shingle_sets(df, id_col, text_col, n)
+    a, b = vsets.alias("a"), vsets.alias("b")
     return (
         pairs.join(a, pairs["id_a"] == F.col("a.id"))
         .join(b, pairs["id_b"] == F.col("b.id"))
@@ -234,6 +239,23 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature_col(sh: F.Column, num_perm: int, seed: int) -> F.Column:
+    """JVM-only MinHash signature: sig_i = min(xxhash64(x, seed+i) for x in sh).
+
+    Same minhash family as the numpy affine construction, zero Arrow
+    round-trip — but higher-order lambdas are interpreted (no codegen) and
+    Catalyst re-inlines the ``sh`` expression into every permutation unless
+    the input column is already materialized (cache/exchange/UDF boundary).
+    Use only over materialized shingle columns; the pandas-UDF path is the
+    default for a reason (10× at sf0.1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda h: F.xxhash64(h, i + F.lit(seed)))
+        ),
     )
 
 
@@ -258,19 +280,38 @@ def _pairs_from_sorted(ids_col: str) -> F.Column:
 def _simhash_udf():
     @F.pandas_udf("long")
     def sim(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
-                out.append(0)
-                continue
-            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            acc = np.where(bits.sum(axis=0) * 2 >= len(hv), 1, 0).astype(np.uint64)
-            val = np.uint64(0)
-            for i in range(64):
-                val |= acc[i] << np.uint64(i)
-            out.append(int(val.astype(np.int64)))
-        return pd.Series(out)
+        """Batch-vectorized simhash: one flat bit-unpack over the whole
+        Arrow batch + ``np.add.reduceat`` per document — no per-row numpy
+        dispatch.  Chunked so the transient bits matrix (64 × int32 per
+        shingle ≈ 256 B) stays ≲64 MB regardless of batch/document size."""
+        n = len(hashes)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        out = np.zeros(n, dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            chunk_shingles = 250_000
+            col = np.arange(64, dtype=np.uint64)
+            start = 0
+            while start < len(nonempty):
+                end = start
+                tot = 0
+                while end < len(nonempty) and (tot == 0 or tot + lens[nonempty[end]] <= chunk_shingles):
+                    tot += lens[nonempty[end]]
+                    end += 1
+                idx = nonempty[start:end]
+                flat = np.concatenate(
+                    [np.asarray(hashes.iloc[i], dtype=np.int64) for i in idx]
+                ).astype(np.uint64)
+                bits = ((flat[:, None] >> col) & np.uint64(1)).astype(np.int32)
+                offs = np.zeros(len(idx), dtype=np.int64)
+                np.cumsum(lens[idx][:-1], out=offs[1:])
+                sums = np.add.reduceat(bits, offs, axis=0)
+                maj = (sums * 2 >= lens[idx][:, None]).astype(np.uint64)
+                out[idx] = (maj << col[None, :]).sum(axis=1, dtype=np.uint64)
+                start = end
+        return pd.Series(out.astype(np.int64))
 
     return sim
 
