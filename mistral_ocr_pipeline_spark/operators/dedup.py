@@ -327,7 +327,20 @@ def simhash_pairs(
     """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking
     (any pair within hamming ≤3 of identical fingerprint shares ≥1 band),
     verification via bit_count(xor) — JVM."""
-    fps = shingle_sets(df, id_col, text_col, n).withColumn(
+    # shingle-less docs (null/empty/whitespace text) must not band: they'd
+    # all share fingerprint 0 and pairwise "match" at hamming 0 (MinHash
+    # has a jaccard verify stage to reject them; SimHash does not).  Gate
+    # on a word-count predicate over the RAW text (≥n words ⟺ ≥1 shingle):
+    # it pushes down to the scan, where it is cheap and prunes before the
+    # shuffle.  Do NOT gate on `sh` (re-inlines the gram expression into
+    # the Filter) or on a nullable UDF output (Catalyst pushes the filter
+    # through the exchange by DUPLICATING the ArrowEvalPython below it —
+    # the whole simhash then runs twice, once on the unsplit pre-shuffle
+    # partition; measured 10×+).
+    eligible = df.filter(
+        F.size(F.split(norm_key_col(F.col(text_col)), " ")) >= n
+    )
+    fps = shingle_sets(eligible, id_col, text_col, n).withColumn(
         "fp", _simhash_udf()(F.col("sh"))
     ).drop("sh")
     bands = fps.select(
