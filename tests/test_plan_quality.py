@@ -1,0 +1,123 @@
+"""Physical-plan regression guards for the scale-critical plan shapes.
+
+Correctness tests prove the operators compute the right rows; these prove
+the PLANS stay the plans we engineered for 100 TB:
+
+* filters and column pruning reach the parquet scan,
+* the resume anti-join broadcasts its (tiny) build side,
+* pandas-UDF pipelines contain exactly ONE Arrow node — guarding against
+  the Catalyst pitfall where a filter on a UDF output is pushed through an
+  exchange by duplicating the ArrowEvalPython below it (observed: the
+  whole simhash ran twice, once on the unsplit pre-shuffle partition),
+* extraction stays a single narrow mapInPandas stage over the scan.
+
+Plan inspection only — nothing here drains data, so the module is cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestScanPruning:
+    def test_filter_pushed_to_parquet_scan(self, docs):
+        plan = _plan(docs.filter(F.col("doc_id") > 100).select("doc_id", "text"))
+        assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+
+    def test_column_pruning_reaches_scan(self, docs):
+        plan = _plan(docs.select("doc_id"))
+        # ReadSchema must carry only the projected column, not text/meta
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read_schema and "text" not in read_schema
+
+    def test_extractor_input_projection_pruned(self, spark):
+        from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+            extract_transcripts,
+        )
+
+        t = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            F.col("l_orderkey").cast("string").alias("conv_id"),
+            F.col("l_linenumber").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("l_returnflag").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        plan = _plan(extract_transcripts(t, repartition=False))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        # only the 3 source columns the pipeline consumes are read
+        assert "l_returnflag" in read_schema
+        assert "l_quantity" not in read_schema and "l_extendedprice" not in read_schema
+
+
+class TestJoinStrategies:
+    def test_resume_anti_join_broadcasts(self, spark, docs):
+        # the J1 shape from checkpoint.lineage.run_extraction: committed
+        # bucket keys (one row per bucket) broadcast against the scan
+        from mistral_ocr_pipeline_spark.checkpoint.lineage import with_conv_bucket
+
+        src = with_conv_bucket(
+            docs.select(F.col("doc_id").cast("string").alias("conv_id"), "text")
+        )
+        keys = spark.createDataFrame([(1,), (3,)], "conv_bucket int")
+        todo = src.join(F.broadcast(keys), "conv_bucket", "left_anti")
+        plan = _plan(todo)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_exact_dedup_single_shuffle_with_partial_agg(self, docs):
+        from mistral_ocr_pipeline_spark.operators.dedup import exact_dedup
+
+        plan = _plan(
+            docs.groupBy(F.md5("text").alias("k")).agg(F.count("*").alias("c"))
+        )
+        # map-side combine: HashAggregate(partial) below the exchange
+        assert plan.count("Exchange") == 1
+        assert "partial_count" in plan
+
+
+class TestSingleArrowNode:
+    """One pandas-UDF evaluation per pipeline — the UDF-duplication guard."""
+
+    def test_simhash_single_arrow_eval(self, docs):
+        from mistral_ocr_pipeline_spark.operators.dedup import simhash_pairs
+
+        plan = _plan(simhash_pairs(docs, "doc_id", "text"))
+        assert plan.count("ArrowEvalPython") == 1
+
+    def test_minhash_two_arrow_evals_no_dup(self, docs):
+        from mistral_ocr_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+        # one signature eval; verification is JVM-only (array_intersect) —
+        # the candidate-pair subplan must appear exactly once
+        plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
+        assert plan.count("ArrowEvalPython") == 1
+
+    def test_extraction_single_map_in_pandas(self, spark, docs):
+        from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+            extract_transcripts,
+        )
+
+        t = docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        plan = _plan(extract_transcripts(t, repartition=True))
+        assert plan.count("MapInPandas") == 1
+        # exactly the one salted-repartition exchange feeds the extractor
+        assert plan.count("Exchange") == 1
