@@ -1398,3 +1398,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=6
     )
+
+
+# --------------------------------------------------------------------------
+# W7/W8 — event-time windows (Spark streaming homes; batch twins SQL-checked)
+# --------------------------------------------------------------------------
+@register(
+    "w7_event_tumbling_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round((sum(value::DECIMAL(18,6)))::double, 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w7_event_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type — the batch twin of
+    the streaming watermark aggregation (streaming/windowed.py runs the
+    same groupBy(window(...)) with withWatermark over a file stream).
+    Decimal-cast sums keep the hash associativity-proof."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "w8_event_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def w8_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user via
+    F.session_window — Spark's native gaps-and-islands; the oracle replays
+    it as lag + cumulative-sum SQL.  session_window.start == min(ts) of the
+    session, so the two formulations agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
