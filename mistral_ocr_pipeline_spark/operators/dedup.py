@@ -459,3 +459,65 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components (pair list → dedup clusters)
+# --------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) — component = min id reachable over undirected edges.
+
+    The step between near-dup PAIR generation (minhash/simhash/embedding)
+    and canonical-document selection: pairs chain (A~B, B~C) into clusters,
+    and the keep-one-per-cluster rule needs the transitive closure, not the
+    pairs.  Iterative min-label propagation (hash-to-min): each round every
+    node takes the min of its own label and its neighbors' labels — a
+    groupBy(min) + join per round, converging in O(graph diameter) rounds.
+    Dedup clusters are shallow (near-dup balls, diameter ≲ a few hops), so
+    3-4 rounds typically suffice; ``max_iter`` bounds adversarial chains.
+
+    Scale notes: per round, one shuffle for the message groupBy and one for
+    the label join — both on well-distributed ids.  ``localCheckpoint``
+    truncates lineage each round; without it the iterated join plan grows
+    exponentially and the driver OOMs planning round ~15.  Early-exit when
+    a round changes no label (one lightweight count per round, on the
+    already-materialized checkpoint)."""
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    lbl = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    lbl = lbl.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(lbl, sym["src"] == lbl["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        nxt = (
+            lbl.join(msgs, lbl["id"] == msgs["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(lbl.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        lbl = nxt
+        if changed == 0:
+            break
+    return lbl

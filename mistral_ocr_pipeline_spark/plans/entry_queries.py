@@ -1471,3 +1471,60 @@ def w8_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("sw.start").alias("session_start"), "n_events"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components — pair list → dedup clusters (transitive closure)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    keyed AS (
+      SELECT doc_id, md5({_KEY.format(c='text')}) AS k FROM documents),
+    star AS (
+      SELECT g.canon AS id_a, keyed.doc_id AS id_b
+      FROM keyed
+      JOIN (SELECT k, min(doc_id) AS canon FROM keyed GROUP BY k) g
+        ON g.k = keyed.k
+      WHERE keyed.doc_id <> g.canon),
+    chain AS (
+      SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+      WHERE doc_id % 7 IN (0, 1)
+        AND doc_id + 1 IN (SELECT doc_id FROM documents)),
+    edges AS (SELECT * FROM star UNION SELECT * FROM chain),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+    SELECT node AS id, min(lbl) AS comp FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of a dedup pair graph: exact-dup star edges plus
+    mod-7 chain edges (3-node chains exercise multi-hop propagation).  The
+    distributed side is iterative min-label propagation
+    (operators.dedup.connected_components); the oracle replays it as a
+    recursive CTE — min reachable id per node."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.md5(norm_key_col(F.col("text"))).alias("k"))
+    groups = keyed.groupBy("k").agg(F.min("doc_id").alias("canon"))
+    star = (
+        keyed.join(groups, "k")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(F.col("canon").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    ids = docs.select("doc_id")
+    chain = (
+        docs.filter(F.col("doc_id") % 7 < 2)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    )
+    edges = star.unionAll(chain).distinct()
+    return connected_components(docs, edges, id_col="doc_id")

@@ -276,3 +276,36 @@ class TestIvf:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.7, recall
+
+
+class TestConnectedComponents:
+    def test_chains_merge_and_singletons_stay(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        # 1-2-3-4 is a 4-hop chain (needs >1 propagation round);
+        # 6-7 and 7-8 arrive as separate pairs that must merge; 0,5,9 isolated
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (6, 7), (7, 8)], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.comp for r in connected_components(nodes, edges).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 6, 9: 9}
+
+    def test_label_flows_against_edge_direction(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import connected_components
+
+        # min id sits at the END of the chain: 5→4→3 written as (5,4),(4,3)
+        nodes = spark.createDataFrame([(3,), (4,), (5,)], "id long")
+        edges = spark.createDataFrame([(5, 4), (4, 3)], "id_a long, id_b long")
+        got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
+        assert got == {3: 3, 4: 3, 5: 3}
+
+    def test_empty_edges_all_singletons(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
+        assert got == {1: 1, 2: 2}
