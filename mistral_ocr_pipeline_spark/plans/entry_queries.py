@@ -1528,3 +1528,66 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = star.unionAll(chain).distinct()
     return connected_components(docs, edges, id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (training-data curation; sampleBy's stable twin)
+# --------------------------------------------------------------------------
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5('s1' || doc_id::varchar), 1, 8) <
+          CASE lang WHEN 'en' THEN '33333333'
+                    WHEN 'de' THEN '80000000'
+                    ELSE '0ccccccd' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic content-hash sampling: en 20%, de 50%,
+    rest 5%.  Row fate depends only on (salt, doc_id) — identical sample
+    at any parallelism, replayable as a lexicographic hex comparison in
+    any SQL engine."""
+    from mistral_ocr_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"),
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.2, "de": 0.5},
+        default_fraction=0.05,
+        salt="s1",
+    )
+
+
+@register(
+    "sample_train_split",
+    oracle="""
+    SELECT split, count(*) AS n
+    FROM (
+      SELECT CASE
+               WHEN substring(md5('split' || doc_id::varchar), 1, 8) < 'cccccccd'
+                 THEN 'train'
+               WHEN substring(md5('split' || doc_id::varchar), 1, 8) < 'e6666666'
+                 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    GROUP BY split
+    """,
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by content hash —
+    a document lands in the same split on every engine, at every cluster
+    size, on every rerun (the property `df.sample`/randomSplit lose under
+    repartitioning)."""
+    from mistral_ocr_pipeline_spark.operators.sampling import train_valid_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_valid_test_split(docs.select("doc_id"), key_col="doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -309,3 +309,45 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([], "id_a long, id_b long")
         got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
         assert got == {1: 1, 2: 2}
+
+
+class TestDeterministicSampling:
+    def test_sample_invariant_under_repartitioning(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+        b = {r.k for r in hash_sample(df.repartition(17), "k", 0.3).collect()}
+        c = {r.k for r in hash_sample(df.coalesce(1), "k", 0.3).collect()}
+        assert a == b == c
+        assert 0.25 < len(a) / 2000 < 0.35
+
+    def test_salt_decorrelates_samples(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = {r.k for r in hash_sample(df, "k", 0.3, salt="a").collect()}
+        b = {r.k for r in hash_sample(df, "k", 0.3, salt="b").collect()}
+        overlap = len(a & b) / max(len(a), 1)
+        assert 0.15 < overlap < 0.45  # ≈0.3 if independent; identical salts → 1.0
+
+    def test_split_is_partition_and_exhaustive(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            train_valid_test_split,
+        )
+
+        df = spark.range(0, 3000).withColumnRenamed("id", "k")
+        out = train_valid_test_split(df, "k").collect()
+        by_split = {}
+        for r in out:
+            by_split.setdefault(r.split, set()).add(r.k)
+        assert sum(len(s) for s in by_split.values()) == 3000
+        assert set(by_split) == {"train", "valid", "test"}
+        assert 0.75 < len(by_split["train"]) / 3000 < 0.85
+        # same key → same split on a differently-partitioned clone
+        out2 = {
+            r.k: r.split
+            for r in train_valid_test_split(df.repartition(13), "k").collect()
+        }
+        for split, keys in by_split.items():
+            assert all(out2[k] == split for k in keys)
