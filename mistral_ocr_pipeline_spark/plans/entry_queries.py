@@ -1591,3 +1591,44 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# J5 — as-of join (temporal): latest event at or before each turn
+# --------------------------------------------------------------------------
+@register(
+    "j5_asof_join",
+    oracle="""
+    WITH turns AS (
+      SELECT doc_id,
+             (doc_id % 50)::bigint AS user_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (doc_id) HOUR AS ts
+      FROM documents)
+    SELECT t.doc_id, t.user_id, t.ts,
+           e.ts AS ts_asof, e.event_id AS event_id_asof
+    FROM turns t
+    ASOF LEFT JOIN events e
+      ON t.user_id = e.user_id AND t.ts >= e.ts
+    """,
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each synthetic turn, the most recent event at or before its
+    timestamp per user — single-shuffle union+window formulation
+    (operators.asof_join) value-checked against DuckDB's native ASOF JOIN.
+    (user_id, ts) is unique in events, so the carried event_id is
+    deterministic."""
+    from mistral_ocr_pipeline_spark.operators.asof_join import asof_join
+
+    docs = _t(spark, sf_dir, "documents")
+    turns = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).cast("long").alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("doc_id"))
+        ).alias("ts"),
+    )
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return asof_join(
+        turns, events, key="user_id", right_cols=("event_id",)
+    ).select("doc_id", "user_id", "ts", "ts_asof", "event_id_asof")

@@ -351,3 +351,45 @@ class TestDeterministicSampling:
         }
         for split, keys in by_split.items():
             assert all(out2[k] == split for k in keys)
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_and_null_before_first(self, spark):
+        from mistral_ocr_pipeline_spark.operators.asof_join import asof_join
+
+        left = spark.createDataFrame(
+            [("u", "2024-01-01 09:59:59"), ("u", "2024-01-01 10:00:00"),
+             ("u", "2024-01-01 10:30:00"), ("v", "2024-01-01 12:00:00")],
+            "k string, ts string",
+        ).select("k", F.to_timestamp("ts").alias("ts"))
+        right = spark.createDataFrame(
+            [("u", "2024-01-01 10:00:00", 1), ("u", "2024-01-01 10:15:00", 2)],
+            "k string, ts string, ev long",
+        ).select("k", F.to_timestamp("ts").alias("ts"), "ev")
+        got = {
+            (r.k, str(r.ts)): r.ev_asof
+            for r in asof_join(left, right, key="k", right_cols=("ev",)).collect()
+        }
+        assert got[("u", "2024-01-01 09:59:59")] is None      # before first event
+        assert got[("u", "2024-01-01 10:00:00")] == 1         # equal ts matches
+        assert got[("u", "2024-01-01 10:30:00")] == 2         # latest wins
+        assert got[("v", "2024-01-01 12:00:00")] is None      # key never seen
+
+    def test_single_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.asof_join import asof_join
+
+        left = spark.range(100).select(
+            (F.col("id") % 5).alias("k"), F.timestamp_seconds("id").alias("ts")
+        )
+        right = spark.range(20).select(
+            (F.col("id") % 5).alias("k"),
+            F.timestamp_seconds(F.col("id") * 3).alias("ts"),
+            F.col("id").alias("ev"),
+        )
+        plan = (
+            asof_join(left, right, key="k", right_cols=("ev",))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # no join node at all — and exactly one exchange feeds the sort
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 1
