@@ -1632,3 +1632,60 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         turns, events, key="user_id", right_cols=("event_id",)
     ).select("doc_id", "user_id", "ts", "ts_asof", "event_id_asof")
+
+
+# --------------------------------------------------------------------------
+# P7/X8 faithful — gate inference + consistency (reference main.py:114-159)
+# --------------------------------------------------------------------------
+@register(
+    "p7_gate_consistency",
+    oracle="""
+    WITH rows AS (
+      SELECT event_id,
+             CASE event_type WHEN 'click' THEN NULL WHEN 'view' THEN ' None '
+                  WHEN 'error' THEN ' No ' WHEN 'purchase' THEN 'Yes'
+                  ELSE '' END AS gate,
+             CASE WHEN value > 10 THEN 'outcome measured'
+                  WHEN value > 5 THEN ' [] ' END AS outcomes,
+             'f' || event_id::varchar AS followup
+      FROM events),
+    inferred AS (
+      SELECT event_id,
+             CASE WHEN gate IS NULL OR trim(gate) IN ('', 'None', 'nan')
+                  THEN CASE WHEN outcomes IS NOT NULL
+                                 AND trim(outcomes) NOT IN ('', 'None', 'nan', '[]')
+                            THEN 'Yes' ELSE 'No' END
+                  ELSE gate END AS gate,
+             outcomes, followup
+      FROM rows)
+    SELECT event_id, gate,
+           CASE WHEN trim(gate) = 'No' THEN NULL ELSE outcomes END AS outcomes,
+           CASE WHEN trim(gate) = 'No' THEN NULL ELSE followup END AS followup
+    FROM inferred
+    """,
+)
+def p7_gate_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact _postprocess_row semantics (main.py:114-159):
+    infer a missing gate from evidence (sentinels '', 'None', 'nan', '[]'),
+    keep a present gate byte-identical (even ' No '), then null all
+    dependent columns whenever the stripped gate is 'No'."""
+    from mistral_ocr_pipeline_spark.functions.gate_rules import apply_gate_rules
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("string"))
+        .when(F.col("event_type") == "view", F.lit(" None "))
+        .when(F.col("event_type") == "error", F.lit(" No "))
+        .when(F.col("event_type") == "purchase", F.lit("Yes"))
+        .otherwise(F.lit(""))
+        .alias("gate"),
+        F.when(F.col("value") > 10, F.lit("outcome measured"))
+        .when(F.col("value") > 5, F.lit(" [] "))
+        .alias("outcomes"),
+        F.concat(F.lit("f"), F.col("event_id").cast("string")).alias("followup"),
+    )
+    return apply_gate_rules(
+        rows, gate_col="gate", evidence_col="outcomes",
+        dependent_cols=("outcomes", "followup"),
+    )

@@ -108,3 +108,39 @@ class TestScalarFunctions:
         got = [r.x for r in df.select(concept_tags(F.col("t")).alias("x")).collect()]
         assert got[0] == ["query", "perf"]
         assert got[1] == []
+
+
+class TestGateConsistency:
+    """Reference main.py:114-159 semantics, case by case."""
+
+    def test_all_branches(self, spark):
+        from mistral_ocr_pipeline_spark.functions.gate_rules import apply_gate_rules
+
+        rows = [
+            # (id, gate, outcomes, followup)
+            (1, None, "real outcome", "f1"),   # infer Yes → keep deps
+            (2, None, " [] ", "f2"),           # infer No → null deps
+            (3, None, None, "f3"),             # infer No → null deps
+            (4, " No ", "real outcome", "f4"), # kept byte-identical, strips to No → null deps
+            (5, "Yes", "real outcome", "f5"),  # untouched
+            (6, " None ", "real outcome", "f6"),  # sentinel → infer Yes
+            (7, "Maybe", None, "f7"),          # non-sentinel gate kept, deps kept
+            (8, "nan", None, "f8"),            # sentinel → infer No
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, gate string, outcomes string, followup string"
+        )
+        got = {
+            r.id: (r.gate, r.outcomes, r.followup)
+            for r in apply_gate_rules(
+                df, "gate", "outcomes", ("outcomes", "followup")
+            ).collect()
+        }
+        assert got[1] == ("Yes", "real outcome", "f1")
+        assert got[2] == ("No", None, None)
+        assert got[3] == ("No", None, None)
+        assert got[4] == (" No ", None, None)      # original bytes preserved
+        assert got[5] == ("Yes", "real outcome", "f5")
+        assert got[6] == ("Yes", "real outcome", "f6")
+        assert got[7] == ("Maybe", None, "f7")
+        assert got[8] == ("No", None, None)
