@@ -84,3 +84,43 @@ def asof_join(
         f"ts{suffix}",
         *[f"{c}{suffix}" for c in carry],
     )
+
+
+def range_join_buckets(
+    intervals: DataFrame,
+    points: DataFrame,
+    key: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment join (``start <= ts < end`` per key) as an
+    EQUI-join.
+
+    Spark plans a naive inequality join as BroadcastNestedLoop/Cartesian —
+    O(n·m) per key.  Blocking instead: each interval explodes into the
+    integer time buckets it spans (``floor(epoch / width)`` via a
+    ``sequence`` flatMap, no shuffle); each point has exactly one bucket;
+    the join keys on (key, bucket) — a well-distributed composite — and
+    the exact predicate filters inside the joined stream.  A point's
+    bucket is unique, so no dedup pass is needed.  Bucket width trades
+    explode fan-out (long intervals) against join selectivity; pick ≈ the
+    median interval length."""
+    width = F.lit(int(bucket_seconds)).cast("long")
+
+    def _b(c: F.Column) -> F.Column:
+        return F.floor(F.unix_timestamp(c) / width).cast("long")
+
+    b_intervals = intervals.withColumn(
+        "_bucket",
+        # window end is exclusive: a point at exactly `end` never matches,
+        # but `end` may still land in the last spanned bucket
+        F.explode(F.sequence(_b(F.col(start_col)), _b(F.col(end_col)))),
+    )
+    b_points = points.withColumn("_bucket", _b(F.col(ts_col)))
+    return (
+        b_intervals.join(b_points, [key, "_bucket"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
+    )

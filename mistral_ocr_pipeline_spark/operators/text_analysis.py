@@ -161,3 +161,54 @@ def concept_tags(c: Column, vocab: dict[str, tuple[str, ...]] | None = None) -> 
         for name, kws in (vocab or CONCEPT_VOCAB).items()
     ]
     return F.filter(F.array(*tags), lambda x: x.isNotNull())
+
+
+# --------------------------------------------------------------------------
+# TF-IDF — corpus-level term weighting, top-k terms per document
+# --------------------------------------------------------------------------
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf × (ln((1+N)/(1+df)) + 1)``), ties broken by term ascending.
+
+    Plan shape at scale: tokenize+explode is a flatMap (no shuffle); term
+    frequencies shuffle on (doc, term) — well-distributed; document
+    frequencies shuffle on term with map-side partial agg; the tf⋈idf join
+    keys on term (the vocabulary side is heavy-tailed but AQE's skew-join
+    splits the stop-word keys); final top-k is one window per doc.  All
+    JVM expressions — no UDF anywhere."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    terms = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(norm_key_col(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "term", "tf", "tfidf", "rank")
+    )

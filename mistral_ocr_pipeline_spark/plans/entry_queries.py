@@ -1689,3 +1689,79 @@ def p7_gate_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, gate_col="gate", evidence_col="outcomes",
         dependent_cols=("outcomes", "followup"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top-k terms per document (corpus-level weighting, all JVM)
+# --------------------------------------------------------------------------
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id AS doc, unnest(string_split({_KEY.format(c='text')}, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc, term, count(*) AS tf FROM terms WHERE term != ''
+      GROUP BY doc, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT doc, term, tf,
+             round(tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc AS doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — smoothed idf, deterministic tie
+    break by term; tf/df/join/window all JVM expressions."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+# --------------------------------------------------------------------------
+# J6 — range join (interval containment) via time-bucket blocking
+# --------------------------------------------------------------------------
+@register(
+    "j6_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT doc_id,
+             (doc_id % 50)::bigint AS user_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (doc_id) HOUR AS start,
+             TIMESTAMP '2024-01-01' + INTERVAL (doc_id + 2) HOUR AS "end"
+      FROM documents)
+    SELECT iv.doc_id, e.event_id, e.ts
+    FROM iv JOIN events e
+      ON e.user_id = iv.user_id AND e.ts >= iv.start AND e.ts < iv."end"
+    """,
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside each synthetic 2-hour interval per user — bucketed
+    equi-join formulation (no NestedLoop node), value-checked against
+    DuckDB's plain inequality join."""
+    from mistral_ocr_pipeline_spark.operators.asof_join import range_join_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    iv = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).cast("long").alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("doc_id"))
+        ).alias("start"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("doc_id") + 2)
+        ).alias("end"),
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return range_join_buckets(iv, ev, key="user_id").select(
+        "doc_id", "event_id", "ts"
+    )

@@ -393,3 +393,68 @@ class TestAsofJoin:
         # no join node at all — and exactly one exchange feeds the sort
         assert "Join" not in plan
         assert plan.count("Exchange") == 1
+
+
+class TestRangeJoinAndTfidf:
+    def test_range_join_matches_naive(self, spark):
+        from mistral_ocr_pipeline_spark.operators.asof_join import range_join_buckets
+
+        iv = spark.createDataFrame(
+            [(1, "u", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+             (2, "u", "2024-01-01 11:30:00", "2024-01-01 11:45:00"),
+             (3, "v", "2024-01-01 10:00:00", "2024-01-01 23:00:00")],
+            "iid long, k string, start string, end string",
+        ).select("iid", "k", F.to_timestamp("start").alias("start"),
+                 F.to_timestamp("end").alias("end"))
+        pts = spark.createDataFrame(
+            [(10, "u", "2024-01-01 10:00:00"),   # inclusive start
+             (11, "u", "2024-01-01 12:00:00"),   # exclusive end → iv 1 no
+             (12, "u", "2024-01-01 11:40:00"),   # both u intervals
+             (13, "v", "2024-01-01 22:59:59"),   # long interval tail
+             (14, "w", "2024-01-01 11:00:00")],  # unseen key
+            "pid long, k string, ts string",
+        ).select("pid", "k", F.to_timestamp("ts").alias("ts"))
+        got = {
+            (r.iid, r.pid)
+            for r in range_join_buckets(iv, pts, key="k").collect()
+        }
+        naive = {
+            (r.iid, r.pid)
+            for r in iv.join(pts, "k")
+            .filter((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+            .collect()
+        }
+        assert got == naive == {(1, 10), (1, 12), (2, 12), (3, 13)}
+
+    def test_range_join_plan_is_equi_join(self, spark):
+        from mistral_ocr_pipeline_spark.operators.asof_join import range_join_buckets
+
+        iv = spark.range(100).select(
+            F.col("id").alias("iid"), (F.col("id") % 7).alias("k"),
+            F.timestamp_seconds(F.col("id") * 60).alias("start"),
+            F.timestamp_seconds(F.col("id") * 60 + 7200).alias("end"),
+        )
+        pts = spark.range(100).select(
+            F.col("id").alias("pid"), (F.col("id") % 7).alias("k"),
+            F.timestamp_seconds(F.col("id") * 45).alias("ts"),
+        )
+        plan = (
+            range_join_buckets(iv, pts, key="k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_tfidf_rare_term_outranks_common(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import tfidf_topk
+
+        docs = spark.createDataFrame(
+            [(1, "common zebra"), (2, "common word"), (3, "common word")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.rank): (r.term, r.tf)
+            for r in tfidf_topk(docs, "doc_id", "text", k=2).collect()
+        }
+        # equal tf=1: zebra (df=1) must outrank common (df=3, idf=1.0)
+        assert got[(1, 1)][0] == "zebra"
+        assert got[(1, 2)][0] == "common"
