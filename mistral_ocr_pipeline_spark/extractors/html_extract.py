@@ -224,16 +224,169 @@ def _classify(c: _Candidate) -> Block | None:
     return Block(PARAGRAPH, text)
 
 
-def extract_html_blocks(html_text: str) -> list[Block]:
+# ---------------------------------------------------------------------------
+# Fast tokenizer: one regex scan driving the SAME handler methods
+# ---------------------------------------------------------------------------
+# The stdlib html.parser spends most of its time in per-tag Python
+# bookkeeping (goahead/parse_starttag/updatepos — 65% of the whole
+# extraction kernel under cProfile).  This scanner produces the identical
+# event stream for the HTML this extractor understands — tag names
+# lowercased, charrefs decoded in data AND attribute values, script/style
+# treated as raw text (the stdlib's CDATA_CONTENT_ELEMENTS), self-closing
+# tags emitting start+end — and feeds the same _BlockParser callbacks, so
+# block semantics cannot drift between the two paths.  Parity is pinned by
+# a hypothesis property test (test_property_extractors.py) and the golden
+# suite; `tokenizer="stdlib"` keeps the reference path selectable.
+
+_TOKEN_RE = re.compile(
+    r"""
+      <!--.*?(?:-->|$)                          # comment (possibly unclosed)
+    | <!\[CDATA\[.*?(?:\]\]>|$)                 # CDATA
+    | <![^>]*>?                                 # doctype / bogus declaration
+    | <\?[^>]*>?                                # processing instruction
+    | </\s*([a-zA-Z][^\t\n\r\f\x20/>\x00]*)[^>]*>  # end tag   -> group 1
+                                                #   (name charset matches
+                                                #   html.parser's tolerant
+                                                #   tagfind: '</p">' ends p")
+    | </[^>]*(?:>|$)                            # bogus end tag (</ + non-letter):
+                                                #   html.parser consumes it as a
+                                                #   bogus comment through the '>'
+    | <([a-zA-Z][^\t\n\r\f\x20/>\x00]*)         # start tag    -> group 2
+        ((?:"[^"]*"|'[^']*'|[^>])*)>            #   attr blob  -> group 3
+    | ([^<]+)                                   # text         -> group 4
+    | <                                         # stray '<' as text
+    """,
+    re.DOTALL | re.VERBOSE,
+)
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9:._-]*)\s*(?:=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?""",
+    re.VERBOSE,
+)
+
+_RAWTEXT_END = {
+    "script": re.compile(r"(?is)</script(?:\s[^>]*)?>"),
+    "style": re.compile(r"(?is)</style(?:\s[^>]*)?>"),
+}
+
+_NEEDS_UNESCAPE = re.compile(r"&")
+
+
+def _unescape(s: str) -> str:
+    if _NEEDS_UNESCAPE.search(s):
+        from html import unescape
+
+        return unescape(s)
+    return s
+
+
+def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
+    attrs = []
+    for m in _ATTR_RE.finditer(blob):
+        name = m.group(1).lower()
+        if m.group(2) is None:
+            attrs.append((name, None))
+        elif m.group(3) is not None:
+            attrs.append((name, _unescape(m.group(3))))
+        elif m.group(4) is not None:
+            attrs.append((name, _unescape(m.group(4))))
+        else:
+            attrs.append((name, _unescape(m.group(2))))
+    return attrs
+
+
+def _is_terminated(g: str) -> bool:
+    """Whether a <!…> / <?…> construct matched by _TOKEN_RE actually closed
+    (the terminator must not overlap the opener, mirroring html.parser's
+    find-from-offset behavior for '<!-->' and friends)."""
+    if g.startswith("<!--"):
+        return g.endswith("-->") and len(g) >= 7
+    if g.startswith("<![CDATA["):
+        return g.endswith("]]>") and len(g) >= 12
+    return g.endswith(">")
+
+
+def _drive_fast(p: _BlockParser, html_text: str) -> None:
+    pos, n = 0, len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # cannot happen (last alternations are catch-alls)
+            break
+        start, pos = m.start(), m.end()
+        end_tag, start_tag, attr_blob, text = m.group(1, 2, 3, 4)
+        if text is not None:
+            p.handle_data(_unescape(text))
+        elif m.group(0).startswith("</") and end_tag is None:
+            # bogus end tag: dropped when closed; unterminated at EOF falls
+            # into the same bogus-data recovery as declarations below
+            if not m.group(0).endswith(">"):
+                k = html_text.find("<", start + 1)
+                k = k if k >= 0 else start + 1
+                p.handle_data(_unescape(html_text[start:k]))
+                pos = k
+        elif m.group(0).startswith(("<!", "<?")) and not _is_terminated(
+            m.group(0)
+        ):
+            # unterminated comment/CDATA/declaration/PI: html.parser's
+            # bogus-construct recovery emits raw data up to and including
+            # the FIRST '>' (else up to the next '<', else one char), then
+            # resumes tokenizing there — replicate exactly
+            k = html_text.find(">", start + 1)
+            if k < 0:
+                k = html_text.find("<", start + 1)
+                k = k if k >= 0 else start + 1
+            else:
+                k += 1
+            p.handle_data(_unescape(html_text[start:k]))
+            pos = k
+        elif start_tag is not None:
+            tag = start_tag.lower()
+            # html.parser subtlety: a trailing '/' right after an UNQUOTED
+            # attribute value is part of the value (<img alt=plain/> gives
+            # alt='plain/', not a self-closing tag); '/' only self-closes
+            # when preceded by whitespace, a quote, or the tag name itself
+            selfclosing = attr_blob.endswith("/") and (
+                len(attr_blob) == 1 or attr_blob[-2] in " \t\n\r\f\"'"
+            )
+            # img is the only tag whose attributes the consumer reads
+            blob = attr_blob[:-1] if selfclosing else attr_blob
+            attrs = _parse_attrs(blob) if tag == "img" else []
+            p.handle_starttag(tag, attrs)
+            if selfclosing:
+                p.handle_endtag(tag)
+            elif tag in _RAWTEXT_END:
+                # raw-text element: skip to its end tag without tokenizing
+                end = _RAWTEXT_END[tag].search(html_text, pos)
+                if end is None:
+                    p.handle_data(html_text[pos:])
+                    pos = n
+                else:
+                    p.handle_data(html_text[pos : end.start()])
+                    p.handle_endtag(tag)
+                    pos = end.end()
+        elif end_tag is not None:
+            p.handle_endtag(end_tag.lower())
+        elif m.group(0) == "<":
+            p.handle_data("<")
+        # comments / doctype / PI / CDATA: no consumer, dropped
+
+
+def extract_html_blocks(html_text: str, tokenizer: str = "fast") -> list[Block]:
     """Tokenize + classify; returns kept blocks in document order.
 
-    Tolerant of truncated/malformed markup — the stdlib parser recovers;
-    a hard parser failure propagates to the dispatcher's error channel
+    ``tokenizer="fast"`` (default) scans with one compiled regex driving
+    the same handler callbacks; ``"stdlib"`` keeps the html.parser path
+    (the parity reference).  Tolerant of truncated/malformed markup; a
+    hard parser failure propagates to the dispatcher's error channel
     (analog of the reference's per-document failure capture, main.py:304-311).
     """
     p = _BlockParser()
-    p.feed(html_text)
-    p.close()
+    if tokenizer == "fast":
+        _drive_fast(p, html_text)
+        p._flush()
+    else:
+        p.feed(html_text)
+        p.close()
     blocks: list[Block] = []
     for kind, item in p.out:
         if kind == "block":

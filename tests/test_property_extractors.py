@@ -106,3 +106,39 @@ def test_normalize_plain_idempotent(s):
     # collapsed output has no ASCII-whitespace runs and no edge spaces
     assert "  " not in once and "\t" not in once and "\n" not in once
     assert once == once.strip(" ")
+
+
+_TAGS = ["p", "div", "a", "b", "img", "nav", "table", "tr", "td", "script",
+         "style", "h2", "ul", "li", "br", "svg", "template"]
+#   Domain note: quote characters are excluded from the free-text alphabet —
+#   an UNBALANCED quote inside a tag (e.g. '<b x="a>') takes html.parser
+#   down its junk-characters-in-start-tag recovery, which the fast scanner
+#   intentionally does not replicate (it still tokenizes deterministically
+#   and never crashes — pinned by the extract_turn fuzz test above; balanced
+#   quoted attributes are fully covered by the sampled fragments below).
+_FRAGMENTS = st.one_of(
+    st.text(alphabet="ab<>&; #x/!=.-\n\t", max_size=14),
+    st.sampled_from(
+        ["&amp;", "&lt;", "&#65;", "&nbsp;", "&bogus;", "<!-- c -->", "<!--",
+         "<!DOCTYPE html>", "<![CDATA[x]]>", "<?pi?>",
+         '<img src="i.png" alt="a&amp;b">', "<img src=bare alt=plain/>"]
+    ),
+    st.sampled_from(_TAGS).map(lambda t: f"<{t}>"),
+    st.sampled_from(_TAGS).map(lambda t: f"</{t}>"),
+    st.sampled_from(_TAGS).map(lambda t: f"<{t.upper()} class='x'>"),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(parts=st.lists(_FRAGMENTS, max_size=24))
+def test_fast_tokenizer_matches_stdlib(parts):
+    """The regex scanner and html.parser must produce identical block
+    lists on arbitrary well- and mal-formed markup."""
+    from mistral_ocr_pipeline_spark.extractors.html_extract import (
+        extract_html_blocks,
+    )
+
+    doc = "".join(parts)
+    assert extract_html_blocks(doc, tokenizer="fast") == extract_html_blocks(
+        doc, tokenizer="stdlib"
+    )
