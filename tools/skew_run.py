@@ -74,7 +74,10 @@ conversation spreads across up to 64 tasks instead of pinning one
 input the adaptive mode skips this shuffle entirely (see above).
 """
     path = ROOT / "BENCH" / "BASELINE.md"
-    path.write_text(path.read_text() + section)
+    existing = path.read_text() if path.exists() else ""
+    if "## Skew defense" in existing:  # replace stale section, don't stack
+        existing = existing.split("## Skew defense", 1)[0].rstrip() + "\n\n"
+    path.write_text(existing + section.lstrip("\n"))
     print(json.dumps({"results": results, "hot_share": round(hot_share, 3),
                       "salting_speedup": round(speedup, 2)}))
     spark.stop()
