@@ -19,6 +19,9 @@ import unicodedata
 # Java's `\s` (Spark rlike/regexp_replace), so the SQL oracle is exact.
 # Unicode spaces (NBSP, ideographic space) are intentionally NOT collapsed.
 _WS_RUN = re.compile(r"\s+", re.ASCII)
+# fast-path detector: any non-space ASCII whitespace or a double space means
+# the full collapse must run; otherwise strip alone is sufficient
+_WS_NEEDS_COLLAPSE = re.compile(r"[\t\n\r\f\v]|  ", re.ASCII)
 
 # References-heading predicate, same regex the reference applies to stop
 # page processing at the bibliography (reference utils/utils.py:21-24).
@@ -39,6 +42,8 @@ def nfc(s: str) -> str:
 def collapse_ws(s: str) -> str:
     """Collapse every ASCII-whitespace run (\\r\\n, tabs, spaces) to one
     space and strip — the reference's C3 normalization."""
+    if _WS_NEEDS_COLLAPSE.search(s) is None:  # already single-spaced: one C scan
+        return s.strip(" ")
     return _WS_RUN.sub(" ", s).strip(" ")  # post-collapse edges are ' ' only; ASCII strip matches SQL trim()
 
 
