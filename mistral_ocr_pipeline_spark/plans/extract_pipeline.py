@@ -72,34 +72,70 @@ def salted_repartition(
     return df.repartition(F.col("conv_id"), salt)
 
 
-def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Arrow batch in → one extracted batch out."""
-    for pdf in batches:
-        # nulls arrive as None or NaN depending on the Arrow→pandas path;
-        # pin to None so the dispatcher's contract holds
-        texts = [t if isinstance(t, str) else None for t in pdf["text"]]
-        tools = [t if isinstance(t, str) else None for t in pdf["tool"]]
-        recs = [extract_turn(t, tl) for t, tl in zip(texts, tools)]
-        out = pd.DataFrame(
-            {
-                "conv_id": pdf["conv_id"].values,
-                "turn_idx": pdf["turn_idx"].values,
-                "role": pdf["role"].values,
-                "ts": pdf["ts"].values,
-                "payload_kind": [r["payload_kind"] for r in recs],
-                "extracted_text": [r["extracted_text"] for r in recs],
-                "spans": [
-                    [
-                        {"start": s[0], "end": s[1], "kind": s[2], "ref": s[3]}
-                        for s in r["spans"]
-                    ]
-                    for r in recs
-                ],
-                "md": [r["md"] for r in recs],
-                "error": [r["error"] for r in recs],
-            }
-        )
-        yield out
+MAX_BATCH_PAYLOAD_BYTES = 64 * 1024 * 1024
+
+
+def _byte_bounded(pdf: pd.DataFrame, budget: int) -> Iterator[pd.DataFrame]:
+    """Split one incoming batch into slices whose summed payload size stays
+    under ``budget`` bytes (SURVEY §7.4.4): Arrow's maxRecordsPerBatch
+    bounds ROWS, but 2048 rows of MB-scale HTML is gigabytes of strings
+    held live while the output frame builds.  Length estimation is two
+    vectorized str.len passes — no per-row Python."""
+    sizes = (
+        pdf["text"].str.len().fillna(0) + pdf["tool"].str.len().fillna(0)
+    ).to_numpy()
+    if sizes.sum() <= budget:
+        yield pdf
+        return
+    start = 0
+    acc = 0
+    for i, sz in enumerate(sizes):
+        if acc and acc + sz > budget:
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += sz
+    if start < len(pdf):
+        yield pdf.iloc[start:]
+
+
+def _make_extract_batches(budget: int):
+    """Kernel factory: the budget rides in the closure, so it serializes
+    with the UDF and reaches executor workers (a module-level constant
+    would be re-imported fresh there)."""
+
+    def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for incoming in batches:
+            for piece in _byte_bounded(incoming, budget):
+                yield _extract_one(piece)
+
+    return _extract_batches
+
+
+def _extract_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    # nulls arrive as None or NaN depending on the Arrow→pandas path;
+    # pin to None so the dispatcher's contract holds
+    texts = [t if isinstance(t, str) else None for t in pdf["text"]]
+    tools = [t if isinstance(t, str) else None for t in pdf["tool"]]
+    recs = [extract_turn(t, tl) for t, tl in zip(texts, tools)]
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].values,
+            "turn_idx": pdf["turn_idx"].values,
+            "role": pdf["role"].values,
+            "ts": pdf["ts"].values,
+            "payload_kind": [r["payload_kind"] for r in recs],
+            "extracted_text": [r["extracted_text"] for r in recs],
+            "spans": [
+                [
+                    {"start": s[0], "end": s[1], "kind": s[2], "ref": s[3]}
+                    for s in r["spans"]
+                ]
+                for r in recs
+            ],
+            "md": [r["md"] for r in recs],
+            "error": [r["error"] for r in recs],
+        }
+    )
 
 
 def extract_transcripts(
@@ -107,6 +143,7 @@ def extract_transcripts(
     num_partitions: int | None = None,
     n_salts: int = DEFAULT_N_SALTS,
     repartition: bool | str = "auto",
+    max_batch_payload_bytes: int = MAX_BATCH_PAYLOAD_BYTES,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction table.
 
@@ -130,7 +167,9 @@ def extract_transcripts(
         repartition = src.rdd.getNumPartitions() < target
     if repartition:
         src = salted_repartition(src, num_partitions, n_salts)
-    return src.mapInPandas(_extract_batches, EXTRACT_OUTPUT_SCHEMA)
+    return src.mapInPandas(
+        _make_extract_batches(max_batch_payload_bytes), EXTRACT_OUTPUT_SCHEMA
+    )
 
 
 def with_stable_order(df: DataFrame) -> DataFrame:

@@ -106,3 +106,52 @@ class TestConversationAssembly:
         ranked = with_stable_order(extract_transcripts(df)).collect()
         for r in ranked:
             assert r.turn_rank == r.turn_idx + 1
+
+
+class TestByteBoundedRebatch:
+    def test_split_preserves_rows_and_bounds(self, spark):
+        import pandas as pd
+
+        from mistral_ocr_pipeline_spark.plans import extract_pipeline as ep
+
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in range(10)],
+                "turn_idx": list(range(10)),
+                "role": ["u"] * 10,
+                "text": ["x" * 3_000_000] * 9 + [None],  # 27 MB total + null
+                "tool": [None] * 10,
+                "ts": [None] * 10,
+            }
+        )
+        slices = list(ep._byte_bounded(pdf, 10_000_000))
+        # rows preserved in order, each slice under budget (or single row)
+        assert sum(len(s) for s in slices) == 10 and len(slices) >= 3
+        assert [c for s in slices for c in s["conv_id"]] == list(pdf["conv_id"])
+        for s in slices:
+            payload = s["text"].str.len().fillna(0).sum()
+            assert payload <= 10_000_000 or len(s) == 1
+
+    def test_extraction_output_independent_of_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.plans import extract_pipeline as ep
+
+        t = spark.createDataFrame(
+            [(f"c{i % 3}", i, "u", f"turn {i} text with words " * 20, None, None)
+             for i in range(50)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        big = {
+            (r.conv_id, r.turn_idx): r.extracted_text
+            for r in ep.extract_transcripts(t, repartition=False).collect()
+        }
+        # a 1000-byte budget forces many sub-batches INSIDE the executor
+        # workers (the budget travels in the UDF closure)
+        small = {
+            (r.conv_id, r.turn_idx): r.extracted_text
+            for r in ep.extract_transcripts(
+                t, repartition=False, max_batch_payload_bytes=1000
+            ).collect()
+        }
+        assert big == small and len(big) == 50
