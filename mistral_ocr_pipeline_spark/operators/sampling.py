@@ -84,3 +84,57 @@ def train_valid_test_split(
         "split",
         F.when(h < F.lit(t1), "train").when(h < F.lit(t2), "valid").otherwise("test"),
     )
+
+
+def weighted_mix(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted mixture of corpora — the dataset-mixing step
+    of a pretraining pipeline (e.g. 70% web, 25% code, 5% reference).
+
+    Each source keeps ``weight`` of its rows by content hash and carries a
+    ``mix_source`` index column; rows never shuffle — selection is a
+    scan-level filter per source (hash_sample), so mixing N corpora costs
+    N scans and one union, independent of cluster size.  Reproducible
+    across partitionings/reruns like every operator in this module."""
+    parts = []
+    for idx, (df, weight) in enumerate(sources):
+        parts.append(
+            hash_sample(df, key_col, weight, salt=f"{salt}:{idx}").withColumn(
+                "mix_source", F.lit(idx)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def weighted_mix_exact(
+    sources: list[tuple[DataFrame, int]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Exact-quota variant: take precisely ``quota`` rows per source,
+    chosen by content-hash rank.  The rank is a GLOBAL window (single
+    partition) per source — fine for curated small corpora and for the
+    SQL oracle; at web scale use ``weighted_mix`` (threshold selection,
+    no global sort) and accept ±binomial noise on the quotas."""
+    from pyspark.sql import Window as W
+
+    parts = []
+    for idx, (df, quota) in enumerate(sources):
+        h = _hash_frac_hex(F.col(key_col), f"{salt}:{idx}")
+        w = W.orderBy(h, F.col(key_col))
+        parts.append(
+            df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= quota)
+            .drop("_r")
+            .withColumn("mix_source", F.lit(idx))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

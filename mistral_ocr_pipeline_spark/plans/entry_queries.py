@@ -1765,3 +1765,69 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_buckets(iv, ev, key="user_id").select(
         "doc_id", "event_id", "ts"
     )
+
+
+# --------------------------------------------------------------------------
+# A11 — exact interpolated percentiles per group (A10's general form)
+# --------------------------------------------------------------------------
+@register(
+    "a11_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the interpolation rule,
+    so the values hash-match.  At scale, prefer `percentile_approx`
+    (t-digest, mergeable partials); the exact form shuffles all values per
+    group and exists for small-group rollups + as the approx oracle."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p95"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset mixing — weighted mixture of corpora (training-data curation)
+# --------------------------------------------------------------------------
+@register(
+    "sample_weighted_mix",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, 0 AS mix_source,
+             row_number() OVER (ORDER BY substring(md5('mix:0' || doc_id::varchar), 1, 8), doc_id) AS r
+      FROM documents WHERE lang = 'en'),
+    b AS (
+      SELECT doc_id, 1 AS mix_source,
+             row_number() OVER (ORDER BY substring(md5('mix:1' || doc_id::varchar), 1, 8), doc_id) AS r
+      FROM documents WHERE lang <> 'en')
+    SELECT doc_id, mix_source FROM a WHERE r <= 60
+    UNION ALL
+    SELECT doc_id, mix_source FROM b WHERE r <= 20
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota corpus mixture (60 en docs + 20 non-en docs) chosen by
+    content-hash rank — deterministic across partitionings; the
+    threshold-based ``weighted_mix`` is the no-global-sort scale path."""
+    from mistral_ocr_pipeline_spark.operators.sampling import weighted_mix_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    rest = docs.filter(F.col("lang") != "en").select("doc_id")
+    return weighted_mix_exact([(en, 60), (rest, 20)], key_col="doc_id")

@@ -458,3 +458,34 @@ class TestRangeJoinAndTfidf:
         # equal tf=1: zebra (df=1) must outrank common (df=3, idf=1.0)
         assert got[(1, 1)][0] == "zebra"
         assert got[(1, 2)][0] == "common"
+
+
+class TestWeightedMix:
+    def test_mix_fractions_and_tags(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import weighted_mix
+
+        a = spark.range(0, 2000).withColumnRenamed("id", "k")
+        b = spark.range(2000, 4000).withColumnRenamed("id", "k")
+        out = weighted_mix([(a, 0.5), (b, 0.1)], key_col="k").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.mix_source, []).append(r.k)
+        assert 0.42 < len(by_src[0]) / 2000 < 0.58
+        assert 0.05 < len(by_src[1]) / 2000 < 0.16
+        assert all(k < 2000 for k in by_src[0]) and all(k >= 2000 for k in by_src[1])
+
+    def test_mix_exact_quotas_partition_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import weighted_mix_exact
+
+        a = spark.range(0, 500).withColumnRenamed("id", "k")
+        b = spark.range(500, 900).withColumnRenamed("id", "k")
+        m1 = {(r.k, r.mix_source) for r in weighted_mix_exact([(a, 30), (b, 7)], "k").collect()}
+        m2 = {
+            (r.k, r.mix_source)
+            for r in weighted_mix_exact(
+                [(a.repartition(13), 30), (b.repartition(5), 7)], "k"
+            ).collect()
+        }
+        assert m1 == m2
+        assert sum(1 for _, s in m1 if s == 0) == 30
+        assert sum(1 for _, s in m1 if s == 1) == 7
