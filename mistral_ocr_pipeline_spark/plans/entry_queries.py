@@ -1831,3 +1831,73 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = docs.filter(F.col("lang") == "en").select("doc_id")
     rest = docs.filter(F.col("lang") != "en").select("doc_id")
     return weighted_mix_exact([(en, 60), (rest, 20)], key_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# Curation pipeline composite: quality gate → exact dedup → split → rollup
+# --------------------------------------------------------------------------
+@register(
+    "curation_pipeline",
+    oracle=rf"""
+    WITH f AS (
+      SELECT doc_id, text,
+             length(text)::bigint AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint
+                 AS n_tokens,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|that|it|was|for)\b'))::bigint AS n_stop,
+             len(regexp_extract_all(text, '[^\w\s]'))::bigint AS n_punct,
+             len(regexp_extract_all(text, '[0-9]'))::bigint AS n_digit
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             CASE WHEN n_tokens < 5 THEN 0.0
+                  ELSE round(
+                    least(1.0, (n_stop::double / greatest(n_tokens, 1)) * 2)
+                    * (1.0 - least(1.0, (n_punct::double / greatest(n_chars, 1)) * 4))
+                    * (1.0 - least(1.0, (n_digit::double / greatest(n_chars, 1)) * 4)),
+                    6) END AS q_score
+      FROM f),
+    gated AS (SELECT * FROM scored WHERE q_score >= 0.05),
+    keyed AS (SELECT *, md5({_KEY.format(c='text')}) AS k FROM gated),
+    canon AS (
+      SELECT keyed.* FROM keyed
+      JOIN (SELECT k, min(doc_id) AS c FROM keyed GROUP BY k) g
+        ON g.k = keyed.k AND g.c = keyed.doc_id),
+    split AS (
+      SELECT doc_id, q_score,
+             CASE WHEN substring(md5('split' || doc_id::varchar), 1, 8) < 'cccccccd'
+                    THEN 'train'
+                  WHEN substring(md5('split' || doc_id::varchar), 1, 8) < 'e6666666'
+                    THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM canon)
+    SELECT split, count(*) AS n, round(avg(q_score), 6) AS mean_q
+    FROM split GROUP BY split
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data ops COMPOSED as one plan: quality gate (score ≥
+    0.05, the corpus median) → exact dedup keep-canonical → train/valid/test
+    split → per-split rollup.  One declarative DAG: the gate is a
+    scan-level filter, dedup is one shuffle with partial aggregation, the
+    split is a projection — Catalyst pipelines the whole thing; nothing
+    materializes between stages."""
+    from mistral_ocr_pipeline_spark.operators.dedup import exact_dedup
+    from mistral_ocr_pipeline_spark.operators.sampling import train_valid_test_split
+    from mistral_ocr_pipeline_spark.operators.text_analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = quality_features(docs).filter(F.col("q_score") >= 0.05)
+    canon = (
+        gated.join(
+            exact_dedup(gated, "doc_id", "text").filter("is_canonical"),
+            gated["doc_id"] == F.col("id"),
+            "left_semi",
+        )
+    )
+    split = train_valid_test_split(canon, key_col="doc_id")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("q_score"), 6).alias("mean_q")
+    )
