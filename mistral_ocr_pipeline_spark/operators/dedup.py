@@ -521,3 +521,53 @@ def connected_components(
         if changed == 0:
             break
     return lbl
+
+
+# --------------------------------------------------------------------------
+# Decontamination (train/eval n-gram overlap)
+# --------------------------------------------------------------------------
+def contamination_flags(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """(id, n_contaminated_grams, contaminated) per corpus document —
+    the benchmark-decontamination pass a pretraining pipeline runs before
+    training (flag any doc sharing ≥``min_overlap`` distinct ``n``-grams
+    with the eval set; 13-grams is the conventional window).
+
+    Shape at scale: the eval side is tiny relative to the corpus — its
+    distinct gram set explodes (flatMap) and BROADCASTS; the corpus side
+    streams map-side through shingle → explode → broadcast-hash-join →
+    partial-count, so the corpus never shuffles (one final agg exchange on
+    doc id).  Corpus docs with no overlap keep a zero row (left join) so
+    the output is a per-doc audit table, not just the flagged subset."""
+    eval_grams = (
+        shingle_sets(eval_set, id_col, text_col, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus_grams = shingle_sets(corpus, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            (
+                F.coalesce("n_contaminated_grams", F.lit(0)) >= min_overlap
+            ).alias("contaminated"),
+        )
+    )

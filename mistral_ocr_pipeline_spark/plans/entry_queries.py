@@ -1901,3 +1901,47 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("q_score"), 6).alias("mean_q")
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination — train/eval n-gram overlap audit
+# --------------------------------------------------------------------------
+@register(
+    "dedup_contamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_KEY.format(c='text')}, ' ') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(ws) - 3, 0)),
+                 i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      FROM tok),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+    hits AS (
+      SELECT grams.doc_id, count(*) AS n_contaminated_grams
+      FROM grams JOIN eval_grams USING (g)
+      WHERE grams.doc_id % 25 <> 0
+      GROUP BY grams.doc_id)
+    SELECT d.doc_id AS id,
+           coalesce(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+           coalesce(h.n_contaminated_grams, 0) >= 1 AS contaminated
+    FROM documents d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 25 <> 0
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 25th document plays the eval set;
+    the rest of the corpus is audited for 4-gram overlap.  Eval grams
+    broadcast; the corpus never shuffles before the final per-doc agg.
+    (4-grams rather than the conventional 13 so the synthetic corpus
+    produces non-trivial hits at sf0.01 — 27 flagged docs.)"""
+    from mistral_ocr_pipeline_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return contamination_flags(corpus, ev, "doc_id", "text", n=4)

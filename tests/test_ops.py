@@ -489,3 +489,25 @@ class TestWeightedMix:
         assert m1 == m2
         assert sum(1 for _, s in m1 if s == 0) == 30
         assert sum(1 for _, s in m1 if s == 1) == 7
+
+
+class TestContamination:
+    def test_planted_overlap_flagged(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import contamination_flags
+
+        bench = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame(
+            [(1, f"intro text then {bench} and a conclusion paragraph"),
+             (2, "completely unrelated content about spark partitioning"),
+             (3, "short")],
+            "id long, text string",
+        )
+        ev = spark.createDataFrame([(100, bench)], "id long, text string")
+        got = {
+            r.id: (r.n_contaminated_grams, r.contaminated)
+            for r in contamination_flags(corpus, ev, "id", "text", n=5).collect()
+        }
+        assert got[1][1] is True and got[1][0] >= 1   # planted benchmark text
+        assert got[2] == (0, False)
+        assert got[3] == (0, False)                   # too short for any 5-gram
+        assert len(got) == 3                          # audit covers every doc
