@@ -170,7 +170,10 @@ def _page_lines(page: dict, page_idx: int) -> tuple[list[Line], float]:
     for b in text_blocks:
         for ln in b.get("lines", []):
             for sp in ln.get("spans", []):
-                if collapse_ws(sp.get("text", "")):
+                # truthiness of collapse_ws(text) ⟺ text has any
+                # non-ASCII-whitespace char; strip with the explicit ASCII
+                # set (NOT plain .strip(), which also eats NBSP etc.)
+                if sp.get("text", "").strip(" \t\n\r\f\v"):
                     sizes.append(float(sp.get("size", 0.0)))
     med = _median(sizes)
     lines: list[Line] = []
