@@ -251,17 +251,47 @@ _TOKEN_RE = re.compile(
     | </[^>]*(?:>|$)                            # bogus end tag (</ + non-letter):
                                                 #   html.parser consumes it as a
                                                 #   bogus comment through the '>'
-    | <([a-zA-Z][^\t\n\r\f\x20/>\x00]*)         # start tag    -> group 2
-        ((?:"[^"]*"|'[^']*'|[^>])*)>            #   attr blob  -> group 3
-    | ([^<]+)                                   # text         -> group 4
+    | <([a-zA-Z][-a-zA-Z0-9_:.]*)               # STRICT start tag -> group 2
+        ((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*       #   attr name
+            (?:=(?:"[^"<>]*"                    #   ="..." value
+                |'[^'<>]*'                      #   ='...' value
+                |[-a-zA-Z0-9_./:;,+#%?&~]*      #   =bare value (no quotes)
+            ))?
+         )*\s*/?)>                              #   attr blob  -> group 3
+    | (<)(?=[a-zA-Z])                           # tolerant start-tag opener
+                                                #   -> group 4: slow path
+    | ([^<]+)                                   # text         -> group 5
     | <                                         # stray '<' as text
     """,
     re.DOTALL | re.VERBOSE,
 )
+# The STRICT start-tag alternative is (a) linear-time — every branch of the
+# attr loop is first-char-disjoint (the r01 blob pattern
+# ``(?:"[^"]*"|'[^']*'|[^>])*`` let a quote match two branches, giving
+# exponential backtracking on an unclosed quoted tag: time doubled per
+# added quote) — and (b) provably equivalent to html.parser on the inputs
+# it accepts: every char class is a subset of the stdlib tolerant charsets
+# (tagfind_tolerant / attrfind_tolerant), each attr is space-preceded (so
+# the stdlib lookbehind ``(?<=['"\s/])`` holds) and single-'=' (so
+# ``=+`` consumes identically), so locatestarttagend_tolerant consumes
+# exactly the same span and ends on the same '>'.  Anything else —
+# unclosed quotes, '>' inside quoted values, '='-less junk, bogus
+# constructs — falls through to the tolerant opener, handled by
+# ``_parse_starttag_tolerant`` which mirrors html.parser's
+# parse_starttag/check_for_whole_start_tag byte for byte.
 
 _ATTR_RE = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9:._-]*)\s*(?:=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?""",
     re.VERBOSE,
+)
+
+# stdlib tolerant start-tag machinery, reused directly so the slow path is
+# the same regex the ``tokenizer="stdlib"`` parity reference runs (these
+# module globals are stable across CPython 3.9–3.13)
+from html.parser import (  # noqa: E402
+    attrfind_tolerant as _attrfind,
+    locatestarttagend_tolerant as _locatestarttagend,
+    tagfind_tolerant as _tagfind,
 )
 
 _RAWTEXT_END = {
@@ -313,7 +343,7 @@ def _drive_fast(p: _BlockParser, html_text: str) -> None:
         if m is None:  # cannot happen (last alternations are catch-alls)
             break
         start, pos = m.start(), m.end()
-        end_tag, start_tag, attr_blob, text = m.group(1, 2, 3, 4)
+        end_tag, start_tag, attr_blob, tolerant, text = m.group(1, 2, 3, 4, 5)
         if text is not None:
             p.handle_data(_unescape(text))
         elif m.group(0).startswith("</") and end_tag is None:
@@ -355,20 +385,98 @@ def _drive_fast(p: _BlockParser, html_text: str) -> None:
             if selfclosing:
                 p.handle_endtag(tag)
             elif tag in _RAWTEXT_END:
-                # raw-text element: skip to its end tag without tokenizing
-                end = _RAWTEXT_END[tag].search(html_text, pos)
-                if end is None:
-                    p.handle_data(html_text[pos:])
-                    pos = n
-                else:
-                    p.handle_data(html_text[pos : end.start()])
-                    p.handle_endtag(tag)
-                    pos = end.end()
+                pos = _rawtext_skip(p, html_text, pos, tag)
+        elif tolerant is not None:
+            # start tag the STRICT alternative rejected: mirror html.parser's
+            # parse_starttag exactly (tolerant regexes + junk/EOF recovery)
+            pos = _parse_starttag_tolerant(p, html_text, start)
         elif end_tag is not None:
             p.handle_endtag(end_tag.lower())
         elif m.group(0) == "<":
             p.handle_data("<")
         # comments / doctype / PI / CDATA: no consumer, dropped
+
+
+def _rawtext_skip(p: _BlockParser, html_text: str, pos: int, tag: str) -> int:
+    """Skip a raw-text element (script/style) to its end tag without
+    tokenizing; returns the resume position."""
+    end = _RAWTEXT_END[tag].search(html_text, pos)
+    if end is None:
+        p.handle_data(html_text[pos:])
+        return len(html_text)
+    p.handle_data(html_text[pos : end.start()])
+    p.handle_endtag(tag)
+    return end.end()
+
+
+_ASCII_LETTERS_EQ_SLASH = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
+)
+
+
+def _parse_starttag_tolerant(p: _BlockParser, html_text: str, i: int) -> int:
+    """Byte-faithful mirror of html.parser's parse_starttag +
+    check_for_whole_start_tag + goahead's incomplete-tag recovery (CPython
+    Lib/html/parser.py), driven against the same stdlib tolerant regexes so
+    the fast tokenizer cannot drift from the ``tokenizer="stdlib"`` parity
+    reference on malformed start tags.  Returns the resume position."""
+    m = _locatestarttagend.match(html_text, i)
+    j = m.end()
+    nxt = html_text[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and html_text.startswith("/>", j):
+        endpos = j + 2
+    elif nxt == "" or nxt == "/" or nxt in _ASCII_LETTERS_EQ_SLASH:
+        # end of input inside the tag (html.parser would wait for more
+        # data; at close() its goahead(end=1) recovery emits raw data up
+        # to and including the first '>', else to the next '<', else one
+        # char — identical to the bogus-declaration recovery)
+        k = html_text.find(">", i + 1)
+        if k < 0:
+            k = html_text.find("<", i + 1)
+            k = k if k >= 0 else i + 1
+        else:
+            k += 1
+        p.handle_data(_unescape(html_text[i:k]))
+        return k
+    else:
+        endpos = j if j > i else i + 1
+    # parse_starttag proper: tag name, then the attr loop
+    mt = _tagfind.match(html_text, i + 1)
+    k = mt.end()
+    tag = mt.group(1).lower()
+    attrs: list[tuple[str, str | None]] = []
+    want_attrs = tag == "img"  # only consumer that reads attributes
+    while k < endpos:
+        ma = _attrfind.match(html_text, k)
+        if not ma:
+            break
+        if want_attrs:
+            attrname, rest, attrvalue = ma.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif (
+                attrvalue[:1] == "'" == attrvalue[-1:]
+                or attrvalue[:1] == '"' == attrvalue[-1:]
+            ):
+                attrvalue = attrvalue[1:-1]
+            if attrvalue:
+                attrvalue = _unescape(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+        k = ma.end()
+    end = html_text[k:endpos].strip()
+    if end not in (">", "/>"):
+        # junk between the last attr and the '>': html.parser emits the
+        # whole tag text as data, WITHOUT charref conversion
+        p.handle_data(html_text[i:endpos])
+        return endpos
+    p.handle_starttag(tag, attrs)
+    if end == "/>":
+        p.handle_endtag(tag)
+    elif tag in _RAWTEXT_END:
+        return _rawtext_skip(p, html_text, endpos, tag)
+    return endpos
 
 
 def extract_html_blocks(html_text: str, tokenizer: str = "fast") -> list[Block]:

@@ -1143,8 +1143,8 @@ def s4_truncate_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c13_concept_tags",
     oracle=f"""
     WITH w AS (SELECT doc_id, string_split({_KEY.format(c='text')}, ' ') AS toks
-               FROM documents)
-    SELECT doc_id,
+               FROM documents),
+    t AS (SELECT doc_id,
            list_filter([
              CASE WHEN len(list_intersect(toks,
                  ['query','sql','filter','join','scan'])) > 0 THEN 'query' END,
@@ -1152,15 +1152,21 @@ def s4_truncate_references(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ['fast','slow','vector','batch','hash'])) > 0 THEN 'perf' END,
              CASE WHEN len(list_intersect(toks,
                  ['table','row','column','key','value'])) > 0 THEN 'data' END
-           ], x -> x IS NOT NULL) AS tags
-    FROM w
+           ], x -> x IS NOT NULL) AS tag_list
+               FROM w)
+    SELECT doc_id, array_to_string(tag_list, ',') AS tags FROM t
     """,
 )
 def c13_concept_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tags are serialized to a comma-joined string (not array<string>) because
+    # the driver's canonicalizer sorts output columns with pandas, which cannot
+    # hash list-valued cells (r01: "TypeError: unhashable type: 'list'").
     from mistral_ocr_pipeline_spark.operators.text_analysis import concept_tags
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", concept_tags(F.col("text")).alias("tags"))
+    return docs.select(
+        "doc_id", F.array_join(concept_tags(F.col("text")), ",").alias("tags")
+    )
 
 
 # --------------------------------------------------------------------------

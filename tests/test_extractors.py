@@ -99,6 +99,43 @@ class TestHtml:
         assert rec["payload_kind"] == KIND_HTML
         assert rec["error"] is None
 
+    def test_unterminated_quoted_tag_is_linear(self):
+        # r01 fast tokenizer: the attr-blob pattern was ambiguous on quote
+        # chars — an unclosed start tag with N quotes backtracked in
+        # O(2^N) (one bad document could pin an executor core).  The
+        # strict/tolerant split must stay linear AND stdlib-identical.
+        import time
+
+        from mistral_ocr_pipeline_spark.extractors.html_extract import (
+            extract_html_blocks,
+        )
+
+        doc = '<a ' + '"' * 2000 + " tail text with enough words to keep"
+        t0 = time.perf_counter()
+        fast = extract_html_blocks(doc, tokenizer="fast")
+        assert time.perf_counter() - t0 < 1.0
+        assert fast == extract_html_blocks(doc, tokenizer="stdlib")
+
+    def test_malformed_start_tags_match_stdlib(self):
+        # junk-in-tag / unterminated-quote recovery paths of
+        # _parse_starttag_tolerant (mirrors html.parser parse_starttag)
+        from mistral_ocr_pipeline_spark.extractors.html_extract import (
+            extract_html_blocks,
+        )
+
+        cases = [
+            '<p>hello <a href="u>v world</p>',  # '>' inside unclosed quote
+            '<a ="v">junk attr data here',      # attrfind stall -> data
+            '<a href="x',                        # EOF inside quoted value
+            '<a "x>y"z',                         # quote as attr-name char
+            "<a b==v>double equals text",        # '=+' bare value
+            "<a /junk>slash junk text here",
+        ]
+        for doc in cases:
+            assert extract_html_blocks(doc, tokenizer="fast") == (
+                extract_html_blocks(doc, tokenizer="stdlib")
+            ), doc
+
 
 def _line(text, size, x0, y0):
     return {

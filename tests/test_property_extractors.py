@@ -110,14 +110,12 @@ def test_normalize_plain_idempotent(s):
 
 _TAGS = ["p", "div", "a", "b", "img", "nav", "table", "tr", "td", "script",
          "style", "h2", "ul", "li", "br", "svg", "template"]
-#   Domain note: quote characters are excluded from the free-text alphabet —
-#   an UNBALANCED quote inside a tag (e.g. '<b x="a>') takes html.parser
-#   down its junk-characters-in-start-tag recovery, which the fast scanner
-#   intentionally does not replicate (it still tokenizes deterministically
-#   and never crashes — pinned by the extract_turn fuzz test above; balanced
-#   quoted attributes are fully covered by the sampled fragments below).
+#   Quote characters ARE in the free-text alphabet: unbalanced quotes inside
+#   a tag (e.g. '<b x="a>') take html.parser down its junk-characters /
+#   incomplete-start-tag recovery, which the fast scanner mirrors via
+#   _parse_starttag_tolerant (round 2 — previously excluded).
 _FRAGMENTS = st.one_of(
-    st.text(alphabet="ab<>&; #x/!=.-\n\t", max_size=14),
+    st.text(alphabet="ab<>&; #x/!=.-\n\t\"'", max_size=14),
     st.sampled_from(
         ["&amp;", "&lt;", "&#65;", "&nbsp;", "&bogus;", "<!-- c -->", "<!--",
          "<!DOCTYPE html>", "<![CDATA[x]]>", "<?pi?>",
