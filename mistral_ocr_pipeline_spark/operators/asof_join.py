@@ -50,7 +50,9 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
-        F.lit(None).cast("timestamp").alias("_rts"),
+        # the null literal must carry right_ts's ACTUAL type (epoch longs and
+        # dates are valid as-of axes too) or unionByName type-mismatches
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carry],
     )
     r_tag = right.select(

@@ -81,19 +81,46 @@ def _ngrams_from_tokens(toks: F.Column, n: int) -> F.Column:
     return F.slice(grams, 1, count)
 
 
+def _md5_le_long(g: F.Column) -> F.Column:
+    """64-bit gram hash = little-endian first 8 bytes of md5, as a signed
+    long — pure JVM (md5 + conv + decimal wrap), chosen because BOTH
+    engines can compute it: DuckDB's ``md5_number_upper`` is the same
+    little-endian low-half, so simhash built on it is SQL-replayable
+    (xxhash64, the throughput default, has no DuckDB twin)."""
+    h = F.md5(g)
+    rev = F.concat(*[F.substring(h, 15 - 2 * i, 2) for i in range(8)])
+    u = F.conv(rev, 16, 10).cast("decimal(20,0)")
+    return (
+        F.when(
+            u >= F.lit("9223372036854775808").cast("decimal(20,0)"),
+            u - F.lit("18446744073709551616").cast("decimal(20,0)"),
+        ).otherwise(u)
+    ).cast("long")
+
+
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hashed: bool = True,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh) where sh = distinct n-gram set of the normalized text —
-    xxhash64 longs (MinHash/Jaccard input) or raw gram strings.  Two-step
-    select so the token array materializes once per row."""
+    hashed longs (MinHash/Jaccard/SimHash input) or raw gram strings.
+    Two-step select so the token array materializes once per row.
+    ``hash_basis``: "xxhash64" (default, fastest) or "md5" (cross-engine
+    replayable, see _md5_le_long)."""
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.split(norm_key_col(F.col(text_col)), " ").alias("_toks"),
     )
     grams = _ngrams_from_tokens(F.col("_toks"), n)
     if hashed:
-        sh = F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s)))
+        hash_fn = (
+            (lambda s: F.xxhash64(s)) if hash_basis == "xxhash64" else _md5_le_long
+        )
+        sh = F.array_distinct(F.transform(grams, hash_fn))
     else:
         sh = F.array_distinct(grams)
     return toks.select("id", sh.alias("sh"))
@@ -221,9 +248,17 @@ def minhash_lsh_pairs(
     # memory, and with pairs ≪ corpus the joins broadcast under AQE so the
     # corpus-side shingles never shuffle.
     pairs = (
-        buckets.select(F.explode(_pairs_from_sorted("ids")).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+        buckets.select(
+            F.explode(_pairs_from_sorted("ids")).alias("p"), "bucket_truncated"
+        )
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        # the groupBy replaces the former .distinct() (same shuffle shape);
+        # bool_or carries "some bucket holding this pair hit the cap" into
+        # the output, as the module contract promises — a degenerate spam
+        # corpus truncates buckets and would otherwise lose pairs SILENTLY
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
     )
     vsets = shingle_sets(df, id_col, text_col, n)
     a, b = vsets.alias("a"), vsets.alias("b")
@@ -237,6 +272,7 @@ def minhash_lsh_pairs(
                 F.size(F.array_intersect("a.sh", "b.sh"))
                 / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
             ).alias("jaccard"),
+            "bucket_truncated",
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -323,6 +359,7 @@ def simhash_pairs(
     n: int = 2,
     max_hamming: int = 3,
     max_bucket: int = 64,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking
     (any pair within hamming ≤3 of identical fingerprint shares ≥1 band),
@@ -340,7 +377,7 @@ def simhash_pairs(
     eligible = df.filter(
         F.size(F.split(norm_key_col(F.col(text_col)), " ")) >= n
     )
-    fps = shingle_sets(eligible, id_col, text_col, n).withColumn(
+    fps = shingle_sets(eligible, id_col, text_col, n, hash_basis=hash_basis).withColumn(
         "fp", _simhash_udf()(F.col("sh"))
     ).drop("sh")
     bands = fps.select(
@@ -358,30 +395,40 @@ def simhash_pairs(
     buckets = bands.groupBy("band_idx", "band_val").agg(
         F.slice(
             F.array_sort(F.collect_list(F.struct("id", "fp"))), 1, max_bucket
-        ).alias("members")
+        ).alias("members"),
+        (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
     ).filter(F.size("members") > 1)
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("members"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            x["fp"].alias("fp_a"),
-                            y["fp"].alias("fp_b"),
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("members"), i + 2, F.size(F.col("members"))
+                            ),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                x["fp"].alias("fp_a"),
+                                y["fp"].alias("fp_b"),
+                            ),
                         ),
-                    ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select("p.*").distinct()
+            ).alias("p"),
+            "bucket_truncated",
+        )
+        .groupBy("p.id_a", "p.id_b", "p.fp_a", "p.fp_b")
+        # replaces .distinct(); surfaces cap hits (see minhash_lsh_pairs)
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
+    )
     return pairs.select(
         "id_a",
         "id_b",
         F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        "bucket_truncated",
     ).filter(F.col("hamming") <= max_hamming)
 
 
@@ -422,15 +469,19 @@ def embedding_neardup_pairs(
         .cast("string")
         for plane in planes
     ]
+    # vectors are carried as double so the verification cosine is the same
+    # IEEE op sequence as a SQL DOUBLE[] dot product (float*float would
+    # round each product to float first — enough to flip a 6-dp digit)
     keyed = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
         F.concat(*sign_bits).alias("bucket"),
     )
     buckets = keyed.groupBy("bucket").agg(
         F.slice(
             F.array_sort(F.collect_list(F.struct("id", "vec"))), 1, max_bucket
-        ).alias("members")
+        ).alias("members"),
+        (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
     ).filter(F.size("members") > 1)
     pairs = buckets.select(
         F.explode(
@@ -448,16 +499,20 @@ def embedding_neardup_pairs(
                     ),
                 )
             )
-        ).alias("p")
-    ).select("p.*")
+        ).alias("p"),
+        "bucket_truncated",
+    ).select("p.*", "bucket_truncated")
     cos = (
         _dot(F.col("vec_a"), F.col("vec_b"))
         / (_l2norm(F.col("vec_a")) * _l2norm(F.col("vec_b")))
     ).alias("cosine")
     return (
-        pairs.select("id_a", "id_b", cos)
+        pairs.select("id_a", "id_b", cos, "bucket_truncated")
         .filter(F.col("cosine") >= threshold)
-        .distinct()
+        .withColumn("cosine", F.round("cosine", 6))
+        .groupBy("id_a", "id_b", "cosine")
+        # replaces .distinct(); surfaces cap hits (see minhash_lsh_pairs)
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
     )
 
 
@@ -469,6 +524,8 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """(id, component) — component = min id reachable over undirected edges.
 
@@ -486,14 +543,33 @@ def connected_components(
     truncates lineage each round; without it the iterated join plan grows
     exponentially and the driver OOMs planning round ~15.  Early-exit when
     a round changes no label (one lightweight count per round, on the
-    already-materialized checkpoint)."""
+    already-materialized checkpoint).
+
+    ``checkpoint_dir``: when set, rounds checkpoint RELIABLY (HDFS/object
+    store) instead of ``localCheckpoint`` — local checkpoints live on
+    executor disks and are NOT replayable after executor loss, which on a
+    long-running cluster job would kill the whole iteration; reliable
+    checkpoints survive.  Local remains the default for short interactive
+    runs.  If labels still changed in the final round the result is NOT a
+    fixpoint (a dup-chain longer than ``max_iter`` would yield silently
+    split clusters), so this raises unless ``allow_partial=True``."""
+    spark = nodes.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
     lbl = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
-    lbl = lbl.localCheckpoint(eager=True)
+    lbl = _ckpt(lbl)
+    changed = 0
     for _ in range(max_iter):
         msgs = (
             sym.join(lbl, sym["src"] == lbl["id"])
@@ -508,8 +584,8 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
+        nxt = _ckpt(nxt)
         changed = (
             nxt.alias("n")
             .join(lbl.alias("o"), "id")
@@ -520,6 +596,12 @@ def connected_components(
         lbl = nxt
         if changed == 0:
             break
+    if changed != 0 and not allow_partial:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (labels still changing) — component labels would be "
+            "silently split; raise max_iter or pass allow_partial=True"
+        )
     return lbl
 
 

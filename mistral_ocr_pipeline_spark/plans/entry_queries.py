@@ -165,14 +165,37 @@ def extract_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 3. PDF-layout extraction at scale (rows-only: layout semantics not SQL)
 # --------------------------------------------------------------------------
-@register("extract_pdf_layout")
+@register(
+    "extract_pdf_layout",
+    oracle=f"""
+    SELECT doc_id,
+           'pdf_layout' AS payload_kind,
+           'Introduction' || chr(10) || chr(10) || {_NORM.format(c='text')}
+               AS extracted_text,
+           '[{{"start":0,"end":12,"kind":"heading","ref":"h3"}},'
+             || '{{"start":14,"end":'
+             || (14 + length({_NORM.format(c='text')}))::varchar
+             || ',"kind":"paragraph","ref":""}}]' AS spans_json,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    WHERE {_NORM.format(c='text')} != ''
+    """,
+)
 def extract_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout payloads synthesized JVM-side (to_json over nested structs):
     page 0 = Introduction heading + body line per document sentence chunk,
     page 1 = References heading + citation line (must be cut).  Exercises
     XY-ordering, heading detection, refs-cut and span bookkeeping on every
-    row of the corpus; value-checked by the pytest golden suite, row/schema
-    checked here."""
+    row of the corpus.
+
+    Value-oracle: the synthetic two-page layout is deterministic — the
+    Introduction heading is kept (no Methods heading, so the guarded
+    intro-drop never fires; fontsize 12.5/10 → h3), the References page is
+    cut, and the body line normalizes exactly like the plain-text twin —
+    so extracted text AND span offsets are SQL-replayable (span end =
+    14 + len(norm)).  The WHERE mirrors the engine's empty-span drop
+    (a document normalizing to '' keeps only the heading block; none
+    exist in the generated corpora, and pytest pins that branch)."""
     from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
 
     docs = _t(spark, sf_dir, "documents")
@@ -786,11 +809,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^\\w+', 'changed')
+      FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks FROM u),
+    g AS (SELECT id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, greatest(len(toks) - 1, 1))])
+                     AS grams
+          FROM t),
+    sz AS (SELECT id, len(grams) AS n FROM g),
+    e AS (SELECT id, unnest(grams) AS gram FROM g),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           i::DOUBLE / (sa.n + sb.n - i) AS jaccard,
+           FALSE AS bucket_truncated
+    FROM inter
+    JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents ∪ perturbed clones (one
-    word changed), verified by exact Jaccard.  Rows-only (banding not SQL);
-    semantics pinned by tests/test_ops.py."""
+    word changed), verified by exact Jaccard.
+
+    Value-oracle: exact all-pairs 3-gram Jaccard ≥ 0.5 in SQL.  The two
+    sides agree iff LSH recall is 1.0 on this corpus (clone pairs sit at
+    J≈0.95 where 16-band×4-row candidate probability is ~1; organic pairs
+    near the threshold are the risk surface, so a hash-match here is a
+    genuine recall check, not a tautology) — and iff no bucket cap
+    truncates (caps surface via ``bucket_truncated``).  Semantics also
+    pinned by tests/test_ops.py."""
     from mistral_ocr_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -804,10 +860,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks FROM u
+          WHERE len(string_split({_KEY.format(c='text')}, ' ')) >= 2),
+    g AS (SELECT id,
+                 list_distinct([array_to_string(toks[i:i+1], ' ')
+                                for i in range(1, greatest(len(toks), 1))])
+                     AS grams
+          FROM t),
+    h AS (SELECT id, list_distinct(
+                 list_transform(grams, s -> md5_number_upper(s))) AS hs
+          FROM g),
+    b AS (SELECT id,
+                 [CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1))
+                            >= len(hs)
+                       THEN 1.0 ELSE 0.0 END
+                  for j in range(0, 64)] AS bits
+          FROM h),
+    s AS (SELECT id, bits, list_sum(bits) AS nbits FROM b),
+    p AS (SELECT a.id AS id_a, c.id AS id_b,
+                 (a.nbits + c.nbits
+                  - 2 * list_dot_product(a.bits, c.bits))::INTEGER AS hamming
+          FROM s a JOIN s c ON a.id < c.id)
+    SELECT id_a, id_b, hamming, FALSE AS bucket_truncated
+    FROM p WHERE hamming <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (bit-band blocking + hamming ≤ 3) over
-    documents ∪ exact clones.  Rows-only; semantics pinned by tests."""
+    documents ∪ exact clones.
+
+    Value-oracle: the driver query runs on the md5 gram-hash basis
+    (``md5_number_upper`` twin exists in SQL; xxhash64, the throughput
+    default, does not), so the oracle recomputes every 64-bit fingerprint
+    bit-for-bit and compares ALL-PAIRS hamming ≤ 3.  The banding side
+    needs no empirical luck: with 4×16-bit bands, any pair at hamming ≤ 3
+    shares at least one identical band (pigeonhole), so a hash match
+    proves the banding recall argument + majority-bit math + hamming
+    verify all at once."""
     from mistral_ocr_pipeline_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -815,13 +911,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     u = docs.select("doc_id", "text").unionAll(clones)
-    return simhash_pairs(u, "doc_id", "text", n=2, max_hamming=3)
+    return simhash_pairs(u, "doc_id", "text", n=2, max_hamming=3, hash_basis="md5")
 
 
-@register("dedup_embedding_cosine")
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding::DOUBLE[]
+      FROM embeddings WHERE vec_id % 25 = 0),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM u a JOIN u b ON a.id < b.id)
+    SELECT id_a, id_b, round(c, 6) AS cosine, FALSE AS bucket_truncated
+    FROM p WHERE c >= 0.99
+    """,
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH buckets + exact cosine ≥ 0.99
-    over embeddings ∪ cloned vectors.  Rows-only."""
+    over embeddings ∪ cloned vectors.
+
+    Value-oracle: exact all-pairs cosine ≥ 0.99 in SQL — a hash match
+    certifies bucket recall 1.0 on this corpus (clones are identical
+    vectors, so they always share a bucket; any organic near-pair the
+    buckets missed would show as a rowcount diff)."""
     from mistral_ocr_pipeline_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -835,9 +953,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
-@register(
-    "ann_cosine_topk",
-    oracle="""
+_ANN_EXACT_ORACLE = """
     WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 8),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -850,8 +966,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT *, row_number() OVER (
               PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM s)
     SELECT qid AS query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("ann_cosine_topk", oracle=_ANN_EXACT_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k as pure Catalyst expressions (zip_with/aggregate
     fold in array order → bit-identical to the sequential SQL dot product,
@@ -893,11 +1011,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_brute_force_numpy")
+@register("ann_brute_force_numpy", oracle=_ANN_EXACT_ORACLE)
 def ann_brute_force_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput variant of exact top-k: numpy matmul per Arrow batch,
-    per-partition partial top-k.  Rows-only here; value-equivalence to the
-    expression variant is asserted in tests/test_ops.py."""
+    per-partition partial top-k.  Exact algorithm, so it shares the
+    expression variant's value oracle (cosines agree at the 6-dp rounding
+    both paths apply; equivalence also pinned in tests/test_ops.py)."""
     from mistral_ocr_pipeline_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1036,9 +1155,45 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_md5(_t(spark, sf_dir, "documents"), "doc_id")
 
 
-@register("text_fingerprint_rolling")
+# base^i mod 2^64 for the polynomial rolling hash — the numpy kernel gets
+# this wrap for free from uint64 overflow; the SQL twin needs the literals
+_ROLL_PW = "[" + ",".join(
+    f"{pow(1099511628211, i, 1 << 64)}::HUGEINT" for i in range(16)
+) + "]"
+
+
+@register(
+    "text_fingerprint_rolling",
+    oracle=f"""
+    WITH c AS (SELECT doc_id,
+                      CASE WHEN text IS NULL THEN []
+                           ELSE [unicode(ch)::HUGEINT
+                                 for ch in string_split(text, '')] END AS codes
+               FROM documents),
+    w AS (SELECT doc_id, codes, least(16, len(codes)) AS wsz FROM c),
+    h AS (SELECT doc_id,
+                 CASE WHEN len(codes) = 0 THEN 0::HUGEINT
+                 ELSE list_min([
+                    list_sum([codes[o + i - 1] * ({_ROLL_PW})[i]
+                              for i in range(1, wsz + 1)])
+                      % 18446744073709551616::HUGEINT
+                    for o in range(1, len(codes) - wsz + 2)])
+                 END AS u
+          FROM w)
+    SELECT doc_id,
+           (CASE WHEN u >= 9223372036854775808::HUGEINT
+                 THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
+               AS rolling_fp
+    FROM h
+    """,
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprint (numpy kernel) — rows-only."""
+    """Winnowing rolling-hash fingerprint (numpy kernel).
+
+    Value-oracle: the polynomial hash (base 1099511628211, mod-2^64 wrap)
+    is replayed in SQL per character — valid because the corpus is ASCII
+    (utf-8 bytes ≡ code points); the precomputed base^i literals replace
+    numpy's uint64 overflow wrap."""
     from mistral_ocr_pipeline_spark.operators.text_analysis import fingerprint_rolling
 
     return fingerprint_rolling(_t(spark, sf_dir, "documents"), "doc_id")
@@ -1451,6 +1606,10 @@ def w7_event_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
+             -- boundary convention VERIFIED empirically: F.session_window
+             -- MERGES an exactly-30-minute gap (events 00:00 + 00:30 with a
+             -- "30 minutes" gap form ONE session), i.e. a new session only
+             -- when gap > duration — strict '>' here matches it exactly
       FROM events),
     sessions AS (
       SELECT user_id, ts,

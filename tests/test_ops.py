@@ -69,6 +69,54 @@ class TestMinhashSimhash:
         assert (1, 4) in pairs and pairs[(1, 4)] == 0
         assert not any(3 in p for p in pairs)
 
+    def test_bucket_cap_is_surfaced_not_silent(self, spark):
+        # degenerate all-identical corpus: every doc lands in the same
+        # bucket of every band; with max_bucket below the corpus size the
+        # cap drops pairs — the surviving pairs MUST carry the flag so the
+        # loss is visible (module contract; silent before round 2)
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            simhash_pairs,
+        )
+
+        text = "identical spam document body repeated across the whole corpus"
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(12)], "id long, text string"
+        )
+        mh = minhash_lsh_pairs(
+            docs, "id", "text", n=3, num_perm=32, bands=8, threshold=0.5,
+            max_bucket=8,
+        ).collect()
+        assert mh and all(r.bucket_truncated for r in mh)
+        assert len(mh) == 8 * 7 // 2  # only capped-bucket members pair up
+        sh = simhash_pairs(
+            docs, "id", "text", max_hamming=3, max_bucket=8
+        ).collect()
+        assert sh and all(r.bucket_truncated for r in sh)
+        # uncapped control: same corpora, flag must be clean
+        mh2 = minhash_lsh_pairs(
+            docs, "id", "text", n=3, num_perm=32, bands=8, threshold=0.5
+        ).collect()
+        assert mh2 and not any(r.bucket_truncated for r in mh2)
+
+    def test_embedding_bucket_cap_is_surfaced(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            embedding_neardup_pairs,
+        )
+
+        vec = [1.0, 0.5, -0.25, 0.125]
+        df = spark.createDataFrame(
+            [(i, vec) for i in range(10)], "vec_id long, embedding array<float>"
+        )
+        capped = embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, max_bucket=4
+        ).collect()
+        assert capped and all(r.bucket_truncated for r in capped)
+        clean = embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.99
+        ).collect()
+        assert clean and not any(r.bucket_truncated for r in clean)
+
     def test_ngram_jaccard_exact(self, spark, near_dups):
         from mistral_ocr_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -309,6 +357,48 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([], "id_a long, id_b long")
         got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
         assert got == {1: 1, 2: 2}
+
+    def test_nonconvergence_raises_not_silent(self, spark):
+        # a chain longer than max_iter hops cannot reach its min label; the
+        # old behavior returned split clusters with no signal (ADVICE r01)
+        import pytest
+
+        from mistral_ocr_pipeline_spark.operators.dedup import connected_components
+
+        n = 8
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(nodes, edges, max_iter=2)
+        got = {
+            r.id: r.comp
+            for r in connected_components(
+                nodes, edges, max_iter=2, allow_partial=True
+            ).collect()
+        }
+        assert got[n - 1] != 0  # partial labels really are split
+
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        # checkpoint_dir switches localCheckpoint -> reliable checkpoint()
+        # (replayable after executor loss); multi-round chain exercises it
+        from mistral_ocr_pipeline_spark.operators.dedup import connected_components
+
+        n = 6
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.comp
+            for r in connected_components(
+                nodes, edges, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+        ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+        assert ckpt_files, "reliable checkpoint directory was never written"
 
 
 class TestDeterministicSampling:

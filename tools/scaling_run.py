@@ -129,9 +129,11 @@ def main() -> None:
             "k_n": _sub(["--kernel", str(n)]),
             "k_n4": _sub(["--kernel", str(n4)]),
         })
-    # report the run with the best RAW efficiency — the criterion itself
-    # (VM-stall interference only ever deflates a run; see memory:
-    # vm-periodic-stalls); attributable efficiency is supporting analysis
+    # headline = the MEDIAN run by raw efficiency (lower-middle for even
+    # counts).  Best-of would be an outcome-favoring selection criterion —
+    # noise, not just stall-deflation, could push a borderline config over
+    # the ≥0.8 target; the median is robust to a single stalled run while
+    # staying selection-neutral.  All runs are tabled below the headline.
     def _eff(r):
         return (r["s_n4"]["turns_per_sec"] / r["k_n4"]["turns_per_sec"]) / (
             r["s_n"]["turns_per_sec"] / r["k_n"]["turns_per_sec"]
@@ -140,7 +142,7 @@ def main() -> None:
     def _raw(r):
         return r["s_n4"]["turns_per_sec"] / (4 * r["s_n"]["turns_per_sec"])
 
-    best = max(runs, key=_raw)
+    best = sorted(runs, key=_raw)[(len(runs) - 1) // 2]
     s_n, s_n4, k_n, k_n4 = best["s_n"], best["s_n4"], best["k_n"], best["k_n4"]
     raw_eff = s_n4["turns_per_sec"] / (4 * s_n["turns_per_sec"])
     ceil_eff = k_n4["turns_per_sec"] / (4 * k_n["turns_per_sec"])
@@ -191,9 +193,10 @@ Spark delivers {spark_frac_n:.2f}× the kernel throughput at N and
 independent executors is
 
 **Spark-attributable efficiency = {spark_frac_n4:.3f} / {spark_frac_n:.3f}
-= {min(spark_eff, 1.0):.3f}** (target ≥ 0.8; a ratio above 1 means the N
-and 4N measurements landed in different machine-noise regimes and is
-clamped — the criterion is already met on the raw number when shown ≥0.8)
+= {min(spark_eff, 1.0):.3f}** (unclamped: {spark_eff:.3f}; target ≥ 0.8; a
+ratio above 1 means the N and 4N measurements landed in different
+machine-noise regimes and the headline is clamped — the unclamped value is
+shown so the clamp can't hide a suspicious measurement)
 
 The job has no shuffle, no driver-side loop, and no cross-task state —
 each task is scan → Arrow batch → Python kernel → sink, so executor-count
@@ -202,7 +205,7 @@ shape, bounded only by the engine-attributable term above.
 """
     if len(runs) > 1:
         report += (
-            "\n## All orchestrations (best-by-raw shown above; "
+            "\n## All orchestrations (median-by-raw shown above; "
             "VM-stall interference only ever deflates a run)\n\n"
             "| run | spark N | spark 4N | kernel N | kernel 4N | raw | ceiling | attributable |\n"
             "|---|---|---|---|---|---|---|---|\n"
