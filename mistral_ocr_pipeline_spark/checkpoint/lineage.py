@@ -25,8 +25,16 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
+from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import (
+    DataFrame,
+    Observation,
+    SparkSession,
+    functions as F,
+    types as T,
+)
 
 from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
 from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
@@ -96,12 +104,20 @@ def run_extraction(
     n_buckets: int = DEFAULT_N_BUCKETS,
     only_buckets: set[int] | None = None,
     num_partitions: int | None = None,
+    audit_sample: int = 100,
 ) -> dict:
     """One (possibly resumed) extraction run.
 
     ``only_buckets`` restricts the run to a subset — the test hook that
     simulates a kill after k bucket-batches committed.  Returns summary
-    metrics {processed_buckets, skipped_buckets, rows, failures}."""
+    metrics {processed_buckets, skipped_buckets, rows, failures}.
+
+    ``audit_sample``: rows of the just-published output to read back as a
+    write audit (0 disables).  The audit is SAMPLED because the lineage
+    metrics themselves no longer come from a read-back: rows/bytes/failures
+    per bucket are collected by ``DataFrame.observe`` DURING the write —
+    at 100 TB a full read-back would be a second complete scan of the
+    output per run (r01 design flaw)."""
     committed = committed_buckets(catalog, lineage_table)
     orphans = _drop_orphan_buckets(catalog, output_table, committed)
 
@@ -119,47 +135,71 @@ def run_extraction(
     if only_buckets is not None:
         src = src.filter(F.col("conv_bucket").isin(*[int(b) for b in only_buckets]))
 
-    started_at = F.current_timestamp()
+    started_at = datetime.now(timezone.utc).replace(tzinfo=None)
     extracted = extract_transcripts(
         src.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         num_partitions=num_partitions,
     )
     out = with_conv_bucket(extracted, n_buckets)
-    catalog.append(out, output_table, partition_by=["conv_bucket"])
 
-    # metrics from the published files (read-back doubles as a write audit)
-    written = catalog.read(output_table)
-    if committed:
-        written = written.filter(~F.col("conv_bucket").isin(*sorted(committed)))
-    if only_buckets is not None:
-        written = written.filter(
-            F.col("conv_bucket").isin(*[int(b) for b in only_buckets])
+    # per-bucket rows/bytes/failures ride the WRITE pass via observe():
+    # one conditional-aggregate triple per bucket (n_buckets is a fixed,
+    # small table property — 3×16 exprs here, 3×1024 on a warehouse-sized
+    # bucket count — all map-side, no extra job, no output re-scan)
+    bytes_col = (
+        F.coalesce(F.octet_length("extracted_text"), F.lit(0))
+        + F.coalesce(F.octet_length("md"), F.lit(0))
+    ).cast("long")
+    fail_col = F.col("error").isNotNull().cast("long")
+    obs = Observation(f"lineage_{run_id}_{uuid.uuid4().hex[:8]}")
+    aggs = []
+    for b in range(n_buckets):
+        in_b = (F.col("conv_bucket") == b).cast("long")
+        aggs.append(F.sum(in_b).alias(f"rows_{b}"))
+        aggs.append(F.sum(in_b * bytes_col).alias(f"bytes_{b}"))
+        aggs.append(F.sum(in_b * fail_col).alias(f"fails_{b}"))
+    out = out.observe(obs, *aggs)
+    catalog.append(out, output_table, partition_by=["conv_bucket"])
+    vals = obs.get  # blocks until the write action finishes
+
+    lineage_rows = [
+        (
+            run_id,
+            b,
+            b,
+            int(vals[f"rows_{b}"] or 0),
+            int(vals[f"bytes_{b}"] or 0),
+            int(vals[f"fails_{b}"] or 0),
+            "committed",
+            started_at,
+            datetime.now(timezone.utc).replace(tzinfo=None),
         )
-    metrics = (
-        written.groupBy("conv_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(
-                F.coalesce(F.octet_length("extracted_text"), F.lit(0))
-                + F.coalesce(F.octet_length("md"), F.lit(0))
-            ).cast("long").alias("bytes"),
-            F.sum(F.col("error").isNotNull().cast("long")).alias("failures"),
-        )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.col("conv_bucket").alias("partition_id"),
-            "conv_bucket",
-            "rows",
-            "bytes",
-            "failures",
-            F.lit("committed").alias("status"),
-            started_at.alias("started_at"),
-            F.current_timestamp().alias("finished_at"),
-        )
-    )
-    n_new = metrics.count()
+        for b in range(n_buckets)
+        if (vals[f"rows_{b}"] or 0) > 0
+    ]
+    n_new = len(lineage_rows)
     if n_new:
-        catalog.append(metrics, lineage_table)
+        catalog.append(
+            spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), lineage_table
+        )
+        if audit_sample > 0:
+            # sampled read-back audit: prove the published files are
+            # readable with the expected schema — partition-pruned to the
+            # new buckets and LIMITed, so it reads a handful of rows, not
+            # the table
+            new_buckets = [r[2] for r in lineage_rows]
+            audited = (
+                catalog.read(output_table)
+                .filter(F.col("conv_bucket").isin(new_buckets))
+                .select("conv_id", "turn_idx", "extracted_text", "error")
+                .limit(audit_sample)
+                .count()
+            )
+            if audited == 0:
+                raise RuntimeError(
+                    f"write audit failed: lineage committed {n_new} buckets "
+                    f"but the published output has no readable rows"
+                )
     lineage = catalog.read(lineage_table) if catalog.exists(lineage_table) else None
     totals = (
         lineage.agg(F.sum("rows").alias("r"), F.sum("failures").alias("f")).first()

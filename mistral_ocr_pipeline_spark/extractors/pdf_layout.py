@@ -65,10 +65,29 @@ SECTION_VOCAB: dict[str, tuple[str, ...]] = {
 _DROP_UNTIL = {"refs": None, "ack": "refs", "intro": "methods"}
 
 
+def _token_set_ratio(a: str, b: str) -> float:
+    """Sorted-token-set ratio (0-1) on already-normalized keys — the
+    word-order-insensitive leg of the reference's scorer: rapidfuzz
+    token_set_ratio compares sorted(t1∩t2) against sorted(t1∩t2)+diffs,
+    so "materials and methods" ↔ "methods and materials" scores 100."""
+    ta, tb = set(a.split()), set(b.split())
+    inter = " ".join(sorted(ta & tb))
+    if not inter:
+        return 0.0
+    sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(
+        SequenceMatcher(None, sa, sb).ratio(),
+        SequenceMatcher(None, inter, sa).ratio(),
+        SequenceMatcher(None, inter, sb).ratio(),
+    )
+
+
 def _fuzzy_on_keys(a: str, b: str) -> float:
-    """0-100 similarity on already-normalized keys: max of full ratio and
-    best-window partial ratio.  Deterministic stand-in for rapidfuzz's
-    max(ratio, partial_ratio) (reference heading_detector.py:44-57)."""
+    """0-100 similarity on already-normalized keys: max of full ratio,
+    best-window partial ratio, and sorted-token-set ratio.  Deterministic
+    stand-in for rapidfuzz's max(ratio, partial_ratio, token_set_ratio)
+    (reference heading_detector.py:44-57)."""
     if not a or not b:
         return 0.0
     if a == b:
@@ -84,7 +103,7 @@ def _fuzzy_on_keys(a: str, b: str) -> float:
         )
         if len(short):
             partial = m.size / len(short)
-    return 100.0 * max(full, partial)
+    return 100.0 * max(full, partial, _token_set_ratio(a, b))
 
 
 def fuzzy_score(a: str, b: str) -> float:

@@ -60,6 +60,7 @@ def fuzzy_best_match(
     title_cols: tuple[str, str],
     year_cols: tuple[str, str] | None = None,
     journal_cols: tuple[str, str] | None = None,
+    author_col: str | None = None,
     threshold: float = 1.5,
     use_difflib: bool = False,
 ) -> DataFrame:
@@ -98,6 +99,18 @@ def fuzzy_best_match(
         *[norm_if_text(c, "l") for c in {title_cols[0],
                                          *( [year_cols[0]] if year_cols else []),
                                          *( [journal_cols[0]] if journal_cols else [])}],
+        # author LAST NAME = last whitespace token of the RAW author field,
+        # lowercased — reference extract_last_name (compare_results.py:69-71)
+        # does NOT punctuation-strip, so neither do we
+        *(
+            [
+                F.lower(
+                    F.element_at(F.split(F.trim(F.col(author_col)), r"\s+"), -1)
+                ).alias("_l_last")
+            ]
+            if author_col
+            else []
+        ),
     )
     r = right.select(
         F.col(right_id).alias("_rid"),
@@ -116,6 +129,17 @@ def fuzzy_best_match(
         score = score + raw_sim(
             F.col(f"_l_{journal_cols[0]}"), F.col(f"_r_{journal_cols[1]}")
         )
+    if author_col:
+        # +0.5 when the author's last name appears in the normalized right
+        # title (reference compare_results.py:107-108 — the fallback signal
+        # for rows with empty/garbled titles)
+        last = F.col("_l_last")
+        score = score + F.when(
+            (last.isNotNull())
+            & (last != "")
+            & (F.instr(F.col(f"_r_{title_cols[1]}"), last) > 0),
+            0.5,
+        ).otherwise(0.0)
     from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
 
     # the big (right) side carries the nested-loop work — fan it out so the

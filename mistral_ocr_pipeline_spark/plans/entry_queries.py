@@ -722,6 +722,107 @@ def j2_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j2_fuzzy_author_bonus",
+    oracle=f"""
+    WITH l AS (
+      SELECT p_partkey AS lid, {_KEY.format(c='p_name')} AS lt,
+             lower(split_part(p_name, ' ', 1)) AS last
+      FROM part WHERE p_partkey % 23 = 1),
+    r AS (
+      SELECT p_partkey + 1000000 AS rid,
+             {_KEY.format(c="upper(p_name) || '!'")} AS rt
+      FROM part WHERE p_partkey % 3 = 0),
+    s AS (
+      SELECT lid, rid,
+             round(3 * (1 - levenshtein(lt, rt)::double /
+                        greatest(length(lt), length(rt), 1))
+                   + CASE WHEN last != '' AND position(last IN rt) > 0
+                          THEN 0.5 ELSE 0 END, 9) AS score
+      FROM l CROSS JOIN r),
+    b AS (SELECT *, row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid) rn_l
+          FROM s),
+    u AS (SELECT *, row_number() OVER (PARTITION BY rid ORDER BY score DESC, lid) rn_r
+          FROM b WHERE rn_l = 1)
+    SELECT l.lid AS left_id, u2.rid AS right_id, u2.score AS match_score
+    FROM l LEFT JOIN (SELECT * FROM u WHERE rn_r = 1 AND score >= 1.5) u2
+      ON u2.lid = l.lid
+    """,
+)
+def j2_fuzzy_author_bonus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 with the reference's fourth score term active: +0.5 when the
+    author's last name (last whitespace token, raw, lowercased) appears in
+    the normalized right title (compare_results.py:95-108 — the full
+    3·title + 1·year + 1·journal + 0.5·lastNameInTitle formula; year and
+    journal are exercised by the eval-harness tests).  Author synthesized
+    as 'A. <first word of p_name>', so the bonus fires on real matches."""
+    from mistral_ocr_pipeline_spark.operators.fuzzy_join import fuzzy_best_match
+
+    part = _t(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") % 23 == 1).select(
+        F.col("p_partkey").alias("lid"),
+        F.col("p_name").alias("title"),
+        F.concat(F.lit("A. "), F.substring_index("p_name", " ", 1)).alias("author"),
+    )
+    right = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(F.upper("p_name"), F.lit("!")).alias("title"),
+    )
+    return fuzzy_best_match(
+        left,
+        right,
+        "lid",
+        "rid",
+        title_cols=("title", "title"),
+        author_col="author",
+        threshold=1.5,
+    )
+
+
+@register(
+    "j3_zip_join",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      string_split({_KEY.format(c='text')}, ' ')[1:6] AS toks
+               FROM documents),
+    e AS (SELECT doc_id,
+                 unnest(range(0, len(toks)))::INT AS pos,
+                 unnest(toks) AS value,
+                 unnest(list_transform(toks, x -> upper(x))) AS sentence
+          FROM t)
+    SELECT doc_id, pos, value, sentence
+    FROM e WHERE length(value) % 2 = 0
+    """,
+)
+def j3_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — positional zip join: parallel list columns align by INDEX, not
+    by key (reference post_processing.py:174-183 zips values[i] against
+    supported[i] and filters unsupported positions).  Spark shape:
+    ``arrays_zip`` + ``posexplode`` — one generator, no shuffle; the
+    oracle zips via DuckDB's parallel ``unnest``.  The support predicate
+    (even value length) stands in for the reference's boolean list."""
+    docs = _t(spark, sf_dir, "documents")
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.slice(F.split(norm_key_col(F.col("text")), " "), 1, 6)
+    zipped = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                toks.alias("value"),
+                F.transform(toks, lambda x: F.upper(x)).alias("sentence"),
+                F.transform(toks, lambda x: F.length(x) % 2 == 0).alias(
+                    "supported"
+                ),
+            )
+        ).alias("pos", "z"),
+    )
+    return zipped.filter(F.col("z.supported")).select(
+        "doc_id", "pos", F.col("z.value").alias("value"),
+        F.col("z.sentence").alias("sentence"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------
@@ -1417,6 +1518,61 @@ def c8_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c8_literal_fallback",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             split_part({_KEY.format(c='text')}, ' ', 1) AS tok,
+             doc_id % 3 AS m
+      FROM documents),
+    raw AS (
+      SELECT doc_id,
+             CASE m WHEN 0 THEN '["' || tok || '","b"]'
+                    WHEN 1 THEN '[''' || tok || ''', ''y'']'
+                    ELSE 'not a list ' || tok END AS payload
+      FROM src),
+    p AS (
+      SELECT doc_id, payload,
+             COALESCE(TRY_CAST(payload AS JSON),
+                      TRY_CAST(replace(payload, chr(39), '"') AS JSON)) AS j
+      FROM raw)
+    SELECT doc_id,
+           CASE WHEN json_type(j) = 'ARRAY'
+                THEN array_to_string(from_json(j, '["VARCHAR"]'), '|') END
+               AS parsed
+    FROM p
+    """,
+)
+def c8_literal_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/C8 — lenient list parsing: strict JSON first, then the
+    reference's Python-literal fallback of re-parsing with single quotes
+    replaced by double quotes (post_processing.py:105-117 _try_parse_str).
+    Jackson's ``allowSingleQuotes`` leniency is explicitly DISABLED on the
+    strict pass so Spark follows the same two-step path as ``json.loads``
+    (and as the SQL oracle); unparseable payloads yield null, not an
+    error.  Output serialized with '|' for driver hashability."""
+    docs = _t(spark, sf_dir, "documents")
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    tok = F.substring_index(norm_key_col(F.col("text")), " ", 1)
+    m = F.col("doc_id") % 3
+    payload = (
+        F.when(m == 0, F.concat(F.lit('["'), tok, F.lit('","b"]')))
+        .when(m == 1, F.concat(F.lit("['"), tok, F.lit("', 'y']")))
+        .otherwise(F.concat(F.lit("not a list "), tok))
+    )
+    opts = {"allowSingleQuotes": "false"}
+    strict = F.from_json(payload, "array<string>", opts)
+    lenient = F.from_json(
+        F.translate(payload, "'", '"'), "array<string>", opts
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.coalesce(strict, lenient), "|").alias("parsed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # W2 — first-match-per-kind latching (outline_detector.py:57-78)
 # --------------------------------------------------------------------------
@@ -1996,6 +2152,38 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = docs.filter(F.col("lang") == "en").select("doc_id")
     rest = docs.filter(F.col("lang") != "en").select("doc_id")
     return weighted_mix_exact([(en, 60), (rest, 20)], key_col="doc_id")
+
+
+def _thr_hex(fraction: float) -> str:
+    from mistral_ocr_pipeline_spark.operators.sampling import _threshold_hex
+
+    return _threshold_hex(fraction)
+
+
+@register(
+    "sample_weighted_mix_threshold",
+    oracle=f"""
+    SELECT doc_id, 0 AS mix_source FROM documents
+    WHERE lang = 'en'
+      AND substring(md5('mix:0' || doc_id::varchar), 1, 8) < '{_thr_hex(0.6)}'
+    UNION ALL
+    SELECT doc_id, 1 AS mix_source FROM documents
+    WHERE lang <> 'en'
+      AND substring(md5('mix:1' || doc_id::varchar), 1, 8) < '{_thr_hex(0.25)}'
+    """,
+)
+def sample_weighted_mix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of corpus mixing: per-source content-hash threshold
+    selection (``weighted_mix``) — a scan-level filter, no global sort, no
+    shuffle; quotas carry ±binomial noise instead of being exact.  The r01
+    driver exercised only the exact-quota twin (global single-partition
+    window); this row proves the path that actually runs at 100 TB."""
+    from mistral_ocr_pipeline_spark.operators.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    rest = docs.filter(F.col("lang") != "en").select("doc_id")
+    return weighted_mix([(en, 0.6), (rest, 0.25)], key_col="doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -98,6 +98,43 @@ def test_orphan_bucket_dropped_before_resume(spark, tmp_path, input_df):
     assert _sorted_rows(cat.read("extracted")) == _sorted_rows(cat_ref.read("extracted"))
 
 
+def test_metrics_do_not_rescan_output(spark, tmp_path, input_df):
+    """Lineage rows/bytes/failures come from observe() during the write —
+    with the sampled audit disabled, the output table must never be READ
+    (r01 re-scanned the whole output per run; at 100 TB that is a second
+    full pass).  Metrics must still be faithful."""
+    cat = TableCatalog(spark, str(tmp_path / "wh_e"))
+    reads = []
+    orig_read = cat.read
+
+    def spy_read(table):
+        reads.append(table)
+        return orig_read(table)
+
+    cat.read = spy_read
+    run_extraction(
+        spark, cat, input_df, run_id="r1", n_buckets=N_BUCKETS, audit_sample=0
+    )
+    assert "extracted" not in reads, reads
+    cat.read = orig_read
+    lineage = cat.read("run_partitions").collect()
+    assert sum(r.rows for r in lineage) == cat.read("extracted").count()
+    assert sum(r.failures for r in lineage) == (
+        cat.read("extracted").filter(F.col("error").isNotNull()).count()
+    )
+    bytes_expected = (
+        cat.read("extracted")
+        .agg(
+            F.sum(
+                F.coalesce(F.octet_length("extracted_text"), F.lit(0))
+                + F.coalesce(F.octet_length("md"), F.lit(0))
+            ).cast("long")
+        )
+        .first()[0]
+    )
+    assert sum(r.bytes for r in lineage) == bytes_expected
+
+
 def test_idempotent_rerun_noop(spark, tmp_path, input_df):
     cat = TableCatalog(spark, str(tmp_path / "wh_d"))
     run_extraction(spark, cat, input_df, run_id="r1", n_buckets=N_BUCKETS)

@@ -160,6 +160,13 @@ class TestPdfLayout:
         assert match_section("Refernces")[0] == "refs"  # misspelled
         assert match_section("ACKNOWLEDGMENT")[0] == "ack"
         assert match_section("Patient outcomes at followup")[0] is None
+        # token_set_ratio leg: word reorderings score 100 (reference takes
+        # max of ratio/partial_ratio/token_set_ratio)
+        assert fuzzy_score("Methods and Materials", "materials and methods") == 100.0
+        assert match_section("Methods and Materials")[0] == "methods"
+        assert fuzzy_score("methods materials and", "materials and methods") == 100.0
+        # reordering with one misspelled token still clears the 70 gate
+        assert fuzzy_score("Methods and Materails", "materials and methods") >= 70.0
 
     def test_refs_tail_dropped_heading_kept_content(self):
         p0 = _page([(72, [_line("Title Of Paper", 14.0, 72, 60),
