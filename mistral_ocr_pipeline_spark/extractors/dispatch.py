@@ -57,16 +57,69 @@ def _record(
     }
 
 
+def _repair_tool_payload(raw: str) -> Any | None:
+    """S3 payload repair — the structural-rebuild analog of the reference's
+    two-pass PDF repair (utils/utils.py:27-50: pypdf page-by-page rebuild,
+    then PyMuPDF garbage-collection; original returned if repair fails).
+
+    Pass 1 — trailing garbage: parse the leading JSON value and discard
+    what follows (the moral twin of stripping bad data after the xref).
+    Pass 2 — truncation: scan string/escape/bracket state and append the
+    missing closers (the rebuild-what-survives pass).  Structurally
+    corrupt payloads (e.g. ``[}``) fail both passes and stay on the error
+    channel, mirroring the reference's return-original fallback.  Cold
+    path only: runs exclusively on rows that already failed json.loads."""
+    s = raw.strip()
+    try:  # pass 1: valid prefix + trailing garbage
+        obj, _end = json.JSONDecoder().raw_decode(s)
+        return obj
+    except ValueError:
+        pass
+    # pass 2: close what truncation left open
+    stack: list[str] = []
+    in_str = False
+    esc = False
+    for ch in s:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch in "{[":
+            stack.append("}" if ch == "{" else "]")
+        elif ch in "}]":
+            if not stack or stack[-1] != ch:
+                return None  # mismatched closer: corrupt, not truncated
+            stack.pop()
+    fixed = s + ('"' if in_str else "")
+    tail = fixed.rstrip()
+    if tail.endswith(":"):
+        fixed = tail + " null"
+    elif tail.endswith(","):
+        fixed = tail[:-1]
+    fixed += "".join(reversed(stack))
+    try:
+        return json.loads(fixed)
+    except ValueError:
+        return None
+
+
 def extract_turn(text: str | None, tool: str | None) -> dict[str, Any]:
     """Extract one turn's payload; never raises (errors become rows)."""
     if tool is not None and tool.strip():
         try:
             payload = json.loads(tool)
         except (json.JSONDecodeError, ValueError) as e:
-            return _record(
-                KIND_ERROR, None, [], None,
-                f"invalid tool payload: {type(e).__name__}: {e}",
-            )
+            payload = _repair_tool_payload(tool)
+            if payload is None:
+                return _record(
+                    KIND_ERROR, None, [], None,
+                    f"invalid tool payload: {type(e).__name__}: {e}",
+                )
         if isinstance(payload, dict) and payload.get("kind") == "pdf_layout":
             try:
                 blocks = extract_pdf_layout_blocks(payload)

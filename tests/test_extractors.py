@@ -247,6 +247,47 @@ class TestPdfLayout:
         assert rec["payload_kind"] == KIND_PLAIN
         assert rec["extracted_text"] == "some plain words here"
 
+    def test_payload_repair_trailing_garbage(self):
+        # S3 repair pass 1: valid JSON followed by junk bytes must parse
+        good = json.dumps({"kind": "other", "v": 1})
+        rec = extract_turn("plain fallback text", good + "\x00corrupt tail")
+        assert rec["payload_kind"] == KIND_PLAIN  # payload parsed, non-layout
+
+    def test_payload_repair_truncated_layout(self):
+        # S3 repair pass 2: a layout payload cut off mid-structure is
+        # completed (closers appended) and extracts instead of erroring
+        import json as _json
+
+        payload = _json.dumps(
+            {
+                "kind": "pdf_layout",
+                "pages": [
+                    {
+                        "width": 612.0,
+                        "height": 792.0,
+                        "blocks": [
+                            {
+                                "type": 0,
+                                "bbox": [50, 50, 560, 700],
+                                "lines": [
+                                    _line("Recovered body line of text.", 10.0, 72, 90)
+                                ],
+                            }
+                        ],
+                    }
+                ],
+            }
+        )
+        truncated = payload[: payload.rindex("}]}]}")]  # chop the closers
+        rec = extract_turn(None, truncated)
+        assert rec["payload_kind"] == KIND_PDF
+        assert "Recovered body line" in rec["extracted_text"]
+
+    def test_payload_repair_rejects_corrupt(self):
+        # mismatched closer is corruption, not truncation: stays an error
+        rec = extract_turn(None, '{"kind": "pdf_layout", "pages": [}')
+        assert rec["payload_kind"] == KIND_ERROR
+
 
 class TestScalars:
     def test_references_regex(self):
