@@ -976,7 +976,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS grams
           FROM t),
     h AS (SELECT id, list_distinct(
-                 list_transform(grams, s -> md5_number_upper(s))) AS hs
+                 list_transform(grams,
+                     s -> ('0x' || substring(md5(s), 1, 16))::UBIGINT)) AS hs
           FROM g),
     b AS (SELECT id,
                  [CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1))
@@ -998,8 +999,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents ∪ exact clones.
 
     Value-oracle: the driver query runs on the md5 gram-hash basis
-    (``md5_number_upper`` twin exists in SQL; xxhash64, the throughput
-    default, does not), so the oracle recomputes every 64-bit fingerprint
+    (the big-endian md5 half has an exact SQL twin; xxhash64, the
+    throughput default, does not), so the oracle recomputes every 64-bit fingerprint
     bit-for-bit and compares ALL-PAIRS hamming ≤ 3.  The banding side
     needs no empirical luck: with 4×16-bit bands, any pair at hamming ≤ 3
     shares at least one identical band (pigeonhole), so a hash match
