@@ -603,6 +603,73 @@ def connected_components(
     return lbl
 
 
+def pagerank_canonical(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, pagerank) — fixed-iteration PageRank over the UNDIRECTED
+    near-dup graph: a centrality score for canonical-document selection
+    (min-id keeps an arbitrary doc; PageRank keeps the doc most linked
+    into its duplicate neighborhood — the hub the others are copies of).
+
+    Convention (pinned so the SQL oracle is exact): pr_0 = 1/N;
+    pr_{k+1}(v) = (1-d)/N + d·Σ_{u~v} pr_k(u)/deg(u); no dangling-mass
+    redistribution (isolated nodes settle at (1-d)/N).  Fixed ``n_iter``
+    (not convergence-tested) keeps the result deterministic and
+    SQL-unrollable.
+
+    Scale shape mirrors ``connected_components``: per round one groupBy
+    shuffle on dst + one label join, lineage truncated per round
+    (localCheckpoint, or reliable ``checkpoint_dir`` on real clusters)."""
+    spark = nodes.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    n_total = nodes.count()
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static per-edge weight 1/deg(src): computed once, reused every round
+    sym_w = _ckpt(sym.join(deg, "src").select("src", "dst", (1.0 / F.col("deg")).alias("w")))
+    base = (1.0 - damping) / n_total
+    pr = _ckpt(
+        nodes.select(F.col(id_col).alias("id"), F.lit(1.0 / n_total).alias("pr"))
+    )
+    for _ in range(n_iter):
+        msgs = (
+            sym_w.join(pr, sym_w["src"] == pr["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("m"))
+        )
+        pr = _ckpt(
+            pr.select("id")
+            .join(msgs, pr["id"] == msgs["dst"], "left")
+            .select(
+                "id",
+                (F.lit(base) + damping * F.coalesce(F.col("m"), F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+        )
+    return pr.select("id", F.round("pr", 9).alias("pagerank"))
+
+
 # --------------------------------------------------------------------------
 # Decontamination (train/eval n-gram overlap)
 # --------------------------------------------------------------------------

@@ -138,3 +138,38 @@ def weighted_mix_exact(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def interleave_order(
+    sources: list[tuple[DataFrame, int]],
+    key_col: str,
+    salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic weighted interleave of N corpora — the epoch-ordering
+    step of a training pipeline (stream 3 parts web to 1 part code, in one
+    reproducible global order).
+
+    Each row gets ``mix_key = floor(u32 / weight)`` where ``u32`` is its
+    32-bit content hash: sorting by ``mix_key`` yields a stream whose
+    source shares converge to the weights at every prefix (a source with
+    weight w compresses its uniform keys into a w×-denser range).  The key
+    is a SCAN-SIDE integer expression — no window, no shuffle, no
+    transcendental functions (exact in any engine) — so producing the
+    order costs nothing; consumers sort-merge on read or bucket by key
+    range.  Reproducible across partitionings/cluster sizes/reruns like
+    everything in this module.  Ties (two rows hashing into the same
+    slot) break deterministically by (mix_key, mix_source, key_col)."""
+    parts = []
+    for idx, (df, weight) in enumerate(sources):
+        hex8 = _hash_frac_hex(F.col(key_col), f"{salt}:{idx}")
+        u32 = F.conv(hex8, 16, 10).cast("long")
+        parts.append(
+            df.withColumn("mix_source", F.lit(idx)).withColumn(
+                "mix_key",
+                F.floor(u32 / F.lit(float(weight))).cast("long"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

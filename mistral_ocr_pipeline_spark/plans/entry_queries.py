@@ -2187,6 +2187,111 @@ def sample_weighted_mix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
     return weighted_mix([(en, 0.6), (rest, 0.25)], key_col="doc_id")
 
 
+@register(
+    "sample_interleave_order",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, 0 AS mix_source, 3 AS w FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT doc_id, 1, 1 FROM documents WHERE lang <> 'en')
+    SELECT doc_id, mix_source,
+           floor(('0x' || substring(
+                md5('interleave:' || mix_source::varchar || doc_id::varchar),
+                1, 8))::UBIGINT / w)::BIGINT AS mix_key
+    FROM u
+    """,
+)
+def sample_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave (3 parts en : 1 part non-en) —
+    the epoch-ordering operator: ``ORDER BY mix_key`` streams the corpora
+    at their weight ratio from any prefix, and the key is a scan-side
+    integer expression (no window, no shuffle, no transcendentals — exact
+    in both engines).  Prefix-share convergence is pinned by pytest."""
+    from mistral_ocr_pipeline_spark.operators.sampling import interleave_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    rest = docs.filter(F.col("lang") != "en").select("doc_id")
+    return interleave_order([(en, 3), (rest, 1)], key_col="doc_id")
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (the operator's pinned convention
+    makes each round one aggregate — n_iter CTE stages, no recursion)."""
+    ctes = [
+        """u AS (
+      SELECT doc_id AS id FROM documents
+      UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0
+      UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 20 = 0),
+    ed AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id + 2000000
+      FROM documents WHERE doc_id % 20 = 0),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM ed
+            UNION SELECT id_b, id_a FROM ed),
+    dg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM u),
+    pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM u)"""
+    ]
+    for k in range(n_iter):
+        ctes.append(
+            f"""pr{k + 1} AS (
+      SELECT u.id,
+             (1 - {d}) / (SELECT n FROM nn)
+             + {d} * COALESCE(sum(p.pr / dg.deg), 0) AS pr
+      FROM u
+      LEFT JOIN sym ON sym.dst = u.id
+      LEFT JOIN dg ON dg.src = sym.src
+      LEFT JOIN pr{k} p ON p.id = sym.src
+      GROUP BY u.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id, round(pr, 9) AS pagerank FROM pr{n_iter}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank canonical scoring over a synthetic dedup graph (pair
+    edges for every 10th doc, 3-chains for every 20th — hubs score above
+    leaves).  Fixed 5 iterations with the operator's pinned no-dangling
+    convention, so the oracle unrolls the exact same recurrence."""
+    from mistral_ocr_pipeline_spark.operators.dedup import pagerank_canonical
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nodes = (
+        docs.select(F.col("doc_id").alias("id"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("id")
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 2000000).alias("id")
+            )
+        )
+    )
+    edges = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 1000000).alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+            )
+        )
+    )
+    return pagerank_canonical(nodes, edges, n_iter=5)
+
+
 # --------------------------------------------------------------------------
 # Curation pipeline composite: quality gate → exact dedup → split → rollup
 # --------------------------------------------------------------------------

@@ -401,6 +401,54 @@ class TestConnectedComponents:
         assert ckpt_files, "reliable checkpoint directory was never written"
 
 
+class TestGraphAndInterleave:
+    def test_pagerank_hub_outranks_leaves(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import pagerank_canonical
+
+        # star: 0 is the hub of 1..4; 5 isolated
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+        )
+        pr = {r.id: r.pagerank for r in pagerank_canonical(nodes, edges).collect()}
+        assert pr[0] > pr[1] > pr[5]  # hub > spoke > isolated
+        assert pr[1] == pr[2] == pr[3] == pr[4]  # symmetry
+        assert abs(pr[5] - 0.15 / 6) < 1e-9  # isolated settles at (1-d)/N
+        assert all(v > 0 for v in pr.values())
+
+    def test_pagerank_partition_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import pagerank_canonical
+
+        nodes = spark.createDataFrame([(i,) for i in range(30)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 28, 2)], "id_a long, id_b long"
+        )
+        a = {r.id: r.pagerank for r in pagerank_canonical(nodes, edges).collect()}
+        b = {
+            r.id: r.pagerank
+            for r in pagerank_canonical(
+                nodes.repartition(7), edges.repartition(5)
+            ).collect()
+        }
+        assert a == b
+
+    def test_interleave_prefix_shares_track_weights(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import interleave_order
+
+        big = spark.range(0, 3000).select(F.col("id").alias("k"))
+        small = spark.range(10000, 13000).select(F.col("id").alias("k"))
+        out = interleave_order([(big, 3), (small, 1)], key_col="k")
+        rows = sorted(
+            out.collect(), key=lambda r: (r.mix_key, r.mix_source, r.k)
+        )
+        for prefix in (400, 1200, 2400):
+            share = sum(1 for r in rows[:prefix] if r.mix_source == 0) / prefix
+            assert 0.68 <= share <= 0.82, (prefix, share)  # target 0.75
+        # scan-side key: no exchange in the plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestDeterministicSampling:
     def test_sample_invariant_under_repartitioning(self, spark):
         from mistral_ocr_pipeline_spark.operators.sampling import hash_sample
