@@ -63,6 +63,7 @@ def fuzzy_best_match(
     author_col: str | None = None,
     threshold: float = 1.5,
     use_difflib: bool = False,
+    block_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Best 1:1 assignment with left-outer semantics: every left row appears
     once, matched or not (score < threshold ⇒ null right id).
@@ -71,7 +72,15 @@ def fuzzy_best_match(
     broadcast; the cross join is bounded by |left| × |right| and runs as
     BroadcastNestedLoopJoin.  Greedy uniqueness = second window on the
     right id ordered by score (reference's `used` set,
-    compare_results.py:87-119)."""
+    compare_results.py:87-119).
+
+    ``block_cols``: optional equality blocking key (e.g. publication
+    year).  With it the pair space becomes an EQUI-join on the key —
+    the 100 TB shape: only same-block pairs are scored, the join hashes
+    instead of nested-looping, and a huge right side stays partitioned.
+    Semantics shift accordingly (cross-block matches are impossible), so
+    blocking is opt-in; pick a key the reference formula treats as a
+    hard signal (year) to keep assignments faithful."""
     # normalization happens ONCE per row in the pre-join projections —
     # inside the score expression it would re-run per cross-join pair
     # (O(|l|·|r|) regex passes; measured 10× slowdown)
@@ -111,12 +120,14 @@ def fuzzy_best_match(
             if author_col
             else []
         ),
+        *([F.col(block_cols[0]).alias("_blk_l")] if block_cols else []),
     )
     r = right.select(
         F.col(right_id).alias("_rid"),
         *[norm_if_text(c, "r") for c in {title_cols[1],
                                          *( [year_cols[1]] if year_cols else []),
                                          *( [journal_cols[1]] if journal_cols else [])}],
+        *([F.col(block_cols[1]).alias("_blk_r")] if block_cols else []),
     )
     score: Column = 3.0 * raw_sim(
         F.col(f"_l_{title_cols[0]}"), F.col(f"_r_{title_cols[1]}")
@@ -144,11 +155,22 @@ def fuzzy_best_match(
 
     # the big (right) side carries the nested-loop work — fan it out so the
     # broadcast NLJ parallelizes instead of grinding one input split
-    pairs = (
-        F.broadcast(l)
-        .crossJoin(ensure_parallelism(r))
-        .withColumn("score", F.round(score, 9))
-    )
+    if block_cols:
+        pairs = (
+            F.broadcast(l)
+            .join(
+                ensure_parallelism(r),
+                F.col("_blk_l").eqNullSafe(F.col("_blk_r")),
+            )
+            .drop("_blk_l", "_blk_r")
+            .withColumn("score", F.round(score, 9))
+        )
+    else:
+        pairs = (
+            F.broadcast(l)
+            .crossJoin(ensure_parallelism(r))
+            .withColumn("score", F.round(score, 9))
+        )
 
     best_per_left = W.partitionBy("_lid").orderBy(
         F.col("score").desc(), F.col("_rid").asc()

@@ -278,6 +278,43 @@ class TestFuzzyJoin:
         matched = [r for r in got if r.right_id is not None]
         assert len(matched) == 1  # output row used at most once
 
+    def test_year_blocking_hash_joins_and_matches(self, spark):
+        # block_cols turns the pair space into an equi-join: the plan must
+        # hash-join (no BroadcastNestedLoop), and same-year assignments
+        # must agree with the unblocked join on this year-consistent data
+        from mistral_ocr_pipeline_spark.operators.fuzzy_join import fuzzy_best_match
+
+        review = spark.createDataFrame(
+            [(1, "alpha beta gamma paper", "2021"),
+             (2, "delta epsilon zeta study", "2022"),
+             (3, "eta theta iota report", "2023")],
+            "rid long, title string, year string",
+        )
+        output = spark.createDataFrame(
+            [(10, "alpha beta gamma paper!", "2021"),
+             (20, "delta epsilon zeta study!", "2022"),
+             (30, "eta theta iota report (extended)", "2023"),
+             (40, "alpha beta gamma paper", "1990")],  # wrong block: unreachable
+            "oid long, title string, year string",
+        )
+        blocked = fuzzy_best_match(
+            review, output, "rid", "oid",
+            title_cols=("title", "title"), year_cols=("year", "year"),
+            block_cols=("year", "year"),
+        )
+        plan = blocked._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+        assert "HashJoin" in plan
+        got = {r.left_id: r.right_id for r in blocked.collect()}
+        unblocked = {
+            r.left_id: r.right_id
+            for r in fuzzy_best_match(
+                review, output, "rid", "oid",
+                title_cols=("title", "title"), year_cols=("year", "year"),
+            ).collect()
+        }
+        assert got == unblocked == {1: 10, 2: 20, 3: 30}
+
 
 class TestMultimodal:
     def test_decode_stub_plumbing(self, spark, docs):
