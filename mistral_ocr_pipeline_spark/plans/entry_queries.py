@@ -2215,6 +2215,41 @@ def sample_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_order([(en, 3), (rest, 1)], key_col="doc_id")
 
 
+@register(
+    "sketch_hll_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type, checked as a
+    VERIFIED CLAIM: the output carries the exact count plus a boolean
+    asserting the sketch estimate landed within 2% of it.  The estimate
+    itself is engine-specific (DataSketches HLL has no DuckDB twin) so it
+    stays out of the hashed columns; the boolean makes the error envelope
+    part of the value check — a drifting sketch turns the row red.
+    Exact path shuffles every distinct (user,type) pair; the sketch path
+    shuffles fixed-size buffers (operators/sketches.py)."""
+    from mistral_ocr_pipeline_spark.operators.sketches import approx_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = approx_distinct(ev, ["event_type"], "user_id", lgk=14)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct")
+        ).alias("within_2pct"),
+    )
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank (the operator's pinned convention
     makes each round one aggregate — n_iter CTE stages, no recursion)."""

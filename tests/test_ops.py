@@ -486,6 +486,31 @@ class TestGraphAndInterleave:
         assert "Exchange" not in plan
 
 
+class TestSketches:
+    def test_hll_estimate_and_lossless_rollup(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            approx_distinct,
+            approx_distinct_rollup,
+        )
+
+        df = spark.range(0, 20000).select(
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") % 3137).alias("v"),     # 3137 distincts per group
+            (F.col("id") % 16).alias("shard"),
+        )
+        est = {r.g: r.approx_distinct for r in approx_distinct(df, ["g"], "v").collect()}
+        for g, e in est.items():
+            assert abs(e - 3137) / 3137 < 0.05, (g, e)
+        # two-level rollup must equal the one-level estimate exactly:
+        # same-lgk HLL union is lossless, so sketch columns kept per
+        # partition answer cross-partition distincts with no rescan
+        roll = {
+            r.g: r.approx_distinct
+            for r in approx_distinct_rollup(df, "shard", ["g"], "v").collect()
+        }
+        assert roll == est
+
+
 class TestDeterministicSampling:
     def test_sample_invariant_under_repartitioning(self, spark):
         from mistral_ocr_pipeline_spark.operators.sampling import hash_sample
