@@ -2250,6 +2250,38 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS exact_p50,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median via ``percentile_approx`` (mergeable
+    quantile-summary sketch — map-side partials, no per-group value
+    shuffle), checked with the same verified-claim pattern as the HLL
+    query: the hashed output is the exact interpolated median plus a
+    boolean asserting the sketch landed within 5%.  Exact quantiles
+    (a11_exact_percentiles) shuffle all values per group; this is the
+    path that survives 100 TB groups."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_p50",
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1e-9))
+        ).alias("approx_within_5pct"),
+    )
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank (the operator's pinned convention
     makes each round one aggregate — n_iter CTE stages, no recursion)."""
