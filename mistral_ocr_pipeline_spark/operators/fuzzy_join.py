@@ -1,7 +1,8 @@
 """J2 — fuzzy 1:1 best-match join (SURVEY.md §2.4).
 
 The reference's evaluation harness scores every (review, output) pair with
-``3·titleSim + 1·yearEq + 1·journalSim`` and greedily assigns best matches
+``3·titleSim + 1·yearEq + 1·journalSim + 0.5·lastNameInTitle`` and greedily
+assigns best matches
 with a uniqueness set and a 1.5 threshold (reference
 post_processing/compare_results.py:74-121).  Spark shape: blocked/broadcast
 cross join → score expression → two-stage row_number windows (best output

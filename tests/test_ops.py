@@ -575,6 +575,25 @@ class TestAsofJoin:
         assert got[("u", "2024-01-01 10:30:00")] == 2         # latest wins
         assert got[("v", "2024-01-01 12:00:00")] is None      # key never seen
 
+    def test_epoch_long_time_axis(self, spark):
+        # right_ts of ANY orderable type: the left branch's null literal is
+        # cast to the right column's actual type (r01 hardcoded timestamp,
+        # so epoch-long axes type-mismatched at unionByName)
+        from mistral_ocr_pipeline_spark.operators.asof_join import asof_join
+
+        left = spark.createDataFrame(
+            [("u", 95), ("u", 100), ("u", 130)], "k string, ts long"
+        )
+        right = spark.createDataFrame(
+            [("u", 100, 1), ("u", 115, 2)], "k string, ts long, ev long"
+        )
+        out = asof_join(left, right, key="k", right_cols=("ev",))
+        assert dict(out.dtypes)["ts_asof"] == "bigint"
+        got = {(r.k, r.ts): (r.ev_asof, r.ts_asof) for r in out.collect()}
+        assert got[("u", 95)] == (None, None)
+        assert got[("u", 100)] == (1, 100)
+        assert got[("u", 130)] == (2, 115)
+
     def test_single_shuffle_plan(self, spark):
         from mistral_ocr_pipeline_spark.operators.asof_join import asof_join
 
