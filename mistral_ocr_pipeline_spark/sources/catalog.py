@@ -81,3 +81,39 @@ class TableCatalog:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
+
+    # -- bucketed tables (co-located joins) --------------------------------
+    #
+    # The Iceberg production design buckets transcripts on conv_id
+    # (``bucket(N, conv_id)``) so conversation-grained joins/aggregations
+    # are ALREADY co-partitioned and need no exchange.  The Parquet
+    # fallback reaches the same plan through Spark's managed-table
+    # bucketing: two tables bucketed (same column, same count) hash-join
+    # with ZERO Exchange on either side — at 100 TB that deletes the two
+    # largest shuffles of a resume-join or conversation-merge pipeline.
+    # Bucketed writes must go through saveAsTable (bucket metadata lives
+    # in the session catalog), hence the separate API from append().
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int = 16,
+        sort_col: str | None = None,
+    ) -> None:
+        """Overwrite ``table`` as a bucketed managed table.  ``sort_col``
+        additionally sorts within buckets (sort-merge joins then skip the
+        sort too)."""
+        w = df.write.mode("overwrite").format("parquet").bucketBy(
+            n_buckets, bucket_col
+        )
+        if sort_col is not None:
+            w = w.sortBy(sort_col)
+        w.option("path", self.path(table)).saveAsTable(table)
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read via the session catalog so the bucketing spec is visible
+        to the planner (a plain ``read.parquet`` of the same files would
+        lose it and reintroduce the shuffle)."""
+        return self.spark.table(table)

@@ -121,3 +121,38 @@ class TestSingleArrowNode:
         assert plan.count("MapInPandas") == 1
         # exactly the one salted-repartition exchange feeds the extractor
         assert plan.count("Exchange") == 1
+
+
+class TestBucketedJoins:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the same key/count must hash-join with
+        ZERO Exchange — the Iceberg ``bucket(conv_id)`` co-location story
+        served by the Parquet fallback (sources/catalog.write_bucketed)."""
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        cat = TableCatalog(spark, str(tmp_path / "wh"))
+        left = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        try:
+            cat.write_bucketed(left, "bk_left", "k", n_buckets=8, sort_col="k")
+            cat.write_bucketed(right, "bk_right", "k", n_buckets=8, sort_col="k")
+            joined = cat.read_bucketed("bk_left").join(
+                cat.read_bucketed("bk_right").hint("merge"), "k"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 500
+            # control: the same files read WITHOUT the catalog lose the
+            # bucketing spec and the join shuffles again
+            raw = spark.read.parquet(cat.path("bk_left")).join(
+                spark.read.parquet(cat.path("bk_right")).hint("merge"), "k"
+            )
+            raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in raw_plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bk_left")
+            spark.sql("DROP TABLE IF EXISTS bk_right")
