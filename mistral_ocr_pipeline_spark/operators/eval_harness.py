@@ -157,3 +157,62 @@ def evaluate(
         "per_field": per_field,
         "overall": overall,
     }
+
+
+def render_report(
+    results: dict[str, DataFrame], title: str = "Evaluation report"
+) -> str:
+    """S12 — deterministic HTML report over the rollup DataFrames (the
+    Spark analog of the reference's report generator,
+    compare_results.py:856-1246: summary header, per-field accuracy
+    table, per-paper rows with match status).
+
+    Driver-side presentation only: every input is an already-aggregated
+    rollup (one row, one row per field, one row per review paper), so the
+    collects here are bounded by the review-set size — the cluster-side
+    work all happened in ``evaluate``.  Output is deterministic (sorted
+    rows, fixed formatting) so reports diff cleanly across runs."""
+    import html as _html
+
+    def esc(v) -> str:
+        return _html.escape("" if v is None else str(v))
+
+    overall = results["overall"].first()
+    per_field = sorted(results["per_field"].collect(), key=lambda r: r.field)
+    per_row = sorted(
+        results["per_row"].collect(),
+        key=lambda r: (r.left_id is None, r.left_id),
+    )
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{esc(title)}</title>",
+        "<style>table{border-collapse:collapse}td,th{border:1px solid #999;"
+        "padding:4px 8px}th{background:#eee}.miss{background:#fdd}</style>",
+        "</head><body>",
+        f"<h1>{esc(title)}</h1>",
+        "<h2>Summary</h2><table>",
+        f"<tr><th>overall accuracy</th><td>{esc(overall.overall_accuracy)}</td></tr>",
+        f"<tr><th>review rows</th><td>{esc(overall.n_review_rows)}</td></tr>",
+        f"<tr><th>unmatched</th><td>{esc(overall.n_unmatched)}</td></tr>",
+        "</table>",
+        "<h2>Per-field accuracy</h2>",
+        "<table><tr><th>field</th><th>accuracy</th><th>scored</th></tr>",
+    ]
+    for r in per_field:
+        parts.append(
+            f"<tr><td>{esc(r.field)}</td><td>{esc(r.accuracy)}</td>"
+            f"<td>{esc(r.n_scored)}</td></tr>"
+        )
+    parts.append("</table><h2>Per-paper</h2>")
+    parts.append(
+        "<table><tr><th>review id</th><th>matched output</th>"
+        "<th>row accuracy</th></tr>"
+    )
+    for r in per_row:
+        cls = " class='miss'" if r.unmatched else ""
+        parts.append(
+            f"<tr{cls}><td>{esc(r.left_id)}</td><td>{esc(r.right_id)}</td>"
+            f"<td>{esc(r.row_accuracy)}</td></tr>"
+        )
+    parts.append("</table></body></html>")
+    return "".join(parts)

@@ -1128,13 +1128,73 @@ def ann_brute_force_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table multi-probe LSH ANN (scale path).  Rows-only; recall
-    vs exact asserted in tests."""
+    vs exact asserted in tests and by `ann_lsh_recall`'s claim oracle."""
     from mistral_ocr_pipeline_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=5, n_probe=4, n_tables=8
     )
+
+
+def _ann_recall_claim(
+    spark: SparkSession, sf_dir: str, variant: str, min_recall: float
+) -> DataFrame:
+    """Verified-claim frame for approximate ANN: per query, recall@5 of
+    the approximate result against the exact top-5 — both computed in
+    this one Spark query — emitted as a boolean the oracle asserts TRUE.
+    The approximate rows themselves are engine-specific (no SQL twin);
+    the CLAIM that they cover ≥``min_recall`` of the exact neighbors is
+    hash-checkable, so a recall regression turns the row red."""
+    from mistral_ocr_pipeline_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    if variant == "lsh":
+        approx = lsh_topk(
+            emb, queries_df, k=5, n_planes=5, n_probe=4, n_tables=8
+        )
+    else:
+        approx = ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=6)
+    exact = ann_cosine_topk(spark, sf_dir)
+    hits = exact.join(
+        approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r"))
+        .select("query_id", (F.col("r") >= min_recall).alias("recall_ok"))
+    )
+
+
+@register(
+    "ann_lsh_recall",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN recall@5 ≥ 0.6 per query, as a verified claim."""
+    return _ann_recall_claim(spark, sf_dir, "lsh", 0.6)
+
+
+@register(
+    "ann_ivf_recall",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall@5 ≥ 0.4 per query, as a verified claim.  The bound
+    is looser than LSH's: uniform-random embeddings are IVF's worst case
+    (neighbors sit near cell boundaries at nearly equal distances —
+    measured per-query recall 0.4–1.0 at n_probe=6/16 cells here, vs
+    near-1.0 on clustered corpora)."""
+    return _ann_recall_claim(spark, sf_dir, "ivf", 0.4)
 
 
 # --------------------------------------------------------------------------

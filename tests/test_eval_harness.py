@@ -51,3 +51,30 @@ def test_evaluate_end_to_end(spark):
     assert overall.n_review_rows == 3
     assert overall.n_unmatched == 1
     assert overall.overall_accuracy is not None
+
+
+def test_render_report_structure_and_determinism(spark):
+    from mistral_ocr_pipeline_spark.operators.eval_harness import (
+        FieldSpec,
+        evaluate,
+        render_report,
+    )
+
+    review = spark.createDataFrame(
+        [(1, "alpha beta paper", "2021"), (2, "zzz qqq never matches", "1999")],
+        "rid long, title string, year string",
+    )
+    output = spark.createDataFrame(
+        [(10, "alpha beta paper!", "2021.0")], "oid long, title string, year string"
+    )
+    res = evaluate(
+        review, output, "rid", "oid", ("title", "title"),
+        [FieldSpec("year", "year")],
+    )
+    html1 = render_report(res, title="Smoke <report>")
+    html2 = render_report(res, title="Smoke <report>")
+    assert html1 == html2  # deterministic across renders
+    assert "Smoke &lt;report&gt;" in html1  # titles are escaped
+    assert "Per-field accuracy" in html1 and "Per-paper" in html1
+    assert "class='miss'" in html1  # unmatched row is flagged
+    assert html1.count("<tr") >= 6  # summary + field + 2 paper rows
