@@ -117,3 +117,138 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BooleanType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 512,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Image resize plumbing: one Arrow pass, metadata-driven short-circuit
+    (images already within ``max_side`` pass through untouched WITHOUT
+    decoding — at 100 TB most of the win is the rows you never decode).
+
+    The decode+resample kernel itself is stubbed (no PIL/libjpeg in this
+    container): ``deterministic_fake`` substitutes a content-addressed
+    payload transform + exact integer box-fit dimensions, which keeps the
+    batch shape, the metadata math, and the pass-through logic — the parts
+    that ARE Spark's concern — fully tested."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "payload", "width",
+                                   "height", "resized")}
+            for _, row in pdf.iterrows():
+                w, h = row["w"], row["h"]
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                known = pd.notna(w) and pd.notna(h)
+                if known and max(int(w), int(h)) <= max_side:
+                    # metadata says in-bounds: pass through, no decode
+                    out["payload"].append(payload)
+                    out["width"].append(int(w))
+                    out["height"].append(int(h))
+                    out["resized"].append(False)
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "image resize requires a codec library; not available "
+                        "in this container — pass deterministic_fake=True "
+                        "for the test double"
+                    )
+                if known:
+                    scale = max_side / max(int(w), int(h))
+                    nw, nh = max(1, int(int(w) * scale)), max(1, int(int(h) * scale))
+                else:
+                    nw = nh = max_side
+                digest = hashlib.sha256(payload).digest()
+                out["payload"].append(digest * 4)  # fixed-size fake raster
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["resized"].append(True)
+            yield pd.DataFrame(out)
+
+    src = df.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    return src.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Video frame sampling plumbing: each video row fans out to
+    ≤``max_frames`` frame rows at ``every_ms`` spacing — the fan-out count
+    comes from ``meta.duration_ms`` (no decode needed to PLAN the frames),
+    and only the frame-extraction kernel is codec work.
+
+    Spark shape: the explode happens INSIDE the Arrow kernel (one pass,
+    no generator node duplicating the parent payload per frame — same
+    pitfall as the minhash band explode); output is a per-frame table
+    keyed (media_id, frame_idx) ready for the image feature path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms", "payload")}
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"]
+                if pd.isna(dur):
+                    continue  # not a timed medium
+                n = min(max_frames, max(1, int(dur) // every_ms))
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                for i in range(n):
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "frame extraction requires a video codec; not "
+                            "available in this container — pass "
+                            "deterministic_fake=True for the test double"
+                        )
+                    ts = i * every_ms
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    out["payload"].append(
+                        hashlib.sha256(payload + ts.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": pd.Series(out["frame_ts_ms"], dtype="int32"),
+                    "payload": out["payload"],
+                }
+            )
+
+    src = df.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return src.mapInPandas(kernel, FRAME_SCHEMA)

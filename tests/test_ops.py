@@ -344,6 +344,59 @@ class TestMultimodal:
             decode_features(media, deterministic_fake=False).collect()
         assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
+    def test_resize_passthrough_skips_decode(self, spark):
+        # in-bounds metadata must pass through WITHOUT touching the codec:
+        # deterministic_fake=False would raise if the kernel tried to decode
+        from mistral_ocr_pipeline_spark.operators.multimodal import resize_images
+
+        rows = [
+            (1, "image", b"small-image-bytes", ("image/png", 300, 200, None)),
+            (2, "image", b"big-image-bytes", ("image/png", 2048, 1024, None)),
+        ]
+        schema = (
+            "media_id long, kind string, payload binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        small = resize_images(df.filter("media_id = 1"), max_side=512).collect()
+        assert small[0].resized is False
+        assert bytes(small[0].payload) == b"small-image-bytes"
+        assert (small[0].width, small[0].height) == (300, 200)
+        got = {
+            r.media_id: r
+            for r in resize_images(df, max_side=512, deterministic_fake=True).collect()
+        }
+        assert got[1].resized is False
+        assert got[2].resized is True
+        assert (got[2].width, got[2].height) == (512, 256)  # aspect kept
+        assert len(bytes(got[2].payload)) == 128  # fixed-size fake raster
+
+    def test_frame_sampling_fanout(self, spark):
+        from mistral_ocr_pipeline_spark.operators.multimodal import sample_frames
+
+        rows = [
+            (1, "video", b"vid-a", ("video/mp4", None, None, 3500)),   # 3 frames
+            (2, "video", b"vid-b", ("video/mp4", None, None, 20000)),  # capped at 8
+            (3, "image", b"img", ("image/png", 10, 10, None)),         # filtered out
+        ]
+        schema = (
+            "media_id long, kind string, payload binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        frames = sample_frames(
+            df, every_ms=1000, max_frames=8, deterministic_fake=True
+        ).collect()
+        by_media = {}
+        for r in frames:
+            by_media.setdefault(r.media_id, []).append(r)
+        assert set(by_media) == {1, 2}
+        assert len(by_media[1]) == 3 and len(by_media[2]) == 8
+        a = sorted(by_media[1], key=lambda r: r.frame_idx)
+        assert [r.frame_ts_ms for r in a] == [0, 1000, 2000]
+        # frame payloads are per-timestamp distinct and deterministic
+        assert len({bytes(r.payload) for r in a}) == 3
+
 
 class TestIvf:
     def test_ivf_recall_reasonable(self, spark, emb):
