@@ -181,39 +181,46 @@ def _xy_cut_columns(blocks: list[dict], width: float) -> list[list[dict]]:
 
 
 def _page_lines(page: dict, page_idx: int) -> tuple[list[Line], float]:
-    """Flatten a page to XY-cut-ordered lines; returns (lines, median size)."""
+    """Flatten a page to XY-cut-ordered lines; returns (lines, median size).
+
+    Hot loop of the PDF kernel (one call per page, ~60% of the layout
+    path) — comprehension form; measured neutral vs the loop form
+    (wrapper dispatch dominates), kept for clarity."""
     text_blocks = [
         b for b in page.get("blocks", []) if b.get("type", 0) == 0 and b.get("lines")
     ]
-    sizes: list[float] = []
-    for b in text_blocks:
-        for ln in b.get("lines", []):
-            for sp in ln.get("spans", []):
-                # truthiness of collapse_ws(text) ⟺ text has any
-                # non-ASCII-whitespace char; strip with the explicit ASCII
-                # set (NOT plain .strip(), which also eats NBSP etc.)
-                if sp.get("text", "").strip(" \t\n\r\f\v"):
-                    sizes.append(float(sp.get("size", 0.0)))
+    # truthiness of .strip(ASCII-ws) ⟺ span has a non-ASCII-whitespace
+    # char (NOT plain .strip(), which also eats NBSP etc.)
+    sizes = [
+        float(sp.get("size", 0.0))
+        for b in text_blocks
+        for ln in b["lines"]
+        for sp in ln.get("spans", ())
+        if sp.get("text", "").strip(" \t\n\r\f\v")
+    ]
     med = _median(sizes)
     lines: list[Line] = []
     order = 0
+    append = lines.append
     for col in _xy_cut_columns(text_blocks, float(page.get("width", 612.0))):
-        col_lines: list[tuple[float, float, dict]] = []
-        for b in col:
-            for ln in b.get("lines", []):
-                bbox = ln.get("bbox") or b.get("bbox") or [0, 0, 0, 0]
-                col_lines.append((float(bbox[1]), float(bbox[0]), ln))
+        col_lines = [
+            (float(bbox[1]), float(bbox[0]), ln)
+            for b in col
+            for ln in b["lines"]
+            for bbox in ((ln.get("bbox") or b.get("bbox") or (0, 0, 0, 0)),)
+        ]
         col_lines.sort(key=lambda t: (t[0], t[1]))
         for y0, x0, ln in col_lines:
-            spans = ln.get("spans", [])
+            spans = ln.get("spans", ())
             text = collapse_ws(nfc(" ".join(sp.get("text", "") for sp in spans)))
             if not text:
                 continue
             size = max((float(sp.get("size", 0.0)) for sp in spans), default=0.0)
-            bbox = ln.get("bbox") or [x0, y0, x0, y0]
-            lines.append(
-                Line(page_idx, order, text, size, y0, float(bbox[3]), x0)
-            )
+            # y1 intentionally falls back to y0 (degenerate height) when the
+            # LINE carries no bbox, even if the block does — pinned r01
+            # behavior the paragraph-gap clustering golden relies on
+            bbox = ln.get("bbox") or (x0, y0, x0, y0)
+            append(Line(page_idx, order, text, size, y0, float(bbox[3]), x0))
             order += 1
     return lines, med
 
