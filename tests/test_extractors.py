@@ -317,3 +317,45 @@ class TestScalars:
                 params=[s],
             ).fetchone()[0]
             assert got == normalize_plain(s), repr(s)
+
+
+class TestAdversarialPipeline:
+    def test_hostile_payloads_complete_quickly_in_spark(self, spark):
+        """Adversarial documents through the FULL distributed path: the
+        r01 tokenizer would pin a core ~forever on the quote bomb; the
+        whole mixed batch must extract within a hard wall-clock bound and
+        classify every row (no crash, no hang, no dropped rows)."""
+        import json
+        import time
+
+        hostile = [
+            ("q", '<a href="' + '"' * 5000),                   # quote bomb
+            ("t", "<div><p>truncated " + "<b" * 2000),          # tag spam
+            ("c", "<!--" + "x" * 100000),                       # unclosed comment
+            ("j", None),
+            ("p", "plain fine text " * 50),
+        ]
+        rows = [
+            (k, 0, "user", text, None if k != "j" else None, None)
+            for k, text in hostile
+        ]
+        # the malformed-JSON tool row exercises the repair-then-error path
+        rows.append(("tool", 0, "tool", None, '{"kind": "pdf_layout", "pages": [}', None))
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+            extract_transcripts,
+        )
+
+        t0 = time.perf_counter()
+        out = extract_transcripts(df).collect()
+        assert time.perf_counter() - t0 < 60.0
+        kinds = {r.conv_id: r.payload_kind for r in out}
+        assert len(out) == 6
+        assert kinds["tool"] == "error"
+        assert kinds["p"] == "plain"
+        assert all(k is not None for k in kinds.values())
+        assert json.loads('"ok"') == "ok"  # keep json import honest
