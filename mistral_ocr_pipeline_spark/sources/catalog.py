@@ -82,6 +82,52 @@ class TableCatalog:
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_by: list[str] | None = None,
+        sort_within_by: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction — the maintenance pass an incremental
+        WAP-append table needs: every resumed run appends its own files,
+        and at 10^12 turns a scan's task count (and the namenode/manifest
+        load) is driven by FILE count, not data size.
+
+        Rewrites the table at ≈``target_file_bytes`` per file (computed
+        from the table's actual on-disk size, not a guessed partition
+        count), optionally re-establishing partition dirs and an intra-file
+        sort (``sort_within_by`` — e.g. conv_id, turn_idx — so downstream
+        conversation windows read clustered data).  The rewrite goes
+        through the same staging+atomic-rename publish as overwrite();
+        readers never observe a half-compacted table.  Iceberg twin:
+        ``rewrite_data_files``."""
+        import math
+
+        table_dir = self.path(table)
+        n_files = 0
+        total_bytes = 0
+        for root, _d, files in os.walk(table_dir):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    n_files += 1
+                    total_bytes += os.path.getsize(os.path.join(root, f))
+        target = max(1, math.ceil(total_bytes / target_file_bytes))
+        df = self.read(table)
+        if sort_within_by:
+            df = df.repartition(target).sortWithinPartitions(*sort_within_by)
+        else:
+            df = df.coalesce(target) if target < n_files else df.repartition(target)
+        self.overwrite(df, table, partition_by=partition_by)
+        n_after = sum(
+            1
+            for root, _d, files in os.walk(table_dir)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        return {"files_before": n_files, "files_after": n_after,
+                "bytes": total_bytes}
+
     # -- bucketed tables (co-located joins) --------------------------------
     #
     # The Iceberg production design buckets transcripts on conv_id

@@ -142,3 +142,34 @@ def test_idempotent_rerun_noop(spark, tmp_path, input_df):
     s = run_extraction(spark, cat, input_df, run_id="r2", n_buckets=N_BUCKETS)
     assert s["processed_buckets"] == 0
     assert _sorted_rows(cat.read("extracted")) == before
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path, input_df):
+    """Incremental appends fragment the table (one+ file per run-bucket);
+    compact() must rewrite to few files, atomically, without changing a
+    single row — the lakehouse maintenance pass (Iceberg
+    rewrite_data_files twin)."""
+    import os
+
+    cat = TableCatalog(spark, str(tmp_path / "wh_f"))
+    # three appending runs over disjoint bucket subsets → many small files
+    for rid, buckets in (("r1", {0, 1, 2}), ("r2", {3, 4}), ("r3", None)):
+        run_extraction(
+            spark, cat, input_df, run_id=rid, n_buckets=N_BUCKETS,
+            only_buckets=buckets,
+        )
+    before_rows = _sorted_rows(cat.read("extracted"))
+    n_files_before = sum(
+        1
+        for root, _d, files in os.walk(cat.path("extracted"))
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    assert n_files_before > 8  # fragmented
+    stats = cat.compact(
+        "extracted", sort_within_by=["conv_id", "turn_idx"]
+    )
+    assert stats["files_before"] == n_files_before
+    assert stats["files_after"] < n_files_before
+    assert stats["files_after"] <= 2
+    assert _sorted_rows(cat.read("extracted")) == before_rows
