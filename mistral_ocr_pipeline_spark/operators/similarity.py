@@ -273,3 +273,129 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iters: int = 8,
+    sample_size: int = 2048,
+    seed: int = 11,
+) -> tuple[DataFrame, np.ndarray]:
+    """Build the IVF index as DATA: (corpus rows + their cell id, centroid
+    matrix).  The assignment DataFrame is meant to be WRITTEN ONCE —
+    partitioned/bucketed by ``cell`` — and reused across query batches:
+    ``ivf_topk`` re-assigns the whole corpus per call, which is the right
+    shape for one-off queries but an O(corpus) rescan per batch when
+    queries arrive continuously.  With a persisted assignment table each
+    search touches only the probed cells' partitions (partition pruning on
+    ``cell``), the warehouse IVF layout."""
+    sample = corpus.select(vec_col).limit(sample_size).collect()
+    smat = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = smat[rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = smat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.rename(columns={"_id": "vec_id", "_vec": "embedding"})
+            pdf["cell"] = np.argmax(mat @ c.T, axis=1).astype("int32")
+            yield pdf
+
+    from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+    assigned = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(kernel, schema)
+    )
+    return assigned, cent
+
+
+def ivf_search_assigned(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PERSISTED IVF assignment table: queries probe their
+    ``n_probe`` nearest cells; a ``cell IN (...)`` filter prunes the scan
+    BEFORE any compute (partition pruning when the table is written
+    partitioned by cell), then exact cosine runs only on surviving rows.
+    Same output contract as ``ivf_topk`` (query_id, vec_id, cosine, rank)."""
+    qids, qmat = _collect_queries(queries, query_id_col, vec_col)
+    q_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probed = sorted({int(c) for row in q_cells for c in row})
+    spark = assigned.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat, q_cells, k))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qcells, b_k = bc.value
+        cell_queries: dict[int, list[int]] = {}
+        for qi, cells in enumerate(b_qcells):
+            for c in cells:
+                cell_queries.setdefault(int(c), []).append(qi)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out_q, out_v, out_s = [], [], []
+            for cell in np.unique(cells):
+                qis = cell_queries.get(int(cell))
+                if not qis:
+                    continue
+                rows = np.where(cells == cell)[0]
+                sims = b_qmat[qis] @ mat[rows].T
+                for a, qi in enumerate(qis):
+                    for b, ri in enumerate(rows):
+                        if b_qids[qi] == ids[ri]:
+                            continue
+                        out_q.append(b_qids[qi])
+                        out_v.append(ids[ri])
+                        out_s.append(float(sims[a, b]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": out_s}
+            ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
+
+    local = (
+        assigned.filter(F.col("cell").isin(probed))  # scan-level cell pruning
+        .select("vec_id", "embedding", "cell")
+        .mapInPandas(kernel, _TOPK_SCHEMA)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -415,6 +415,36 @@ class TestIvf:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.7, recall
 
+    def test_assignment_table_path_matches_inline_ivf(self, spark, emb, tmp_path):
+        """The persisted-assignment search must return EXACTLY what the
+        inline ivf_topk returns for the same centroids/probes — reusing a
+        written index across query batches cannot change results — and
+        its scan must carry the cell-pruning filter."""
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            ivf_build,
+            ivf_search_assigned,
+            ivf_topk,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 6)
+        assigned, cent = ivf_build(emb, n_centroids=8)
+        # round-trip through a cell-partitioned parquet table (the real
+        # deployment: write once, prune per search)
+        path = str(tmp_path / "ivf_assign")
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        table = spark.read.parquet(path)
+        got = ivf_search_assigned(table, cent, queries, k=5, n_probe=3)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "cell" in plan  # pruning filter reaches the scan
+        inline = ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=3
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+
 
 class TestConnectedComponents:
     def test_chains_merge_and_singletons_stay(self, spark):
