@@ -23,9 +23,17 @@ Five dedup strategies, each staying JVM-side wherever the semantics allow:
 Scale notes: every strategy is blocked (no all-pairs); buckets are capped
 (``max_bucket``) so a degenerate hot bucket (all-identical spam) cannot
 produce O(n²) pairs in one task — the cap is logged in the result via
-``bucket_truncated`` rather than silently dropped.  Pairs are emitted with
-``id_a < id_b`` so downstream connected-components/canonical-pick is
-deterministic.
+``bucket_truncated`` rather than silently dropped.  The cap bounds the
+PAIR fan-out; the bucket ``collect_list`` itself still gathers an
+oversized bucket's members on one reducer first, so the operating
+contract at spam scale is: run ``exact_dedup`` FIRST and near-dup only
+canonical survivors — identical-document floods collapse in the exact
+pass (one shuffle, map-side combine), which is also what keeps band
+buckets small here.  Pairs are emitted with ``id_a < id_b`` so downstream
+connected-components/canonical-pick is deterministic.
+
+Cluster pipeline: pairs → ``connected_components`` (transitive closure)
+→ ``pagerank_canonical`` or min-id for the keep-one-per-cluster rule.
 """
 
 from __future__ import annotations
