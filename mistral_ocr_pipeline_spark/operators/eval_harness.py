@@ -216,3 +216,46 @@ def render_report(
         )
     parts.append("</table></body></html>")
     return "".join(parts)
+
+
+@dataclass
+class FieldValidationConfig:
+    """Paired value/evidence columns (reference unstack_payloads.py:12-18)."""
+
+    value_field: str
+    sentence_field: str
+    is_list: bool = True
+    field_label: str = ""
+
+
+def field_configs_from_schema(
+    schema,
+    sentence_suffix: str = "_sentence_from_text",
+    label_overrides: dict[str, str] | None = None,
+) -> list[FieldValidationConfig]:
+    """Derive validation configs from a DataFrame SCHEMA by the reference's
+    paired-field convention (unstack_payloads.py:41-99): every column
+    ``X<suffix>`` with a sibling column ``X`` yields a config;
+    ``is_list`` mirrors whether the value column is array-typed.  This is
+    the schema-driven extension contract — add a column pair to the table
+    and the validation pass picks it up with zero code changes."""
+    from pyspark.sql import types as T
+
+    label_overrides = label_overrides or {}
+    names = {f.name: f for f in schema.fields}
+    configs: list[FieldValidationConfig] = []
+    for name, field in names.items():
+        if not name.endswith(sentence_suffix):
+            continue
+        base = name[: -len(sentence_suffix)]
+        if base not in names:
+            continue
+        configs.append(
+            FieldValidationConfig(
+                value_field=base,
+                sentence_field=name,
+                is_list=isinstance(names[base].dataType, T.ArrayType),
+                field_label=label_overrides.get(base, base.lower()),
+            )
+        )
+    return configs

@@ -78,3 +78,31 @@ def test_render_report_structure_and_determinism(spark):
     assert "Per-field accuracy" in html1 and "Per-paper" in html1
     assert "class='miss'" in html1  # unmatched row is flagged
     assert html1.count("<tr") >= 6  # summary + field + 2 paper rows
+
+
+def test_field_configs_derive_from_schema(spark):
+    # the reference's paired-field convention (unstack_payloads.py): a
+    # value column + its '<name>_sentence_from_text' twin auto-derive a
+    # validation config; list-ness follows the value column's type
+    from pyspark.sql import types as T
+
+    from mistral_ocr_pipeline_spark.operators.eval_harness import (
+        field_configs_from_schema,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("Drugs", T.ArrayType(T.StringType())),
+            T.StructField("Drugs_sentence_from_text", T.ArrayType(T.StringType())),
+            T.StructField("Design", T.StringType()),
+            T.StructField("Design_sentence_from_text", T.StringType()),
+            T.StructField("orphan_sentence_from_text", T.StringType()),  # no base
+            T.StructField("plain", T.StringType()),                      # no twin
+        ]
+    )
+    cfgs = {c.value_field: c for c in field_configs_from_schema(schema)}
+    assert set(cfgs) == {"Drugs", "Design"}
+    assert cfgs["Drugs"].is_list is True
+    assert cfgs["Design"].is_list is False
+    assert cfgs["Drugs"].sentence_field == "Drugs_sentence_from_text"
+    assert cfgs["Design"].field_label == "design"
