@@ -212,3 +212,34 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), "term", "tf", "tfidf", "rank")
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, surprisal) — mean token surprisal -ln p(token) under the
+    corpus's own unigram distribution: the cheap perplexity proxy a
+    pretraining quality filter uses (gibberish/boilerplate-mangled docs
+    score high; ordinary prose low) when no external LM is available.
+
+    Two-pass shape: pass 1 builds the unigram table (one explode +
+    groupBy — vocabulary-sized output, millions of rows at web scale, not
+    corpus-sized); pass 2 joins it back BROADCAST and aggregates per doc.
+    The corpus token stream itself never shuffles twice — the doc-side
+    groupBy is the only full-stream exchange, keyed by doc id."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(norm_key_col(F.col(text_col)), " ")).alias("t"),
+    )
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("n"))
+    table = cnt.crossJoin(F.broadcast(tot))
+    return (
+        toks.join(F.broadcast(table), "t")
+        .groupBy("id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("surprisal")
+        )
+    )

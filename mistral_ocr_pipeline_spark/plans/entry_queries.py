@@ -1317,6 +1317,32 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_md5(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split({_KEY.format(c='text')}, ' ')) AS t
+      FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt)
+    SELECT id AS doc_id,
+           round(avg(-ln(c / (SELECT n FROM tot))), 6) AS surprisal
+    FROM toks JOIN cnt USING (t)
+    GROUP BY id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token surprisal under the corpus's own unigram distribution —
+    the external-LM-free perplexity proxy for quality filtering.  Two
+    corpus passes: vocabulary build + broadcast join-back; value-oracled
+    (ln differences are sub-ulp, absorbed by the 6-dp round)."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id").withColumnRenamed("id", "doc_id")
+
+
 # base^i mod 2^64 for the polynomial rolling hash — the numpy kernel gets
 # this wrap for free from uint64 overflow; the SQL twin needs the literals
 _ROLL_PW = "[" + ",".join(
