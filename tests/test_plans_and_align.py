@@ -144,3 +144,24 @@ class TestGateConsistency:
         assert got[6] == ("Yes", "real outcome", "f6")
         assert got[7] == ("Maybe", None, "f7")
         assert got[8] == ("No", None, None)
+
+
+class TestDriverContract:
+    def test_every_query_constructs_with_scalar_output(self, spark):
+        """Registry-wide guard: each driver query must (a) build its plan
+        without error and (b) emit only scalar columns — the external
+        checker canonicalizes with pandas sort_values, which cannot hash
+        array/map/struct cells (the r01 c13 failure class).  Also checks
+        every oracle key refers to a registered query."""
+        from pyspark.sql import types as T
+
+        from mistral_ocr_pipeline_spark.plans.entry_queries import ORACLES, QUERIES
+
+        assert set(ORACLES) <= set(QUERIES)
+        bad = []
+        for name, fn in QUERIES.items():
+            df = fn(spark, SF_DIR)
+            for f in df.schema.fields:
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                    bad.append((name, f.name, f.dataType.simpleString()))
+        assert not bad, bad
