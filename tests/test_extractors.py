@@ -352,7 +352,10 @@ class TestAdversarialPipeline:
 
         t0 = time.perf_counter()
         out = extract_transcripts(df).collect()
-        assert time.perf_counter() - t0 < 60.0
+        # generous bound: this VM has multi-minute stall windows (see
+        # bench protocol); the regression being guarded is O(2^5000)
+        # backtracking, i.e. effectively infinite — not seconds-level noise
+        assert time.perf_counter() - t0 < 180.0
         kinds = {r.conv_id: r.payload_kind for r in out}
         assert len(out) == 6
         assert kinds["tool"] == "error"
