@@ -1885,6 +1885,73 @@ def w8_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components — pair list → dedup clusters (transitive closure)
 # --------------------------------------------------------------------------
 @register(
+    "neardup_curation",
+    oracle=f"""
+    WITH RECURSIVE
+    u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^\\w+', 'changed')
+      FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks FROM u),
+    g AS (SELECT id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, greatest(len(toks) - 1, 1))])
+                     AS grams
+          FROM t),
+    sz AS (SELECT id, len(grams) AS n FROM g),
+    e AS (SELECT id, unnest(grams) AS gram FROM g),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT id AS node, id AS lbl FROM u
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+    SELECT node AS id, min(lbl) AS cluster,
+           node = min(lbl) AS is_kept
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup curation chain as one driver query: MinHash-LSH
+    candidate pairs (exact-Jaccard verified, ≥0.5) → connected components
+    (duplicate clusters via transitive closure) → keep-one-per-cluster
+    (min id canonical).  The oracle replays all three stages in SQL:
+    all-pairs Jaccard (valid because LSH recall is 1.0 on this corpus —
+    certified separately by dedup_minhash_lsh) + recursive-CTE closure +
+    min-per-cluster.  This is the end-to-end dedup pass a pretraining
+    pipeline actually runs, not just its stages in isolation."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    u = docs.select("doc_id", "text").unionAll(clones)
+    pairs = minhash_lsh_pairs(
+        u, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    nodes = u.select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, pairs)
+    return comp.select(
+        "id",
+        F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).alias("is_kept"),
+    )
+
+
+@register(
     "dedup_connected_components",
     oracle=f"""
     WITH RECURSIVE
