@@ -2624,3 +2624,54 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
     return contamination_flags(corpus, ev, "doc_id", "text", n=4)
+
+
+@register(
+    "decontam_pipeline",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split({_KEY.format(c='text')}, ' ') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(ws) - 3, 0)),
+                 i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      FROM tok),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+    flagged AS (
+      SELECT DISTINCT grams.doc_id
+      FROM grams JOIN eval_grams USING (g)
+      WHERE grams.doc_id % 25 <> 0)
+    SELECT d.lang,
+           count(*) AS n_clean,
+           (SELECT count(*) FROM flagged) AS n_dropped_total
+    FROM documents d
+    WHERE d.doc_id % 25 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    GROUP BY d.lang
+    """,
+)
+def decontam_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination END-TO-END: audit → drop flagged docs → per-lang
+    clean-corpus rollup carrying the global drop count — the composite a
+    pretraining run executes before training, completing the pipeline
+    trio (curation_pipeline, neardup_curation, this).  One plan: the
+    gram audit's broadcast join feeds an anti-join back onto the corpus
+    scan; nothing materializes between stages."""
+    from mistral_ocr_pipeline_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    flags = contamination_flags(corpus, ev, "doc_id", "text", n=4)
+    dropped = flags.filter(F.col("contaminated")).select(F.col("id"))
+    n_dropped = dropped.count()
+    clean = corpus.join(
+        F.broadcast(dropped), corpus["doc_id"] == dropped["id"], "left_anti"
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.lit(n_dropped).cast("long").alias("n_dropped_total"),
+    )
