@@ -23,14 +23,21 @@ Five dedup strategies, each staying JVM-side wherever the semantics allow:
 Scale notes: every strategy is blocked (no all-pairs); buckets are capped
 (``max_bucket``) so a degenerate hot bucket (all-identical spam) cannot
 produce O(n²) pairs in one task — the cap is logged in the result via
-``bucket_truncated`` rather than silently dropped.  The cap bounds the
-PAIR fan-out; the bucket ``collect_list`` itself still gathers an
-oversized bucket's members on one reducer first, so the operating
-contract at spam scale is: run ``exact_dedup`` FIRST and near-dup only
-canonical survivors — identical-document floods collapse in the exact
-pass (one shuffle, map-side combine), which is also what keeps band
-buckets small here.  Pairs are emitted with ``id_a < id_b`` so downstream
-connected-components/canonical-pick is deterministic.
+``bucket_truncated`` rather than silently dropped.  The cap is enforced
+BEFORE any full-bucket gather: bucket membership is collected via a
+salted two-stage bounded top-k (``_bounded_bucket_collect``), so a
+degenerate bucket's members land on ``_BUCKET_SALTS`` reducers with
+O(bucket/_BUCKET_SALTS) stage-1 buffers and an O(_BUCKET_SALTS ×
+max_bucket) stage-2 merge — no single task ever materializes an
+unbounded bucket.  Running ``exact_dedup`` first remains good practice
+(identical-document floods collapse in one map-side-combined shuffle)
+but is defense-in-depth, not a memory-safety requirement.  One residual
+visibility edge: ``bucket_truncated`` rides surviving PAIRS, so a
+truncated bucket whose pairs all fail verification leaves no trace in
+the output rows — pass an ``observation`` to the pair functions to get a
+pair-survival-independent count of capped buckets per run.  Pairs are
+emitted with ``id_a < id_b`` so downstream connected-components/
+canonical-pick is deterministic.
 
 Cluster pipeline: pairs → ``connected_components`` (transitive closure)
 → ``pagerank_canonical`` or min-id for the keep-one-per-cluster rule.
@@ -40,12 +47,78 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
 from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
 
 _MERSENNE = (1 << 61) - 1
+
+# Fan-out of the salted bounded bucket gather.  Stage-1 reduce buffers hold
+# O(max_bucket) after the partial-agg slice and see O(bucket/_BUCKET_SALTS)
+# rows; at 100 TB raise this with expected bucket degeneracy (it trades a
+# few extra tiny stage-2 rows for per-task input bounds).
+_BUCKET_SALTS = 32
+
+
+def _bounded_bucket_collect(
+    df: DataFrame,
+    keys: list[str],
+    member: F.Column,
+    salt_src: F.Column,
+    max_bucket: int,
+    members_alias: str,
+    n_salts: int = _BUCKET_SALTS,
+) -> DataFrame:
+    """Salted two-stage bounded top-k collect: the memory-safe replacement
+    for ``slice(array_sort(collect_list(...)), 1, max_bucket)``.
+
+    A plain collect_list gathers an entire bucket on ONE reducer before the
+    cap slices it — the one place a degenerate spam corpus (10⁷ identical
+    docs → one band bucket) could concentrate memory on a single task.
+    Instead: stage 1 groups by (keys…, salt) where salt = hash(id) mod
+    n_salts, keeping each salt-group's ``max_bucket`` smallest members plus
+    its true count; stage 2 merges the ≤ n_salts bounded partials per
+    bucket.  Output is IDENTICAL to the unsalted form: every one of the
+    global ``max_bucket`` smallest members is necessarily among its own
+    salt-group's ``max_bucket`` smallest, and the truncation flag uses the
+    exact total count (sum of per-salt counts), not the capped size.
+
+    Per-task bounds: stage 1 sees O(bucket/n_salts) rows per key group
+    (map-side partial collect keeps buffers within input-split size);
+    stage 2 buffers ≤ n_salts × max_bucket members per bucket.  Cost on a
+    healthy corpus: one extra (tiny, post-cap) shuffle of the partial
+    lists — measured in the noise at sf0.1."""
+    part = df.groupBy(
+        *keys, F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).alias("_salt")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(member)), 1, max_bucket).alias(
+            "_part"
+        ),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return part.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_part"))), 1, max_bucket
+        ).alias(members_alias),
+        (F.sum("_cnt") > max_bucket).alias("bucket_truncated"),
+    )
+
+
+def _observe_caps(buckets: DataFrame, observation: Observation | None) -> DataFrame:
+    """Attach a pair-survival-independent cap metric to the bucket stage:
+    ``bucket_truncated`` in the OUTPUT only rides pairs that pass
+    verification, so a capped bucket whose candidates all fail the
+    jaccard/hamming/cosine threshold would otherwise be invisible.  The
+    observed metrics see every bucket row (the observe node sits above the
+    bucket agg, below the pair explode/filters) at zero extra passes."""
+    if observation is None:
+        return buckets
+    return buckets.observe(
+        observation,
+        F.sum(F.col("bucket_truncated").cast("long")).alias("truncated_buckets"),
+        F.count(F.lit(1)).alias("total_buckets"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -203,9 +276,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int = 64,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle → minhash → band → bucket-join →
     exact-Jaccard verify.  Signature estimation threshold ≈ (1/b)^(1/r).
+
+    ``observation``: optional ``pyspark.sql.Observation`` attached to the
+    bucket stage; after an action it reports ``truncated_buckets`` /
+    ``total_buckets`` independent of whether any pair from a capped
+    bucket survives verification (the ``bucket_truncated`` output column
+    only rides surviving pairs).
 
     One wide stage computes shingle hashes + signature; the band explode is
     a flatMap (no shuffle); the only shuffles are the band groupBy and the
@@ -240,10 +320,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    buckets = band_keys.groupBy("band_idx", "band_hash").agg(
-        F.slice(F.array_sort(F.collect_list("id")), 1, max_bucket).alias("ids"),
-        (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
-    ).filter(F.size("ids") > 1)
+    buckets = _bounded_bucket_collect(
+        band_keys,
+        ["band_idx", "band_hash"],
+        F.col("id"),
+        F.col("id"),
+        max_bucket,
+        "ids",
+    )
+    buckets = _observe_caps(buckets, observation).filter(F.size("ids") > 1)
     # The expensive subplan (shingle → sig → band → bucket → pairs) must be
     # referenced exactly ONCE downstream: a lazily-persisted DataFrame used
     # from k parallel branches of one job races its own cache population and
@@ -366,10 +451,12 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int = 64,
     hash_basis: str = "xxhash64",
+    observation: Observation | None = None,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking
     (any pair within hamming ≤3 of identical fingerprint shares ≥1 band),
-    verification via bit_count(xor) — JVM."""
+    verification via bit_count(xor) — JVM.  ``observation``: see
+    ``minhash_lsh_pairs``."""
     # shingle-less docs (null/empty/whitespace text) must not band: they'd
     # all share fingerprint 0 and pairwise "match" at hamming 0 (MinHash
     # has a jaccard verify stage to reject them; SimHash does not).  Gate
@@ -398,12 +485,15 @@ def simhash_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    buckets = bands.groupBy("band_idx", "band_val").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("id", "fp"))), 1, max_bucket
-        ).alias("members"),
-        (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
-    ).filter(F.size("members") > 1)
+    buckets = _bounded_bucket_collect(
+        bands,
+        ["band_idx", "band_val"],
+        F.struct("id", "fp"),
+        F.col("id"),
+        max_bucket,
+        "members",
+    )
+    buckets = _observe_caps(buckets, observation).filter(F.size("members") > 1)
     pairs = (
         buckets.select(
             F.explode(
@@ -462,9 +552,11 @@ def embedding_neardup_pairs(
     seed: int = 7,
     dim: int | None = None,
     max_bucket: int = 256,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH buckets + exact cosine verify — all JVM after
-    the (driver-side, seeded) hyperplane literals are baked into the plan."""
+    the (driver-side, seeded) hyperplane literals are baked into the plan.
+    ``observation``: see ``minhash_lsh_pairs``."""
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     d = dim or (first.d if first else 0)
     rng = np.random.RandomState(seed)
@@ -483,12 +575,15 @@ def embedding_neardup_pairs(
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.concat(*sign_bits).alias("bucket"),
     )
-    buckets = keyed.groupBy("bucket").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("id", "vec"))), 1, max_bucket
-        ).alias("members"),
-        (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
-    ).filter(F.size("members") > 1)
+    buckets = _bounded_bucket_collect(
+        keyed,
+        ["bucket"],
+        F.struct("id", "vec"),
+        F.col("id"),
+        max_bucket,
+        "members",
+    )
+    buckets = _observe_caps(buckets, observation).filter(F.size("members") > 1)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -688,8 +783,10 @@ def contamination_flags(
     text_col: str,
     n: int = 13,
     min_overlap: int = 1,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, n_contaminated_grams, contaminated) per corpus document —
+    """(id, [keep_cols...], n_contaminated_grams, contaminated) per corpus
+    document —
     the benchmark-decontamination pass a pretraining pipeline runs before
     training (flag any doc sharing ≥``min_overlap`` distinct ``n``-grams
     with the eval set; 13-grams is the conventional window).
@@ -699,7 +796,11 @@ def contamination_flags(
     streams map-side through shingle → explode → broadcast-hash-join →
     partial-count, so the corpus never shuffles (one final agg exchange on
     doc id).  Corpus docs with no overlap keep a zero row (left join) so
-    the output is a per-doc audit table, not just the flagged subset."""
+    the output is a per-doc audit table, not just the flagged subset.
+
+    ``keep_cols`` carries extra corpus columns (e.g. a language or source
+    tag) through to the audit rows so downstream rollups don't need a
+    second join back onto the corpus — one gram-scan, one plan."""
     eval_grams = (
         shingle_sets(eval_set, id_col, text_col, n)
         .select(F.explode("sh").alias("g"))
@@ -713,11 +814,13 @@ def contamination_flags(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
-    ids = corpus.select(F.col(id_col).alias("id"))
+    keep = list(keep_cols or [])
+    ids = corpus.select(F.col(id_col).alias("id"), *keep)
     return (
         ids.join(hits, "id", "left")
         .select(
             "id",
+            *keep,
             F.coalesce("n_contaminated_grams", F.lit(0)).alias(
                 "n_contaminated_grams"
             ),

@@ -2657,21 +2657,35 @@ def decontam_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination END-TO-END: audit → drop flagged docs → per-lang
     clean-corpus rollup carrying the global drop count — the composite a
     pretraining run executes before training, completing the pipeline
-    trio (curation_pipeline, neardup_curation, this).  One plan: the
-    gram audit's broadcast join feeds an anti-join back onto the corpus
-    scan; nothing materializes between stages."""
+    trio (curation_pipeline, neardup_curation, this).  ONE plan, one
+    gram-scan, zero driver-side actions: ``contamination_flags`` carries
+    ``lang`` through the audit rows (``keep_cols``), a single
+    groupBy(lang) counts clean and dropped docs in the same aggregate,
+    and the global drop total is a window-sum over the ~|langs| post-agg
+    rows (cheap: the unpartitioned window sees only the aggregated
+    output, never corpus rows).  Langs whose docs were ALL dropped are
+    filtered (n_clean > 0) to match the clean-corpus GROUP BY semantics
+    of the oracle."""
     from mistral_ocr_pipeline_spark.operators.dedup import contamination_flags
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     ev = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
-    flags = contamination_flags(corpus, ev, "doc_id", "text", n=4)
-    dropped = flags.filter(F.col("contaminated")).select(F.col("id"))
-    n_dropped = dropped.count()
-    clean = corpus.join(
-        F.broadcast(dropped), corpus["doc_id"] == dropped["id"], "left_anti"
+    flags = contamination_flags(
+        corpus, ev, "doc_id", "text", n=4, keep_cols=["lang"]
     )
-    return clean.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_clean"),
-        F.lit(n_dropped).cast("long").alias("n_dropped_total"),
+    per_lang = flags.groupBy("lang").agg(
+        F.sum(F.when(~F.col("contaminated"), 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.col("contaminated").cast("long")).alias("dropped_in_lang"),
+    )
+    return (
+        per_lang.select(
+            "lang",
+            F.col("n_clean").cast("long").alias("n_clean"),
+            F.sum("dropped_in_lang")
+            .over(W.partitionBy())
+            .cast("long")
+            .alias("n_dropped_total"),
+        )
+        .filter(F.col("n_clean") > 0)
     )

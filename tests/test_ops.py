@@ -99,6 +99,56 @@ class TestMinhashSimhash:
         ).collect()
         assert mh2 and not any(r.bucket_truncated for r in mh2)
 
+    def test_degenerate_spam_bucket_gather_is_bounded(self, spark):
+        """A 500-doc all-identical spam corpus — the adversarial case where
+        every doc lands in ONE bucket of every band.  Round-2 verdict
+        item #1: the bucket gather must be the salted two-stage bounded
+        collect (no single reducer materializes the full bucket), not a
+        `collect_list → slice` whose agg buffer grows with the bucket.
+        Asserts (a) the plan groups the first collect by a pmod salt key,
+        (b) results are still correct: the cap keeps the 8 smallest ids
+        per bucket, every surviving pair carries the flag, (c) exactly
+        C(8,2) deduped pairs over the 8 smallest ids."""
+        from mistral_ocr_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+        text = "identical spam document body repeated across the whole corpus"
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(500)], "id long, text string"
+        )
+        out = minhash_lsh_pairs(
+            docs, "id", "text", n=3, num_perm=32, bands=8, threshold=0.5,
+            max_bucket=8,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "pmod" in plan, plan  # salted stage-1 gather is in the plan
+        rows = out.collect()
+        assert len(rows) == 8 * 7 // 2
+        assert all(r.bucket_truncated for r in rows)
+        # cap keeps the SMALLEST ids — identical to the unsalted semantics
+        assert {r.id_a for r in rows} | {r.id_b for r in rows} == set(range(8))
+
+    def test_observation_surfaces_caps_when_no_pair_survives(self, spark):
+        """bucket_truncated rides surviving pairs only; when every candidate
+        from a capped bucket fails verification the output is empty and the
+        cap would be invisible.  The Observation hook reports it anyway."""
+        from pyspark.sql import Observation
+
+        from mistral_ocr_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+        text = "identical spam document body repeated across the whole corpus"
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(30)], "id long, text string"
+        )
+        obs = Observation("mh_caps")
+        # threshold > 1.0 is unsatisfiable: buckets cap, zero pairs survive
+        out = minhash_lsh_pairs(
+            docs, "id", "text", n=3, num_perm=32, bands=8, threshold=1.1,
+            max_bucket=8, observation=obs,
+        ).collect()
+        assert out == []
+        assert obs.get["truncated_buckets"] > 0
+        assert obs.get["total_buckets"] >= obs.get["truncated_buckets"]
+
     def test_embedding_bucket_cap_is_surfaced(self, spark):
         from mistral_ocr_pipeline_spark.operators.dedup import (
             embedding_neardup_pairs,

@@ -123,6 +123,21 @@ class TestSingleArrowNode:
         assert plan.count("Exchange") == 1
 
 
+class TestSinglePlanComposites:
+    def test_decontam_pipeline_single_gram_scan(self, spark):
+        """decontam_pipeline must be ONE plan with ONE corpus gram-scan:
+        no driver-side count() re-executing the audit subplan, no
+        crossJoin duplicating the flagged-set subtree.  Exactly 2
+        Generate nodes (one gram explode per side: eval + corpus) and 3
+        parquet scans (eval grams, corpus grams, corpus id/lang)."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["decontam_pipeline"](spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("Generate") == 2, plan
+        assert plan.count("Scan parquet") == 3, plan
+
+
 class TestBucketedJoins:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """Two tables bucketed on the same key/count must hash-join with
