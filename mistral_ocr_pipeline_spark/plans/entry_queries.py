@@ -1125,10 +1125,82 @@ def ann_brute_force_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@register("ann_lsh_topk")
+def _lsh_oracle_sql() -> str:
+    """Full DuckDB value oracle for ``ann_lsh_topk`` — the hyperplane LSH
+    is plane-literal arithmetic, so the whole approximate path is
+    replayable in SQL: the same ``RandomState(7).standard_normal((8, 5,
+    64))`` planes are baked in as literals (``repr`` round-trips float64
+    exactly), corpus/query bucket ids are the sign-bit sums, multi-probe
+    is the base bucket plus the ``n_probe-1 = 3`` lowest-|projection|
+    bit flips, and exact cosine + rank run only over probed candidates —
+    exactly ``operators/similarity.lsh_topk``.  Sign decisions compare a
+    float64 dot product against 0 (projection magnitudes are O(1), so a
+    summation-order ulp cannot flip them), and cosines round at 6 dp like
+    the exact-ANN oracle that already hash-matches the numpy path."""
+    import numpy as np
+
+    n_tables, n_planes, d, seed, n_flip, k = 8, 5, 64, 7, 3, 5
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    vals = ",\n      ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}]::DOUBLE[])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH lsh_planes(t, p, pl) AS (VALUES
+      {vals}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+    cproj AS (
+      SELECT c.vec_id, pt.t, pt.p, list_dot_product(c.v, pt.pl) AS pr
+      FROM c CROSS JOIN lsh_planes pt),
+    cbuck AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END)::INT AS bucket
+      FROM cproj GROUP BY vec_id, t),
+    qproj AS (
+      SELECT q.qid, pt.t, pt.p, list_dot_product(q.qv, pt.pl) AS pr
+      FROM q CROSS JOIN lsh_planes pt),
+    qbuck AS (
+      SELECT qid, t,
+             sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END)::INT AS bucket
+      FROM qproj GROUP BY qid, t),
+    flips AS (
+      SELECT qid, t, p,
+             row_number() OVER (PARTITION BY qid, t ORDER BY abs(pr), p) AS rn
+      FROM qproj),
+    probes AS (
+      SELECT qid, t, bucket FROM qbuck
+      UNION
+      SELECT f.qid, f.t, xor(b.bucket, 1 << f.p) AS bucket
+      FROM flips f JOIN qbuck b ON f.qid = b.qid AND f.t = b.t
+      WHERE f.rn <= {n_flip}),
+    cand AS (
+      SELECT DISTINCT pr.qid, cb.vec_id
+      FROM probes pr JOIN cbuck cb ON pr.t = cb.t AND pr.bucket = cb.bucket
+      WHERE cb.vec_id != pr.qid),
+    s AS (
+      SELECT cand.qid, cand.vec_id,
+             round(list_dot_product(q.qv, c.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN c ON c.vec_id = cand.vec_id),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM s)
+    SELECT qid AS query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table multi-probe LSH ANN (scale path).  Rows-only; recall
-    vs exact asserted in tests and by `ann_lsh_recall`'s claim oracle."""
+    """Multi-table multi-probe LSH ANN (scale path).  Full value oracle:
+    the probe set is REPLAYED in SQL (plane literals + bit flips), not
+    approximated — see ``_lsh_oracle_sql``; recall vs exact additionally
+    pinned by `ann_lsh_recall`'s claim oracle."""
     from mistral_ocr_pipeline_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
