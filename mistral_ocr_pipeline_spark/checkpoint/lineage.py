@@ -15,16 +15,19 @@ Iceberg ``bucket(N, conv_id)`` transform's moral equivalent).  A killed
 run resumes by anti-joining input buckets against committed lineage rows
 (J1 in SURVEY.md §2.4) and recomputes nothing that committed.
 
-Commit protocol (write-audit-publish, SURVEY.md §7.4.6): data files for a
-batch of buckets publish first, then the lineage rows commit.  On resume,
-bucket partitions present in the output but absent from lineage are
-orphans from a mid-commit kill — they are dropped before reprocessing, so
-the data+lineage pair behaves atomically (no double-writes)."""
+Commit protocol (write-audit-publish, SURVEY.md §7.4.6): a batch's data
+files AND its lineage rows are staged as unreferenced snapshots, the
+staged data is audited (sampled read-back), and both publish in ONE
+atomic catalog commit (``TableCatalog.commit`` — a single ``_HEAD``
+pointer swap).  A kill at any instant leaves either both visible or
+neither; the orphan-drop below remains as defense-in-depth for catalogs
+whose data/lineage got out of sync through external surgery (e.g. a
+partial restore), publishing a new data snapshot that omits the orphan
+bucket dirs (metadata-only, hardlinks) before reprocessing."""
 
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from datetime import datetime, timezone
 
@@ -78,19 +81,25 @@ def committed_buckets(catalog: TableCatalog, lineage_table: str) -> set[int]:
 def _drop_orphan_buckets(
     catalog: TableCatalog, output_table: str, committed: set[int]
 ) -> list[int]:
-    """Remove bucket partition dirs that have data but no lineage commit
-    (mid-kill leftovers) so reprocessing cannot double-write."""
-    table_dir = catalog.path(output_table)
-    orphans = []
-    if not os.path.isdir(table_dir):
+    """Remove bucket partitions that have data but no lineage commit so
+    reprocessing cannot double-write.  With the single-commit protocol
+    this cannot arise from a kill (data+lineage publish atomically); it
+    covers externally-desynced catalogs.  The drop is a new snapshot
+    omitting the orphan dirs — metadata-only, no data rewrite."""
+    data_dir = catalog.data_path(output_table)
+    orphans: list[int] = []
+    if data_dir is None or not os.path.isdir(data_dir):
         return orphans
-    for entry in os.listdir(table_dir):
+    for entry in os.listdir(data_dir):
         if not entry.startswith("conv_bucket="):
             continue
         bucket = int(entry.split("=", 1)[1])
         if bucket not in committed:
-            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
             orphans.append(bucket)
+    if orphans:
+        catalog.drop_partition_dirs(
+            output_table, [f"conv_bucket={b}" for b in orphans]
+        )
     return orphans
 
 
@@ -135,7 +144,9 @@ def run_extraction(
     if only_buckets is not None:
         src = src.filter(F.col("conv_bucket").isin(*[int(b) for b in only_buckets]))
 
-    started_at = datetime.now(timezone.utc).replace(tzinfo=None)
+    # tz-AWARE instants: createDataFrame would interpret naive datetimes in
+    # the Spark session timezone, shifting lineage times on non-UTC sessions
+    started_at = datetime.now(timezone.utc)
     extracted = extract_transcripts(
         src.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         num_partitions=num_partitions,
@@ -159,8 +170,11 @@ def run_extraction(
         aggs.append(F.sum(in_b * bytes_col).alias(f"bytes_{b}"))
         aggs.append(F.sum(in_b * fail_col).alias(f"fails_{b}"))
     out = out.observe(obs, *aggs)
-    catalog.append(out, output_table, partition_by=["conv_bucket"])
-    vals = obs.get  # blocks until the write action finishes
+    # WRITE-audit-PUBLISH, for real: stage the data snapshot (invisible),
+    # audit the staged files, stage the lineage rows, publish BOTH in one
+    # atomic catalog commit — a kill anywhere leaves both or neither.
+    data_snap = catalog.stage_append(out, output_table, partition_by=["conv_bucket"])
+    vals = obs.get  # blocks until the staging write finishes
 
     lineage_rows = [
         (
@@ -172,34 +186,38 @@ def run_extraction(
             int(vals[f"fails_{b}"] or 0),
             "committed",
             started_at,
-            datetime.now(timezone.utc).replace(tzinfo=None),
+            datetime.now(timezone.utc),
         )
         for b in range(n_buckets)
         if (vals[f"rows_{b}"] or 0) > 0
     ]
     n_new = len(lineage_rows)
-    if n_new:
-        catalog.append(
-            spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), lineage_table
-        )
+    if n_new == 0:
+        catalog.discard_staged(data_snap)
+    else:
         if audit_sample > 0:
-            # sampled read-back audit: prove the published files are
-            # readable with the expected schema — partition-pruned to the
-            # new buckets and LIMITed, so it reads a handful of rows, not
-            # the table
+            # sampled audit of the STAGED (not yet visible) snapshot:
+            # prove the files are readable with the expected schema before
+            # anything publishes — partition-pruned + LIMITed, a handful
+            # of rows, not a table scan
             new_buckets = [r[2] for r in lineage_rows]
             audited = (
-                catalog.read(output_table)
+                spark.read.parquet(os.path.join(catalog.warehouse, data_snap))
                 .filter(F.col("conv_bucket").isin(new_buckets))
                 .select("conv_id", "turn_idx", "extracted_text", "error")
                 .limit(audit_sample)
                 .count()
             )
             if audited == 0:
+                catalog.discard_staged(data_snap)
                 raise RuntimeError(
-                    f"write audit failed: lineage committed {n_new} buckets "
-                    f"but the published output has no readable rows"
+                    f"write audit failed: {n_new} buckets staged but the "
+                    f"staged output has no readable rows; nothing published"
                 )
+        lineage_snap = catalog.stage_append(
+            spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), lineage_table
+        )
+        catalog.commit({output_table: data_snap, lineage_table: lineage_snap})
     lineage = catalog.read(lineage_table) if catalog.exists(lineage_table) else None
     totals = (
         lineage.agg(F.sum("rows").alias("r"), F.sum("failures").alias("f")).first()

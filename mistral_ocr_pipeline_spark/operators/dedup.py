@@ -740,6 +740,11 @@ def pagerank_canonical(
         )
 
     n_total = nodes.count()
+    if n_total == 0:
+        # empty graph: return an empty typed frame, not a ZeroDivisionError
+        return nodes.select(
+            F.col(id_col).alias("id"), F.lit(0.0).alias("pagerank")
+        )
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(

@@ -1936,20 +1936,23 @@ def w7_event_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w8_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-minute inactivity gap) per user via
-    F.session_window — Spark's native gaps-and-islands; the oracle replays
-    it as lag + cumulative-sum SQL.  session_window.start == min(ts) of the
-    session, so the two formulations agree exactly."""
+    """Session windows (30-minute inactivity gap) per user via the
+    HOT-KEY-SAFE two-phase sessionizer (operators/sessionize.py):
+    sessionize within (user, day-chunk) so a bot user's events spread
+    across tasks, then merge boundary sessions at the session level.
+    Result is identical to single-pass F.session_window (equivalence
+    pinned in tests); the oracle replays the semantics as lag +
+    cumulative-sum SQL.  session_start == min(ts) of the session, so the
+    formulations agree exactly."""
+    from mistral_ocr_pipeline_spark.operators.sessionize import (
+        salted_session_windows,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
-            F.col("user_id"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id", F.col("sw.start").alias("session_start"), "n_events"
-        )
+    return salted_session_windows(
+        ev, "user_id", "ts", gap_secs=1800, chunk_secs=86400
+    ).select(
+        F.col("user").alias("user_id"), "session_start", "n_events"
     )
 
 

@@ -1,86 +1,270 @@
-"""Iceberg-shaped table catalog with a Parquet fallback.
+"""Iceberg-shaped table catalog with a Parquet + manifest fallback.
 
 The production design is Iceberg (bucketed transcripts, snapshot commits,
 schema evolution — SURVEY.md §1.4); this sandbox has no
-``iceberg-spark-runtime`` jar, so the same API is served by a thin
+``iceberg-spark-runtime`` jar, so the same semantics are served by a thin
 Parquet-backed catalog (SURVEY.md §7.4.5 fallback plan).  Jobs program
 against ``TableCatalog`` only, so swapping in a real Iceberg catalog is a
 constructor change, not a code change:
 
 * ``append(df, table)``      → Iceberg ``df.writeTo(t).append()``
 * ``overwrite(df, table)``   → Iceberg ``df.writeTo(t).createOrReplace()``
-* ``read(table)``            → ``spark.table(t)``
-* atomic visibility is approximated with a write-audit-publish pattern:
-  data lands in a staging directory, then an atomic ``rename`` publishes it
-  (one commit per partition-batch, mirroring Iceberg snapshot semantics and
-  the reference's incremental appender, utils/utils.py:163-206).
+* ``read(table)``            → ``spark.table(t)`` (+ snapshot time travel)
+* ``stage_* + commit({...})``→ a multi-table Iceberg/Nessie transaction
+
+Commit protocol (real snapshot isolation, not an approximation):
+
+* every write lands in a fresh immutable snapshot directory
+  ``<table>/snap-<uuid>/`` — appends carry the previous snapshot's data
+  files forward as HARDLINKS (metadata-only, no data copy; the Parquet
+  twin of Iceberg manifests listing prior files);
+* a commit is ONE atomic pointer swap: a manifest JSON mapping every
+  table to its current snapshot is written to ``_manifests/`` and the
+  ``_HEAD`` file is ``os.replace``d to name it.  Readers resolve
+  ``_HEAD`` → manifest → snapshot dir, so they observe either the old or
+  the new state of ALL tables in the commit — a kill at any instant
+  leaves ``_HEAD`` naming a complete previous manifest, and a
+  half-written snapshot is just an unreferenced directory (``vacuum``);
+* multi-table atomicity falls out for free: ``commit({data: s1,
+  lineage: s2})`` publishes an extraction batch and its lineage rows in
+  the same pointer swap (SURVEY §7.4.6 single-commit semantics), so the
+  orphan-drop recovery path in checkpoint/lineage.py is defense-in-depth
+  rather than a correctness requirement;
+* superseded snapshots stay readable (``read(table,
+  snapshot="snap-…")`` = time travel) until ``expire_snapshots``.
+
+Single-writer per warehouse (one Spark driver owns the commit pointer);
+concurrent committers would need a CAS on ``_HEAD``, which is exactly
+the service a real Iceberg/Nessie/Glue catalog provides at 100 TB.
+
+Bucketed tables (``write_bucketed``) live outside the manifest: their
+bucketing metadata is owned by the Spark session catalog (saveAsTable),
+which is already atomic at the table-registration level.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_MANIFEST_DIR = "_manifests"
+_HEAD = "_HEAD"
+
 
 class TableCatalog:
     def __init__(self, spark: SparkSession, warehouse: str) -> None:
         self.spark = spark
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        os.makedirs(os.path.join(warehouse, _MANIFEST_DIR), exist_ok=True)
 
+    # -- manifest machinery ------------------------------------------------
+    def _head_file(self) -> str:
+        return os.path.join(self.warehouse, _HEAD)
+
+    def _current_manifest_name(self) -> str | None:
+        try:
+            with open(self._head_file()) as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _load_manifest(self, name: str | None) -> dict:
+        if name is None:
+            return {"tables": {}, "parent": None}
+        with open(os.path.join(self.warehouse, _MANIFEST_DIR, name)) as fh:
+            return json.load(fh)
+
+    def current_tables(self) -> dict[str, str]:
+        """table name → current snapshot relpath (``table/snap-…``)."""
+        return self._load_manifest(self._current_manifest_name())["tables"]
+
+    def commit(self, updates: dict[str, str | None]) -> str:
+        """Atomically publish staged snapshots for one or MORE tables.
+
+        ``updates`` maps table → snapshot relpath from ``stage_append`` /
+        ``stage_overwrite`` (or ``None`` to drop the table).  All entries
+        become visible in the same ``os.replace`` of ``_HEAD``; a kill
+        before the replace leaves every table at its previous snapshot."""
+        parent = self._current_manifest_name()
+        tables = dict(self._load_manifest(parent)["tables"])
+        for t, snap in updates.items():
+            if snap is None:
+                tables.pop(t, None)
+            else:
+                tables[t] = snap
+        name = f"m-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self.warehouse, _MANIFEST_DIR, name), "w") as fh:
+            json.dump({"tables": tables, "parent": parent}, fh)
+        tmp = self._head_file() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, self._head_file())  # THE atomic commit point
+        return name
+
+    # -- paths / reads -----------------------------------------------------
     def path(self, table: str) -> str:
+        """Table ROOT (snapshot dirs live under it; bucketed tables write
+        their files directly here)."""
         return os.path.join(self.warehouse, table)
 
-    def exists(self, table: str) -> bool:
-        p = self.path(table)
-        return os.path.isdir(p) and any(
+    def data_path(self, table: str) -> str | None:
+        """Directory of the table's CURRENT snapshot (None if never
+        committed)."""
+        rel = self.current_tables().get(table)
+        return os.path.join(self.warehouse, rel) if rel else None
+
+    @staticmethod
+    def _has_parquet(p: str | None) -> bool:
+        return bool(p) and os.path.isdir(p) and any(
             f.endswith(".parquet") or f.startswith("part-")
-            for root, _d, files in os.walk(p)
+            for _root, _d, files in os.walk(p)
             for f in files
         )
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def exists(self, table: str) -> bool:
+        if table in self.current_tables():
+            return self._has_parquet(self.data_path(table))
+        # bucketed/legacy tables: files directly under the table root
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return False
+        direct = [
+            os.path.join(r, f)
+            for r, _d, files in os.walk(root)
+            for f in files
+            if not os.path.basename(r).startswith("snap-")
+        ]
+        return any(
+            f.endswith(".parquet") or os.path.basename(f).startswith("part-")
+            for f in direct
+        )
 
-    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        """WAP append: stage → atomic publish into the table directory."""
-        table_dir = self.path(table)
-        os.makedirs(table_dir, exist_ok=True)
-        staging = os.path.join(self.warehouse, f"_staging_{table}_{uuid.uuid4().hex}")
+    def read(self, table: str, snapshot: str | None = None) -> DataFrame:
+        """Read the current snapshot — or, with ``snapshot="snap-…"``, a
+        superseded one that has not been expired (time travel)."""
+        if snapshot is not None:
+            return self.spark.read.parquet(os.path.join(self.path(table), snapshot))
+        dp = self.data_path(table)
+        return self.spark.read.parquet(dp if dp else self.path(table))
+
+    # -- staged writes -----------------------------------------------------
+    def stage_overwrite(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> str:
+        """Write ``df`` into a NEW unreferenced snapshot dir; returns the
+        snapshot relpath for ``commit``.  Invisible to readers until
+        committed."""
+        snap = f"snap-{uuid.uuid4().hex}"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(staging)
-        # publish: move staged files in, preserving partition dirs
-        for root, _dirs, files in os.walk(staging):
-            rel = os.path.relpath(root, staging)
-            dest_dir = table_dir if rel == "." else os.path.join(table_dir, rel)
-            os.makedirs(dest_dir, exist_ok=True)
+        w.parquet(os.path.join(self.path(table), snap))
+        return f"{table}/{snap}"
+
+    def stage_append(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> str:
+        """Stage ``df`` plus the current snapshot's files (hardlinked —
+        metadata-only, the Iceberg manifest-reuse analog) as a new
+        snapshot.  Returns the snapshot relpath for ``commit``."""
+        rel = self.stage_overwrite(df, table, partition_by)
+        cur = self.data_path(table)
+        if cur and os.path.isdir(cur):
+            snap_dir = os.path.join(self.warehouse, rel)
+            for root, _dirs, files in os.walk(cur):
+                sub = os.path.relpath(root, cur)
+                dest = snap_dir if sub == "." else os.path.join(snap_dir, sub)
+                os.makedirs(dest, exist_ok=True)
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    dst = os.path.join(dest, f)
+                    if not os.path.exists(dst):
+                        os.link(os.path.join(root, f), dst)
+        return rel
+
+    def discard_staged(self, snap_rel: str) -> None:
+        """Delete a staged-but-never-committed snapshot."""
+        shutil.rmtree(os.path.join(self.warehouse, snap_rel), ignore_errors=True)
+
+    # -- public write API --------------------------------------------------
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        self.commit({table: self.stage_append(df, table, partition_by)})
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        self.commit({table: self.stage_overwrite(df, table, partition_by)})
+
+    def drop(self, table: str) -> None:
+        self.commit({table: None})
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def drop_partition_dirs(self, table: str, dirnames: list[str]) -> None:
+        """Publish a new snapshot omitting the named top-level partition
+        dirs (e.g. ``conv_bucket=3``) — hardlinks for everything kept, so
+        this is a metadata-only delete, no data rewrite."""
+        cur = self.data_path(table)
+        if cur is None or not os.path.isdir(cur):
+            return
+        snap = f"snap-{uuid.uuid4().hex}"
+        snap_dir = os.path.join(self.path(table), snap)
+        skip = set(dirnames)
+        for root, dirs, files in os.walk(cur):
+            sub = os.path.relpath(root, cur)
+            if sub != "." and sub.split(os.sep, 1)[0] in skip:
+                continue
+            dest = snap_dir if sub == "." else os.path.join(snap_dir, sub)
+            os.makedirs(dest, exist_ok=True)
             for f in files:
                 if f.startswith(("_", ".")):
                     continue
-                os.rename(
-                    os.path.join(root, f),
-                    os.path.join(dest_dir, f"{uuid.uuid4().hex}-{f}"),
-                )
-        shutil.rmtree(staging, ignore_errors=True)
+                os.link(os.path.join(root, f), os.path.join(dest, f))
+        self.commit({table: f"{table}/{snap}"})
 
-    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        staging = os.path.join(self.warehouse, f"_staging_{table}_{uuid.uuid4().hex}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(staging)
-        table_dir = self.path(table)
-        if os.path.isdir(table_dir):
-            shutil.rmtree(table_dir)
-        os.rename(staging, table_dir)
+    # -- maintenance -------------------------------------------------------
+    def snapshots(self, table: str) -> list[str]:
+        """Snapshot relpaths for ``table``, newest first, walking the
+        manifest parent chain (committed history only)."""
+        out: list[str] = []
+        name = self._current_manifest_name()
+        while name is not None:
+            m = self._load_manifest(name)
+            snap = m["tables"].get(table)
+            if snap and (not out or out[-1] != snap):
+                out.append(snap)
+            name = m["parent"]
+        return out
 
-    def drop(self, table: str) -> None:
-        shutil.rmtree(self.path(table), ignore_errors=True)
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Delete superseded snapshot dirs beyond the newest ``keep_last``
+        (current is always kept).  Hardlinked files shared with retained
+        snapshots survive — the filesystem refcounts them."""
+        history = self.snapshots(table)
+        expired = []
+        for snap in history[max(1, keep_last):]:
+            p = os.path.join(self.warehouse, snap)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                expired.append(snap)
+        return expired
+
+    def vacuum(self, table: str) -> list[str]:
+        """Remove snapshot dirs not referenced by any committed manifest —
+        the leftovers of staged-then-killed writes."""
+        referenced = set(self.snapshots(table))
+        removed = []
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return removed
+        for entry in os.listdir(root):
+            rel = f"{table}/{entry}"
+            if entry.startswith("snap-") and rel not in referenced:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                removed.append(rel)
+        return removed
 
     def compact(
         self,
@@ -88,30 +272,35 @@ class TableCatalog:
         target_file_bytes: int = 128 * 1024 * 1024,
         partition_by: list[str] | None = None,
         sort_within_by: list[str] | None = None,
+        expire: bool = True,
     ) -> dict:
         """Small-file compaction — the maintenance pass an incremental
-        WAP-append table needs: every resumed run appends its own files,
-        and at 10^12 turns a scan's task count (and the namenode/manifest
+        append table needs: every resumed run appends its own files, and
+        at 10^12 turns a scan's task count (and the namenode/manifest
         load) is driven by FILE count, not data size.
 
         Rewrites the table at ≈``target_file_bytes`` per file (computed
-        from the table's actual on-disk size, not a guessed partition
-        count), optionally re-establishing partition dirs and an intra-file
-        sort (``sort_within_by`` — e.g. conv_id, turn_idx — so downstream
-        conversation windows read clustered data).  The rewrite goes
-        through the same staging+atomic-rename publish as overwrite();
-        readers never observe a half-compacted table.  Iceberg twin:
-        ``rewrite_data_files``."""
+        from the current snapshot's actual on-disk size), optionally
+        re-establishing partition dirs and an intra-file sort
+        (``sort_within_by`` — e.g. conv_id, turn_idx — so downstream
+        conversation windows read clustered data).  The rewrite is a new
+        snapshot + pointer swap: readers see the old table until the
+        commit instant and the new one after — never a missing or
+        half-compacted table, and a kill leaves the old snapshot current.
+        ``expire=True`` drops the superseded snapshots afterwards (the
+        compacted data is identical, so history adds nothing).  Iceberg
+        twin: ``rewrite_data_files`` + ``expire_snapshots``."""
         import math
 
-        table_dir = self.path(table)
+        data_dir = self.data_path(table)
         n_files = 0
         total_bytes = 0
-        for root, _d, files in os.walk(table_dir):
-            for f in files:
-                if not f.startswith(("_", ".")):
-                    n_files += 1
-                    total_bytes += os.path.getsize(os.path.join(root, f))
+        if data_dir:
+            for root, _d, files in os.walk(data_dir):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        n_files += 1
+                        total_bytes += os.path.getsize(os.path.join(root, f))
         target = max(1, math.ceil(total_bytes / target_file_bytes))
         df = self.read(table)
         if sort_within_by:
@@ -119,12 +308,15 @@ class TableCatalog:
         else:
             df = df.coalesce(target) if target < n_files else df.repartition(target)
         self.overwrite(df, table, partition_by=partition_by)
+        if expire:
+            self.expire_snapshots(table, keep_last=1)
+        new_dir = self.data_path(table)
         n_after = sum(
             1
-            for root, _d, files in os.walk(table_dir)
+            for root, _d, files in os.walk(new_dir)
             for f in files
             if not f.startswith(("_", "."))
-        )
+        ) if new_dir else 0
         return {"files_before": n_files, "files_after": n_after,
                 "bytes": total_bytes}
 

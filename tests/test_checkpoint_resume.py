@@ -2,6 +2,8 @@
 commit → rerun → identical final table, zero recomputation of committed
 buckets, lineage metrics recorded per partition."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -144,6 +146,76 @@ def test_idempotent_rerun_noop(spark, tmp_path, input_df):
     assert _sorted_rows(cat.read("extracted")) == before
 
 
+def test_single_commit_kill_shows_both_or_neither(spark, tmp_path, input_df):
+    """SURVEY §7.4.6 single-commit semantics: a kill between staging the
+    data and publishing must leave NEITHER data nor lineage visible (the
+    staged snapshot is unreferenced); after the atomic commit, BOTH are.
+    Simulated by driving the same stage/commit calls run_extraction makes
+    and stopping at each kill point."""
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh_atomic"))
+    df = input_df.limit(10)
+
+    # kill point 1: data staged, lineage not staged, no commit
+    data_snap = cat.stage_append(df, "extracted")
+    assert not cat.exists("extracted") and not cat.exists("run_partitions")
+
+    # kill point 2: both staged, commit not reached
+    lin = spark.createDataFrame([("r1", 0, 0)], "run_id string, partition_id int, conv_bucket int")
+    lin_snap = cat.stage_append(lin, "run_partitions")
+    assert not cat.exists("extracted") and not cat.exists("run_partitions")
+
+    # the commit: one pointer swap publishes both
+    cat.commit({"extracted": data_snap, "run_partitions": lin_snap})
+    assert cat.exists("extracted") and cat.exists("run_partitions")
+    assert cat.read("extracted").count() == 10
+    assert cat.read("run_partitions").count() == 1
+
+    # vacuum removes a staged-then-abandoned snapshot, never a committed one
+    abandoned = cat.stage_append(df, "extracted")
+    removed = cat.vacuum("extracted")
+    assert abandoned in removed
+    assert cat.read("extracted").count() == 10
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path, input_df):
+    """Appends create immutable snapshots; a superseded snapshot stays
+    readable (time travel) until expire_snapshots."""
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh_tt"))
+    cat.append(input_df.limit(5), "t")
+    first = cat.current_tables()["t"]
+    cat.append(input_df.limit(3), "t")
+    assert cat.read("t").count() == 8
+    # time travel to the pre-append snapshot
+    assert cat.read("t", snapshot=first.split("/", 1)[1]).count() == 5
+    assert cat.snapshots("t")[-1] == first
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert first in expired
+    # current snapshot unaffected (hardlinked files survive expiry)
+    assert cat.read("t").count() == 8
+
+
+def test_overwrite_never_exposes_missing_table(spark, tmp_path, input_df):
+    """ADVICE r2 (medium): the old overwrite() did rmtree(table) then
+    rename(staging) — readers in that window saw a missing table.  With
+    the pointer swap the old snapshot serves reads up to the commit
+    instant: the previous data dir must still exist WHILE the new staged
+    snapshot is fully written, and a crash before commit() leaves the old
+    state current."""
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh_ow"))
+    cat.overwrite(input_df.limit(7), "t")
+    old_dir = cat.data_path("t")
+    staged = cat.stage_overwrite(input_df.limit(2), "t")  # crash before commit
+    assert os.path.isdir(old_dir) and cat.read("t").count() == 7
+    cat.commit({"t": staged})
+    assert cat.read("t").count() == 2
+
+
 def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path, input_df):
     """Incremental appends fragment the table (one+ file per run-bucket);
     compact() must rewrite to few files, atomically, without changing a
@@ -161,7 +233,7 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path, input_df):
     before_rows = _sorted_rows(cat.read("extracted"))
     n_files_before = sum(
         1
-        for root, _d, files in os.walk(cat.path("extracted"))
+        for root, _d, files in os.walk(cat.data_path("extracted"))
         for f in files
         if not f.startswith(("_", "."))
     )
