@@ -81,8 +81,12 @@ def _byte_bounded(pdf: pd.DataFrame, budget: int) -> Iterator[pd.DataFrame]:
     bounds ROWS, but 2048 rows of MB-scale HTML is gigabytes of strings
     held live while the output frame builds.  Length estimation is two
     vectorized str.len passes — no per-row Python."""
+    # str.len() over object dtype yields object; make the dtype explicit
+    # BEFORE fillna (object-fillna downcasting is deprecated and flips
+    # behavior in pandas 3)
     sizes = (
-        pdf["text"].str.len().fillna(0) + pdf["tool"].str.len().fillna(0)
+        pdf["text"].str.len().astype("float64").fillna(0.0)
+        + pdf["tool"].str.len().astype("float64").fillna(0.0)
     ).to_numpy()
     if sizes.sum() <= budget:
         yield pdf
@@ -112,6 +116,15 @@ def _make_extract_batches(budget: int):
 
 
 def _extract_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Per-row dispatch is the MEASURED optimum here, not an oversight.
+    # Profiled r3 (cProfile, 2k pdf_layout turns): _page_lines 47%,
+    # routing+json.loads ~15% — the layout kernel dominates, not dispatch.
+    # A vectorized pre-route (pandas str.contains sniff + str.replace
+    # normalize for the plain family) measured 3.5× SLOWER than this loop
+    # at 50k plain rows: object-dtype pandas str ops pay per-row Python
+    # anyway, while extract_turn's scalar fast paths (_WS_NEEDS_COLLAPSE
+    # single C scan, html sniff short-circuit) do less work per row.
+    #
     # nulls arrive as None or NaN depending on the Arrow→pandas path;
     # pin to None so the dispatcher's contract holds
     texts = [t if isinstance(t, str) else None for t in pdf["text"]]

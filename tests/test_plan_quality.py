@@ -138,6 +138,70 @@ class TestSinglePlanComposites:
         assert plan.count("Scan parquet") == 3, plan
 
 
+class TestRuntimeFilters:
+    def test_bloom_filter_injects_on_dim_join_at_lowered_thresholds(
+        self, spark, tmp_path
+    ):
+        """Runtime bloom-filter semi-join pruning, demonstrated at sandbox
+        scale by lowering the engagement thresholds (defaults: application
+        side > 10 GB, creation side < 10 MB — untriggerable on sf0.01).
+
+        Where it engages at 100 TB in THIS engine: the decontam audit's
+        corpus-grams ⋈ eval-grams inner join once the eval side outgrows
+        broadcast, and any filtered-dim ⋈ fact join (fuzzy blocking,
+        IVF cell assignment ⋈ corpus).  Two shapes it can NOT serve, by
+        semantics/implementation: (a) the resume/decontam LEFT ANTI joins —
+        a bloom of build keys cannot prune the preserved side (false
+        positives would wrongly DROP rows); (b) the LSH verification joins —
+        their creation side is an aggregate subplan, and InjectRuntimeFilter
+        only fires for scan+filter creation sides (probed empirically).
+        The plan must show bloom_filter_agg on the dim side and
+        might_contain pushed into the fact scan's filter."""
+        big = spark.read.parquet(f"{SF_DIR}/../sf0.01/documents.parquet")
+        big.write.parquet(str(tmp_path / "fact"))
+        spark.range(0, 50).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 2).alias("x")
+        ).write.parquet(str(tmp_path / "dim"))
+        keep = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "100MB",
+            )
+            fact = spark.read.parquet(str(tmp_path / "fact"))
+            dim = spark.read.parquet(str(tmp_path / "dim")).filter(
+                F.col("x") % 4 == 0
+            )
+            joined = fact.join(dim, "doc_id")
+            plan = _plan(joined)
+            assert "might_contain" in plan, plan
+            assert "bloom_filter_agg" in plan, plan
+            # and it prunes correctly: x%4==0 keeps doc_ids 0,4,8,...,48
+            assert joined.count() == 25
+        finally:
+            for k, v in keep.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestBucketedJoins:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """Two tables bucketed on the same key/count must hash-join with
