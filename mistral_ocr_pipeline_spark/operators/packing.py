@@ -1,0 +1,69 @@
+"""Token-budget sequence packing — the pretraining-data step between
+curation and the trainer: documents are packed into fixed-token-budget
+bins (context windows) so batch assembly wastes no padding.
+
+Document-preserving greedy packing, deterministic and SQL-replayable:
+
+* each document is assigned to a SHARD (``pmod(id, n_shards)`` — modulo
+  rather than a hash so the DuckDB oracle replays it exactly; production
+  would use ``xxhash64`` for key smoothing, same plan shape);
+* within a shard, documents are laid out in id order and a running token
+  offset is computed (one window cumsum per shard);
+* ``pack_id = floor(start_offset / budget)`` — a document joins the pack
+  its starting offset falls in, i.e. concatenate-in-order and cut at
+  budget boundaries WITHOUT splitting documents (a pack can overflow by
+  at most one document's tokens, the standard document-preserving
+  variant of GPT-style pack-then-chunk).
+
+Scale shape: the only wide operation is one window (sort + cumsum) per
+shard; a shard's rows land on one task, so per-task input is bounded by
+corpus/n_shards — raise ``n_shards`` with corpus size (the trainer wants
+many independent pack streams anyway).  No driver-side state, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-document pack assignment: (id, shard, tokens, start_offset,
+    pack_id).  ``tokens_col`` is a precomputed per-document token count
+    (see ``text_analysis.ws_token_count`` / ``bpe_token_count``)."""
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
+    w = W.partitionBy("shard").orderBy("id")
+    run = w.rowsBetween(W.unboundedPreceding, -1)
+    return (
+        df.select(F.col(id_col).alias("id"), shard, F.col(tokens_col).alias("tokens"))
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("tokens").over(run), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
+        )
+    )
+
+
+def pack_rollup(packed: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-pack fill statistics: (shard, pack_id, n_docs, total_tokens,
+    fill_ratio).  ``fill_ratio`` > 1 marks the overflow pack head (the one
+    straddling document); the trainer-side consumer treats budget as the
+    cut point."""
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("total_tokens") / F.lit(float(budget)), 6),
+        )
+    )

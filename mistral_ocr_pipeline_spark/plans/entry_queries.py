@@ -1956,6 +1956,118 @@ def w8_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w9_sliding_event_windows",
+    oracle="""
+    SELECT wstart AS window_start, event_type,
+           count(*) AS n,
+           round((sum(value::DECIMAL(18,6)))::double, 4) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (k.k * INTERVAL 15 MINUTE)
+                 AS wstart,
+             ts, event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)) x
+    WHERE ts < wstart + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def w9_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — 1-hour width, 15-minute
+    slide: each event lands in 4 overlapping windows (the streaming-rate
+    dashboard shape; F.window's slide arg is the batch twin of the same
+    streaming aggregation).  Oracle replays the window fan-out as a
+    15-minute time_bucket minus k slides, k ∈ 0..3 — both engines align
+    15-minute buckets identically (epoch and the 2000-01-01 origin are
+    both minute-0 aligned)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — curated docs → fixed-token-budget context windows
+# --------------------------------------------------------------------------
+_PACK_TOK = r"""
+      SELECT doc_id AS id, doc_id % 8 AS shard,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint
+                 AS tokens
+      FROM documents"""
+
+_PACK_OFF = f"""
+    WITH tok AS ({_PACK_TOK}),
+    off AS (
+      SELECT id, shard, tokens,
+             coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                 AS start_offset
+      FROM tok)"""
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""{_PACK_OFF}
+    SELECT id, shard, tokens, start_offset,
+           (start_offset // 512)::bigint AS pack_id
+    FROM off
+    """,
+)
+def pack_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): the
+    pretraining step that bins curated documents into 512-token context
+    windows — deterministic shard + in-order offset + boundary cut,
+    replayed exactly by the oracle's window cumsum."""
+    from mistral_ocr_pipeline_spark.operators.packing import pack_token_budget
+    from mistral_ocr_pipeline_spark.operators.text_analysis import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("tokens")
+    )
+    return pack_token_budget(docs, "doc_id", "tokens", budget=512, n_shards=8)
+
+
+@register(
+    "pack_rollup",
+    oracle=f"""{_PACK_OFF}
+    SELECT shard, (start_offset // 512)::bigint AS pack_id,
+           count(*) AS n_docs,
+           sum(tokens)::bigint AS total_tokens,
+           round(sum(tokens) / 512.0, 6) AS fill_ratio
+    FROM off
+    GROUP BY 1, 2
+    """,
+)
+def pack_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack fill statistics over the packing assignment — the
+    padding-waste audit a data pipeline publishes per training shard."""
+    from mistral_ocr_pipeline_spark.operators.packing import (
+        pack_rollup,
+        pack_token_budget,
+    )
+    from mistral_ocr_pipeline_spark.operators.text_analysis import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("tokens")
+    )
+    return pack_rollup(
+        pack_token_budget(docs, "doc_id", "tokens", budget=512, n_shards=8),
+        budget=512,
+    )
+
+
 # --------------------------------------------------------------------------
 # Connected components — pair list → dedup clusters (transitive closure)
 # --------------------------------------------------------------------------

@@ -47,9 +47,13 @@ def run_incremental_extraction(
     stream = reader.load()
 
     def process_batch(batch_df, batch_id: int) -> None:
+        # stage data + metrics, publish both in ONE atomic catalog commit:
+        # a kill inside the batch leaves neither visible, and the streaming
+        # checkpoint replays the micro-batch cleanly (same single-commit
+        # protocol as checkpoint/lineage.run_extraction)
         extracted = extract_transcripts(batch_df, repartition=False).persist()
         try:
-            catalog.append(extracted, output_table)
+            data_snap = catalog.stage_append(extracted, output_table)
             agg = extracted.agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.col("error").isNotNull().cast("long")).alias("failures"),
@@ -58,7 +62,8 @@ def run_incremental_extraction(
                 [(run_id, int(batch_id), int(agg.rows or 0), int(agg.failures or 0))],
                 "run_id string, batch_id long, rows long, failures long",
             )
-            catalog.append(metrics, lineage_table)
+            metrics_snap = catalog.stage_append(metrics, lineage_table)
+            catalog.commit({output_table: data_snap, lineage_table: metrics_snap})
         finally:
             extracted.unpersist()
 

@@ -571,6 +571,65 @@ class TestConnectedComponents:
         assert ckpt_files, "reliable checkpoint directory was never written"
 
 
+class TestSequencePacking:
+    def test_document_preserving_boundary_cut(self, spark):
+        """Docs fill packs in id order; a doc whose start offset falls in
+        pack k joins pack k even if it overflows the budget (documents
+        are never split), and the next doc starts the next pack region."""
+        from mistral_ocr_pipeline_spark.operators.packing import (
+            pack_rollup,
+            pack_token_budget,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, 60), (8, 50), (16, 10), (24, 100), (1, 30)],
+            "doc_id long, tokens long",
+        )
+        out = {
+            r.id: (r.shard, r.start_offset, r.pack_id)
+            for r in pack_token_budget(
+                docs, "doc_id", "tokens", budget=100, n_shards=8
+            ).collect()
+        }
+        # shard 0 in id order: 0(60) -> off 0 pack 0; 8(50) -> off 60
+        # pack 0 (overflows to 110); 16(10) -> off 110 pack 1; 24(100) ->
+        # off 120 pack 1 (ends at 220)
+        assert out[0] == (0, 0, 0)
+        assert out[8] == (0, 60, 0)
+        assert out[16] == (0, 110, 1)
+        assert out[24] == (0, 120, 1)
+        assert out[1] == (1, 0, 0)
+        roll = {
+            (r.shard, r.pack_id): (r.n_docs, r.total_tokens)
+            for r in pack_rollup(
+                pack_token_budget(docs, "doc_id", "tokens", budget=100, n_shards=8),
+                budget=100,
+            ).collect()
+        }
+        assert roll[(0, 0)] == (2, 110) and roll[(0, 1)] == (2, 110)
+
+    def test_partition_invariant(self, spark):
+        """Pack assignment is a pure function of (id, tokens) — identical
+        under any physical partitioning of the input."""
+        from mistral_ocr_pipeline_spark.operators.packing import pack_token_budget
+
+        docs = spark.range(0, 500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("tokens")
+        )
+        a = set(
+            map(tuple, pack_token_budget(docs, "doc_id", "tokens", 64, 8).collect())
+        )
+        b = set(
+            map(
+                tuple,
+                pack_token_budget(
+                    docs.repartition(13), "doc_id", "tokens", 64, 8
+                ).collect(),
+            )
+        )
+        assert a == b
+
+
 class TestGraphAndInterleave:
     def test_pagerank_hub_outranks_leaves(self, spark):
         from mistral_ocr_pipeline_spark.operators.dedup import pagerank_canonical
