@@ -17,9 +17,14 @@ and finalize once the watermark passes ``last event + gap``.
 
 Scale notes: state is keyed by (user_id, open session) — one entry per
 user with activity inside the watermark horizon, independent of stream
-length; the shuffle key is user_id (well distributed; a celebrity-user
-hot key would call for the same salting defense as the batch pipeline,
-traded against session-merge locality)."""
+length.  The shuffle key is user_id; the per-TRIGGER input for a hot key
+is bounded by (user event rate × trigger interval) — the streaming
+analog of the batch chunk bound — so a bot user costs one busy state
+task, not an unbounded gather.  If a single trigger's hot-key volume
+ever becomes the bottleneck, pre-aggregate per micro-batch with the
+batch two-phase sessionizer (``operators/sessionize.salted_session_
+windows`` with chunk = trigger interval) and feed session FRAGMENTS to
+the stateful merge — same boundary-merge algebra, state unchanged."""
 
 from __future__ import annotations
 
