@@ -104,6 +104,86 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_id", lang_col)
 
 
+# PII patterns — deliberately in the RE2∩Java-identical subset: no
+# backrefs, no lookarounds, and NO \b (Java's \b is Unicode-aware, RE2's
+# is ASCII — adjacent non-ASCII word chars would make the engines
+# disagree; the slight precision loss is the price of a bit-exact SQL
+# twin).  Scrub order matters (an SSN is 9 digits a phone pattern could
+# eat): patterns apply sequentially and each count is taken on the text
+# as it stands BEFORE that pattern's replacement — the oracle replays the
+# same staged pipeline.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    ("phone", r"(?:\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IP literals and count each —
+    the pre-training privacy pass.  All JVM ``regexp_replace`` /
+    ``regexp_count`` (codegen'd, no UDF); at 100 TB this is a map-only
+    scan.  DuckDB twin: the same staged ``regexp_replace(..., 'g')``
+    cascade (RE2 flavor; patterns are deliberately RE2∩Java-safe)."""
+    cur = F.col(text_col)
+    cols = [F.col(id_col).alias("id")]
+    for name, pat, token in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    cols.append(cur.alias("scrubbed"))
+    return df.select(*cols)
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signals): the
+    fraction of duplicate non-empty lines and duplicate word 3-grams —
+    boilerplate-heavy or loop-generated docs score high and get filtered
+    before training.  Pure array expressions (split → filter →
+    array_distinct), map-only at scale; DuckDB twin via string_split +
+    list_distinct."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                    lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being
+    # empty (DuckDB's generate_series(1, 0) is empty), and slice rejects
+    # a 0 start — short docs need an explicit empty-array branch
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_lines = F.size(lines)
+    n_grams = F.size(grams)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0,
+                   (n_lines - F.size(F.array_distinct(lines))) / n_lines
+                   ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_fraction"),
+        n_grams.cast("long").alias("n_3grams"),
+        F.round(
+            F.when(n_grams > 0,
+                   (n_grams - F.size(F.array_distinct(grams))) / n_grams
+                   ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_3gram_fraction"),
+    )
+
+
 def fingerprint_md5(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Document fingerprint = md5 of the normalized text.  DuckDB:
     ``md5(trim(regexp_replace(lower(t),'\\s+',' ','g')))``"""

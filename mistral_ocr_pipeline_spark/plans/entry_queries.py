@@ -1298,6 +1298,128 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_BASE_SQL = """
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || doc_id ||
+                       '@example.com or 555-123-4567' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' ssn 123-45-6789 from 10.0.0.' || (doc_id % 255)
+                  ELSE '' END AS t
+      FROM documents"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH base AS ({_PII_BASE_SQL}),
+    s1 AS (SELECT doc_id,
+             len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}'))::bigint
+                 AS n_email,
+             regexp_replace(t,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}',
+                 '[EMAIL]', 'g') AS t
+           FROM base),
+    s2 AS (SELECT doc_id, n_email,
+             len(regexp_extract_all(t,
+                 '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}'))::bigint AS n_ssn,
+             regexp_replace(t, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}',
+                 '[SSN]', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ssn,
+             len(regexp_extract_all(t,
+                 '(?:\\+?[0-9]{{1,2}}[-. ])?\\(?[0-9]{{3}}\\)?[-. ][0-9]{{3}}[-. ][0-9]{{4}}'))::bigint
+                 AS n_phone,
+             regexp_replace(t,
+                 '(?:\\+?[0-9]{{1,2}}[-. ])?\\(?[0-9]{{3}}\\)?[-. ][0-9]{{3}}[-. ][0-9]{{4}}',
+                 '[PHONE]', 'g') AS t
+           FROM s2)
+    SELECT doc_id AS id, n_email, n_ssn, n_phone,
+           len(regexp_extract_all(t,
+               '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))::bigint
+               AS n_ip,
+           regexp_replace(t,
+               '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+               '[IP]', 'g') AS scrubbed
+    FROM s3
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text_analysis.pii_scrub): emails / SSNs /
+    phones / IP literals replaced with typed tokens and counted, staged in
+    a fixed order so an SSN never leaks into the phone pattern.  PII is
+    synthesized deterministically onto every 7th/11th document (the
+    corpus itself is clean); the oracle replays the same staged regex
+    cascade in RE2 — the patterns live in the RE2∩Java-identical subset,
+    and the scrubbed STRINGS hash-match, not just the counts."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-6789 from 10.0.0."),
+                    (F.col("doc_id") % 255).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(docs, "doc_id", "text")
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+                 chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                 x -> x <> '') AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id, lines,
+             list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                 i -> array_to_string(words[i:i+2], ' ')) AS grams
+      FROM parts)
+    SELECT doc_id AS id,
+           len(lines)::bigint AS n_lines,
+           round(CASE WHEN len(lines) > 0
+                 THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+                 ELSE 0 END, 6) AS dup_line_fraction,
+           len(grams)::bigint AS n_3grams,
+           round(CASE WHEN len(grams) > 0
+                 THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+                 ELSE 0 END, 6) AS dup_3gram_fraction
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (Gopher-style quality signals):
+    duplicate-line and duplicate-3-gram fractions per document — the
+    filter that catches boilerplate-heavy / loop-generated docs before
+    training.  Pure array expressions, map-only."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        repetition_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
 @register(
     "text_quality_score",
     oracle=r"""

@@ -571,6 +571,50 @@ class TestConnectedComponents:
         assert ckpt_files, "reliable checkpoint directory was never written"
 
 
+class TestPiiAndRepetition:
+    def test_pii_scrub_order_and_counts(self, spark):
+        """SSNs must be redacted BEFORE the phone pattern sees them;
+        emails/IPs are independent; counts reflect each stage's input."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b-c@ex.org and ssn 123-45-6789 ok"),
+                (2, "call +1 555-123-4567 or (555) 123-4567 from 10.0.0.1"),
+                (3, None),
+                (4, "clean text with version 1.2.3 and date 2024-01-01"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in pii_scrub(df, "doc_id", "text").collect()}
+        assert out[1].n_email == 1 and out[1].n_ssn == 1 and out[1].n_phone == 0
+        assert out[1].scrubbed == "mail [EMAIL] and ssn [SSN] ok"
+        assert out[2].n_phone == 2 and out[2].n_ip == 1
+        assert "[PHONE]" in out[2].scrubbed and "[IP]" in out[2].scrubbed
+        assert out[3].scrubbed is None and out[3].n_email is None
+        # no false positives on versions/dates (no phone-shaped separators)
+        assert out[4].scrubbed == "clean text with version 1.2.3 and date 2024-01-01"
+
+    def test_repetition_fractions(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            repetition_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "same line\nsame line\nother\n\n  \n"),
+                (2, "a b c a b c a b c"),  # 7 3-grams, 3 distinct
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+        assert out[1].n_lines == 3 and abs(out[1].dup_line_fraction - 1 / 3) < 1e-6
+        assert out[2].n_3grams == 7
+        assert abs(out[2].dup_3gram_fraction - 4 / 7) < 1e-6
+        assert out[3].n_lines == 0 and out[3].dup_line_fraction == 0.0
+
+
 class TestSequencePacking:
     def test_document_preserving_boundary_cut(self, spark):
         """Docs fill packs in id order; a doc whose start offset falls in
