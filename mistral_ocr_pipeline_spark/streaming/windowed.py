@@ -41,15 +41,25 @@ def windowed_event_counts(
     stream: DataFrame,
     window: str = "1 hour",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window aggregation over a streaming DataFrame.
+    """Tumbling — or, with ``slide``, hopping — event-time window
+    aggregation over a streaming DataFrame (batch twins:
+    `w7_event_tumbling_agg` / `w9_sliding_event_windows`).
 
     Same logical aggregation as the batch twin; `withWatermark` is the only
     streaming-specific line — the point of expressing the plan
-    declaratively."""
+    declaratively.  Hopping windows multiply state by window/slide
+    (each event lives in that many open windows) — the watermark bound
+    still holds per window."""
+    w = (
+        F.window(F.col("ts"), window, slide)
+        if slide
+        else F.window(F.col("ts"), window)
+    )
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
@@ -73,6 +83,7 @@ def run_windowed_drain(
     checkpoint_dir: str,
     window: str = "1 hour",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> None:
     """Drain currently-available event files (AvailableNow) into an
     append-only parquet sink of FINALIZED windows.
@@ -88,7 +99,7 @@ def run_windowed_drain(
         .load()
     )
     q = (
-        windowed_event_counts(stream, window=window, watermark=watermark)
+        windowed_event_counts(stream, window=window, watermark=watermark, slide=slide)
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", output_dir)

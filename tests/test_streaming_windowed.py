@@ -122,3 +122,53 @@ def test_streaming_matches_batch_twin_on_finalized_windows(spark, tmp_path):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in twin.collect()}
     assert s == b and len(s) > 0
+
+
+def test_hopping_windows_match_batch_twin(spark, tmp_path):
+    """Hopping (1h window / 15min slide) streaming aggregation agrees with
+    the w9 batch twin on finalized windows — each event lands in 4
+    overlapping windows, and append mode emits each exactly once."""
+    input_dir = tmp_path / "ev_in3"
+    input_dir.mkdir()
+    rows = [
+        _ev(i, f"{10 + (i * 7) % 4:02d}:{(i * 13) % 60:02d}",
+            ["click", "view"][i % 2], float(i))
+        for i in range(40)
+    ]
+    _write_events(rows, input_dir / "all.parquet")
+    out = str(tmp_path / "ev_out3")
+    ckpt = str(tmp_path / "ev_ckpt3")
+    run_windowed_drain(
+        spark, str(input_dir), out, ckpt,
+        watermark="10 minutes", slide="15 minutes",
+    )
+
+    streamed = spark.read.parquet(out)
+    src = spark.read.parquet(str(input_dir / "all.parquet"))
+    max_ts = src.agg(F.max("ts")).first()[0]
+    twin = (
+        src.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .filter(
+            F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+        )
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in twin.collect()}
+    assert s == b and len(s) > 0
+    # an event contributes to 4 overlapping hops: total n across all
+    # windows (finalized or not) would be 4x the events; on the finalized
+    # prefix it is still strictly greater than the tumbling count
+    assert sum(r.n for r in streamed.collect()) > 40
