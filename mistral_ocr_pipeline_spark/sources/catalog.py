@@ -241,7 +241,14 @@ class TableCatalog:
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Delete superseded snapshot dirs beyond the newest ``keep_last``
         (current is always kept).  Hardlinked files shared with retained
-        snapshots survive — the filesystem refcounts them."""
+        snapshots survive — the filesystem refcounts them.
+
+        Retention rule (same as Iceberg's expire_snapshots): a reader that
+        resolved a snapshot path before a commit keeps reading that
+        snapshot; expiring it mid-read breaks the reader.  Size
+        ``keep_last`` to cover the longest-running query against this
+        table (compact()'s default keep_last=1 assumes the maintenance
+        window has no concurrent readers of pre-compaction snapshots)."""
         history = self.snapshots(table)
         expired = []
         for snap in history[max(1, keep_last):]:

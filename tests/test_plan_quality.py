@@ -138,6 +138,37 @@ class TestSinglePlanComposites:
         assert plan.count("Scan parquet") == 3, plan
 
 
+class TestNewOpPlanShapes:
+    def test_pii_scrub_is_map_only(self, docs):
+        """The privacy pass must be a pure scan→project pipeline — zero
+        Exchange, whole-stage codegen, no Python — or it costs a shuffle
+        per 100 TB pass it doesn't need."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import pii_scrub
+
+        plan = _plan(pii_scrub(docs, "doc_id", "text"))
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert plan.lstrip().startswith("*(")  # whole-stage-codegen'd project
+
+    def test_packing_single_shuffle_on_shard(self, docs):
+        """Sequence packing is one shuffle (hashpartitioning on shard) +
+        one per-shard sort window; the rollup reuses the same partitioning
+        (no second exchange on the same keys)."""
+        from mistral_ocr_pipeline_spark.operators.packing import (
+            pack_rollup,
+            pack_token_budget,
+        )
+        from mistral_ocr_pipeline_spark.operators.text_analysis import ws_token_count
+
+        d = docs.select("doc_id", ws_token_count(F.col("text")).alias("tokens"))
+        packed = pack_token_budget(d, "doc_id", "tokens", budget=512, n_shards=8)
+        assert _plan(packed).count("Exchange") == 1
+        # groupBy(shard, pack_id) after a window partitioned by shard:
+        # hash(shard, pack_id) isn't satisfied by hash(shard), so AQE may
+        # add one small post-agg exchange — but never more
+        assert _plan(pack_rollup(packed, budget=512)).count("Exchange") <= 2
+
+
 class TestRuntimeFilters:
     def test_bloom_filter_injects_on_dim_join_at_lowered_thresholds(
         self, spark, tmp_path
