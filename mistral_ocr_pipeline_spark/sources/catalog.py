@@ -143,13 +143,30 @@ class TableCatalog:
             for f in direct
         )
 
-    def read(self, table: str, snapshot: str | None = None) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        snapshot: str | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Read the current snapshot — or, with ``snapshot="snap-…"``, a
-        superseded one that has not been expired (time travel)."""
+        superseded one that has not been expired (time travel).
+
+        ``merge_schema=True`` serves Iceberg-style ADD-COLUMN evolution: a
+        snapshot whose appends introduced new columns carries files of
+        both shapes (old files ride forward as hardlinks), and the merged
+        read surfaces the union schema with nulls for pre-evolution rows.
+        Off by default because schema merging pays a per-file footer read
+        at planning time — at 10^12 turns turn it on only for evolved
+        tables (or compact() once, which rewrites every file to the
+        current schema and makes the flag unnecessary)."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if snapshot is not None:
-            return self.spark.read.parquet(os.path.join(self.path(table), snapshot))
+            return reader.parquet(os.path.join(self.path(table), snapshot))
         dp = self.data_path(table)
-        return self.spark.read.parquet(dp if dp else self.path(table))
+        return reader.parquet(dp if dp else self.path(table))
 
     # -- staged writes -----------------------------------------------------
     def stage_overwrite(
@@ -309,7 +326,10 @@ class TableCatalog:
                         n_files += 1
                         total_bytes += os.path.getsize(os.path.join(root, f))
         target = max(1, math.ceil(total_bytes / target_file_bytes))
-        df = self.read(table)
+        # merge_schema: an evolved table's snapshot holds files of mixed
+        # shapes — the compaction rewrite must carry the UNION schema, and
+        # afterwards plain reads see it without the flag
+        df = self.read(table, merge_schema=True)
         if sort_within_by:
             df = df.repartition(target).sortWithinPartitions(*sort_within_by)
         else:

@@ -216,6 +216,34 @@ def test_overwrite_never_exposes_missing_table(spark, tmp_path, input_df):
     assert cat.read("t").count() == 2
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style ADD COLUMN: an append introducing a new column leaves
+    old files untouched (hardlinked forward); merge_schema reads surface
+    the union schema with nulls for pre-evolution rows, and compact()
+    rewrites everything to the current schema so the flag becomes
+    unnecessary."""
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh_se"))
+    cat.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "t"
+    )
+    cat.append(
+        spark.createDataFrame(
+            [(3, "c", 1.5)], "id long, v string, score double"
+        ),
+        "t",
+    )
+    evolved = cat.read("t", merge_schema=True)
+    assert set(evolved.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in evolved.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    # compact homogenizes the files: plain read now carries the union
+    cat.compact("t")
+    assert set(cat.read("t").columns) == {"id", "v", "score"}
+    assert cat.read("t").count() == 3
+
+
 def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path, input_df):
     """Incremental appends fragment the table (one+ file per run-bucket);
     compact() must rewrite to few files, atomically, without changing a
