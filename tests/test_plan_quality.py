@@ -233,6 +233,62 @@ class TestRuntimeFilters:
                     spark.conf.set(k, v)
 
 
+class TestAqeSkewJoin:
+    def test_skew_join_split_engages_at_lowered_thresholds(self, spark, tmp_path):
+        """AQE skew-join is the documented runtime BACKSTOP behind the
+        salting defenses — demonstrate it actually engages: a join with
+        one hot key (half the fact table) under lowered skew thresholds
+        must show `skew=true` in the final adaptive plan, splitting the
+        hot partition instead of pinning one task.  At 100 TB the same
+        mechanism splits any residual skew the deterministic salts miss."""
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("dim")
+        )
+        big.write.parquet(str(tmp_path / "fact"))
+        small.write.parquet(str(tmp_path / "dim"))
+        keep = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.adaptive.coalescePartitions.enabled",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            joined = (
+                spark.read.parquet(str(tmp_path / "fact"))
+                .join(spark.read.parquet(str(tmp_path / "dim")), "k")
+            )
+            # execute THIS Dataset (collect, not count — count builds its
+            # own execution) so the adaptive plan finalizes with skew info
+            rows = joined.collect()
+            # hot k=7 (100k even-id rows) + odd ids whose k < 1000 (500)
+            assert len(rows) == 100_500
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, plan
+        finally:
+            for k, v in keep.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestBucketedJoins:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """Two tables bucketed on the same key/count must hash-join with

@@ -103,3 +103,31 @@ class TestSaltedSessionPlan:
 
         exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
         assert any("_chunk" in e and "user" in e for e in exchanges), plan
+
+
+class TestSaltedSessionProperty:
+    def test_random_event_sets_agree_with_single_pass(self, spark):
+        """Property check: for seeded random event sets (several users,
+        dense and sparse regions, duplicate timestamps, chunk-boundary
+        neighbors), the salted two-phase result equals single-pass
+        session_window exactly — across three chunk sizes."""
+        import random
+
+        rng = random.Random(1234)
+        rows = []
+        for user in range(4):
+            t = 0
+            for _ in range(rng.randint(30, 120)):
+                # mix of short gaps (in-session), exact-gap (merge), and
+                # long gaps (new session); occasional duplicate ts
+                t += rng.choice([1, 60, 300, 1800, 1801, 5400, 0])
+                rows.append((user, T0 + timedelta(seconds=t)))
+        df = spark.createDataFrame(rows, SCHEMA)
+        plain = _canon(session_windows(df, "user_id", "ts", gap_secs=1800))
+        for chunk in (1800, 7200, 86400):
+            salted = _canon(
+                salted_session_windows(
+                    df, "user_id", "ts", gap_secs=1800, chunk_secs=chunk
+                )
+            )
+            assert salted == plain, f"chunk={chunk}"
