@@ -205,6 +205,57 @@ def shingle_sets(
     return toks.select("id", sh.alias("sh"))
 
 
+def substring_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 12,
+    max_bucket: int = 64,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """EXACT substring-sharing pairs: (id_a, id_b, n_shared_grams) for
+    every document pair sharing ≥1 exact ``n``-word span — the
+    deduplicate-long-substrings criterion (Lee et al. 2021's "Dedup
+    Training Data Makes LM Better" proxy at word granularity), distinct
+    from MinHash (which estimates whole-document similarity; a 50-word
+    verbatim quote in otherwise-different docs is invisible to MinHash at
+    threshold but is exactly what this catches).
+
+    Shape: gram-hash buckets via the salted bounded collect (no
+    unbounded gather — a boilerplate span shared by 10⁶ docs caps at
+    ``max_bucket`` with the truncation surfaced), pair fan-out within
+    buckets, then an exact shared-gram count via array_intersect on two
+    fresh shingle branches (same re-shingle-don't-persist argument as
+    ``minhash_lsh_pairs``)."""
+    sets = shingle_sets(df, id_col, text_col, n)
+    grams = sets.select("id", F.explode("sh").alias("g"))
+    buckets = _bounded_bucket_collect(
+        grams, ["g"], F.col("id"), F.col("id"), max_bucket, "ids"
+    )
+    buckets = _observe_caps(buckets, observation).filter(F.size("ids") > 1)
+    pairs = (
+        buckets.select(
+            F.explode(_pairs_from_sorted("ids")).alias("p"), "bucket_truncated"
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
+    )
+    vsets = shingle_sets(df, id_col, text_col, n)
+    a, b = vsets.alias("a"), vsets.alias("b")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("a.id"))
+        .join(b, pairs["id_b"] == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("long").alias(
+                "n_shared_grams"
+            ),
+            "bucket_truncated",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

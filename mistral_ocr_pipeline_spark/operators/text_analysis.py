@@ -136,14 +136,19 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
 
 
 def repetition_metrics(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Intra-document repetition (Gopher-style quality signals): the
     fraction of duplicate non-empty lines and duplicate word 3-grams —
     boilerplate-heavy or loop-generated docs score high and get filtered
     before training.  Pure array expressions (split → filter →
     array_distinct), map-only at scale; DuckDB twin via string_split +
-    list_distinct."""
+    list_distinct.  ``keep_cols`` carries extra source columns through so
+    downstream rollups stay one scan/one plan (same convention as
+    ``dedup.contamination_flags``)."""
     lines = F.filter(
         F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
                     lambda x: F.trim(x)),
@@ -167,6 +172,7 @@ def repetition_metrics(
     n_grams = F.size(grams)
     return df.select(
         F.col(id_col).alias("id"),
+        *(keep_cols or []),
         n_lines.cast("long").alias("n_lines"),
         F.round(
             F.when(n_lines > 0,

@@ -2119,6 +2119,148 @@ def w9_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_report",
+    oracle=f"""
+    WITH base AS ({_PII_BASE_SQL}),
+    m AS (
+      SELECT b.doc_id, d.source, d.lang,
+             length(b.t)::bigint AS n_chars,
+             (len(regexp_extract_all(b.t,
+                  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}')) > 0
+              OR len(regexp_extract_all(b.t, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) > 0
+              OR len(regexp_extract_all(b.t,
+                  '(?:\\+?[0-9]{{1,2}}[-. ])?\\(?[0-9]{{3}}\\)?[-. ][0-9]{{3}}[-. ][0-9]{{4}}')) > 0
+              OR len(regexp_extract_all(b.t,
+                  '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) > 0
+             )::bigint AS has_pii,
+             (SELECT round(CASE WHEN len(grams) > 0
+                    THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+                    ELSE 0 END, 6)
+              FROM (SELECT list_transform(
+                        generate_series(1, greatest(len(words) - 2, 0)),
+                        i -> array_to_string(words[i:i+2], ' ')) AS grams
+                    FROM (SELECT list_filter(string_split_regex(
+                              trim(coalesce(b.t, '')), '\\s+'),
+                              x -> x <> '') AS words))) AS dup3
+      FROM base b JOIN documents d USING (doc_id))
+    SELECT source, lang,
+           count(*) AS n_docs,
+           round((sum(n_chars))::double / count(*), 6) AS mean_chars,
+           round((sum(dup3::DECIMAL(18,6)))::double / count(*), 6)
+               AS mean_dup3,
+           sum(has_pii)::bigint AS pii_docs
+    FROM m GROUP BY 1, 2
+    """,
+)
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health dashboard: per (source, lang) — doc counts, mean
+    length, mean 3-gram repetition, and PII incidence — the rollup a
+    data pipeline publishes per ingest batch.  ONE scan, one shuffle:
+    the augmented text, PII flag, and char count ride through
+    ``repetition_metrics(keep_cols=...)``; fractional means go through
+    decimal-exact sums so the result is associativity-proof at any
+    partition count.  (PII incidence is evaluated per pattern on the
+    ORIGINAL text in both engines — redaction tokens never create or
+    destroy other patterns' matches here, and incidence, unlike the
+    staged counts in `text_pii_scrub`, needs no cascade.)"""
+    from functools import reduce
+    from operator import or_
+
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        PII_PATTERNS,
+        repetition_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-6789 from 10.0.0."),
+                (F.col("doc_id") % 255).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pre = docs.select(
+        "doc_id", "source", "lang", aug.alias("text")
+    ).withColumn(
+        "has_pii",
+        reduce(
+            or_,
+            [
+                F.regexp_count(F.col("text"), F.lit(pat)) > 0
+                for _name, pat, _tok in PII_PATTERNS
+            ],
+        ).cast("long"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    rep = repetition_metrics(
+        pre, "doc_id", "text", keep_cols=["source", "lang", "has_pii", "n_chars"]
+    )
+    return rep.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_chars"),
+        F.round(
+            F.sum(F.col("dup_3gram_fraction").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dup3"),
+        F.sum("has_pii").alias("pii_docs"),
+    )
+
+
+@register(
+    "dedup_substring_overlap",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^\\w+', 'changed')
+      FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks FROM u),
+    g AS (
+      SELECT id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(toks) - 7, 0)),
+          i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      FROM t),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             count(DISTINCT a.gram)::bigint AS n_shared_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared_grams, FALSE AS bucket_truncated FROM p
+    """,
+)
+def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-sharing pairs (≥1 shared 8-word span) — the
+    verbatim-quote/boilerplate criterion MinHash cannot see (operator
+    docstring: operators/dedup.substring_overlap_pairs).  Every 10th doc
+    gets a first-word-perturbed clone so long shared spans exist by
+    construction; the oracle replays the whole thing as a distinct-gram
+    self-join (buckets are far below the cap on this corpus, so the
+    truncation flag is provably FALSE on every pair)."""
+    from mistral_ocr_pipeline_spark.operators.dedup import substring_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    u = docs.unionByName(clones)
+    return substring_overlap_pairs(u, "doc_id", "text", n=8)
+
+
 # --------------------------------------------------------------------------
 # Sequence packing — curated docs → fixed-token-budget context windows
 # --------------------------------------------------------------------------
