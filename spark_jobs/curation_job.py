@@ -2,13 +2,17 @@
 ``spark-submit --py-files mistral_ocr_pipeline_spark.zip spark_jobs/curation_job.py``.
 
 Reads a documents table (id + text), runs the curation DAG the engine
-exposes as the ``curation_pipeline`` driver query — quality gate →
-exact-dedup keep-canonical → deterministic train/valid/test split — and
+exposes as the ``curation_pipeline`` driver query — optional PII scrub →
+quality gate → exact-dedup keep-canonical → deterministic
+train/valid/test split → optional token-budget sequence packing — and
 writes the kept corpus partitioned by split, plus a one-row-per-split
-rollup.  Everything up to the writes is one Catalyst plan: the gate is a
-scan-level filter, dedup is one shuffle with map-side partial
-aggregation, the split is a projection (content-hash fate, so reruns and
-repartitions reproduce identical splits).
+rollup (and a per-shard pack assignment when packing is on).  Everything
+up to the writes is one Catalyst plan: the scrub is a map-side regex
+cascade, the gate is a scan-level filter, dedup is one shuffle with
+map-side partial aggregation, the split is a projection (content-hash
+fate, so reruns and repartitions reproduce identical splits), and the
+pack assignment is one window cumsum per shard.  The two tables publish
+in ONE atomic catalog commit.
 
 Example (multi-executor cluster):
   spark-submit \\
@@ -37,19 +41,36 @@ def main() -> None:
     p.add_argument("--min-quality", type=float, default=0.05)
     p.add_argument("--weights", default="0.8,0.1,0.1",
                    help="train,valid,test split weights")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/SSNs/phones/IPs before curation")
+    p.add_argument("--pack-budget", type=int, default=0,
+                   help="token budget per context window (0 = no packing)")
+    p.add_argument("--pack-shards", type=int, default=64)
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("corpus_curation").getOrCreate()
 
     from mistral_ocr_pipeline_spark.operators.dedup import exact_dedup
+    from mistral_ocr_pipeline_spark.operators.packing import (
+        pack_rollup,
+        pack_token_budget,
+    )
     from mistral_ocr_pipeline_spark.operators.sampling import train_valid_test_split
-    from mistral_ocr_pipeline_spark.operators.text_analysis import quality_features
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        pii_scrub,
+        quality_features,
+        ws_token_count,
+    )
     from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
 
     catalog = TableCatalog(spark, args.warehouse)
     docs = spark.read.parquet(args.input).select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
+    if args.scrub_pii:
+        docs = pii_scrub(docs, "doc_id", "text").select(
+            F.col("id").alias("doc_id"), F.col("scrubbed").alias("text")
+        )
     gated = quality_features(docs).filter(F.col("q_score") >= args.min_quality)
     canon = gated.join(
         exact_dedup(gated, "doc_id", "text").filter("is_canonical"),
@@ -59,13 +80,36 @@ def main() -> None:
     w = tuple(float(x) for x in args.weights.split(","))
     split = train_valid_test_split(canon, key_col="doc_id", weights=w)
 
-    catalog.overwrite(split, "curated", partition_by=["split"])
+    updates = {
+        "curated": catalog.stage_overwrite(split, "curated", partition_by=["split"])
+    }
     rollup = split.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("q_score"), 6).alias("mean_q")
     )
-    catalog.overwrite(rollup.coalesce(1), "curation_rollup")
-    summary = {r.split: (r.n, r.mean_q) for r in rollup.collect()}
-    print({"input": args.input, "kept_by_split": summary})
+    updates["curation_rollup"] = catalog.stage_overwrite(
+        rollup.coalesce(1), "curation_rollup"
+    )
+    if args.pack_budget > 0:
+        train = split.filter(F.col("split") == "train").select(
+            "doc_id", ws_token_count(F.col("text")).alias("tokens")
+        )
+        packed = pack_token_budget(
+            train, "doc_id", "tokens",
+            budget=args.pack_budget, n_shards=args.pack_shards,
+        )
+        updates["pack_assignment"] = catalog.stage_overwrite(
+            packed, "pack_assignment"
+        )
+        updates["pack_stats"] = catalog.stage_overwrite(
+            pack_rollup(packed, budget=args.pack_budget).coalesce(1), "pack_stats"
+        )
+    catalog.commit(updates)  # every output table publishes atomically
+    summary = {r.split: (r.n, r.mean_q) for r in catalog.read("curation_rollup").collect()}
+    out = {"input": args.input, "kept_by_split": summary}
+    if args.pack_budget > 0:
+        n_packs = catalog.read("pack_stats").count()
+        out["packs"] = n_packs
+    print(out)
     spark.stop()
 
 
