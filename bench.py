@@ -149,18 +149,44 @@ def main() -> None:
         "pricing_summary",
         "w6_stable_turn_ordering",
     ]
-    # two passes, keep the min: this box shows periodic multi-second
-    # whole-VM stalls (an untouched pure-JVM query swings 0.9s↔46s between
-    # runs with identical plans), and best-of-2 keeps one stall from
-    # masquerading as a regression
+    # Best-of-N with adaptive extension: this box shows periodic
+    # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query
+    # swings 1.4s↔10.6s between runs with identical plans — both passes
+    # of a best-of-2 can land inside one phase).  Two base passes; if the
+    # best still looks stall-inflated (>1 s) take a third, and keep
+    # taking passes while each one improves the best by >20% (max 5) —
+    # stable queries stop immediately, stall-hit ones get the chances
+    # they need.  The canary below quantifies the remaining noise.
     for name in bench_queries:
         best = None
-        for _ in range(2):
+        passes = 0
+        while passes < 5:
             t0 = time.perf_counter()
             _run_noop(QUERIES[name](spark, sf_dir))
             dt = time.perf_counter() - t0
+            prev = best
             best = dt if best is None else min(best, dt)
+            passes += 1
+            if passes < 2:
+                continue
+            if best <= 1.0:
+                break  # at/near floor: sub-second queries don't stall-inflate
+            if best > 3.0 and passes < 4:
+                continue  # heavy query still above any plausible floor:
+                #           keep hunting for a stall-free window
+            if prev is not None and best > prev * 0.8:
+                break  # last pass bought <20%: converged
         timings[name] = round(best, 3)
+
+    # stall canary: a fixed pure-JVM aggregation with no Python, no IO
+    # beyond one cached range — its spread across 3 runs measures MACHINE
+    # noise during this bench, independent of any engine code
+    canary = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3)").collect()
+        canary.append(time.perf_counter() - t0)
+    canary_spread = round(max(canary) / max(min(canary), 1e-9), 2)
 
     # per-turn text-equality pass rate vs the pure-Python oracle (the
     # BASELINE.json correctness metric), on a deterministic sample
@@ -200,6 +226,8 @@ def main() -> None:
                 "pass_rate": pass_rate,
                 "pass_sample": len(src_rows),
                 "cpus": int(cpus),
+                "canary_spread": canary_spread,
+                "canary_sec": [round(c, 3) for c in canary],
             }
         )
     )
