@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; everything else was green in the r01/r02 snapshots and remains
 # verifiable via `python tools/check_oracle.py` (full 81-query sweep).
 _NEWEST_FIRST = [
+    "ann_ivf_fixed_topk",      # new in r3: SQL-replayed IVF search path
     "ann_lsh_topk",            # gained a full value oracle in r3
     "decontam_pipeline",       # single-plan rework
     "w8_event_session_windows",  # salted two-phase sessionizer

@@ -200,6 +200,7 @@ def ivf_topk(
     kmeans_iters: int = 8,
     sample_size: int = 2048,
     seed: int = 11,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: seeded mini k-means on a driver-side sample
     builds ``n_centroids`` cell centroids; each corpus vector is assigned to
@@ -210,19 +211,28 @@ def ivf_topk(
     corpus assignment + search is one distributed pass — the classic
     IVF-Flat layout, recall tuned by ``n_probe``/``n_centroids``.  At
     warehouse scale the assignment would be written once as a bucketed
-    column and reused across queries."""
-    sample = corpus.select(vec_col).limit(sample_size).collect()
-    smat = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cent = smat[rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(smat @ cent.T, axis=1)  # cosine on unit vectors
-        for c in range(len(cent)):
-            members = smat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    column and reused across queries.
+
+    ``centroids``: a data-independent (n_centroids, dim) float64 array to
+    use INSTEAD of the k-means build — the deterministic-index variant a
+    SQL oracle can replay literal-for-literal (the k-means index derives
+    from a driver-side sample, so no static SQL can reproduce it; the
+    search path is identical either way)."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample = corpus.select(vec_col).limit(sample_size).collect()
+        smat = np.array([list(r[0]) for r in sample], dtype=np.float64)
+        smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+        rng = np.random.RandomState(seed)
+        cent = smat[rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)]
+        for _ in range(kmeans_iters):
+            assign = np.argmax(smat @ cent.T, axis=1)  # cosine on unit vectors
+            for c in range(len(cent)):
+                members = smat[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cent[c] = m / max(np.linalg.norm(m), 1e-12)
 
     qids, qmat = _collect_queries(queries, query_id_col, vec_col)
     q_cells = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]

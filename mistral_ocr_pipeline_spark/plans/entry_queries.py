@@ -1209,6 +1209,88 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_fixed_centroids():
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    cent = rng.standard_normal((16, 64))
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _ivf_fixed_oracle_sql() -> str:
+    """Full value oracle for the fixed-centroid IVF variant: the 16 seeded
+    unit centroids are baked in as float64-exact literals; corpus cell
+    assignment is argmax dot (normalization is rank-invariant per vector,
+    so raw dots replay the kernel's normalized ones), query probing is
+    the top-4 cells, and exact cosine + rank run over probed candidates —
+    the same search path as the k-means IVF, which stays rows-only
+    because its index derives from a driver-side sample."""
+    cent = _ivf_fixed_centroids()
+    vals = ",\n      ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    return f"""
+    WITH cents(c, cv) AS (VALUES
+      {vals}),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+    cassign AS (
+      SELECT vec_id, c FROM (
+        SELECT cd.vec_id, cd.c,
+               row_number() OVER (PARTITION BY cd.vec_id
+                                  ORDER BY cd.d DESC, cd.c) AS rn
+        FROM (SELECT corp.vec_id, cents.c,
+                     list_dot_product(corp.v, cents.cv) AS d
+              FROM corp CROSS JOIN cents) cd)
+      WHERE rn = 1),
+    qprobe AS (
+      SELECT qid, c FROM (
+        SELECT qd.qid, qd.c,
+               row_number() OVER (PARTITION BY qd.qid
+                                  ORDER BY qd.d DESC, qd.c) AS rn
+        FROM (SELECT q.qid, cents.c,
+                     list_dot_product(q.qv, cents.cv) AS d
+              FROM q CROSS JOIN cents) qd)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT DISTINCT qp.qid, ca.vec_id
+      FROM qprobe qp JOIN cassign ca ON qp.c = ca.c
+      WHERE ca.vec_id != qp.qid),
+    s AS (
+      SELECT cand.qid, cand.vec_id,
+             round(list_dot_product(q.qv, corp.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(corp.v, corp.v))), 6) AS cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN corp ON corp.vec_id = cand.vec_id),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM s)
+    SELECT qid AS query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """
+
+
+@register("ann_ivf_fixed_topk", oracle=_ivf_fixed_oracle_sql())
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a deterministic seeded-centroid index — the variant
+    whose ENTIRE path (cell assignment, top-4 probe, exact cosine, rank)
+    is replayed in SQL, certifying the search machinery the k-means IVF
+    shares (see ``_ivf_fixed_oracle_sql``)."""
+    from mistral_ocr_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_probe=4,
+        centroids=_ivf_fixed_centroids(),
+    )
+
+
 def _ann_recall_claim(
     spark: SparkSession, sf_dir: str, variant: str, min_recall: float
 ) -> DataFrame:
