@@ -44,7 +44,10 @@ def _micros(col: F.Column) -> F.Column:
     """Epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros
     rejects NTZ; the cast is a no-op for tz-aware input, and for NTZ every
     operand gets the same session-tz interpretation, so gap arithmetic is
-    unaffected)."""
+    unaffected — except across DST transitions of a non-UTC session tz,
+    where the local-time axis folds.  The engine pins
+    ``spark.sql.session.timeZone=UTC`` (session.get_spark), which has no
+    DST; keep it pinned when sessionizing NTZ event time."""
     return F.unix_micros(col.cast("timestamp"))
 
 

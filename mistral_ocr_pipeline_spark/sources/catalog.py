@@ -128,20 +128,20 @@ class TableCatalog:
     def exists(self, table: str) -> bool:
         if table in self.current_tables():
             return self._has_parquet(self.data_path(table))
-        # bucketed/legacy tables: files directly under the table root
+        # bucketed/legacy tables: files directly under the table root —
+        # anything under a snap-* dir (at ANY depth: partitioned snapshots
+        # nest) is staged-or-historical, not the table, so an uncommitted
+        # staged snapshot must not make the table "exist"
         root = self.path(table)
         if not os.path.isdir(root):
             return False
-        direct = [
-            os.path.join(r, f)
-            for r, _d, files in os.walk(root)
-            for f in files
-            if not os.path.basename(r).startswith("snap-")
-        ]
-        return any(
-            f.endswith(".parquet") or os.path.basename(f).startswith("part-")
-            for f in direct
-        )
+        for r, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if not d.startswith("snap-")]
+            if any(
+                f.endswith(".parquet") or f.startswith("part-") for f in files
+            ):
+                return True
+        return False
 
     def read(
         self,
