@@ -22,6 +22,47 @@ from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcript
 from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
 
 
+def commit_extracted_batch(
+    catalog: TableCatalog,
+    extracted,
+    run_id: str,
+    batch_id: int,
+    output_table: str,
+    lineage_table: str,
+) -> bool:
+    """Publish one micro-batch's output + metrics in ONE atomic catalog
+    commit, idempotently: ``foreachBatch`` is at-least-once (a kill
+    between the catalog commit and the streaming offset commit replays
+    the batch), so a batch_id already present in the lineage table is
+    skipped — replay becomes a no-op and the observable effect is
+    exactly-once.  Returns True when the batch was committed."""
+    if catalog.exists(lineage_table):
+        already = (
+            catalog.read(lineage_table)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+        )
+        if already:
+            return False
+    extracted = extracted.persist()
+    try:
+        data_snap = catalog.stage_append(extracted, output_table)
+        agg = extracted.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("failures"),
+        ).first()
+        metrics = extracted.sparkSession.createDataFrame(
+            [(run_id, batch_id, int(agg.rows or 0), int(agg.failures or 0))],
+            "run_id string, batch_id long, rows long, failures long",
+        )
+        metrics_snap = catalog.stage_append(metrics, lineage_table)
+        catalog.commit({output_table: data_snap, lineage_table: metrics_snap})
+    finally:
+        extracted.unpersist()
+    return True
+
+
 def run_incremental_extraction(
     spark: SparkSession,
     input_dir: str,
@@ -47,25 +88,14 @@ def run_incremental_extraction(
     stream = reader.load()
 
     def process_batch(batch_df, batch_id: int) -> None:
-        # stage data + metrics, publish both in ONE atomic catalog commit:
-        # a kill inside the batch leaves neither visible, and the streaming
-        # checkpoint replays the micro-batch cleanly (same single-commit
-        # protocol as checkpoint/lineage.run_extraction)
-        extracted = extract_transcripts(batch_df, repartition=False).persist()
-        try:
-            data_snap = catalog.stage_append(extracted, output_table)
-            agg = extracted.agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.col("error").isNotNull().cast("long")).alias("failures"),
-            ).first()
-            metrics = batch_df.sparkSession.createDataFrame(
-                [(run_id, int(batch_id), int(agg.rows or 0), int(agg.failures or 0))],
-                "run_id string, batch_id long, rows long, failures long",
-            )
-            metrics_snap = catalog.stage_append(metrics, lineage_table)
-            catalog.commit({output_table: data_snap, lineage_table: metrics_snap})
-        finally:
-            extracted.unpersist()
+        commit_extracted_batch(
+            catalog,
+            extract_transcripts(batch_df, repartition=False),
+            run_id,
+            int(batch_id),
+            output_table,
+            lineage_table,
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -53,3 +53,38 @@ def test_incremental_drain_and_resume(spark, tmp_path):
     assert sum(r.rows for r in lineage) == n1 + len(more)
     runs = {r.run_id for r in lineage}
     assert "s1" in runs and "s3" in runs and "s2" not in runs  # s2 was a no-op
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a kill between the catalog commit
+    and the streaming offset commit replays the micro-batch.  Replaying
+    the same batch_id must be a no-op (exactly-once observable effect)."""
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_pipeline_spark.fixtures.gen import (
+        gen_transcripts,
+        transcripts_schema,
+    )
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+        extract_transcripts,
+    )
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+    from mistral_ocr_pipeline_spark.streaming.incremental import (
+        commit_extracted_batch,
+    )
+
+    cat = TableCatalog(spark, str(tmp_path / "wh_idem"))
+    df = spark.createDataFrame(
+        gen_transcripts(6, (2, 4), seed=9, profile="unit"),
+        schema=transcripts_schema(),
+    )
+    extracted = extract_transcripts(df, repartition=False)
+    assert commit_extracted_batch(cat, extracted, "r", 0, "out", "lin") is True
+    n1 = cat.read("out").count()
+    # replay of batch 0: skipped, nothing appended
+    assert commit_extracted_batch(cat, extracted, "r", 0, "out", "lin") is False
+    assert cat.read("out").count() == n1
+    assert cat.read("lin").count() == 1
+    # a NEW batch id still commits
+    assert commit_extracted_batch(cat, extracted, "r", 1, "out", "lin") is True
+    assert cat.read("out").count() == 2 * n1
