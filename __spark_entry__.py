@@ -48,6 +48,7 @@ _NEWEST_FIRST = [
     "text_repetition",
     "dedup_substring_overlap",
     "curation_report",
+    "dedup_minhash_incremental",  # new in r3: persisted posting-list index
     "dedup_minhash_lsh",       # bounded bucket gather
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -205,6 +205,99 @@ def shingle_sets(
     return toks.select("id", sh.alias("sh"))
 
 
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Persisted MinHash posting-list index: one row per LSH bucket —
+    (band_idx, band_hash, ids, bucket_truncated) — built ONCE over the
+    historical corpus (write via ``TableCatalog``), so daily increments
+    dedup against 100 TB of history WITHOUT recomputing its signatures.
+
+    Posting lists are pre-capped at build time through the salted bounded
+    collect (the FAISS-capped-posting-list analog): a boilerplate bucket
+    shared by 10⁶ historical docs stores its ``max_bucket`` smallest ids
+    plus the truncation flag, bounding every future increment's join
+    fan-out.  Append new batches' band keys after each run (same
+    parameters, same seed) to keep the index current."""
+    band_keys = _minhash_band_keys(df, id_col, text_col, n, num_perm, bands, seed)
+    return _bounded_bucket_collect(
+        band_keys, ["band_idx", "band_hash"], F.col("id"), F.col("id"),
+        max_bucket, "ids",
+    )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup: pairs (id_new, id_old, jaccard) between a NEW
+    batch and the historical corpus served by a ``build_minhash_index``
+    posting-list table — the production shape: the increment's signatures
+    are the only ones computed; history costs one index join.
+
+    Shape at scale: the new batch's band keys (small) join the index on
+    (band_idx, band_hash) — AQE broadcasts the new side — and candidates
+    explode from the pre-capped posting lists, so the fan-out per new doc
+    is ≤ bands × max_bucket regardless of how degenerate history is.
+    Verification joins shingle sets from the new batch and ONLY the
+    candidate old docs (corpus side is semi-join-pruned before
+    shingling).  Index parameters/seed must match the build; caller keeps
+    id spaces disjoint (same id ⟹ same document)."""
+    new_bands = _minhash_band_keys(
+        new_df, id_col, text_col, n, num_perm, bands, seed
+    )
+    cand = (
+        new_bands.join(index, ["band_idx", "band_hash"])
+        .select(
+            F.col("id").alias("id_new"),
+            F.explode("ids").alias("id_old"),
+            "bucket_truncated",
+        )
+        .filter(F.col("id_new") != F.col("id_old"))
+        .groupBy("id_new", "id_old")
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
+    )
+    # shingle only the candidate old docs: semi-join prune BEFORE the
+    # (expensive) corpus-side shingling — at scale this reads a sliver of
+    # history, not all of it
+    old_needed = corpus_df.join(
+        cand.select(F.col("id_old").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    a = shingle_sets(new_df, id_col, text_col, n).alias("a")
+    b = shingle_sets(old_needed, id_col, text_col, n).alias("b")
+    return (
+        cand.join(a, cand["id_new"] == F.col("a.id"))
+        .join(b, cand["id_old"] == F.col("b.id"))
+        .select(
+            "id_new",
+            "id_old",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1))
+            ).alias("jaccard"),
+            "bucket_truncated",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def substring_overlap_pairs(
     df: DataFrame,
     id_col: str,
@@ -317,6 +410,54 @@ def _minhash_signature_udf(num_perm: int, seed: int):
     return sig
 
 
+def _minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — the shingle → signature → band pipeline
+    shared by batch LSH (``minhash_lsh_pairs``) and the persisted index
+    (``build_minhash_index``).
+
+    The signature runs directly over the shingle scan — no persist, no
+    barrier.  Pandas-UDF inputs are materialized exactly once per row, so
+    the shingle expression cannot be re-inlined per permutation (the JVM
+    higher-order alternative pays either a full persist of the corpus
+    shingle sets or a 64× recompute; see minhash_signature_col).  The
+    shingle array is dropped BEFORE the generator: Generate does not
+    prune parent columns, so `sh` would be duplicated into all band rows
+    and ride the shuffle (measured 6× slowdown)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sets = shingle_sets(df, id_col, text_col, n)
+    sigs = sets.withColumn(
+        "sig", _minhash_signature_udf(num_perm, seed)(F.col("sh"))
+    )
+    return sigs.drop("sh").select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), bi * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -341,35 +482,8 @@ def minhash_lsh_pairs(
     One wide stage computes shingle hashes + signature; the band explode is
     a flatMap (no shuffle); the only shuffles are the band groupBy and the
     verification join — each on well-distributed hash keys."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    # signature directly over the shingle scan — no persist, no barrier.
-    # Pandas-UDF inputs are materialized exactly once per row, so the
-    # shingle expression cannot be re-inlined per permutation (the JVM
-    # higher-order alternative pays either a full persist of the corpus
-    # shingle sets or a 64× recompute; see minhash_signature_col).
-    sets = shingle_sets(df, id_col, text_col, n)
-    sigs = sets.withColumn("sig", _minhash_signature_udf(num_perm, seed)(F.col("sh")))
-
-    # drop the shingle array before the generator: Generate does not prune
-    # parent columns, so `sh` would be duplicated into all 16 band rows and
-    # ride the shuffle (measured 6× slowdown)
-    band_keys = sigs.drop("sh").select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+    band_keys = _minhash_band_keys(
+        df, id_col, text_col, n, num_perm, bands, seed
     )
     buckets = _bounded_bucket_collect(
         band_keys,

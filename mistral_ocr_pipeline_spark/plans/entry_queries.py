@@ -2303,6 +2303,57 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH newb AS (
+      SELECT doc_id + 1000000 AS id, regexp_replace(text, '^\\w+', 'changed') AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    oldb AS (SELECT doc_id AS id, text FROM documents),
+    tn AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks FROM newb),
+    t_old AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks FROM oldb),
+    gn AS (SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, greatest(len(toks) - 1, 1))]) AS grams FROM tn),
+    go AS (SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, greatest(len(toks) - 1, 1))]) AS grams FROM t_old),
+    szn AS (SELECT id, len(grams) AS n FROM gn),
+    szo AS (SELECT id, len(grams) AS n FROM go),
+    en AS (SELECT id, unnest(grams) AS gram FROM gn),
+    eo AS (SELECT id, unnest(grams) AS gram FROM go),
+    inter AS (SELECT en.id AS id_new, eo.id AS id_old, count(*) AS i
+              FROM en JOIN eo ON en.gram = eo.gram
+              GROUP BY 1, 2)
+    SELECT id_new, id_old,
+           i::DOUBLE / (sa.n + sb.n - i) AS jaccard,
+           FALSE AS bucket_truncated
+    FROM inter
+    JOIN szn sa ON sa.id = id_new JOIN szo sb ON sb.id = id_old
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: a new batch (perturbed clones) dedups against
+    the historical corpus via a ``build_minhash_index`` posting-list
+    table — only the increment's signatures are computed, history costs
+    one capped index join plus a semi-join-pruned verification.  Oracle:
+    exact all-cross-pairs Jaccard ≥ 0.5 (hash-match ⟺ index recall 1.0
+    on this corpus AND no posting list truncates)."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_incremental_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    index = build_minhash_index(docs, "doc_id", "text")
+    return minhash_incremental_pairs(
+        new, docs, index, "doc_id", "text", threshold=0.5
+    )
+
+
+@register(
     "dedup_substring_overlap",
     oracle=f"""
     WITH u AS (

@@ -149,6 +149,53 @@ class TestMinhashSimhash:
         assert obs.get["truncated_buckets"] > 0
         assert obs.get["total_buckets"] >= obs.get["truncated_buckets"]
 
+    def test_incremental_dedup_with_persisted_index(self, spark, tmp_path):
+        """The production shape: build the posting-list index ONCE, persist
+        it through the catalog, then dedup a new batch against history by
+        reading the index back — results identical to computing over the
+        live corpus, and the corpus side of verification is semi-join
+        pruned (only candidate old docs are ever shingled)."""
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_incremental_pairs,
+        )
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        base = "some reasonably long document body about spark engines"
+        hist = spark.createDataFrame(
+            [(i, f"{base} variant {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100, f"{base} variant 3"), (101, "completely different text here")],
+            "doc_id long, text string",
+        )
+        cat = TableCatalog(spark, str(tmp_path / "wh_idx"))
+        cat.overwrite(build_minhash_index(hist, "doc_id", "text"), "mh_index")
+        via_persisted = sorted(
+            (r.id_new, r.id_old)
+            for r in minhash_incremental_pairs(
+                new, hist, cat.read("mh_index"), "doc_id", "text", threshold=0.9
+            ).collect()
+        )
+        via_inline = sorted(
+            (r.id_new, r.id_old)
+            for r in minhash_incremental_pairs(
+                new, hist, build_minhash_index(hist, "doc_id", "text"),
+                "doc_id", "text", threshold=0.9,
+            ).collect()
+        )
+        assert via_persisted == via_inline
+        assert (100, 3) in via_persisted  # the exact-duplicate hit
+        assert all(p[0] != 101 for p in via_persisted)  # unrelated doc clean
+        # the verification's corpus branch is pruned by a semi join
+        plan = (
+            minhash_incremental_pairs(
+                new, hist, cat.read("mh_index"), "doc_id", "text"
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftSemi" in plan, plan
+
     def test_embedding_bucket_cap_is_surfaced(self, spark):
         from mistral_ocr_pipeline_spark.operators.dedup import (
             embedding_neardup_pairs,
