@@ -140,6 +140,35 @@ def weighted_mix_exact(
     return out
 
 
+def sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "perkey",
+) -> DataFrame:
+    """Deterministic bounded per-group sample: the ``k`` rows of each key
+    group with the smallest content-hash rank — the per-domain/per-source
+    contribution CAP a curation pipeline applies so no single site
+    dominates the corpus (the bounded analog of reservoir sampling, with
+    a content-hash instead of an RNG so the sample is partition- and
+    rerun-invariant, same fate rule as ``hash_sample``).
+
+    One window per key (sort by hash within group); per-task input is the
+    key group — for web-scale key skew compose with the salted bounded
+    collect pattern or pre-filter hot keys.  Output adds ``sample_rank``
+    (1-based, hash order).  SQL twin: row_number over (key, md5(salt ||
+    id)) — md5 hex compares identically in both engines."""
+    from pyspark.sql import Window as W
+
+    h = _hash_frac_hex(F.col(id_col), salt)
+    w = W.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def interleave_order(
     sources: list[tuple[DataFrame, int]],
     key_col: str,

@@ -2953,6 +2953,31 @@ def sample_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_per_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY substring(md5('perkey' || doc_id::varchar), 1, 8),
+                          doc_id) AS sample_rank
+      FROM documents)
+    SELECT doc_id, source, sample_rank
+    FROM ranked WHERE sample_rank <= 20
+    """,
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (≤20 docs per source) — the bounded
+    per-group sample that stops any single site dominating the corpus;
+    content-hash ranked, so the kept set is partition- and rerun-
+    invariant (operators/sampling.sample_per_key)."""
+    from mistral_ocr_pipeline_spark.operators.sampling import sample_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_per_key(docs, "source", "doc_id", k=20)
+
+
+@register(
     "sketch_hll_distinct",
     oracle="""
     SELECT event_type,

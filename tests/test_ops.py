@@ -1013,3 +1013,20 @@ class TestContamination:
         assert got[2] == (0, False)
         assert got[3] == (0, False)                   # too short for any 5-gram
         assert len(got) == 3                          # audit covers every doc
+
+
+class TestPerKeySample:
+    def test_cap_and_partition_invariance(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import sample_per_key
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("src")
+        )
+        a = sample_per_key(df, "src", "doc_id", k=7)
+        assert a.count() == 21
+        assert a.groupBy("src").count().agg(F.max("count")).first()[0] == 7
+        b = sample_per_key(df.repartition(13), "src", "doc_id", k=7)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        # groups smaller than k keep everything
+        tiny = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, src long")
+        assert sample_per_key(tiny, "src", "doc_id", k=7).count() == 2
