@@ -19,6 +19,12 @@ Five dedup strategies, each staying JVM-side wherever the semantics allow:
                                hamming verification via F.bit_count (JVM).
 * ``embedding_neardup_pairs``— random-hyperplane LSH buckets + exact cosine
                                verification with zip_with/aggregate (JVM).
+* ``substring_overlap_pairs``— EXACT shared-n-word-span pairs (verbatim
+                               quotes/boilerplate MinHash can't see).
+* ``build_minhash_index`` /
+  ``minhash_incremental_pairs`` — persisted capped posting lists so daily
+                               increments dedup against full history
+                               computing only the increment's signatures.
 
 Scale notes: every strategy is blocked (no all-pairs); buckets are capped
 (``max_bucket``) so a degenerate hot bucket (all-identical spam) cannot
