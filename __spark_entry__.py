@@ -32,12 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_extract_plain"](spark, "/root/testdata/sf0.001")
 
 
-# Queries added or materially reworked in round 3 — listed first so the
-# driver's capped correctness snapshot (50 of 81) covers the least-proven
-# entries; everything else was green in the r01/r02 snapshots and remains
-# verifiable via `python tools/check_oracle.py` (full 81-query sweep).
+# Queries added or materially reworked most recently — listed first so the
+# driver's capped correctness snapshot (50 of the full registry; see
+# len(queries())) covers the least-proven entries; everything else was green
+# in earlier snapshots and remains verifiable via
+# `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
-    "ann_ivf_fixed_topk",      # new in r3: SQL-replayed IVF search path
+    "j2_fuzzy_sequential",     # new in r4: reference-parity greedy, rec-CTE oracle
+    "ann_ivf_fixed_topk",      # r3: SQL-replayed IVF search path
     "ann_lsh_topk",            # gained a full value oracle in r3
     "decontam_pipeline",       # single-plan rework
     "w8_event_session_windows",  # salted two-phase sessionizer

@@ -195,3 +195,208 @@ def fuzzy_best_match(
         .join(assigned, "left_id", "left")
         .select("left_id", "right_id", F.col("score").alias("match_score"))
     )
+
+
+def fuzzy_best_match_sequential(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    title_cols: tuple[str, str],
+    year_cols: tuple[str, str] | None = None,
+    journal_cols: tuple[str, str] | None = None,
+    author_col: str | None = None,
+    threshold: float = 1.5,
+    use_difflib: bool = False,
+    reference_gates: bool = False,
+    candidates_per_left: int | None = None,
+) -> DataFrame:
+    """Reference-parity sequential greedy assignment
+    (compare_results.py:74-121): reviews are processed in ``left_id``
+    order; each claims its best-scoring *unused* output, so a review whose
+    best output was already claimed by an earlier review falls back to its
+    next-best unused output.  The single-round window formulation in
+    :func:`fuzzy_best_match` leaves such a review unmatched instead — this
+    variant exists for exact fidelity on contested pairs (the one semantic
+    divergence flagged in the round-3 verdict).
+
+    Shape: the O(|L|·|R|) pair scoring runs distributed (same broadcast-NLJ
+    plan as :func:`fuzzy_best_match`); each left's candidate list is then
+    pruned to its top-|L| (score desc, right-id asc) — sufficient for
+    exactness because at most |L|-1 rights can be claimed by earlier lefts
+    — and the bounded |L|² block feeds ONE ``applyInPandas`` task running
+    the sequential loop.  This is the eval-harness shape (|L| = human
+    review rows, hundreds); for corpus-scale 1:1 matching use
+    :func:`fuzzy_best_match` with ``block_cols``.
+
+    Tie-break parity: the reference's strict ``score > best_score`` keeps
+    the EARLIEST output index on ties, so candidates order by
+    (score desc, right_id asc) with right ids enumerated in output order.
+
+    ``reference_gates=True`` reproduces the reference's empty-field gating
+    (a score term contributes only when both raw fields are non-empty, and
+    only the OUTPUT year is '.0'-stripped — compare_results.py:91-108);
+    the default keeps the ungated formula shared with
+    :func:`fuzzy_best_match` so the DuckDB oracle can replay it.
+    """
+
+    def raw_sim(a: Column, b: Column) -> Column:
+        if use_difflib:
+            return difflib_sim_norm(a, b)
+        return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
+            F.length(a), F.length(b), F.lit(1)
+        ).cast("double")
+
+    def gated(term: Column, *raw_nonempty: Column) -> Column:
+        if not reference_gates:
+            return term
+        cond = F.lit(True)
+        for c in raw_nonempty:
+            cond = cond & (F.trim(F.coalesce(c, F.lit(""))) != "")
+        return F.when(cond, term).otherwise(0.0)
+
+    lt, rt = title_cols
+    l_cols = [
+        F.col(left_id).alias("_lid"),
+        F.coalesce(F.col(lt), F.lit("")).alias("_l_title_raw"),
+        norm_key_col(F.coalesce(F.col(lt), F.lit(""))).alias("_l_title"),
+    ]
+    r_cols = [
+        F.col(right_id).alias("_rid"),
+        F.coalesce(F.col(rt), F.lit("")).alias("_r_title_raw"),
+        norm_key_col(F.coalesce(F.col(rt), F.lit(""))).alias("_r_title"),
+    ]
+    if year_cols:
+        l_cols.append(F.col(year_cols[0]).cast("string").alias("_l_year"))
+        r_cols.append(F.col(year_cols[1]).cast("string").alias("_r_year"))
+    if journal_cols:
+        l_cols.append(
+            F.coalesce(F.col(journal_cols[0]), F.lit("")).alias("_l_journal_raw")
+        )
+        l_cols.append(
+            norm_key_col(F.coalesce(F.col(journal_cols[0]), F.lit(""))).alias(
+                "_l_journal"
+            )
+        )
+        r_cols.append(
+            F.coalesce(F.col(journal_cols[1]), F.lit("")).alias("_r_journal_raw")
+        )
+        r_cols.append(
+            norm_key_col(F.coalesce(F.col(journal_cols[1]), F.lit(""))).alias(
+                "_r_journal"
+            )
+        )
+    if author_col:
+        l_cols.append(
+            F.lower(
+                F.element_at(F.split(F.trim(F.col(author_col)), r"\s+"), -1)
+            ).alias("_l_last")
+        )
+
+    l = left.select(*l_cols)
+    r = right.select(*r_cols)
+
+    score: Column = gated(
+        3.0 * raw_sim(F.col("_l_title"), F.col("_r_title")),
+        F.col("_l_title_raw"),
+        F.col("_r_title_raw"),
+    )
+    if year_cols:
+        ly = F.trim(F.coalesce(F.col("_l_year"), F.lit("")))
+        ry = strip_trailing_dot_zero(F.trim(F.coalesce(F.col("_r_year"), F.lit(""))))
+        if not reference_gates:
+            ly = strip_trailing_dot_zero(ly)
+        eq = F.when((ly != "") & (ry != "") & (ly == ry), 1.0).otherwise(0.0)
+        score = score + eq
+    if journal_cols:
+        score = score + gated(
+            raw_sim(F.col("_l_journal"), F.col("_r_journal")),
+            F.col("_l_journal_raw"),
+            F.col("_r_journal_raw"),
+        )
+    if author_col:
+        last = F.col("_l_last")
+        score = score + F.when(
+            (last.isNotNull())
+            & (last != "")
+            & (F.instr(F.col("_r_title"), last) > 0),
+            0.5,
+        ).otherwise(0.0)
+
+    from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
+
+    pairs = (
+        F.broadcast(l)
+        .crossJoin(ensure_parallelism(r))
+        .withColumn("score", F.round(score, 9))
+        .select("_lid", "_rid", "score")
+    )
+
+    # top-|L| candidates per left: exact (≤|L|-1 rights claimable by earlier
+    # lefts), and bounds the single-task sequential block to |L|² rows
+    if candidates_per_left is None:
+        candidates_per_left = left.count()
+    keep = max(int(candidates_per_left), 1)
+    w_cand = W.partitionBy("_lid").orderBy(F.col("score").desc(), F.col("_rid").asc())
+    cand = (
+        pairs.withColumn("_rn", F.row_number().over(w_cand))
+        .filter(F.col("_rn") <= keep)
+        .drop("_rn")
+    )
+
+    lid_type = l.schema["_lid"].dataType.simpleString()
+    rid_type = r.schema["_rid"].dataType.simpleString()
+    out_schema = (
+        f"left_id {lid_type}, right_id {rid_type}, match_score double"
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_lid", "score", "_rid"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        used: set = set()
+        rows = []
+        for lid, grp in pdf.groupby("_lid", sort=True):
+            best_rid, best_score = None, None
+            for rid, sc in zip(grp["_rid"].values, grp["score"].values):
+                if rid in used:
+                    continue
+                best_rid, best_score = rid, sc
+                break
+            if best_rid is not None and best_score >= threshold:
+                used.add(best_rid)
+                rows.append((lid, best_rid, float(best_score)))
+            else:
+                rows.append((lid, None, None))
+        # object dtype keeps None as a true null through Arrow (int+None
+        # would otherwise coerce to float64/NaN and break the id type)
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series([t[0] for t in rows], dtype="object"),
+                "right_id": pd.Series([t[1] for t in rows], dtype="object"),
+                "match_score": pd.Series([t[2] for t in rows], dtype="object"),
+            }
+        )
+
+    assigned = (
+        cand.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(assign, out_schema)
+    )
+    return (
+        left.select(F.col(left_id).alias("left_id"))
+        .join(assigned, "left_id", "left")
+        .select("left_id", "right_id", "match_score")
+    )
+
+
+def difflib_sim_norm(a: Column, b: Column) -> Column:
+    """SequenceMatcher.ratio over ALREADY-normalized columns (the
+    pre-join-projection shape used inside the match operators)."""
+
+    @F.pandas_udf("double")
+    def ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [SequenceMatcher(None, x or "", y or "").ratio() for x, y in zip(s1, s2)]
+        )
+
+    return ratio(a, b)

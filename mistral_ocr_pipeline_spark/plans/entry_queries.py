@@ -780,6 +780,74 @@ def j2_fuzzy_author_bonus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j2_fuzzy_sequential",
+    oracle=f"""
+    WITH RECURSIVE
+    l AS (SELECT p_partkey::BIGINT AS lid,
+                 {_KEY.format(c="split_part(p_name, ' ', 1)")} AS lt
+          FROM part WHERE p_partkey % 37 = 1),
+    lo AS (SELECT lid, lt, row_number() OVER (ORDER BY lid) AS lord FROM l),
+    r AS (SELECT (min(p_partkey) + 1000000)::BIGINT AS rid, rt
+          FROM (SELECT p_partkey,
+                       {_KEY.format(c="split_part(p_name, ' ', 1)")} AS rt
+                FROM part WHERE p_partkey % 5 = 0)
+          GROUP BY rt),
+    s AS (SELECT lo.lord, lo.lid, r.rid,
+                 round(3 * (1 - levenshtein(lo.lt, r.rt)::double /
+                            greatest(length(lo.lt), length(r.rt), 1)), 9) AS score
+          FROM lo CROSS JOIN r),
+    assign AS (
+      SELECT 0::BIGINT AS lord, NULL::BIGINT AS lid, NULL::BIGINT AS rid,
+             NULL::DOUBLE AS score, []::BIGINT[] AS used
+      UNION ALL
+      SELECT a.lord + 1, lo.lid,
+             CASE WHEN b.score >= 1.5 THEN b.rid END,
+             CASE WHEN b.score >= 1.5 THEN b.score END,
+             CASE WHEN b.score >= 1.5 THEN list_append(a.used, b.rid)
+                  ELSE a.used END
+      FROM assign a
+      JOIN lo ON lo.lord = a.lord + 1
+      LEFT JOIN LATERAL (
+         SELECT s.rid, s.score FROM s
+         WHERE s.lid = lo.lid AND NOT list_contains(a.used, s.rid)
+         ORDER BY s.score DESC, s.rid ASC LIMIT 1
+      ) b ON TRUE
+    )
+    SELECT lid AS left_id, rid AS right_id, score AS match_score
+    FROM assign WHERE lord >= 1
+    """,
+)
+def j2_fuzzy_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 with the reference's EXACT sequential-greedy semantics
+    (compare_results.py:74-121): lefts processed in id order, each claiming
+    its best UNUSED right, so a contested left falls back to its next-best
+    unused right instead of going unmatched (the round-3 verdict's one
+    semantic divergence).  The fixture forces contests: left titles are the
+    FIRST WORD of p_name (~92 distinct colors, so many lefts share a best
+    right), rights are the distinct first words.  The DuckDB oracle replays
+    the serial loop as a recursive CTE carrying the used-set as a list
+    column — a full value oracle for the contested-fallback semantics."""
+    from mistral_ocr_pipeline_spark.operators.fuzzy_join import (
+        fuzzy_best_match_sequential,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") % 37 == 1).select(
+        F.col("p_partkey").cast("long").alias("lid"),
+        F.substring_index("p_name", " ", 1).alias("title"),
+    )
+    right = (
+        part.filter(F.col("p_partkey") % 5 == 0)
+        .select(F.substring_index("p_name", " ", 1).alias("title"), "p_partkey")
+        .groupBy("title")
+        .agg((F.min("p_partkey") + 1000000).cast("long").alias("rid"))
+    )
+    return fuzzy_best_match_sequential(
+        left, right, "lid", "rid", title_cols=("title", "title"), threshold=1.5
+    )
+
+
+@register(
     "j3_zip_join",
     oracle=f"""
     WITH t AS (SELECT doc_id,
