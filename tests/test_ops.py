@@ -512,6 +512,23 @@ class TestIvf:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.7, recall
 
+    def test_ivf_invariant_under_corpus_repartition(self, spark, emb):
+        """The k-means seed sample must be partition-layout-invariant
+        (round-3 verdict defect #2: a bare limit().collect() takes
+        whatever rows the scan yields first, so split sizing / AQE could
+        silently change centroids and results).  Same corpus, three
+        different layouts → byte-identical ANN output."""
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.operators.similarity import ivf_topk
+
+        queries = emb.filter(F.col("vec_id") < 8)
+        kw = dict(k=5, n_centroids=16, n_probe=6)
+        base = sorted(map(tuple, ivf_topk(emb, queries, **kw).collect()))
+        for layout in (emb.repartition(7), emb.repartition(1), emb.coalesce(2)):
+            got = sorted(map(tuple, ivf_topk(layout, queries, **kw).collect()))
+            assert got == base
+
     def test_assignment_table_path_matches_inline_ivf(self, spark, emb, tmp_path):
         """The persisted-assignment search must return EXACTLY what the
         inline ivf_topk returns for the same centroids/probes — reusing a
