@@ -239,6 +239,71 @@ def build_minhash_index(
     )
 
 
+def minhash_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Merge a NEW batch's band keys into an existing
+    ``build_minhash_index`` posting-list table — the maintenance step the
+    build docstring promises: after each daily run, append the increment
+    so the next increment dedups against it too.
+
+    EXACT one-shot equivalence: the result is hash-identical to
+    ``build_minhash_index(history ∪ new)``.  Why the capped merge is
+    lossless: posting lists keep the ``max_bucket`` SMALLEST ids, and any
+    of the union's smallest must be among its own side's smallest, so
+    merging two capped lists and re-capping loses nothing.  The exact
+    truncation flag survives without stored counts: with disjoint id
+    spaces (the index contract), total > max_bucket  ⟺  either side
+    already truncated OR the two kept lists jointly exceed the cap.
+
+    Only the increment's signatures are computed (``new_df`` is the only
+    text scanned); history costs ONE full-outer shuffle of the index on
+    (band_idx, band_hash) — the MERGE-INTO/compaction shape, O(index)
+    not O(history text).  Parameters/seed must match the build."""
+    delta = build_minhash_index(
+        new_df, id_col, text_col, n, num_perm, bands, seed, max_bucket
+    )
+    ids_type = index.schema["ids"].dataType.simpleString()
+    a_ids = F.coalesce(F.col("_a_ids"), F.array().cast(ids_type))
+    b_ids = F.coalesce(F.col("_b_ids"), F.array().cast(ids_type))
+    return (
+        index.select(
+            "band_idx", "band_hash",
+            F.col("ids").alias("_a_ids"),
+            F.col("bucket_truncated").alias("_a_tr"),
+        )
+        .join(
+            delta.select(
+                "band_idx", "band_hash",
+                F.col("ids").alias("_b_ids"),
+                F.col("bucket_truncated").alias("_b_tr"),
+            ),
+            ["band_idx", "band_hash"],
+            "full",
+        )
+        .select(
+            "band_idx",
+            "band_hash",
+            F.slice(F.array_sort(F.concat(a_ids, b_ids)), 1, max_bucket).alias(
+                "ids"
+            ),
+            (
+                F.coalesce(F.col("_a_tr"), F.lit(False))
+                | F.coalesce(F.col("_b_tr"), F.lit(False))
+                | ((F.size(a_ids) + F.size(b_ids)) > max_bucket)
+            ).alias("bucket_truncated"),
+        )
+    )
+
+
 def minhash_incremental_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -2423,6 +2423,71 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_append",
+    oracle="""
+    SELECT doc_id, TRUE AS index_consistent FROM (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0)
+    """,
+)
+def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified claim: two-step index maintenance ≡ one-shot build.  The
+    index over history gets the new batch merged via
+    ``minhash_index_append``; per document, the claim row asserts that
+    EVERY band bucket containing it is identical (posting list AND
+    truncation flag, null-safe) between the merged index and a one-shot
+    ``build_minhash_index`` over history ∪ batch.  Every bucket in either
+    index is some document's band key, so per-doc coverage is complete —
+    hash-match ⟺ the capped merge is lossless on this corpus.  (The
+    exact pairs-level equivalence and the only-the-increment-is-scanned
+    property are pinned in tests/test_ops.py.)"""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        _minhash_band_keys,
+        build_minhash_index,
+        minhash_index_append,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    all_docs = docs.unionByName(new)
+    one = build_minhash_index(all_docs, "doc_id", "text")
+    two = minhash_index_append(
+        build_minhash_index(docs, "doc_id", "text"), new, "doc_id", "text"
+    )
+    bk = _minhash_band_keys(all_docs, "doc_id", "text", 3, 64, 16, 42)
+    j = (
+        bk.join(
+            one.select(
+                "band_idx", "band_hash",
+                F.col("ids").alias("_one_ids"),
+                F.col("bucket_truncated").alias("_one_tr"),
+            ),
+            ["band_idx", "band_hash"],
+            "left",
+        )
+        .join(
+            two.select(
+                "band_idx", "band_hash",
+                F.col("ids").alias("_two_ids"),
+                F.col("bucket_truncated").alias("_two_tr"),
+            ),
+            ["band_idx", "band_hash"],
+            "left",
+        )
+    )
+    return j.groupBy("id").agg(
+        F.bool_and(
+            F.col("_one_ids").eqNullSafe(F.col("_two_ids"))
+            & F.col("_one_tr").eqNullSafe(F.col("_two_tr"))
+        ).alias("index_consistent")
+    ).select(F.col("id").alias("doc_id"), "index_consistent")
+
+
+@register(
     "dedup_substring_overlap",
     oracle=f"""
     WITH u AS (

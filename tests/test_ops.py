@@ -196,6 +196,65 @@ class TestMinhashSimhash:
         )
         assert "LeftSemi" in plan, plan
 
+    def test_index_append_equals_one_shot_build(self, spark, tmp_path):
+        """minhash_index_append(build(old), new) must be EXACTLY
+        build(old ∪ new) — including capped posting lists (the merge of
+        two capped lists re-capped is lossless for smallest-id caps) and
+        exact truncation flags — and must scan only the increment's text
+        (the history side enters as index DATA, not documents)."""
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_index_append,
+        )
+
+        base = "some reasonably long document body about spark engines"
+        hist = spark.createDataFrame(
+            # 12 near-identical docs force shared (and, at max_bucket=8,
+            # truncated) buckets across the old/new boundary
+            [(i, f"{base} variant {i % 3}") for i in range(12)]
+            + [(50, "an unrelated historical document entirely")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100 + i, f"{base} variant {i % 3}") for i in range(6)]
+            + [(200, "yet another singleton document")],
+            "doc_id long, text string",
+        )
+        kw = dict(id_col="doc_id", text_col="text", max_bucket=8)
+        one_shot = {
+            (r.band_idx, r.band_hash): (tuple(r.ids), r.bucket_truncated)
+            for r in build_minhash_index(hist.unionByName(new), **kw).collect()
+        }
+        merged_df = minhash_index_append(
+            build_minhash_index(hist, **kw), new, **kw
+        )
+        merged = {
+            (r.band_idx, r.band_hash): (tuple(r.ids), r.bucket_truncated)
+            for r in merged_df.collect()
+        }
+        assert merged == one_shot
+        assert any(tr for _ids, tr in merged.values())  # caps exercised
+
+        # increment-only-signatures: persist history text and index to
+        # parquet; the append plan over the PERSISTED index must scan the
+        # new batch and the index — never the history documents
+        hist_path = str(tmp_path / "hist_docs")
+        idx_path = str(tmp_path / "mh_index")
+        hist.write.parquet(hist_path)
+        build_minhash_index(spark.read.parquet(hist_path), **kw).write.parquet(
+            idx_path
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            minhash_index_append(
+                spark.read.parquet(idx_path), new, **kw
+            ).explain("formatted")
+        plan = buf.getvalue()
+        assert "mh_index" in plan and "hist_docs" not in plan, plan
+
     def test_embedding_bucket_cap_is_surfaced(self, spark):
         from mistral_ocr_pipeline_spark.operators.dedup import (
             embedding_neardup_pairs,
