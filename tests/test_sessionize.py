@@ -131,3 +131,34 @@ class TestSaltedSessionProperty:
                 )
             )
             assert salted == plain, f"chunk={chunk}"
+
+    def test_boundary_gap_epsilon_200_seeds(self, spark):
+        """Contested-boundary property (round-3 verdict item 7): 200
+        random seeds, each generating events that cluster AROUND a chunk
+        boundary with inter-event gaps of exactly gap-ε / gap / gap+ε
+        (ε=1s) — the exact-gap-merges vs strictly-greater-splits edge,
+        placed where phase 1 cuts and phase 2 must re-merge.  Users are
+        independent under sessionization, so each seed rides as its own
+        user and ONE salted-vs-single-pass comparison per chunk size
+        covers all 200 within CI budget."""
+        import random
+
+        gap = 1800
+        chunk = 7200
+        rows = []
+        for seed in range(200):
+            rng = random.Random(seed)
+            # start so that the event walk crosses a chunk boundary mid-run
+            t = chunk * rng.randint(1, 3) - rng.randint(0, 2 * gap)
+            for _ in range(rng.randint(8, 20)):
+                t += rng.choice([0, 1, gap - 1, gap, gap + 1])
+                rows.append((seed, T0 + timedelta(seconds=t)))
+        df = spark.createDataFrame(rows, SCHEMA)
+        plain = _canon(session_windows(df, "user_id", "ts", gap_secs=gap))
+        for c in (chunk, gap):  # chunk = gap is the worst case: every cut contested
+            salted = _canon(
+                salted_session_windows(
+                    df, "user_id", "ts", gap_secs=gap, chunk_secs=c
+                )
+            )
+            assert salted == plain, f"chunk={c}"
