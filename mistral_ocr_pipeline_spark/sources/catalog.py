@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,12 +98,26 @@ class TableCatalog:
             else:
                 tables[t] = snap
         name = f"m-{uuid.uuid4().hex}.json"
+        # durability order matters for POWER loss, not just process kills:
+        # fsync the manifest bytes before _HEAD can point at them, fsync
+        # the tmp _HEAD before the rename, and fsync the directory so the
+        # rename itself is durable — otherwise _HEAD could survive a crash
+        # pointing at a manifest whose bytes never reached disk
         with open(os.path.join(self.warehouse, _MANIFEST_DIR, name), "w") as fh:
             json.dump({"tables": tables, "parent": parent}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         tmp = self._head_file() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(name)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self._head_file())  # THE atomic commit point
+        dir_fd = os.open(self.warehouse, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
         return name
 
     # -- paths / reads -----------------------------------------------------
@@ -200,8 +215,18 @@ class TableCatalog:
                     if f.startswith(("_", ".")):
                         continue
                     dst = os.path.join(dest, f)
-                    if not os.path.exists(dst):
-                        os.link(os.path.join(root, f), dst)
+                    if os.path.exists(dst):
+                        # the new write produced a file with the same
+                        # relative path as a prior-snapshot file; skipping
+                        # it would silently drop historical rows from the
+                        # snapshot (improbable with Spark's UUID part
+                        # names, which is exactly why it must fail loudly)
+                        raise FileExistsError(
+                            f"stage_append name collision for table "
+                            f"{table!r}: {os.path.join(sub, f)} exists in "
+                            f"both the new write and the current snapshot"
+                        )
+                    os.link(os.path.join(root, f), dst)
         return rel
 
     def discard_staged(self, snap_rel: str) -> None:
@@ -275,9 +300,17 @@ class TableCatalog:
                 expired.append(snap)
         return expired
 
-    def vacuum(self, table: str) -> list[str]:
+    def vacuum(self, table: str, grace_secs: float = 24 * 3600) -> list[str]:
         """Remove snapshot dirs not referenced by any committed manifest —
-        the leftovers of staged-then-killed writes."""
+        the leftovers of staged-then-killed writes.
+
+        ``grace_secs``: unreferenced dirs younger than this (by mtime) are
+        kept — a writer that is BETWEEN stage_append and commit has a
+        staged-but-unreferenced snapshot, and deleting it would let the
+        imminent commit publish a manifest pointing at nothing (the same
+        race Iceberg's remove_orphan_files guards with a default age
+        threshold).  Pass 0 only when no writer can be in flight."""
+        now = time.time()
         referenced = set(self.snapshots(table))
         removed = []
         root = self.path(table)
@@ -286,7 +319,13 @@ class TableCatalog:
         for entry in os.listdir(root):
             rel = f"{table}/{entry}"
             if entry.startswith("snap-") and rel not in referenced:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                full = os.path.join(root, entry)
+                try:
+                    if now - os.path.getmtime(full) < grace_secs:
+                        continue
+                except OSError:
+                    continue  # raced with a concurrent delete
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(rel)
         return removed
 

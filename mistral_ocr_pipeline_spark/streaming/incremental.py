@@ -29,21 +29,29 @@ def commit_extracted_batch(
     batch_id: int,
     output_table: str,
     lineage_table: str,
+    stream_id: str = "",
 ) -> bool:
     """Publish one micro-batch's output + metrics in ONE atomic catalog
     commit, idempotently: ``foreachBatch`` is at-least-once (a kill
     between the catalog commit and the streaming offset commit replays
     the batch), so a batch_id already present in the lineage table is
     skipped — replay becomes a no-op and the observable effect is
-    exactly-once.  Returns True when the batch was committed."""
+    exactly-once.  Returns True when the batch was committed.
+
+    ``stream_id`` scopes the idempotence key: Spark guarantees batch_id
+    uniqueness only PER CHECKPOINT, so a stream restarted with a fresh
+    checkpoint dir against the same warehouse restarts batch ids at 0 —
+    keyed on batch_id alone, its genuinely new micro-batches would be
+    skipped as replays (data loss).  ``run_incremental_extraction``
+    passes the checkpoint dir's identity; callers managing their own
+    foreachBatch must pass a value tied to the checkpoint lifecycle."""
     if catalog.exists(lineage_table):
-        already = (
-            catalog.read(lineage_table)
-            .filter(F.col("batch_id") == batch_id)
-            .limit(1)
-            .count()
+        lineage = catalog.read(lineage_table).filter(
+            F.col("batch_id") == batch_id
         )
-        if already:
+        if "stream_id" in lineage.columns:
+            lineage = lineage.filter(F.col("stream_id") == stream_id)
+        if lineage.limit(1).count():
             return False
     extracted = extracted.persist()
     try:
@@ -53,8 +61,17 @@ def commit_extracted_batch(
             F.sum(F.col("error").isNotNull().cast("long")).alias("failures"),
         ).first()
         metrics = extracted.sparkSession.createDataFrame(
-            [(run_id, batch_id, int(agg.rows or 0), int(agg.failures or 0))],
-            "run_id string, batch_id long, rows long, failures long",
+            [
+                (
+                    run_id,
+                    stream_id,
+                    batch_id,
+                    int(agg.rows or 0),
+                    int(agg.failures or 0),
+                )
+            ],
+            "run_id string, stream_id string, batch_id long, "
+            "rows long, failures long",
         )
         metrics_snap = catalog.stage_append(metrics, lineage_table)
         catalog.commit({output_table: data_snap, lineage_table: metrics_snap})
@@ -87,6 +104,13 @@ def run_incremental_extraction(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load()
 
+    # batch ids are unique per CHECKPOINT, so the idempotence key carries
+    # the checkpoint dir's identity — a fresh checkpoint (new batch-id
+    # namespace) can never be mistaken for a replay of an old one
+    import os
+
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def process_batch(batch_df, batch_id: int) -> None:
         commit_extracted_batch(
             catalog,
@@ -95,6 +119,7 @@ def run_incremental_extraction(
             int(batch_id),
             output_table,
             lineage_table,
+            stream_id=stream_id,
         )
 
     q = (

@@ -40,6 +40,10 @@ def main() -> None:
     p.add_argument("--keep-snapshots", type=int, default=1)
     p.add_argument("--skip-compact", action="store_true",
                    help="only expire + vacuum (cheap metadata pass)")
+    p.add_argument("--vacuum-grace-secs", type=float, default=24 * 3600,
+                   help="keep unreferenced snapshot dirs younger than this "
+                        "(protects writers between stage and commit); 0 "
+                        "only when no writer can be in flight")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("warehouse_maintenance").getOrCreate()
@@ -65,7 +69,9 @@ def main() -> None:
         entry["expired"] = catalog.expire_snapshots(
             table, keep_last=args.keep_snapshots
         )
-        entry["vacuumed"] = catalog.vacuum(table)
+        entry["vacuumed"] = catalog.vacuum(
+            table, grace_secs=args.vacuum_grace_secs
+        )
         report[table] = entry
     print(json.dumps(report))
     spark.stop()

@@ -172,9 +172,14 @@ def test_single_commit_kill_shows_both_or_neither(spark, tmp_path, input_df):
     assert cat.read("extracted").count() == 10
     assert cat.read("run_partitions").count() == 1
 
-    # vacuum removes a staged-then-abandoned snapshot, never a committed one
+    # vacuum's grace window protects a snapshot staged by an in-flight
+    # writer (between stage_append and commit) from a concurrent
+    # maintenance run — fresh unreferenced dirs survive the default grace
     abandoned = cat.stage_append(df, "extracted")
-    removed = cat.vacuum("extracted")
+    assert cat.vacuum("extracted") == []
+    # ...and with the grace waived (no writer in flight), vacuum removes a
+    # staged-then-abandoned snapshot, never a committed one
+    removed = cat.vacuum("extracted", grace_secs=0)
     assert abandoned in removed
     assert cat.read("extracted").count() == 10
 

@@ -88,3 +88,48 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     # a NEW batch id still commits
     assert commit_extracted_batch(cat, extracted, "r", 1, "out", "lin") is True
     assert cat.read("out").count() == 2 * n1
+    # batch_id 0 from a DIFFERENT stream (fresh checkpoint → batch ids
+    # restart at 0) is NOT a replay — keyed on (stream_id, batch_id), it
+    # must commit instead of being silently dropped
+    assert (
+        commit_extracted_batch(
+            cat, extracted, "r", 0, "out", "lin", stream_id="ckpt-B"
+        )
+        is True
+    )
+    assert cat.read("out").count() == 3 * n1
+    # and a replay WITHIN that stream is still skipped
+    assert (
+        commit_extracted_batch(
+            cat, extracted, "r", 0, "out", "lin", stream_id="ckpt-B"
+        )
+        is False
+    )
+
+
+def test_fresh_checkpoint_same_warehouse_not_skipped(spark, tmp_path):
+    """End-to-end version of the stream-identity fix: drain a directory
+    with checkpoint A, then drain NEW data with a fresh checkpoint B into
+    the SAME warehouse — batch ids restart at 0, and the new batches must
+    still land (previously they were skipped as replays)."""
+    input_a = tmp_path / "in_a"
+    input_a.mkdir()
+    rows = gen_transcripts(6, 4, seed=31, profile="tiny")
+    _write_parquet(rows, input_a / "a.parquet")
+    cat = TableCatalog(spark, str(tmp_path / "wh2"))
+    run_incremental_extraction(
+        spark, str(input_a), cat, str(tmp_path / "ckpt_a"), run_id="a"
+    )
+    n1 = cat.read("extracted_stream").count()
+    assert n1 == len(rows)
+
+    input_b = tmp_path / "in_b"
+    input_b.mkdir()
+    more = gen_transcripts(4, 3, seed=77, profile="tiny")
+    more = [(f"b-{c}", t, r, x, tl, ts) for (c, t, r, x, tl, ts) in more]
+    _write_parquet(more, input_b / "b.parquet")
+    run_incremental_extraction(
+        spark, str(input_b), cat, str(tmp_path / "ckpt_b"), run_id="b"
+    )
+    assert cat.read("extracted_stream").count() == n1 + len(more)
+    assert {r.run_id for r in cat.read("stream_batches").collect()} == {"a", "b"}

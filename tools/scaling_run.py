@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -220,9 +221,20 @@ shape, bounded only by the engine-attributable term above.
             )
     (ROOT / "BENCH").mkdir(exist_ok=True)
     out_path = ROOT / "BENCH" / "BASELINE.md"
+    prior = out_path.read_text() if out_path.exists() else ""
+    # hand-written analysis survives regeneration: any block delimited by
+    # <!-- MANUAL --> ... <!-- /MANUAL --> in the existing file is carried
+    # over verbatim (in order) between the generated report and the
+    # skew-defense tail — regenerating must never destroy human-written
+    # sections (this bit two earlier rounds)
+    manual_blocks = re.findall(
+        r"<!-- MANUAL -->.*?<!-- /MANUAL -->", prior, flags=re.DOTALL
+    )
+    for block in manual_blocks:
+        report += "\n" + block.strip() + "\n"
     # keep the skew-defense section skew_run.py appends below this report
-    if out_path.exists() and "## Skew defense" in out_path.read_text():
-        tail = out_path.read_text().split("## Skew defense", 1)[1]
+    if "## Skew defense" in prior:
+        tail = prior.split("## Skew defense", 1)[1]
         report += "\n## Skew defense" + tail.rstrip() + "\n"
     out_path.write_text(report)
     print(json.dumps({
