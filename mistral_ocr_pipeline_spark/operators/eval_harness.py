@@ -81,17 +81,36 @@ def evaluate(
     match_title: tuple[str, str],
     fields: list[FieldSpec],
     match_threshold: float = 1.5,
+    sequential: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {"scores", "per_field", "per_row", "overall"} DataFrames.
 
     Match stage = J2 fuzzy best-match (broadcast cross join + two-stage
     windows); unmatched review rows score NULL on every field and surface
     in ``overall.n_unmatched`` (left-outer semantics,
-    compare_results.py:113-121)."""
-    matches = fuzzy_best_match(
-        review, output, review_id, output_id,
-        title_cols=match_title, threshold=match_threshold,
-    )
+    compare_results.py:113-121).
+
+    ``sequential=True`` switches to the REFERENCE-PARITY greedy matcher
+    (``fuzzy_best_match_sequential``): reviews processed in id order, a
+    contested review falls back to its next-best unused output exactly as
+    compare_results.py:87-119 — the two formulations differ only when
+    two reviews share a best output.  The window form stays the default:
+    it is the fully-distributed scale shape and what the value oracles
+    replay."""
+    if sequential:
+        from mistral_ocr_pipeline_spark.operators.fuzzy_join import (
+            fuzzy_best_match_sequential,
+        )
+
+        matches = fuzzy_best_match_sequential(
+            review, output, review_id, output_id,
+            title_cols=match_title, threshold=match_threshold,
+        )
+    else:
+        matches = fuzzy_best_match(
+            review, output, review_id, output_id,
+            title_cols=match_title, threshold=match_threshold,
+        )
     l = review.select(
         F.col(review_id).alias("left_id"),
         *[F.col(s.name).alias(f"l_{s.name}") for s in fields],

@@ -53,6 +53,43 @@ def test_evaluate_end_to_end(spark):
     assert overall.overall_accuracy is not None
 
 
+def test_evaluate_sequential_contested_fallback(spark):
+    """evaluate(sequential=True) runs the REFERENCE-PARITY matcher: when
+    two reviews share a best output, the later review falls back to its
+    next-best unused output (the window default leaves it unmatched)."""
+    review = spark.createDataFrame(
+        [
+            (1, "Deep learning for cats", "2020"),
+            (2, "Deep learning for cats!", "2020"),  # contested with rid 1
+        ],
+        "rid long, title string, year string",
+    )
+    output = spark.createDataFrame(
+        [
+            (10, "Deep learning for cats", "2020"),
+            (11, "Deep learning for cat", "2020"),
+        ],
+        "oid long, title string, year string",
+    )
+    kw = dict(
+        review_id="rid", output_id="oid",
+        match_title=("title", "title"),
+        fields=[FieldSpec("year", "year")],
+    )
+    seq = {
+        r.left_id: r.right_id
+        for r in evaluate(review, output, sequential=True, **kw)["scores"].collect()
+    }
+    win = {
+        r.left_id: r.right_id
+        for r in evaluate(review, output, **kw)["scores"].collect()
+    }
+    assert seq == {1: 10, 2: 11}
+    assert win == {1: 10, 2: None}
+    ov = evaluate(review, output, sequential=True, **kw)["overall"].first()
+    assert ov.n_unmatched == 0
+
+
 def test_render_report_structure_and_determinism(spark):
     from mistral_ocr_pipeline_spark.operators.eval_harness import (
         FieldSpec,
