@@ -40,17 +40,7 @@ def difflib_sim(a: Column, b: Column) -> Column:
     """SequenceMatcher.ratio — byte-parity with the reference metric
     (C5 in SURVEY.md §2.8: levenshtein is NOT the same metric, so this
     variant exists for golden comparisons).  Arrow-batched pandas UDF."""
-
-    @F.pandas_udf("double")
-    def ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                SequenceMatcher(None, x or "", y or "").ratio()
-                for x, y in zip(s1, s2)
-            ]
-        )
-
-    return ratio(norm_key_col(a), norm_key_col(b))
+    return difflib_sim_norm(norm_key_col(a), norm_key_col(b))
 
 
 def fuzzy_best_match(
@@ -87,13 +77,7 @@ def fuzzy_best_match(
     # (O(|l|·|r|) regex passes; measured 10× slowdown)
     def raw_sim(a: Column, b: Column) -> Column:
         if use_difflib:
-            @F.pandas_udf("double")
-            def ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
-                return pd.Series(
-                    [SequenceMatcher(None, x or "", y or "").ratio()
-                     for x, y in zip(s1, s2)]
-                )
-            return ratio(a, b)
+            return difflib_sim_norm(a, b)
         return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
             F.length(a), F.length(b), F.lit(1)
         ).cast("double")
