@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWEST_FIRST = [
     "j2_fuzzy_sequential",     # new in r4: reference-parity greedy, rec-CTE oracle
     "dedup_index_append",      # new in r4: index maintenance ≡ one-shot claim
+    "pack_token_budget_bpe",   # new in r4: packing budgeted on BPE counts
     "ann_ivf_fixed_topk",      # r3: SQL-replayed IVF search path
     "ann_lsh_topk",            # gained a full value oracle in r3
     "decontam_pipeline",       # single-plan rework
