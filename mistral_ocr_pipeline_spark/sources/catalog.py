@@ -33,9 +33,15 @@ Commit protocol (real snapshot isolation, not an approximation):
 * superseded snapshots stay readable (``read(table,
   snapshot="snap-…")`` = time travel) until ``expire_snapshots``.
 
-Single-writer per warehouse (one Spark driver owns the commit pointer);
-concurrent committers would need a CAS on ``_HEAD``, which is exactly
-the service a real Iceberg/Nessie/Glue catalog provides at 100 TB.
+Concurrency: same-HOST writers serialize through an exclusive commit
+lockfile, with snapshot-level optimistic validation — a commit whose
+staged base is no longer the table's current snapshot raises
+``CommitConflictError`` for a re-stage-and-retry loop (Iceberg's
+CommitFailedException semantics); commits touching different tables
+interleave safely.  The lock is ``O_CREAT|O_EXCL`` on the warehouse
+filesystem — the same one-filesystem assumption hardlink appends already
+make — so MULTI-host writers still need the CAS service a real
+Iceberg/Nessie/Glue catalog provides at 100 TB.
 
 Bucketed tables (``write_bucketed``) live outside the manifest: their
 bucketing metadata is owned by the Spark session catalog (saveAsTable),
@@ -54,6 +60,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _HEAD = "_HEAD"
+_HEAD_LOCK = "_HEAD.lock"
+
+
+class CommitConflictError(RuntimeError):
+    """A staged snapshot's base is no longer the table's current snapshot:
+    another writer committed the table between stage and commit, and the
+    staged hardlink carry-forward would silently drop its rows.  Re-stage
+    from the new current snapshot and retry (Iceberg's
+    CommitFailedException retry loop)."""
 
 
 class TableCatalog:
@@ -61,6 +76,9 @@ class TableCatalog:
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(os.path.join(warehouse, _MANIFEST_DIR), exist_ok=True)
+        # snapshot relpath → the snapshot it was staged ON TOP OF (None for
+        # a fresh table); commit() validates these bases under the lock
+        self._staged_bases: dict[str, str | None] = {}
 
     # -- manifest machinery ------------------------------------------------
     def _head_file(self) -> str:
@@ -83,20 +101,80 @@ class TableCatalog:
         """table name → current snapshot relpath (``table/snap-…``)."""
         return self._load_manifest(self._current_manifest_name())["tables"]
 
-    def commit(self, updates: dict[str, str | None]) -> str:
+    def _acquire_commit_lock(
+        self, timeout_secs: float = 60.0, stale_secs: float = 300.0
+    ) -> str:
+        """Exclusive advisory lock for the commit critical section
+        (O_CREAT|O_EXCL — atomic on one filesystem, which is also the
+        hardlink-append assumption).  A lock older than ``stale_secs``
+        belongs to a crashed committer (commits are sub-second) and is
+        broken.  This is the single-HOST CAS; multi-host deployments need
+        the catalog service (Iceberg/Nessie/Glue) named in the module
+        docstring."""
+        lock = os.path.join(self.warehouse, _HEAD_LOCK)
+        deadline = time.monotonic() + timeout_secs
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_secs:
+                        os.unlink(lock)  # crashed committer
+                        continue
+                except OSError:
+                    continue  # lock released between exists and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock} held for >{timeout_secs}s"
+                    )
+                time.sleep(0.01)
+
+    def commit(
+        self, updates: dict[str, str | None], validate_bases: bool = True
+    ) -> str:
         """Atomically publish staged snapshots for one or MORE tables.
 
         ``updates`` maps table → snapshot relpath from ``stage_append`` /
         ``stage_overwrite`` (or ``None`` to drop the table).  All entries
         become visible in the same ``os.replace`` of ``_HEAD``; a kill
-        before the replace leaves every table at its previous snapshot."""
-        parent = self._current_manifest_name()
-        tables = dict(self._load_manifest(parent)["tables"])
-        for t, snap in updates.items():
-            if snap is None:
-                tables.pop(t, None)
-            else:
-                tables[t] = snap
+        before the replace leaves every table at its previous snapshot.
+
+        Concurrency: the read-merge-swap runs under an exclusive lockfile,
+        so same-host writers SERIALIZE — commits touching different tables
+        interleave safely.  ``validate_bases`` enforces snapshot-level
+        optimistic concurrency: if a staged snapshot's base (recorded at
+        stage time — the snapshot its hardlinks carried forward) is no
+        longer the table's current snapshot, ``CommitConflictError`` is
+        raised and the caller re-stages from the new current (pass False
+        only for a deliberate last-wins overwrite)."""
+        lock = self._acquire_commit_lock()
+        try:
+            parent = self._current_manifest_name()
+            tables = dict(self._load_manifest(parent)["tables"])
+            if validate_bases:
+                for t, snap in updates.items():
+                    if snap is None or snap not in self._staged_bases:
+                        continue
+                    base, cur = self._staged_bases[snap], tables.get(t)
+                    if base != cur:
+                        raise CommitConflictError(
+                            f"table {t!r}: staged {snap} on base {base!r} "
+                            f"but current is {cur!r} — another writer "
+                            "committed; re-stage and retry"
+                        )
+            for t, snap in updates.items():
+                if snap is None:
+                    tables.pop(t, None)
+                else:
+                    tables[t] = snap
+            return self._write_manifest(tables, parent)
+        finally:
+            os.unlink(lock)
+
+    def _write_manifest(self, tables: dict[str, str], parent: str | None) -> str:
         name = f"m-{uuid.uuid4().hex}.json"
         # durability order matters for POWER loss, not just process kills:
         # fsync the manifest bytes before _HEAD can point at them, fsync
@@ -191,11 +269,14 @@ class TableCatalog:
         snapshot relpath for ``commit``.  Invisible to readers until
         committed."""
         snap = f"snap-{uuid.uuid4().hex}"
+        base = self.current_tables().get(table)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(os.path.join(self.path(table), snap))
-        return f"{table}/{snap}"
+        rel = f"{table}/{snap}"
+        self._staged_bases[rel] = base
+        return rel
 
     def stage_append(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
@@ -204,7 +285,11 @@ class TableCatalog:
         metadata-only, the Iceberg manifest-reuse analog) as a new
         snapshot.  Returns the snapshot relpath for ``commit``."""
         rel = self.stage_overwrite(df, table, partition_by)
-        cur = self.data_path(table)
+        # carry forward the snapshot recorded as BASE at stage time (not a
+        # re-resolved current: a concurrent commit mid-write must surface
+        # as a base-validation conflict, not be silently half-linked)
+        base = self._staged_bases.get(rel)
+        cur = os.path.join(self.warehouse, base) if base else None
         if cur and os.path.isdir(cur):
             snap_dir = os.path.join(self.warehouse, rel)
             for root, _dirs, files in os.walk(cur):
@@ -251,6 +336,7 @@ class TableCatalog:
         cur = self.data_path(table)
         if cur is None or not os.path.isdir(cur):
             return
+        base = self.current_tables().get(table)
         snap = f"snap-{uuid.uuid4().hex}"
         snap_dir = os.path.join(self.path(table), snap)
         skip = set(dirnames)
@@ -264,7 +350,9 @@ class TableCatalog:
                 if f.startswith(("_", ".")):
                     continue
                 os.link(os.path.join(root, f), os.path.join(dest, f))
-        self.commit({table: f"{table}/{snap}"})
+        rel = f"{table}/{snap}"
+        self._staged_bases[rel] = base
+        self.commit({table: rel})
 
     # -- maintenance -------------------------------------------------------
     def snapshots(self, table: str) -> list[str]:

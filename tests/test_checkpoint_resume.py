@@ -221,6 +221,80 @@ def test_overwrite_never_exposes_missing_table(spark, tmp_path, input_df):
     assert cat.read("t").count() == 2
 
 
+def test_concurrent_commit_conflict_detected_and_retryable(spark, tmp_path):
+    """Snapshot-level optimistic concurrency: two writers (separate
+    catalog objects, same warehouse) both stage appends on the same
+    table; the second commit must raise CommitConflictError — its staged
+    hardlinks carried the pre-first-commit snapshot, so publishing it
+    would silently drop the first writer's rows — and a re-stage from the
+    new current must succeed with BOTH writers' rows visible."""
+    import pytest as _pytest
+
+    from mistral_ocr_pipeline_spark.sources.catalog import (
+        CommitConflictError,
+        TableCatalog,
+    )
+
+    wh = str(tmp_path / "wh_conc")
+    a = TableCatalog(spark, wh)
+    b = TableCatalog(spark, wh)
+    base = spark.range(5).withColumnRenamed("id", "v")
+    a.overwrite(base, "t")
+
+    snap_a = a.stage_append(spark.range(100, 103).withColumnRenamed("id", "v"), "t")
+    snap_b = b.stage_append(spark.range(200, 204).withColumnRenamed("id", "v"), "t")
+    b.commit({"t": snap_b})  # B wins the race
+    with _pytest.raises(CommitConflictError):
+        a.commit({"t": snap_a})
+    # A retries: re-stage from the NEW current and commit
+    a.discard_staged(snap_a)
+    a.commit({"t": a.stage_append(
+        spark.range(100, 103).withColumnRenamed("id", "v"), "t"
+    )})
+    got = sorted(r.v for r in a.read("t").collect())
+    assert got == sorted([*range(5), *range(100, 103), *range(200, 204)])
+
+
+def test_concurrent_commits_different_tables_interleave(spark, tmp_path):
+    """Writers on DIFFERENT tables never conflict: stage order A,B —
+    commit order B,A — both tables end up current and complete."""
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+    wh = str(tmp_path / "wh_conc2")
+    a = TableCatalog(spark, wh)
+    b = TableCatalog(spark, wh)
+    snap_a = a.stage_overwrite(spark.range(3).withColumnRenamed("id", "v"), "ta")
+    snap_b = b.stage_overwrite(spark.range(7).withColumnRenamed("id", "v"), "tb")
+    b.commit({"tb": snap_b})
+    a.commit({"ta": snap_a})
+    assert a.read("ta").count() == 3 and a.read("tb").count() == 7
+
+
+def test_commit_lock_released_on_conflict(spark, tmp_path):
+    """The commit lockfile must not leak when validation raises."""
+    import os
+
+    import pytest as _pytest
+
+    from mistral_ocr_pipeline_spark.sources.catalog import (
+        CommitConflictError,
+        TableCatalog,
+    )
+
+    wh = str(tmp_path / "wh_lock")
+    a = TableCatalog(spark, wh)
+    b = TableCatalog(spark, wh)
+    a.overwrite(spark.range(2).withColumnRenamed("id", "v"), "t")
+    snap_a = a.stage_append(spark.range(10, 12).withColumnRenamed("id", "v"), "t")
+    b.append(spark.range(20, 22).withColumnRenamed("id", "v"), "t")
+    with _pytest.raises(CommitConflictError):
+        a.commit({"t": snap_a})
+    assert not os.path.exists(os.path.join(wh, "_HEAD.lock"))
+    # subsequent commits proceed normally
+    b.append(spark.range(30, 31).withColumnRenamed("id", "v"), "t")
+    assert a.read("t").count() == 2 + 2 + 1
+
+
 def test_schema_evolution_add_column(spark, tmp_path):
     """Iceberg-style ADD COLUMN: an append introducing a new column leaves
     old files untouched (hardlinked forward); merge_schema reads surface
