@@ -51,6 +51,58 @@ def pack_token_budget(
     )
 
 
+def chunk_text_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunking — the document→passage step of
+    an embedding/retrieval pipeline (each chunk gets embedded/indexed;
+    the overlap keeps sentences straddling a boundary retrievable from
+    both sides).  Returns (id, chunk_start, chunk_text, n_tokens); empty
+    documents yield no chunks.
+
+    Pure Catalyst fan-out, no UDF and no shuffle: whitespace tokens →
+    ``explode(sequence(0, n-1, window-overlap))`` chunk starts →
+    ``slice``+``array_join`` per chunk.  At scale this is a scan-side
+    Generate whose output feeds the embedding kernel directly; chunk
+    count per doc is ⌈n/step⌉, bounded and skew-free."""
+    if overlap >= window:
+        raise ValueError(f"overlap ({overlap}) must be < window ({window})")
+    step = window - overlap
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
+        "id", "_toks", F.size("_toks").alias("_n")
+    )
+    # chunks are materialized BEFORE the explode so the full token array
+    # is dropped from the Generate input (Generate does not prune parent
+    # columns — carrying _toks per chunk row would cost O(n²/step) for a
+    # long doc; same lesson as the shingle drop in operators/dedup.py):
+    # each generated row carries only its own ≤window-token text
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step)),
+        lambda s: F.struct(
+            s.cast("int").alias("chunk_start"),
+            F.array_join(F.slice("_toks", s + 1, window), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(window), F.col("_n") - s).cast("long").alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return (
+        base.filter(F.col("_n") > 0)
+        .select("id", chunk_structs.alias("_chunks"))
+        .select("id", F.explode("_chunks").alias("_c"))
+        .select("id", "_c.chunk_start", "_c.chunk_text", "_c.n_tokens")
+    )
+
+
 def pack_rollup(packed: DataFrame, budget: int = 2048) -> DataFrame:
     """Per-pack fill statistics: (shard, pack_id, n_docs, total_tokens,
     fill_ratio).  ``fill_ratio`` > 1 marks the overflow pack head (the one

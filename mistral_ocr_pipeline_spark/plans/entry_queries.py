@@ -2570,6 +2570,36 @@ def pack_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_budget(docs, "doc_id", "tokens", budget=512, n_shards=8)
 
 
+@register(
+    "chunk_text_windows",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::varchar[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, len(toks) AS n, toks,
+             unnest(range(0, len(toks)::bigint, 24))::int AS chunk_start
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id AS id, chunk_start,
+           array_to_string(toks[chunk_start + 1:chunk_start + 32], ' ')
+               AS chunk_text,
+           least(32, n - chunk_start)::bigint AS n_tokens
+    FROM c
+    """,
+)
+def chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=32, overlap=8) — the
+    document→passage fan-out an embedding/retrieval pipeline runs before
+    indexing.  All-Catalyst: transform-then-explode so the token array
+    never rides the Generate (operators/packing.chunk_text_tokens)."""
+    from mistral_ocr_pipeline_spark.operators.packing import chunk_text_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text_tokens(docs, "doc_id", "text", window=32, overlap=8)
+
+
 _PACK_OFF_BPE = r"""
     WITH tok AS (
       SELECT doc_id AS id, doc_id % 8 AS shard,

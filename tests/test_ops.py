@@ -775,6 +775,42 @@ class TestSequencePacking:
         }
         assert roll[(0, 0)] == (2, 110) and roll[(0, 1)] == (2, 110)
 
+    def test_chunk_text_tokens_overlap_and_edges(self, spark):
+        """Window/overlap arithmetic: starts advance by window-overlap,
+        consecutive chunks share exactly `overlap` tokens, the tail chunk
+        is short, sub-window and empty docs behave."""
+        import pytest as _pytest
+
+        from mistral_ocr_pipeline_spark.operators.packing import chunk_text_tokens
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+                (2, "a b c"),                                # sub-window
+                (3, ""),                                     # no chunks
+                (4, "   "),                                  # no chunks
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id, r.chunk_start): (r.chunk_text, r.n_tokens)
+            for r in chunk_text_tokens(
+                docs, "doc_id", "text", window=4, overlap=2
+            ).collect()
+        }
+        # doc 1: starts 0,2,4,6,8
+        assert {k[1] for k in got if k[0] == 1} == {0, 2, 4, 6, 8}
+        assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+        assert got[(1, 2)] == ("w2 w3 w4 w5", 4)  # 2-token overlap
+        assert got[(1, 8)] == ("w8 w9", 2)        # short tail
+        assert got[(2, 0)] == ("a b c", 3)
+        assert {k[0] for k in got} == {1, 2}       # empty docs: no chunks
+        # every token is covered by some chunk
+        covered = " ".join(t for (_d, s), (t, _n) in sorted(got.items()) if _d == 1)
+        assert all(f"w{i}" in covered for i in range(10))
+        with _pytest.raises(ValueError):
+            chunk_text_tokens(docs, "doc_id", "text", window=4, overlap=4)
+
     def test_partition_invariant(self, spark):
         """Pack assignment is a pure function of (id, tokens) — identical
         under any physical partitioning of the input."""
