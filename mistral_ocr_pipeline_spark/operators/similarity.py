@@ -29,6 +29,29 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
+def hash_embedding_col(text: F.Column, dim: int = 8) -> F.Column:
+    """Deterministic pseudo-embedding for a text column: ``dim`` doubles
+    in [-1, 1), component i derived from the first 32 md5 bits of
+    ``text || '#i'``.  Every step is exact dyadic arithmetic, so the
+    vector is bit-identical in any engine with md5 — the DuckDB twin is
+    ``('0x' || substring(md5(t || '#' || i), 1, 8))::UBIGINT
+    / 4294967296.0 * 2 - 1`` — which makes retrieval pipelines built on
+    it value-oracle-able end to end.  Stands in for a real encoder the
+    same way ``multimodal.deterministic_fake`` stands in for codecs: the
+    Spark-side plumbing (schema, fan-out, cosine ranking) is real; only
+    the model weights are fake."""
+    comps = [
+        F.conv(F.substring(F.md5(F.concat(text, F.lit(f"#{i}"))), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+        * 2
+        - 1
+        for i in range(dim)
+    ]
+    return F.array(*comps)
+
+
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -2600,6 +2600,101 @@ def chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text_tokens(docs, "doc_id", "text", window=32, overlap=8)
 
 
+@register(
+    "chunk_retrieval_topk",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::varchar[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id AS id, len(toks) AS n, toks,
+             unnest(range(0, len(toks)::bigint, 24))::int AS chunk_start
+      FROM t WHERE len(toks) > 0),
+    ch AS (
+      SELECT id, chunk_start,
+             array_to_string(toks[chunk_start + 1:chunk_start + 32], ' ')
+                 AS chunk_text
+      FROM c),
+    e AS (
+      SELECT id, chunk_start,
+             [('0x' || substring(md5(chunk_text || '#' || i::varchar), 1, 8))
+                  ::UBIGINT / 4294967296.0 * 2 - 1
+              for i in range(0, 8)] AS v
+      FROM ch),
+    q AS (SELECT id AS qid, v AS qv FROM e WHERE id < 4 AND chunk_start = 0),
+    s AS (
+      SELECT qid, id, chunk_start,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM q CROSS JOIN e WHERE id != qid),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid
+              ORDER BY cosine DESC, id, chunk_start) AS rank FROM s)
+    SELECT qid AS query_id, id AS doc_id, chunk_start, cosine, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest composite in ONE plan: overlapping token-window chunking
+    → deterministic hash embedding (similarity.hash_embedding_col, exact
+    SQL twin) → exact cosine top-3 chunks per query, queries = first chunk
+    of docs 0-3, own-document chunks excluded.  Chunk fan-out and the
+    embedding are scan-side expressions; only the 4-row query block rides
+    the broadcast; ranking is one window per query id — the 100 TB shape
+    is scan → broadcast NLJ → per-qid top-k, no corpus shuffle."""
+    from mistral_ocr_pipeline_spark.operators.packing import chunk_text_tokens
+    from mistral_ocr_pipeline_spark.operators.similarity import hash_embedding_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text_tokens(docs, "doc_id", "text", window=32, overlap=8)
+    emb = chunks.select(
+        "id", "chunk_start", hash_embedding_col(F.col("chunk_text"), 8).alias("v")
+    )
+    q = emb.filter((F.col("id") < 4) & (F.col("chunk_start") == 0)).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    s = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            "id",
+            "chunk_start",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("id").asc(), F.col("chunk_start").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            "chunk_start",
+            "cosine",
+            "rank",
+        )
+    )
+
+
 _PACK_OFF_BPE = r"""
     WITH tok AS (
       SELECT doc_id AS id, doc_id % 8 AS shard,

@@ -811,6 +811,35 @@ class TestSequencePacking:
         with _pytest.raises(ValueError):
             chunk_text_tokens(docs, "doc_id", "text", window=4, overlap=4)
 
+    def test_hash_embedding_deterministic_and_bounded(self, spark):
+        """hash_embedding_col: dim components in [-1, 1), equal text →
+        equal vector, distinct text → distinct vector, stable across
+        partitionings (pure expression of the text)."""
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            hash_embedding_col,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+            "id long, t string",
+        )
+        out = {
+            r.id: list(r.v)
+            for r in df.select(
+                "id", hash_embedding_col(F.col("t"), 8).alias("v")
+            ).collect()
+        }
+        assert all(len(v) == 8 for v in out.values())
+        assert all(-1.0 <= x < 1.0 for v in out.values() for x in v)
+        assert out[1] == out[2] and out[1] != out[3]
+        rep = {
+            r.id: list(r.v)
+            for r in df.repartition(7)
+            .select("id", hash_embedding_col(F.col("t"), 8).alias("v"))
+            .collect()
+        }
+        assert rep == out
+
     def test_partition_invariant(self, spark):
         """Pack assignment is a pure function of (id, tokens) — identical
         under any physical partitioning of the input."""
