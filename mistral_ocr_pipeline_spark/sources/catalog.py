@@ -292,26 +292,38 @@ class TableCatalog:
         cur = os.path.join(self.warehouse, base) if base else None
         if cur and os.path.isdir(cur):
             snap_dir = os.path.join(self.warehouse, rel)
-            for root, _dirs, files in os.walk(cur):
-                sub = os.path.relpath(root, cur)
-                dest = snap_dir if sub == "." else os.path.join(snap_dir, sub)
-                os.makedirs(dest, exist_ok=True)
-                for f in files:
-                    if f.startswith(("_", ".")):
-                        continue
-                    dst = os.path.join(dest, f)
-                    if os.path.exists(dst):
-                        # the new write produced a file with the same
-                        # relative path as a prior-snapshot file; skipping
-                        # it would silently drop historical rows from the
-                        # snapshot (improbable with Spark's UUID part
-                        # names, which is exactly why it must fail loudly)
-                        raise FileExistsError(
-                            f"stage_append name collision for table "
-                            f"{table!r}: {os.path.join(sub, f)} exists in "
-                            f"both the new write and the current snapshot"
-                        )
-                    os.link(os.path.join(root, f), dst)
+            try:
+                for root, _dirs, files in os.walk(cur):
+                    sub = os.path.relpath(root, cur)
+                    dest = (
+                        snap_dir if sub == "." else os.path.join(snap_dir, sub)
+                    )
+                    os.makedirs(dest, exist_ok=True)
+                    for f in files:
+                        if f.startswith(("_", ".")):
+                            continue
+                        dst = os.path.join(dest, f)
+                        if os.path.exists(dst):
+                            # the new write produced a file with the same
+                            # relative path as a prior-snapshot file;
+                            # skipping it would silently drop historical
+                            # rows from the snapshot (improbable with
+                            # Spark's UUID part names, which is exactly
+                            # why it must fail loudly)
+                            raise FileExistsError(
+                                f"stage_append name collision for table "
+                                f"{table!r}: {os.path.join(sub, f)} exists "
+                                "in both the new write and the current "
+                                "snapshot"
+                            )
+                        os.link(os.path.join(root, f), dst)
+            except FileExistsError:
+                # don't leave a half-linked staged dir for vacuum to age
+                # out — the snapshot was never returned, so nothing can
+                # reference it
+                self.discard_staged(rel)
+                self._staged_bases.pop(rel, None)
+                raise
         return rel
 
     def discard_staged(self, snap_rel: str) -> None:
