@@ -854,6 +854,173 @@ def embedding_neardup_pairs(
 
 
 # --------------------------------------------------------------------------
+# SemDeDup — semantic dedup via embedding-cluster pruning
+# --------------------------------------------------------------------------
+def semantic_cell_cols(
+    vec: F.Column, centroids: "np.ndarray"
+) -> tuple[F.Column, F.Column]:
+    """(cell, centroid_sim) for a double-array vector against a fixed
+    (n, dim) float64 centroid matrix, as pure Catalyst expressions: the
+    centroid rows are baked into the plan as literals, cell = argmax dot
+    (ties → smallest cell id, via greatest over (dot, -cell) structs),
+    centroid_sim = best_dot / |v| (centroids are unit-norm, so this is
+    the cosine to the assigned centroid).
+
+    Expression-only so a SQL oracle replays it literal-for-literal; at
+    warehouse scale the same assignment is materialized once by
+    ``similarity.ivf_build`` (vectorized Arrow kernel, bucketed ``cell``
+    column) and reused — the two paths share the argmax convention."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    dots = [
+        _dot(vec, F.array(*[F.lit(float(x)) for x in row])) for row in cent
+    ]
+    if len(dots) == 1:
+        best = F.struct(dots[0].alias("d"), F.lit(0.0).alias("nc"))
+    else:
+        best = F.greatest(
+            *[
+                F.struct(d.alias("d"), F.lit(float(-i)).alias("nc"))
+                for i, d in enumerate(dots)
+            ]
+        )
+    cell = (-best["nc"]).cast("int")
+    csim = best["d"] / _l2norm(vec)
+    return cell, csim
+
+
+def semantic_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray",
+    threshold: float = 0.95,
+    max_bucket: int = 4096,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every vector to its nearest centroid, then
+    compute exact pairwise cosine ONLY within a cell — the cluster
+    replaces the O(n²) all-pairs space, exactly like an LSH bucket but
+    with semantically-coherent membership, so the pairs it surfaces are
+    paraphrase/re-encode duplicates that token-level MinHash cannot see.
+
+    Returns (id_a, id_b, cell, cosine, csim_a, csim_b, bucket_truncated)
+    with id_a < id_b and cosine ≥ threshold.  Cells gather via the salted
+    bounded collect (per-task memory bounded even for a degenerate
+    cluster; cap hits surfaced via ``bucket_truncated`` / observation).
+
+    Scale: pair fan-out is Σ_cells |cell|² — governed by n_centroids; at
+    100 TB you size n_centroids ≈ corpus/√target_cell and persist the
+    assignment (``similarity.ivf_build``) instead of recomputing it."""
+    cell, csim = semantic_cell_cols(F.col("vec"), centroids)
+    keyed = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).select("id", "vec", cell.alias("cell"), csim.alias("csim"))
+    buckets = _bounded_bucket_collect(
+        keyed,
+        ["cell"],
+        F.struct("id", "vec", "csim"),
+        F.col("id"),
+        max_bucket,
+        "members",
+    )
+    buckets = _observe_caps(buckets, observation).filter(F.size("members") > 1)
+    pairs = buckets.select(
+        "cell",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["vec"].alias("vec_a"),
+                            y["vec"].alias("vec_b"),
+                            x["csim"].alias("csim_a"),
+                            y["csim"].alias("csim_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+        "bucket_truncated",
+    ).select("cell", "p.*", "bucket_truncated")
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _l2norm(F.col("vec_a")) * _l2norm(F.col("vec_b"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cell",
+        cos.alias("cosine"),
+        "csim_a",
+        "csim_b",
+        "bucket_truncated",
+    ).filter(F.col("cosine") >= threshold)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray",
+    threshold: float = 0.95,
+    max_bucket: int = 4096,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """SemDeDup pruning: drop a row when a semantic near-duplicate exists
+    that sits FARTHER from the shared cluster centroid — the paper's
+    keep-the-low-centroid-similarity rule (it preserves the "edge"
+    example of each duplicate group, which transfers better than the
+    prototypical one).  Tie on centroid_sim → keep the smaller id.
+
+    Convention (documented because it differs from transitive grouping):
+    dominance is evaluated per-PAIR — x is dropped iff some neighbor y
+    with cosine(x,y) ≥ threshold has (csim_y, id_y) < (csim_x, id_x)
+    lexicographically, regardless of whether y itself survives.  A chain
+    a~b~c (a≁c) therefore keeps only a — the greedy form, deterministic
+    and SQL-replayable without recursion; for transitive-group semantics
+    compose :func:`semantic_pairs` with :func:`connected_components`.
+
+    Returns one row per SURVIVOR: (id, cell, centroid_sim).  Dominance
+    compares centroid_sim ROUNDED to 6 dp (ties → id): an exact-duplicate
+    pair (e.g. a re-scaled re-encode) has mathematically equal csim that
+    differs by ~1 ulp between engines' dot-product summation, so a
+    raw-double comparison is not cross-engine stable — rounding collapses
+    ulp noise to the id tie-break (measured: the only Spark↔DuckDB
+    divergence on the clone fixture, fixed by this)."""
+    cell, csim = semantic_cell_cols(F.col("vec"), centroids)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).select("id", cell.alias("cell"), F.round(csim, 6).alias("csim"))
+    pairs = semantic_pairs(
+        df, id_col, vec_col, centroids, threshold, max_bucket, observation
+    )
+    ra, rb = F.round("csim_a", 6), F.round("csim_b", 6)
+    losers = pairs.select(
+        F.when(
+            (ra < rb) | ((ra == rb) & (F.col("id_a") < F.col("id_b"))),
+            F.col("id_b"),
+        )
+        .otherwise(F.col("id_a"))
+        .alias("id")
+    ).distinct()
+    return (
+        assigned.join(losers, "id", "left_anti")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("csim").alias("centroid_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Connected components (pair list → dedup clusters)
 # --------------------------------------------------------------------------
 def connected_components(

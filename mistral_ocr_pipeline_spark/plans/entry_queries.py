@@ -1359,6 +1359,74 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle_sql() -> str:
+    """Full value oracle for SemDeDup pruning: the 16 seeded unit
+    centroids are float64-exact literals, cell assignment is argmax dot
+    (rn=1 over d DESC, c — the greatest-struct tie-break), centroid_sim
+    is round(d/|v|, 6), and the keep-low-centroid-sim dominance is a
+    NOT-IN over within-cell pairs.  Dominance compares the ROUNDED csim
+    (ties → id): exact-duplicate pairs have csim equal up to summation
+    ulps, where raw cross-engine ordering is unstable (see semdedup)."""
+    cent = _ivf_fixed_centroids()
+    vals = ",\n      ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    return f"""
+    WITH cents(c, cv) AS (VALUES
+      {vals}),
+    u AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id % 25 = 0),
+    asg AS (
+      SELECT id, v, c AS cell,
+             round(d / sqrt(list_dot_product(v, v)), 6) AS csim
+      FROM (
+        SELECT u.id, u.v, cents.c,
+               list_dot_product(u.v, cents.cv) AS d,
+               row_number() OVER (PARTITION BY u.id
+                                  ORDER BY list_dot_product(u.v, cents.cv) DESC,
+                                           cents.c) AS rn
+        FROM u CROSS JOIN cents) x
+      WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT a.id
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.id != b.id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) >= 0.95
+        AND (b.csim < a.csim OR (b.csim = a.csim AND b.id < a.id)))
+    SELECT id AS vec_id, cell, csim AS centroid_sim
+    FROM asg WHERE id NOT IN (SELECT id FROM dropped)
+    ORDER BY vec_id
+    """
+
+
+@register("semdedup_prune", oracle=_semdedup_oracle_sql())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic dedup via embedding clusters, Abbas et al. 2023)
+    over embeddings ∪ ×1.5-scaled clones — duplicates EXACT dedup cannot
+    see (different bytes, cosine 1.0) and MinHash cannot see (no shared
+    tokens): the scale case for paraphrase/re-encode dups.  Keeps the
+    low-centroid-similarity member of each duplicate pair (the paper's
+    edge-example rule); entire path — seeded-centroid assignment,
+    within-cell pairs, dominance prune — value-replayed in SQL."""
+    from mistral_ocr_pipeline_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dvec = F.col("embedding").cast("array<double>")
+    scaled = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(dvec, lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    u = emb.select("vec_id", dvec.alias("embedding")).unionByName(scaled)
+    return semdedup(
+        u, "vec_id", "embedding", _ivf_fixed_centroids(), threshold=0.95
+    ).orderBy("vec_id")
+
+
 def _ann_recall_claim(
     spark: SparkSession, sf_dir: str, variant: str, min_recall: float
 ) -> DataFrame:

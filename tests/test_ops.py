@@ -340,6 +340,77 @@ class TestEmbeddingOps:
             assert (i, i + 100000) in pairs
 
 
+class TestSemDeDup:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, vec array<double>")
+
+    def test_keeps_low_centroid_sim_member(self, spark):
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.dedup import semdedup
+
+        cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+        df = self._mk(
+            spark,
+            [
+                (1, [1.0, 0.0]),     # csim 1.0       — the prototypical dup
+                (2, [0.95, 0.2]),    # csim ≈ 0.9785  — the edge example
+                (3, [0.0, 1.0]),     # other cluster, untouched
+            ],
+        )
+        # cos(v1,v2) ≈ 0.9785 ≥ 0.95 → dup pair; paper rule keeps the
+        # LOWER-centroid-sim member (id 2), drops the prototype (id 1)
+        got = {r.id: (r.cell, r.centroid_sim) for r in semdedup(
+            df, "id", "vec", cent, threshold=0.95
+        ).collect()}
+        assert set(got) == {2, 3}
+        assert got[2][0] == 0 and got[3][0] == 1
+
+    def test_chain_greedy_convention(self, spark):
+        import math
+
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.dedup import semdedup
+
+        cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+        vec = lambda deg: [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+        # unit circle: a=20°, b=10°, c=0° → cos(a,b)=cos(b,c)=cos10°≈.985,
+        # cos(a,c)=cos20°≈.940; τ=.96 gives the chain a~b~c with a≁c.
+        # csim_a < csim_b < csim_c, so b is dominated by a AND c by b —
+        # the documented greedy (non-transitive) convention keeps only a.
+        df = self._mk(spark, [(10, vec(20)), (11, vec(10)), (12, vec(0))])
+        got = {r.id for r in semdedup(df, "id", "vec", cent, threshold=0.96).collect()}
+        assert got == {10}
+
+    def test_partition_invariance_and_pairs(self, spark, emb):
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.dedup import semantic_pairs, semdedup
+
+        rng = np.random.RandomState(23)
+        cent = rng.standard_normal((16, 64))
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = emb.select("vec_id", dvec.alias("embedding"))
+        clones = base.filter(F.col("vec_id") < 4).select(
+            (F.col("vec_id") + 50000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+        u = base.unionByName(clones)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in semantic_pairs(u, "vec_id", "embedding", cent, 0.999).collect()
+        }
+        for i in range(4):  # scaled re-encodes land in the same cell at cos 1
+            assert (i, i + 50000) in pairs
+        a = sorted(map(tuple, semdedup(u, "vec_id", "embedding", cent, 0.999).collect()))
+        b = sorted(map(tuple, semdedup(
+            u.repartition(7), "vec_id", "embedding", cent, 0.999
+        ).collect()))
+        assert a == b and len(a) == u.count() - 4
+
+
 class TestTextAnalysis:
     def test_quality_and_tokens(self, spark):
         from mistral_ocr_pipeline_spark.operators.text_analysis import (
