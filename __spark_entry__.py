@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "sketch_heavy_hitters",    # new in r4: per-shard top-k rollup, bounds replayed in SQL
     "semdedup_prune",          # new in r4: SemDeDup cluster-pruning, full SQL oracle
     "chunk_retrieval_topk",    # new in r4: chunk→embed→top-k RAG composite
     "chunk_text_windows",      # new in r4: overlapping token-window chunking

@@ -24,7 +24,7 @@ is portable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def approx_distinct(
@@ -64,4 +64,63 @@ def approx_distinct_rollup(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias(
             "approx_distinct"
         )
+    )
+
+
+def heavy_hitters_rollup(
+    df: DataFrame,
+    shard_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Approximate global heavy hitters from per-shard top-k summaries —
+    the frequency twin of ``approx_distinct_rollup``: keep only each
+    shard's ``k`` most frequent values (plus one scalar per shard, its
+    (k+1)-th count, as the truncation bound) in a summary table, and
+    answer "global top values" from the summaries alone with PROVABLE
+    bounds, never rescanning the raw corpus.
+
+    For a candidate value v:
+
+    * ``est_count``  = Σ counts over shards whose top-k contains v — a
+      certain LOWER bound (those counts are exact).
+    * ``max_count``  = est_count + Σ over the OTHER shards of their
+      (k+1)-th count — an upper bound, since v escaped those shards'
+      top-k and so appears < err_s times in each.
+
+    est ≤ true ≤ max always holds, and any value whose true count
+    exceeds Σ_s err_s must appear as a candidate (it cannot miss every
+    shard's top-k) — the SpaceSaving/Misra-Gries guarantee re-expressed
+    relationally: every step is a Catalyst groupBy/window over the
+    summary rows, deterministic for a content-derived ``shard_col``, so
+    a SQL oracle replays it value-for-value (no sketch opacity).
+
+    Scale shape: stage 1 is one map-side-combined shuffle of (shard,
+    value) partials; everything after touches ≤ shards×k summary rows.
+    At 100 TB the summary table is written once per ingest batch
+    (mergeable: top-k of merged summaries re-truncates) and global
+    top-k queries never touch the corpus again."""
+    counts = df.groupBy(shard_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy(shard_col).orderBy(F.col("c").desc(), F.col(value_col).asc())
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rn") <= k)
+    errs = ranked.filter(F.col("_rn") == k + 1).select(
+        F.col(shard_col), F.col("c").alias("_err")
+    )
+    total_err = errs.agg(F.coalesce(F.sum("_err"), F.lit(0)).alias("_total_err"))
+    per_value = (
+        kept.join(errs, shard_col, "left")
+        .fillna(0, subset=["_err"])
+        .groupBy(value_col)
+        .agg(
+            F.sum("c").alias("est_count"),
+            F.sum("_err").alias("_covered_err"),
+        )
+    )
+    return per_value.crossJoin(F.broadcast(total_err)).select(
+        value_col,
+        "est_count",
+        (F.col("est_count") + F.col("_total_err") - F.col("_covered_err")).alias(
+            "max_count"
+        ),
     )

@@ -3408,6 +3408,73 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id % 8 AS shard,
+             unnest(string_split({_KEY.format(c='text')}, ' ')) AS term
+      FROM documents),
+    t AS (SELECT shard, term FROM raw WHERE term != ''),
+    counts AS (SELECT shard, term, count(*) AS c FROM t GROUP BY shard, term),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY c DESC, term ASC) AS rn
+      FROM counts),
+    kept AS (SELECT * FROM ranked WHERE rn <= 32),
+    errs AS (SELECT shard, c AS err FROM ranked WHERE rn = 33),
+    tot AS (SELECT coalesce(sum(err), 0)::BIGINT AS total_err FROM errs),
+    pv AS (
+      SELECT term, sum(c)::BIGINT AS est_count,
+             sum(coalesce(err, 0))::BIGINT AS covered_err
+      FROM kept LEFT JOIN errs USING (shard) GROUP BY term),
+    ex AS (SELECT term, count(*) AS exact_count FROM t GROUP BY term)
+    SELECT pv.term, est_count,
+           (est_count + tot.total_err - covered_err)::BIGINT AS max_count,
+           exact_count,
+           (est_count <= exact_count
+            AND exact_count <= est_count + tot.total_err - covered_err)
+             AS bounds_hold
+    FROM pv CROSS JOIN tot JOIN ex ON pv.term = ex.term
+    ORDER BY est_count DESC, pv.term LIMIT 20
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top terms answered from per-shard top-32 summaries
+    (operators/sketches.heavy_hitters_rollup) — the Misra-Gries/
+    SpaceSaving guarantee expressed relationally: est ≤ true ≤ max with
+    both bounds derived ONLY from the bounded summaries.  Verified-claim
+    frame like the HLL query, but stronger: the whole computation
+    (shard counts, top-k truncation, error transfer) is replayed in SQL
+    value-for-value, and ``bounds_hold`` additionally certifies the
+    envelope against the exact count."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.sketches import heavy_hitters_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+        F.explode(F.split(norm_key_col(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    hh = heavy_hitters_rollup(terms, "shard", "term", k=32)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        hh.join(exact, "term")
+        .select(
+            "term",
+            "est_count",
+            "max_count",
+            "exact_count",
+            (
+                (F.col("est_count") <= F.col("exact_count"))
+                & (F.col("exact_count") <= F.col("max_count"))
+            ).alias("bounds_hold"),
+        )
+        .orderBy(F.col("est_count").desc(), "term")
+        .limit(20)
+    )
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank (the operator's pinned convention
     makes each round one aggregate — n_iter CTE stages, no recursion)."""

@@ -1005,6 +1005,44 @@ class TestSketches:
         }
         assert roll == est
 
+    def test_heavy_hitters_bounds_and_coverage(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import heavy_hitters_rollup
+
+        # zipf-ish: value v appears ~N/(v+1) times, spread over 8 shards
+        df = spark.range(0, 30000).select(
+            (F.col("id") % 8).alias("shard"),
+            F.floor(F.sqrt(F.col("id") % 3000)).cast("long").alias("v"),
+        )
+        hh = {r.v: (r.est_count, r.max_count)
+              for r in heavy_hitters_rollup(df, "shard", "v", k=5).collect()}
+        exact = {r.v: r.c for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+        for v, (est, mx) in hh.items():
+            assert est <= exact[v] <= mx, (v, est, exact[v], mx)
+        # the SpaceSaving guarantee: any value a shard's top-5 can't hide
+        # (true count > Σ shard errors) MUST surface as a candidate
+        shard_counts = df.groupBy("shard", "v").agg(F.count(F.lit(1)).alias("c"))
+        import collections
+        per_shard = collections.defaultdict(list)
+        for r in shard_counts.collect():
+            per_shard[r.shard].append(r.c)
+        err_sum = sum(sorted(cs, reverse=True)[5] for cs in per_shard.values()
+                      if len(cs) > 5)
+        for v, c in exact.items():
+            if c > err_sum:
+                assert v in hh, (v, c, err_sum)
+
+    def test_heavy_hitters_exact_when_untruncated(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import heavy_hitters_rollup
+
+        # < k distinct values per shard → no truncation, est == exact == max
+        df = spark.range(0, 4000).select(
+            (F.col("id") % 4).alias("shard"), (F.col("id") % 10).alias("v")
+        )
+        got = heavy_hitters_rollup(df, "shard", "v", k=16).collect()
+        assert len(got) == 10
+        for r in got:
+            assert r.est_count == r.max_count == 400, r
+
 
 class TestDeterministicSampling:
     def test_sample_invariant_under_repartitioning(self, spark):
