@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_line_dedup",         # new in r4: C4-style line-level corpus dedup
     "sketch_heavy_hitters",    # new in r4: per-shard top-k rollup, bounds replayed in SQL
     "semdedup_prune",          # new in r4: SemDeDup cluster-pruning, full SQL oracle
     "chunk_retrieval_topk",    # new in r4: chunk→embed→top-k RAG composite

@@ -854,6 +854,66 @@ def embedding_neardup_pairs(
 
 
 # --------------------------------------------------------------------------
+# Line-level corpus dedup (C4 / RefinedWeb boilerplate removal)
+# --------------------------------------------------------------------------
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_dup_count: int = 2,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Remove every occurrence of a line duplicated ≥ ``min_dup_count``
+    times across the CORPUS and reassemble each document — the C4 /
+    RefinedWeb curation step that strips nav bars, cookie banners, and
+    copyright footers which repeat across pages while leaving unique
+    prose intact.  Lines shorter than ``min_line_chars`` after trim are
+    never counted or removed (blank separators and markdown rules stay).
+
+    Convention: ALL occurrences of a hot line are dropped (no canonical
+    survivor) — boilerplate carries no training signal anywhere; line
+    identity is the md5 of the trimmed line, so the frequency shuffle
+    and the matching join move 32-char digests, never the line text.
+
+    Plan: explode lines (flatMap, no shuffle) → one map-side-combined
+    count shuffle on the digest → equi-join flag-back (hot-digest side
+    is count-filtered and tiny for real corpora; AQE broadcasts it) →
+    one groupBy(id) to reassemble in line order.  Returns (id, text_clean,
+    n_kept, n_removed)."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    key = F.md5(F.trim(F.col("line")))
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    keyed = lines.withColumn("k", F.when(eligible, key))
+    hot = (
+        keyed.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_dup_count)
+        .select("k", F.lit(True).alias("_hot"))
+    )
+    flagged = keyed.join(hot, "k", "left").select(
+        "id", "pos", "line", F.coalesce("_hot", F.lit(False)).alias("_drop")
+    )
+    kept_lines = F.transform(
+        F.filter(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "line", "_drop"))
+            ),
+            lambda s: ~s["_drop"],
+        ),
+        lambda s: s["line"],
+    )
+    return flagged.groupBy("id").agg(
+        F.array_join(kept_lines, "\n").alias("text_clean"),
+        F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
+        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+    ).withColumnRenamed("id", id_col)
+
+
+# --------------------------------------------------------------------------
 # SemDeDup — semantic dedup via embedding-cluster pruning
 # --------------------------------------------------------------------------
 def semantic_cell_cols(

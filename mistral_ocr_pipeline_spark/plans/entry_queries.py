@@ -3409,6 +3409,64 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_line_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 80) || chr(10) ||
+             'subscribe to our newsletter today' || chr(10) ||
+             substr(text, 81, 80) || chr(10) ||
+             'copyright notice variant ' || (doc_id % 7)::varchar AS text
+      FROM documents),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM d),
+    l AS (SELECT doc_id,
+                 unnest(range(0, len(a)))::INT AS pos,
+                 unnest(a) AS line
+          FROM ls),
+    k AS (SELECT doc_id, pos, line,
+                 CASE WHEN length(trim(line)) >= 8
+                      THEN md5(trim(line)) END AS k
+          FROM l),
+    hot AS (SELECT k FROM k WHERE k IS NOT NULL
+            GROUP BY k HAVING count(*) >= 5),
+    f AS (SELECT doc_id, pos, line,
+                 (k IS NOT NULL AND k IN (SELECT k FROM hot)) AS drp
+          FROM k)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (NOT drp), '') AS text_clean,
+           count(*) FILTER (NOT drp) AS n_kept,
+           count(*) FILTER (drp) AS n_removed
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level corpus dedup over synthesized multi-line
+    pages: unique prose slices interleaved with a universal banner line
+    and 7 rotating copyright footers.  Lines duplicated ≥5× corpus-wide
+    are stripped EVERYWHERE and documents reassembled in line order;
+    whole path (digest counts, hot-line join, ordered string_agg)
+    value-replayed in SQL."""
+    from mistral_ocr_pipeline_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ml = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 80),
+            F.lit("subscribe to our newsletter today"),
+            F.substring("text", 81, 80),
+            F.concat(
+                F.lit("copyright notice variant "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(ml, "doc_id", "text", min_dup_count=5).orderBy("doc_id")
+
+
+@register(
     "sketch_heavy_hitters",
     oracle=f"""
     WITH raw AS (

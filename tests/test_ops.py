@@ -340,6 +340,39 @@ class TestEmbeddingOps:
             assert (i, i + 100000) in pairs
 
 
+class TestLineDedup:
+    def test_hot_lines_removed_everywhere_order_kept(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "unique alpha text\ncookie banner here\nmore alpha prose"),
+                (2, "cookie banner here\nunique beta text"),
+                (3, "unique gamma text\n--\ncookie banner here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in line_dedup(df, "doc_id", "text", 2).collect()}
+        # dup line stripped from ALL docs (no canonical survivor)…
+        assert got[1].text_clean == "unique alpha text\nmore alpha prose"
+        assert got[2].text_clean == "unique beta text"
+        # …short separator lines are protected from removal
+        assert got[3].text_clean == "unique gamma text\n--"
+        assert got[1].n_removed == 1 and got[1].n_kept == 2
+
+    def test_fully_boilerplate_doc_empties(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same old banner"), (2, "same old banner"), (3, "real content line")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.text_clean, r.n_kept) for r in
+               line_dedup(df, "doc_id", "text", 2).collect()}
+        assert got[1] == ("", 0) and got[2] == ("", 0)
+        assert got[3] == ("real content line", 1)
+
+
 class TestSemDeDup:
     def _mk(self, spark, rows):
         return spark.createDataFrame(rows, "id long, vec array<double>")
