@@ -67,6 +67,84 @@ def approx_distinct_rollup(
     )
 
 
+def _bloom_positions(key: F.Column, m: int, k: int) -> list[F.Column]:
+    """k bit positions for a key — md5-derived (SQL-replayable; see
+    dedup._md5_be_long) with ``m`` REQUIRED to be a power of two so the
+    signed-long mask equals the unsigned mod both engines compute."""
+    from mistral_ocr_pipeline_spark.operators.dedup import _md5_be_long
+
+    assert m & (m - 1) == 0, "m must be a power of two"
+    return [
+        _md5_be_long(F.concat(key, F.lit(f":{i}"))).bitwiseAND(F.lit(m - 1))
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter as DATA: (word_idx, word) rows where word is
+    the bit_or of 64-bit lanes — the same mergeable-summary shape as the
+    HLL rollup (union two filters = union the rows, bit_or per word_idx;
+    ``test_bloom_union_is_build_of_union`` pins it).  Size: ≤ m/64 rows
+    regardless of key count, vs broadcasting the raw key set — the
+    membership analog of a sketch column.  FPR ≈ (1 - e^(-k·n/m))^k;
+    false negatives are impossible.  All Catalyst: explode k positions
+    (flatMap) → one map-side-combined bit_or shuffle over ≤ m/64 groups."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), m, k))).alias("p")
+    return (
+        keys.select(pos)
+        .select(
+            F.shiftright("p", 6).alias("word_idx"),
+            # shift amount is a column → expr (the python helper only
+            # accepts literal ints)
+            F.expr("shiftleft(cast(1 as bigint), cast(p & 63 as int))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Distributed membership probe: explode each probe key's k positions,
+    broadcast-join the (tiny) filter on word_idx, and AND the bit tests
+    back per row — ``might_contain`` true iff every position's bit is
+    set (a missing word row means that lane is all zeroes).  Adds a
+    ``might_contain`` column; never drops rows.
+
+    Scale paths: this join form needs no driver collect and works for
+    any m.  When m/64 literals are acceptable (m ≤ ~2²⁰), collecting the
+    words into a dense literal array turns the probe into a pure scan
+    expression — zero shuffle, pushed below everything, which is exactly
+    how Spark's own runtime bloom-filter joins consume theirs."""
+    probe = df.select(
+        F.col(key_col),
+        F.posexplode(F.array(*_bloom_positions(F.col(key_col), m, k))).alias(
+            "_i", "p"
+        ),
+    ).select(
+        key_col,
+        "_i",
+        F.shiftright("p", 6).alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p & 63 as int))").alias("_mask"),
+    )
+    hit = F.col("word").isNotNull() & (
+        F.col("word").bitwiseAND(F.col("_mask")) != 0
+    )
+    per_key = (
+        probe.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(key_col)
+        .agg(F.bool_and(hit).alias("might_contain"))
+    )
+    return df.join(per_key, key_col, "left")
+
+
 def heavy_hitters_rollup(
     df: DataFrame,
     shard_col: str,

@@ -3409,6 +3409,61 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_bloom_membership",
+    oracle="""
+    WITH mem AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+    mpos AS (
+      SELECT (('0x' || substring(md5(text || ':' || t.i::varchar), 1, 16))::UBIGINT
+              % 4096) AS p
+      FROM mem CROSS JOIN range(4) t(i)),
+    words AS (
+      SELECT p // 64 AS word_idx,
+             bit_or(1::UBIGINT << (p % 64)::int) AS word
+      FROM mpos GROUP BY 1),
+    probe AS (
+      SELECT d.doc_id,
+             (('0x' || substring(md5(d.text || ':' || t.i::varchar), 1, 16))::UBIGINT
+              % 4096) AS p
+      FROM documents d CROSS JOIN range(4) t(i)),
+    hits AS (
+      SELECT doc_id,
+             bool_and(word IS NOT NULL
+                      AND (word & (1::UBIGINT << (p % 64)::int)) <> 0)
+               AS might_contain
+      FROM probe LEFT JOIN words ON (p // 64) = words.word_idx
+      GROUP BY doc_id)
+    SELECT doc_id, (doc_id % 20 = 0) AS is_member, might_contain,
+           ((doc_id % 20 <> 0) OR might_contain) AS no_false_negative
+    FROM hits ORDER BY doc_id
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (operators/sketches.bloom_build/
+    bloom_probe): the eval subset's texts hashed into a 4096-bit filter
+    (≤64 bit_or'd words — the mergeable, broadcastable summary that
+    replaces shipping the raw key set), every document probed through a
+    broadcast word join.  ``no_false_negative`` certifies the structural
+    guarantee row-by-row; false positives, if the data produces any, are
+    reported honestly (both engines compute the identical md5-derived
+    positions, so the whole filter is value-replayed in SQL)."""
+    from mistral_ocr_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    mem = docs.filter(F.col("doc_id") % 20 == 0).select("text")
+    bloom = bloom_build(mem, "text", m=4096, k=4)
+    probed = bloom_probe(docs.select("doc_id", "text"), "text", bloom, m=4096, k=4)
+    is_member = (F.col("doc_id") % 20 == 0).alias("is_member")
+    return probed.select(
+        "doc_id",
+        is_member,
+        "might_contain",
+        ((F.col("doc_id") % 20 != 0) | F.col("might_contain")).alias(
+            "no_false_negative"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_line_dedup",
     oracle="""
     WITH d AS (

@@ -1064,6 +1064,44 @@ class TestSketches:
             if c > err_sum:
                 assert v in hh, (v, c, err_sum)
 
+    def test_bloom_no_false_negatives_and_low_fpr(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        keys = spark.range(0, 300).select(
+            F.concat(F.lit("member-"), F.col("id")).alias("k")
+        )
+        others = spark.range(300, 5300).select(
+            F.concat(F.lit("other-"), F.col("id")).alias("k")
+        )
+        bloom = bloom_build(keys, "k", m=1 << 14, k=4)
+        assert bloom.count() <= (1 << 14) // 64
+        got_m = bloom_probe(keys, "k", bloom, m=1 << 14, k=4)
+        assert got_m.filter(~F.col("might_contain")).count() == 0  # no FN, ever
+        fp = bloom_probe(others, "k", bloom, m=1 << 14, k=4).filter(
+            F.col("might_contain")
+        ).count()
+        # n=300, m=2^14, k=4 → theoretical FPR ≈ 2.6e-5; give it slack
+        assert fp <= 5, fp
+
+    def test_bloom_union_is_build_of_union(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import bloom_build
+
+        a = spark.range(0, 50).select(F.concat(F.lit("a-"), F.col("id")).alias("k"))
+        b = spark.range(0, 50).select(F.concat(F.lit("b-"), F.col("id")).alias("k"))
+        merged = (
+            bloom_build(a, "k", m=1024, k=3)
+            .unionByName(bloom_build(b, "k", m=1024, k=3))
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        direct = bloom_build(a.unionByName(b), "k", m=1024, k=3)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
     def test_heavy_hitters_exact_when_untruncated(self, spark):
         from mistral_ocr_pipeline_spark.operators.sketches import heavy_hitters_rollup
 
