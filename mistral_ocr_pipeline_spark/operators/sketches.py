@@ -145,6 +145,37 @@ def bloom_probe(
     return df.join(per_key, key_col, "left")
 
 
+def bloom_words_dense(bloom: DataFrame, m: int) -> list[int]:
+    """Collect a built filter into its dense m/64-long word list (zeros
+    for absent rows) — the driver-side step that turns the summary into
+    scan-expression literals.  One tiny action over ≤ m/64 rows."""
+    dense = [0] * (m // 64)
+    for r in bloom.collect():
+        dense[int(r["word_idx"])] = int(r["word"])
+    return dense
+
+
+def bloom_might_contain_expr(
+    key: F.Column, words: list[int], m: int, k: int
+) -> F.Column:
+    """Pure scan-expression membership test against dense word literals:
+    zero joins, zero shuffles, pushed below everything — how Spark's own
+    runtime bloom-filter join consumes its filter, exposed as a column
+    you can drop into any scan-level ``filter``.  Bit masks come from a
+    64-literal lookup array (the shift amount is a column, and the
+    column API only shifts by literal ints)."""
+    words_arr = F.array(*[F.lit(w).cast("long") for w in words])
+    masks_arr = F.array(
+        *[F.lit((1 << j) - (1 << 64 if j == 63 else 0)).cast("long") for j in range(64)]
+    )
+    test = F.lit(True)
+    for p in _bloom_positions(key, m, k):
+        word = F.element_at(words_arr, F.shiftright(p, 6).cast("int") + 1)
+        mask = F.element_at(masks_arr, p.bitwiseAND(F.lit(63)).cast("int") + 1)
+        test = test & (word.bitwiseAND(mask) != 0)
+    return test
+
+
 def heavy_hitters_rollup(
     df: DataFrame,
     shard_col: str,

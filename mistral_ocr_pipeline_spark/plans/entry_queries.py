@@ -3408,9 +3408,7 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_bloom_membership",
-    oracle="""
+_BLOOM_ORACLE = """
     WITH mem AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
     mpos AS (
       SELECT (('0x' || substring(md5(text || ':' || t.i::varchar), 1, 16))::UBIGINT
@@ -3435,8 +3433,10 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, (doc_id % 20 = 0) AS is_member, might_contain,
            ((doc_id % 20 <> 0) OR might_contain) AS no_false_negative
     FROM hits ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("sketch_bloom_membership", oracle=_BLOOM_ORACLE)
 def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership sketch (operators/sketches.bloom_build/
     bloom_probe): the eval subset's texts hashed into a 4096-bit filter
@@ -3460,6 +3460,32 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 20 != 0) | F.col("might_contain")).alias(
             "no_false_negative"
         ),
+    ).orderBy("doc_id")
+
+
+@register("sketch_bloom_expr_probe", oracle=_BLOOM_ORACLE)
+def sketch_bloom_expr_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Bloom filter consumed as a PURE SCAN EXPRESSION: the
+    built words collapse to m/64 dense literals
+    (sketches.bloom_words_dense) and the probe is a column — zero joins,
+    zero shuffles, pushable below any operator (the runtime-bloom-join
+    consumption shape).  Same oracle as sketch_bloom_membership: both
+    probe paths must produce identical bits."""
+    from mistral_ocr_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain_expr,
+        bloom_words_dense,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mem = docs.filter(F.col("doc_id") % 20 == 0).select("text")
+    words = bloom_words_dense(bloom_build(mem, "text", m=4096, k=4), m=4096)
+    might = bloom_might_contain_expr(F.col("text"), words, m=4096, k=4)
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("is_member"),
+        might.alias("might_contain"),
+        ((F.col("doc_id") % 20 != 0) | might).alias("no_false_negative"),
     ).orderBy("doc_id")
 
 

@@ -1086,6 +1086,30 @@ class TestSketches:
         # n=300, m=2^14, k=4 → theoretical FPR ≈ 2.6e-5; give it slack
         assert fp <= 5, fp
 
+    def test_bloom_expr_probe_equals_join_probe(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain_expr,
+            bloom_probe,
+            bloom_words_dense,
+        )
+
+        keys = spark.range(0, 200).select(
+            F.concat(F.lit("key-"), F.col("id")).alias("k")
+        )
+        probes = spark.range(100, 400).select(
+            F.concat(F.lit("key-"), F.col("id")).alias("k")
+        )
+        bloom = bloom_build(keys, "k", m=2048, k=5)
+        joined = {r.k: r.might_contain
+                  for r in bloom_probe(probes, "k", bloom, 2048, 5).collect()}
+        words = bloom_words_dense(bloom, 2048)
+        expr = {r.k: r.m for r in probes.select(
+            "k", bloom_might_contain_expr(F.col("k"), words, 2048, 5).alias("m")
+        ).collect()}
+        assert joined == expr
+        assert all(expr[f"key-{i}"] for i in range(100, 200))  # members all hit
+
     def test_bloom_union_is_build_of_union(self, spark):
         from mistral_ocr_pipeline_spark.operators.sketches import bloom_build
 
