@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "decontam_bloom_prefilter", # new in r4: bloom-prefiltered decontam composite
     "sketch_bloom_expr_probe", # new in r4: zero-shuffle literal-array bloom probe
     "sketch_bloom_membership", # new in r4: mergeable Bloom filter, SQL-replayed bits
     "text_line_dedup",         # new in r4: C4-style line-level corpus dedup

@@ -3806,6 +3806,114 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_bloom_prefilter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_KEY.format(c='text')}, ' ') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(ws) - 3, 0)),
+                 i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      FROM tok),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+    words AS (
+      SELECT p // 64 AS w, bit_or(1::UBIGINT << (p % 64)::int) AS word
+      FROM (SELECT (('0x' || substring(md5(g || ':' || t.i::varchar), 1, 16))::UBIGINT
+                    % 32768) AS p
+            FROM eval_grams CROSS JOIN range(4) t(i))
+      GROUP BY 1),
+    cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 25 <> 0),
+    cpos AS (
+      SELECT doc_id, g,
+             (('0x' || substring(md5(g || ':' || t.i::varchar), 1, 16))::UBIGINT
+              % 32768) AS p
+      FROM cg CROSS JOIN range(4) t(i)),
+    bh AS (
+      SELECT doc_id, g,
+             bool_and(word IS NOT NULL
+                      AND (word & (1::UBIGINT << (p % 64)::int)) <> 0) AS hit
+      FROM cpos LEFT JOIN words ON (p // 64) = words.w
+      GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, count(*) FILTER (hit) AS n_bloom
+            FROM bh GROUP BY doc_id),
+    ex AS (SELECT cg.doc_id, count(*) AS n_exact
+           FROM cg JOIN eval_grams USING (g) GROUP BY cg.doc_id)
+    SELECT d.doc_id AS id,
+           coalesce(a.n_bloom, 0) AS n_bloom_grams,
+           coalesce(e.n_exact, 0) AS n_exact_grams,
+           coalesce(e.n_exact, 0) >= 1 AS contaminated,
+           coalesce(a.n_bloom, 0) >= coalesce(e.n_exact, 0) AS no_false_negative
+    FROM documents d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    LEFT JOIN ex e ON e.doc_id = d.doc_id
+    WHERE d.doc_id % 25 <> 0
+    ORDER BY id
+    """,
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the eval gram set consumed as a BLOOM SCAN
+    EXPRESSION instead of a broadcast hash set — the 100 TB shape: the
+    eval side collapses to 512 word literals (KBs, constant per
+    executor), the corpus gram stream is pruned scan-side at FPR
+    ≈ (1-e^(-kn/m))^k, and the exact broadcast-join verify touches only
+    surviving candidates.  Audit columns keep both counts honest:
+    ``n_bloom_grams`` ≥ ``n_exact_grams`` always (``no_false_negative``
+    certifies it per row; the gap IS the observed false-positive rate),
+    and ``contaminated`` matches dedup_contamination's exact semantics."""
+    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain_expr,
+        bloom_words_dense,
+    )
+
+    m, k = 1 << 15, 4
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    eval_grams = (
+        shingle_sets(ev, "doc_id", "text", 4, hashed=False)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    words = bloom_words_dense(bloom_build(eval_grams, "g", m=m, k=k), m)
+    corpus_grams = shingle_sets(corpus, "doc_id", "text", 4, hashed=False).select(
+        "id", F.explode("sh").alias("g")
+    )
+    cand = corpus_grams.withColumn(
+        "bh", bloom_might_contain_expr(F.col("g"), words, m, k)
+    )
+    n_bloom = cand.groupBy("id").agg(
+        F.sum(F.col("bh").cast("long")).alias("n_bloom_grams")
+    )
+    n_exact = (
+        cand.filter("bh")
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_exact_grams"))
+    )
+    return (
+        corpus.select(F.col("doc_id").alias("id"))
+        .join(n_bloom, "id", "left")
+        .join(n_exact, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bloom_grams", F.lit(0)).alias("n_bloom_grams"),
+            F.coalesce("n_exact_grams", F.lit(0)).alias("n_exact_grams"),
+            (F.coalesce("n_exact_grams", F.lit(0)) >= 1).alias("contaminated"),
+            (
+                F.coalesce("n_bloom_grams", F.lit(0))
+                >= F.coalesce("n_exact_grams", F.lit(0))
+            ).alias("no_false_negative"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
     "decontam_pipeline",
     oracle=f"""
     WITH tok AS (
