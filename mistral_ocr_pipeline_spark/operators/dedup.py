@@ -929,7 +929,12 @@ def semantic_cell_cols(
     Expression-only so a SQL oracle replays it literal-for-literal; at
     warehouse scale the same assignment is materialized once by
     ``similarity.ivf_build`` (vectorized Arrow kernel, bucketed ``cell``
-    column) and reused — the two paths share the argmax convention."""
+    column) and reused — the two paths share the argmax convention.
+
+    Both returned columns reference the SAME best-struct subtree; select
+    that subtree into a named column first (as the callers do) so the
+    n_centroids dot products evaluate once per row regardless of whether
+    codegen subexpression elimination kicks in."""
     cent = np.asarray(centroids, dtype=np.float64)
     dots = [
         _dot(vec, F.array(*[F.lit(float(x)) for x in row])) for row in cent
@@ -946,6 +951,32 @@ def semantic_cell_cols(
     cell = (-best["nc"]).cast("int")
     csim = best["d"] / _l2norm(vec)
     return cell, csim
+
+
+def _assign_cells(df_keyed: DataFrame, centroids: "np.ndarray") -> DataFrame:
+    """(id, vec) → (id, vec, cell, csim) with the best-struct evaluated
+    exactly once per row: the argmax struct lands in a projection of its
+    own, and cell/csim are cheap field extractions in the next one."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    dots = [
+        _dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in row]))
+        for row in cent
+    ]
+    if len(dots) == 1:
+        best = F.struct(dots[0].alias("d"), F.lit(0.0).alias("nc"))
+    else:
+        best = F.greatest(
+            *[
+                F.struct(d.alias("d"), F.lit(float(-i)).alias("nc"))
+                for i, d in enumerate(dots)
+            ]
+        )
+    return df_keyed.select("id", "vec", best.alias("_best")).select(
+        "id",
+        "vec",
+        (-F.col("_best")["nc"]).cast("int").alias("cell"),
+        (F.col("_best")["d"] / _l2norm(F.col("vec"))).alias("csim"),
+    )
 
 
 def semantic_pairs(
@@ -973,11 +1004,13 @@ def semantic_pairs(
     Scale: pair fan-out is Σ_cells |cell|² — governed by n_centroids; at
     100 TB you size n_centroids ≈ corpus/√target_cell and persist the
     assignment (``similarity.ivf_build``) instead of recomputing it."""
-    cell, csim = semantic_cell_cols(F.col("vec"), centroids)
-    keyed = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).select("id", "vec", cell.alias("cell"), csim.alias("csim"))
+    keyed = _assign_cells(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        centroids,
+    )
     buckets = _bounded_bucket_collect(
         keyed,
         ["cell"],
@@ -1053,11 +1086,13 @@ def semdedup(
     raw-double comparison is not cross-engine stable — rounding collapses
     ulp noise to the id tie-break (measured: the only Spark↔DuckDB
     divergence on the clone fixture, fixed by this)."""
-    cell, csim = semantic_cell_cols(F.col("vec"), centroids)
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).select("id", cell.alias("cell"), F.round(csim, 6).alias("csim"))
+    assigned = _assign_cells(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        centroids,
+    ).select("id", "cell", F.round("csim", 6).alias("csim"))
     pairs = semantic_pairs(
         df, id_col, vec_col, centroids, threshold, max_bucket, observation
     )

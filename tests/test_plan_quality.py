@@ -169,6 +169,58 @@ class TestNewOpPlanShapes:
         assert _plan(pack_rollup(packed, budget=512)).count("Exchange") <= 2
 
 
+class TestRoundFourPlans:
+    def test_bloom_expr_probe_is_map_only(self, docs):
+        """The literal-array bloom probe must stay a pure scan expression:
+        no Join, no Exchange, no Python — that's its entire reason to
+        exist over the join-based probe."""
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain_expr,
+            bloom_words_dense,
+        )
+
+        words = bloom_words_dense(
+            bloom_build(docs.select("source"), "source", m=1024, k=3), 1024
+        )
+        probed = docs.select(
+            "doc_id",
+            bloom_might_contain_expr(F.col("source"), words, 1024, 3).alias("m"),
+        )
+        plan = _plan(probed)
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_heavy_hitters_no_cartesian_blowup(self, docs):
+        """The scalar total-err crossJoin must plan as a broadcast of ONE
+        row, never a CartesianProduct; stage-1 counts keep map-side
+        partial aggregation."""
+        from mistral_ocr_pipeline_spark.operators.sketches import heavy_hitters_rollup
+
+        hh = heavy_hitters_rollup(
+            docs.select((F.col("doc_id") % 8).alias("shard"), "source"),
+            "shard",
+            "source",
+            k=4,
+        )
+        plan = _plan(hh)
+        assert "CartesianProduct" not in plan, plan
+        assert "partial_count" in plan or "partial" in plan.lower()
+
+    def test_line_dedup_digest_join_broadcasts_hot_side(self, spark, docs):
+        """The hot-line flag-back join keys on md5 digests; the hot side
+        is count-filtered and tiny, so the executed plan must broadcast
+        it rather than shuffle the full line stream a second time."""
+        from mistral_ocr_pipeline_spark.operators.dedup import line_dedup
+
+        out = line_dedup(docs, "doc_id", "text", min_dup_count=2)
+        out.write.format("noop").mode("overwrite").save()
+        # AQE decides at runtime — read the final adaptive plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+
+
 class TestRuntimeFilters:
     def test_bloom_filter_injects_on_dim_join_at_lowered_thresholds(
         self, spark, tmp_path
