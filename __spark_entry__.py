@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "semdedup_clusters",       # new in r4: transitive SemDeDup, recursive-CTE oracle
     "decontam_bloom_prefilter", # new in r4: bloom-prefiltered decontam composite
     "sketch_bloom_expr_probe", # new in r4: zero-shuffle literal-array bloom probe
     "sketch_bloom_membership", # new in r4: mergeable Bloom filter, SQL-replayed bits

@@ -979,6 +979,21 @@ def _assign_cells(df_keyed: DataFrame, centroids: "np.ndarray") -> DataFrame:
     )
 
 
+def semantic_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: "np.ndarray"
+) -> DataFrame:
+    """Public (id, cell, csim) assignment frame — the building block the
+    transitive-composite query joins against (csim rounded to 6 dp, the
+    same engine-portable convention :func:`semdedup` compares on)."""
+    return _assign_cells(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        centroids,
+    ).select("id", "cell", F.round("csim", 6).alias("csim"))
+
+
 def semantic_pairs(
     df: DataFrame,
     id_col: str,
@@ -1086,13 +1101,7 @@ def semdedup(
     raw-double comparison is not cross-engine stable — rounding collapses
     ulp noise to the id tie-break (measured: the only Spark↔DuckDB
     divergence on the clone fixture, fixed by this)."""
-    assigned = _assign_cells(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ),
-        centroids,
-    ).select("id", "cell", F.round("csim", 6).alias("csim"))
+    assigned = semantic_assign(df, id_col, vec_col, centroids)
     pairs = semantic_pairs(
         df, id_col, vec_col, centroids, threshold, max_bucket, observation
     )

@@ -1404,6 +1404,98 @@ def _semdedup_oracle_sql() -> str:
     """
 
 
+def _semdedup_clusters_oracle_sql() -> str:
+    """Transitive SemDeDup composite oracle: seeded-centroid assignment →
+    within-cell cosine pairs → recursive-CTE closure → keep the
+    min-(csim, id) member per duplicate cluster."""
+    cent = _ivf_fixed_centroids()
+    vals = ",\n      ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    return f"""
+    WITH RECURSIVE
+    cents(c, cv) AS (VALUES
+      {vals}),
+    u AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id % 25 = 0),
+    asg AS (
+      SELECT id, v, c AS cell,
+             round(d / sqrt(list_dot_product(v, v)), 6) AS csim
+      FROM (
+        SELECT u.id, u.v, cents.c,
+               list_dot_product(u.v, cents.cv) AS d,
+               row_number() OVER (PARTITION BY u.id
+                                  ORDER BY list_dot_product(u.v, cents.cv) DESC,
+                                           cents.c) AS rn
+        FROM u CROSS JOIN cents) x
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) >= 0.95),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT id AS node, id AS lbl FROM u
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+    comp AS (SELECT node AS id, min(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT comp.id AS vec_id, cluster, asg.csim AS centroid_sim,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY asg.csim, comp.id) = 1 AS is_kept
+    FROM comp JOIN asg ON asg.id = comp.id
+    ORDER BY vec_id
+    """
+
+
+@register("semdedup_clusters", oracle=_semdedup_clusters_oracle_sql())
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE SemDeDup — the composition the greedy ``semdedup``
+    docstring points at: semantic within-cell pairs feed connected
+    components, and each duplicate CLUSTER keeps its min-(centroid_sim,
+    id) member (a~b~c with a≁c keeps exactly one, unlike the per-pair
+    greedy which can drop the whole chain).  One plan: assignment,
+    pairs, iterative closure, keeper window; oracle replays it with a
+    recursive CTE."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        connected_components,
+        semantic_assign,
+        semantic_pairs,
+    )
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dvec = F.col("embedding").cast("array<double>")
+    scaled = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(dvec, lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    u = emb.select("vec_id", dvec.alias("embedding")).unionByName(scaled)
+    cent = _ivf_fixed_centroids()
+    pairs = semantic_pairs(u, "vec_id", "embedding", cent, 0.95).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(u.select(F.col("vec_id").alias("id")), pairs)
+    asg = semantic_assign(u, "vec_id", "embedding", cent)
+    w = W.partitionBy("cluster").orderBy("centroid_sim", "vec_id")
+    return (
+        comp.join(asg, "id")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("comp").alias("cluster"),
+            F.col("csim").alias("centroid_sim"),
+        )
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .orderBy("vec_id")
+    )
+
+
 @register("semdedup_prune", oracle=_semdedup_oracle_sql())
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (semantic dedup via embedding clusters, Abbas et al. 2023)

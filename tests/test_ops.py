@@ -416,6 +416,31 @@ class TestSemDeDup:
         got = {r.id for r in semdedup(df, "id", "vec", cent, threshold=0.96).collect()}
         assert got == {10}
 
+    def test_transitive_composition_keeps_one_per_chain(self, spark):
+        import math
+
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            connected_components,
+            semantic_assign,
+            semantic_pairs,
+        )
+
+        cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+        vec = lambda deg: [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+        # same a~b~c chain as the greedy test; composed with connected
+        # components the CLUSTER keeps its min-csim member: exactly one
+        # survivor, and it is a (the lowest centroid_sim = 20°)
+        df = self._mk(spark, [(10, vec(20)), (11, vec(10)), (12, vec(0))])
+        pairs = semantic_pairs(df, "id", "vec", cent, 0.96).select("id_a", "id_b")
+        comp = connected_components(df.select("id"), pairs)
+        asg = semantic_assign(df, "id", "vec", cent)
+        rows = comp.join(asg, "id").collect()
+        assert {r.comp for r in rows} == {10}          # one cluster, label=min id
+        keeper = min(rows, key=lambda r: (r.csim, r.id))
+        assert keeper.id == 10
+
     def test_partition_invariance_and_pairs(self, spark, emb):
         import numpy as np
 
