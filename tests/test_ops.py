@@ -360,6 +360,37 @@ class TestLineDedup:
         assert got[3].text_clean == "unique gamma text\n--"
         assert got[1].n_removed == 1 and got[1].n_kept == 2
 
+    def test_line_dedup_matches_python_model(self, spark):
+        """Randomized docs vs a direct Python model of the convention
+        (count trimmed lines ≥ min_chars corpus-wide; drop all
+        occurrences of lines seen ≥ min_dup; rejoin in order)."""
+        import random
+
+        from mistral_ocr_pipeline_spark.operators.dedup import line_dedup
+
+        rng = random.Random(42)
+        vocab = ["alpha beta gamma", "boilerplate banner", "x", "  ",
+                 "another real sentence", "footer text here", "short"]
+        docs = []
+        for d in range(40):
+            docs.append((d, "\n".join(rng.choice(vocab)
+                                      for _ in range(rng.randint(1, 6)))))
+        counts: dict = {}
+        for _d, text in docs:
+            for ln in text.split("\n"):
+                t = ln.strip()
+                if len(t) >= 8:
+                    counts[t] = counts.get(t, 0) + 1
+        expected = {}
+        for d, text in docs:
+            kept = [ln for ln in text.split("\n")
+                    if not (len(ln.strip()) >= 8 and counts[ln.strip()] >= 3)]
+            expected[d] = "\n".join(kept)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.text_clean
+               for r in line_dedup(df, "doc_id", "text", min_dup_count=3).collect()}
+        assert got == expected
+
     def test_fully_boilerplate_doc_empties(self, spark):
         from mistral_ocr_pipeline_spark.operators.dedup import line_dedup
 
@@ -440,6 +471,34 @@ class TestSemDeDup:
         assert {r.comp for r in rows} == {10}          # one cluster, label=min id
         keeper = min(rows, key=lambda r: (r.csim, r.id))
         assert keeper.id == 10
+
+    def test_expr_assignment_matches_ivf_kernel(self, spark, emb):
+        """semantic_cell_cols claims the same argmax convention as the IVF
+        Arrow kernel — prove it: identical (id → cell) maps on the same
+        seeded centroids (kernel normalizes vectors first; argmax over
+        unit centroids is scale-invariant, so conventions must agree)."""
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.dedup import semantic_assign
+        from mistral_ocr_pipeline_spark.operators.similarity import ivf_build
+
+        rng = np.random.RandomState(23)
+        cent = rng.standard_normal((16, 64))
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        expr_cells = {r.id: r.cell for r in semantic_assign(
+            emb, "vec_id", "embedding", cent
+        ).collect()}
+
+        import mistral_ocr_pipeline_spark.operators.similarity as sim
+
+        orig = sim._kmeans_centroids
+        sim._kmeans_centroids = lambda *a, **k: cent
+        try:
+            assigned, _ = ivf_build(emb)
+            kernel_cells = {r.vec_id: r.cell for r in assigned.collect()}
+        finally:
+            sim._kmeans_centroids = orig
+        assert expr_cells == kernel_cells
 
     def test_partition_invariance_and_pairs(self, spark, emb):
         import numpy as np
