@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "ann_pq_topk",             # new in r4: PQ ADC path, full SQL oracle
+    "ann_pq_refine_topk",      # new in r4: two-stage PQ search, full SQL oracle
+    "ann_pq_recall",           # new in r4: trained-PQ recall ≥0.6 claim
     "semdedup_clusters",       # new in r4: transitive SemDeDup, recursive-CTE oracle
     "decontam_bloom_prefilter", # new in r4: bloom-prefiltered decontam composite
     "sketch_bloom_expr_probe", # new in r4: zero-shuffle literal-array bloom probe

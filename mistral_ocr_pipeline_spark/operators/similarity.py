@@ -475,3 +475,233 @@ def ivf_search_assigned(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound 100 TB embedding-search shape
+# --------------------------------------------------------------------------
+def seeded_pq_codebooks(
+    dim: int, m: int = 8, ksub: int = 16, seed: int = 29
+) -> np.ndarray:
+    """Data-independent PQ codebooks: ``m`` sub-codebooks of ``ksub``
+    codewords over ``dim//m``-dim subspaces, components ~N(0, 1/dim) —
+    the per-component scale of a unit vector in ``dim`` dimensions, so
+    random codewords land at the data's magnitude.  Deterministic given
+    the seed, hence bake-able into a SQL oracle as float64 literals
+    (the same convention as the fixed-centroid IVF variant)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((m, ksub, dim // m)) / np.sqrt(dim)
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    sample_size: int = 2048,
+    seed: int = 29,
+) -> np.ndarray:
+    """Trained PQ codebooks: per-subspace Lloyd k-means (L2) over the
+    same partition-invariant hash-ordered sample `_kmeans_centroids`
+    uses, so the index is reproducible under any corpus layout.  Raw
+    (unnormalized) subvectors — classic PQ quantizes L2 geometry."""
+    sample = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    smat = np.array([list(r._v) for r in sample], dtype=np.float64)
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = smat[:, j * dsub : (j + 1) * dsub]
+        cb = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cb)):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+        if len(cb) < ksub:  # tiny sample: pad with seeded noise, never NaN
+            books[j, len(cb) :] = rng.standard_normal(
+                (ksub - len(cb), dsub)
+            ) / np.sqrt(dim)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Encode each vector to ``m`` codes (argmin-L2 codeword per
+    subspace) in one Arrow pass — a (batch × ksub) matmul per subspace,
+    no per-row Python.  Ties break to the LOWEST codeword index (numpy
+    argmin first-hit ≡ the oracle's ``ORDER BY dist, k`` row_number).
+
+    Codes drop the reduced term ``x·x`` (constant per row, argmin-
+    invariant): d ∝ c·c − 2·x·c, the exact expression the SQL twin
+    replays.  Output: (id, codes array<int>[, vec]) — at warehouse scale
+    the codes table is the index: m bytes of codes replace dim×4 bytes
+    of floats (32× smaller at m=8/dim=64), written once and scanned by
+    every query batch."""
+    m, ksub, dsub = codebooks.shape
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    out_fields = [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+    ]
+    if keep_vec:
+        out_fields.append(
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True)
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        c2 = (books**2).sum(axis=2)  # (m, ksub)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
+            codes = np.empty((len(mat), books.shape[0]), dtype=np.int32)
+            for j in range(books.shape[0]):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = c2[j][None, :] - 2.0 * (sub @ books[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            out = {
+                "vec_id": pdf["_id"].to_numpy(dtype=np.int64),
+                "codes": list(codes),
+            }
+            if keep_vec:
+                out["embedding"] = pdf["_vec"]
+            yield pd.DataFrame(out)
+
+    from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
+
+    return (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(kernel, T.StructType(out_fields))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    refine: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors become ``m`` small
+    codes (``pq_encode``); each query precomputes a (m × ksub) lookup
+    table of partial squared distances; scoring a corpus row is then m
+    table lookups summed — a pure Catalyst ``aggregate`` fold over the
+    broadcast LUT literal, zero floats read from the corpus and zero
+    Python on the hot path.  adc_dist = ‖q‖² + Σⱼ (‖c‖² − 2·q·c) is the
+    exact squared L2 to the RECONSTRUCTED vector; rank ascending.
+
+    ``refine=R`` re-ranks each query's top-R ADC candidates with exact
+    cosine (expression fold dot — bit-identical to sequential SQL), the
+    classic two-stage PQ search: the approximate pass prunes the corpus
+    to R rows per query, only those R rows' float vectors are ever
+    touched.  At 100 TB: codes table scanned (32× smaller than floats),
+    candidates join back to the vector table by id.
+
+    Queries ride the driver (same `_collect_queries` convention as every
+    ANN kernel here): the LUT block is #queries × m × ksub doubles."""
+    m, ksub, dsub = codebooks.shape
+    rows = queries.select(query_id_col, vec_col).collect()
+    qids = [int(r[0]) for r in rows]
+    qmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    c2 = (codebooks**2).sum(axis=2)  # (m, ksub)
+    lut_rows = []
+    for qi, qid in enumerate(qids):
+        qv = qmat[qi]
+        lut = np.empty((m, ksub), dtype=np.float64)
+        for j in range(m):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            lut[j] = c2[j] - 2.0 * (codebooks[j] @ sub)
+        lut_rows.append(
+            (
+                qid,
+                float(qv @ qv),
+                [float(x) for x in lut.ravel()],
+                [float(x) for x in qv],
+            )
+        )
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        lut_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("_qq", T.DoubleType(), False),
+                T.StructField("_lut", T.ArrayType(T.DoubleType()), False),
+                T.StructField("_qv", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, keep_vec=refine is not None)
+    adc = (
+        F.col("_qq")
+        + F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("_lut"), j * F.lit(ksub) + F.element_at(F.col("codes"), j + 1) + 1
+            ),
+        )
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(lut_df.drop("_qv") if refine is None else lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(adc, 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "vec_id", "adc_dist", "rank"
+        )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cand = ranked.filter(F.col("rank") <= int(refine)).select(
+        "query_id", "vec_id", "_qv", dv.alias("_v")
+    )
+    cosine = F.round(
+        dot(F.col("_qv"), F.col("_v"))
+        / (F.sqrt(dot(F.col("_qv"), F.col("_qv"))) * F.sqrt(dot(F.col("_v"), F.col("_v")))),
+        6,
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1580,6 +1580,157 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_claim(spark, sf_dir, "ivf", 0.4)
 
 
+def _pq_seeded_codebooks():
+    from mistral_ocr_pipeline_spark.operators.similarity import seeded_pq_codebooks
+
+    return seeded_pq_codebooks(64, m=16, ksub=16, seed=29)
+
+
+def _pq_cte() -> str:
+    """Shared oracle CTE replaying the ENTIRE PQ path literal-for-literal:
+    the 16×16 seeded sub-codebooks as float64-exact VALUES, corpus codes
+    via per-subspace argmin of the reduced distance c·c − 2·x·c (the
+    exact expression `pq_encode` vectorizes; ties → lowest codeword, same
+    row_number convention), the per-query LUT, and the ADC sum
+    ‖q‖² + Σⱼ lut[j, codeⱼ] rounded like the Spark fold."""
+    cb = _pq_seeded_codebooks()
+    m, ksub, dsub = cb.shape
+    vals = ",\n      ".join(
+        f"({j}, {k}, [{', '.join(repr(float(x)) for x in cb[j, k])}]::DOUBLE[])"
+        for j in range(m)
+        for k in range(ksub)
+    )
+    return f"""
+    WITH cb(mm, kk, cv) AS (VALUES
+      {vals}),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+    codes AS (
+      SELECT vec_id, mm, kk AS code FROM (
+        SELECT c.vec_id, cb.mm, cb.kk,
+               row_number() OVER (PARTITION BY c.vec_id, cb.mm ORDER BY
+                 list_dot_product(cb.cv, cb.cv)
+                 - 2 * list_dot_product(
+                     list_slice(c.v, cb.mm * {dsub} + 1, cb.mm * {dsub} + {dsub}),
+                     cb.cv), cb.kk) AS rn
+        FROM corp c CROSS JOIN cb)
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.qid, cb.mm, cb.kk,
+             list_dot_product(cb.cv, cb.cv)
+             - 2 * list_dot_product(
+                 list_slice(q.qv, cb.mm * {dsub} + 1, cb.mm * {dsub} + {dsub}),
+                 cb.cv) AS part
+      FROM q CROSS JOIN cb),
+    qq AS (SELECT qid, list_dot_product(qv, qv) AS qq FROM q),
+    adc AS (
+      SELECT l.qid, c.vec_id,
+             round(any_value(qq.qq) + sum(l.part), 6) AS adc_dist
+      FROM codes c
+      JOIN lut l ON l.mm = c.mm AND l.kk = c.code
+      JOIN qq ON qq.qid = l.qid
+      WHERE c.vec_id != l.qid
+      GROUP BY l.qid, c.vec_id),
+    adcr AS (SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank FROM adc)
+    """
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_cte()
+    + """
+    SELECT qid AS query_id, vec_id, adc_dist, rank FROM adcr WHERE rank <= 5
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, asymmetric-distance scoring: corpus
+    vectors ride as 16 small codes (32× smaller than the float vectors),
+    each query broadcasts a 16×16 LUT literal, and scoring is a pure
+    Catalyst ``aggregate`` fold — 16 array lookups summed, zero floats
+    read and zero Python on the hot path.  Seeded codebooks make the
+    ENTIRE path (encode argmin, LUT, ADC sum, rank) SQL-replayable —
+    see ``_pq_cte``.  The trained-codebook variant
+    (``pq_codebooks_kmeans``, deterministic hash-ordered sample) shares
+    this machinery; its recall is certified by `ann_pq_recall`."""
+    from mistral_ocr_pipeline_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), _pq_seeded_codebooks(), k=5
+    )
+
+
+@register(
+    "ann_pq_refine_topk",
+    oracle=_pq_cte()
+    + """
+    , cand AS (SELECT qid, vec_id FROM adcr WHERE rank <= 32),
+    s AS (
+      SELECT cand.qid, cand.vec_id,
+             round(list_dot_product(q.qv, corp.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(corp.v, corp.v))), 6) AS cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN corp ON corp.vec_id = cand.vec_id),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM s)
+    SELECT qid AS query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search — the production shape: the ADC pass prunes
+    the corpus to 32 candidates per query reading only the codes table;
+    exact cosine (expression fold dot, bit-identical to sequential SQL)
+    re-ranks those candidates alone, so per query only 32 float vectors
+    are ever touched.  Entire path SQL-replayed: codes, LUT, ADC rank,
+    candidate cut, exact re-rank."""
+    from mistral_ocr_pipeline_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), _pq_seeded_codebooks(),
+        k=5, refine=32,
+    )
+
+
+@register(
+    "ann_pq_recall",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-PQ recall@5 ≥ 0.6 per query, as a verified claim
+    (measured 1.0 on every query at m=16/ksub=32/refine=64 — trained
+    per-subspace Lloyd over the partition-invariant hash-ordered sample;
+    the near-uniform corpus is the hard case, cf. `ann_ivf_recall`)."""
+    from mistral_ocr_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebooks_kmeans,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    cb = pq_codebooks_kmeans(emb, m=16, ksub=32)
+    approx = pq_topk(emb, queries_df, cb, k=5, refine=64)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    hits = exact.join(
+        approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r"))
+        .select("query_id", (F.col("r") >= 0.6).alias("recall_ok"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

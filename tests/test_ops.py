@@ -1459,3 +1459,126 @@ class TestPerKeySample:
         # groups smaller than k keep everything
         tiny = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, src long")
         assert sample_per_key(tiny, "src", "doc_id", k=7).count() == 2
+
+
+class TestPq:
+    """Product-quantization ANN (operators/similarity.py): the ADC path is
+    value-replayed in SQL by `ann_pq_topk`/`ann_pq_refine_topk`; these pin
+    layout-invariance, the numpy model, and trained-codebook quality."""
+
+    def test_pq_encode_invariant_under_repartition(self, spark, emb):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            pq_encode,
+            seeded_pq_codebooks,
+        )
+
+        cb = seeded_pq_codebooks(64, m=16, ksub=16)
+        base = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+        for layout in (emb.repartition(7), emb.coalesce(1)):
+            got = {r.vec_id: list(r.codes) for r in pq_encode(layout, cb).collect()}
+            assert got == base
+        assert all(0 <= c < 16 for codes in base.values() for c in codes)
+
+    def test_pq_adc_matches_numpy_model(self, spark, emb):
+        """pq_topk (ADC, no refine) ≡ a direct numpy model: argmin-L2
+        codes, LUT, summed reconstruction distance, rank ascending with
+        vec_id tie-break — the Catalyst fold and the model must agree
+        exactly after the shared 6-dp round."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            pq_topk,
+            seeded_pq_codebooks,
+        )
+
+        cb = seeded_pq_codebooks(64, m=16, ksub=16)
+        m, ksub, dsub = cb.shape
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        c2 = (cb**2).sum(axis=2)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(c2[j][None, :] - 2.0 * (sub @ cb[j].T), axis=1)
+        expected = set()
+        for qi in np.where(ids < 8)[0]:
+            qv = mat[qi]
+            lut = np.empty((m, ksub))
+            for j in range(m):
+                lut[j] = c2[j] - 2.0 * (cb[j] @ qv[j * dsub : (j + 1) * dsub])
+            adc = float(qv @ qv) + lut[np.arange(m)[None, :], codes].sum(axis=1)
+            order = sorted(
+                (round(adc[i], 6), int(ids[i]))
+                for i in range(len(ids))
+                if ids[i] != ids[qi]
+            )
+            for rank, (d, vid) in enumerate(order[:5], start=1):
+                expected.add((int(ids[qi]), vid, d, rank))
+        got = {
+            (r.query_id, r.vec_id, r.adc_dist, r.rank)
+            for r in pq_topk(emb, emb.filter(F.col("vec_id") < 8), cb, k=5).collect()
+        }
+        assert got == expected
+
+    def test_trained_codebooks_reduce_quantization_error(self, spark, emb):
+        """Lloyd-trained codebooks must reconstruct the corpus strictly
+        better than seeded-random ones (both deterministic here), and be
+        layout-invariant like every sample-derived index in this module."""
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            pq_codebooks_kmeans,
+            seeded_pq_codebooks,
+        )
+
+        rows = emb.select("embedding").collect()
+        mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+        def mse(cb):
+            m, ksub, dsub = cb.shape
+            err = 0.0
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                err += d.min(axis=1).sum()
+            return err / mat.size
+
+        trained = pq_codebooks_kmeans(emb, m=16, ksub=16)
+        # measured ≈0.0049 vs ≈0.0072 on the sf0.01 corpus (32% lower)
+        assert mse(trained) < 0.8 * mse(seeded_pq_codebooks(64, m=16, ksub=16))
+        again = pq_codebooks_kmeans(emb.repartition(5), m=16, ksub=16)
+        assert np.array_equal(trained, again)
+
+    def test_refine_reranks_with_exact_cosine(self, spark, emb):
+        """Every (query, vec) the refine path returns must carry the
+        EXACT cosine (vs brute force) and rank consistently within the
+        query — the approximate pass only selects candidates, never
+        distorts reported scores."""
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            pq_topk,
+            seeded_pq_codebooks,
+        )
+
+        cb = seeded_pq_codebooks(64, m=16, ksub=16)
+        q = emb.filter(F.col("vec_id") < 8)
+        got = pq_topk(emb, q, cb, k=5, refine=64).collect()
+        exact = {
+            (r.query_id, r.vec_id): r.cosine
+            for r in brute_force_topk(emb, q, k=100).collect()
+        }
+        for r in got:
+            assert abs(exact[(r.query_id, r.vec_id)] - r.cosine) <= 1e-6
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        for rs in by_q.values():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert all(
+                rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1)
+            )
