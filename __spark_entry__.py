@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_bm25_topk",          # new in r4: BM25 retrieval, full SQL oracle
+    "mix_token_budget",        # new in r4: token-budgeted corpus mixing
+    "split_leakage_free",      # new in r4: component-keyed split, rec-CTE oracle
     "ann_pq_topk",             # new in r4: PQ ADC path, full SQL oracle
     "ann_pq_refine_topk",      # new in r4: two-stage PQ search, full SQL oracle
     "ann_pq_recall",           # new in r4: trained-PQ recall ≥0.6 claim

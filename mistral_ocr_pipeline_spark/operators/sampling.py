@@ -202,3 +202,93 @@ def interleave_order(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def token_budget_mix(
+    sources: list[tuple[DataFrame, int]],
+    key_col: str,
+    tokens_col: str,
+    salt: str = "tokmix",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Token-budgeted corpus mixing — the dataset-mixing step stated the
+    way trainers actually state it: "β billion tokens of web, γ of code",
+    not row counts (`weighted_mix*` are the row-quota forms).  Each
+    source contributes documents in content-hash order until its token
+    target is met.
+
+    Per source: shard by ``pmod(key, n_shards)`` (modulo, so any SQL
+    engine replays it — production would smooth with xxhash64, same plan
+    shape), lay documents out in (hash, key) order within the shard, one
+    window cumsum of tokens, and keep every document whose START offset
+    is under the shard's slice ``target // n_shards`` of the budget —
+    so each shard overshoots by at most one document (the packing
+    boundary convention, `packing.pack_token_budget`).  Total take is
+    within ±(n_shards · max_doc_tokens) of the target; raise
+    ``n_shards`` with corpus size — per-task input is corpus/n_shards —
+    and accept the proportionally SMALLER absolute slack, or set
+    ``n_shards=1`` for the exact-boundary eval-scale form.
+
+    Deterministic across partitionings/cluster sizes/reruns like every
+    operator in this module: a document's fate depends only on (salt,
+    source index, its key, and the keys hashing below it in its shard).
+    Output: (key, mix_source, shard, tokens, start_offset)."""
+    from pyspark.sql import Window as W
+
+    parts = []
+    for idx, (df, target) in enumerate(sources):
+        per_shard = int(target) // n_shards
+        h = _hash_frac_hex(F.col(key_col), f"{salt}:{idx}")
+        w = W.partitionBy("shard").orderBy(h, F.col(key_col))
+        run = w.rowsBetween(W.unboundedPreceding, -1)
+        parts.append(
+            df.select(
+                F.col(key_col),
+                F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("shard"),
+                F.col(tokens_col).cast("long").alias("tokens"),
+            )
+            .withColumn(
+                "start_offset",
+                F.coalesce(F.sum("tokens").over(run), F.lit(0)).cast("long"),
+            )
+            .filter(F.col("start_offset") < per_shard)
+            .withColumn("mix_source", F.lit(idx))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(key_col, "mix_source", "shard", "tokens", "start_offset")
+
+
+def leakage_free_split(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group-aware train/valid/test split: near-duplicate documents must
+    land in the SAME split, or the eval set leaks training data (the
+    contamination mode n-gram decontam can't see — the dup IS the eval
+    doc).  `train_valid_test_split` hashes each doc independently, so two
+    near-dups straddle splits with probability 2·p·(1−p); this operator
+    closes the dup graph first (``dedup.connected_components`` over any
+    pair generator's edges — minhash/simhash/embedding) and hashes the
+    COMPONENT id, so an entire near-dup cluster moves as one unit.
+
+    Scale shape: the component pass is the dedup pipeline's existing
+    label propagation (O(diameter) rounds of well-keyed shuffles); the
+    split itself stays a scan-level hash filter on the component label.
+    Output: (id, comp, split) — split shares follow ``weights`` over
+    COMPONENTS (≈ documents, since dup clusters are small and the hash
+    is uniform)."""
+    from mistral_ocr_pipeline_spark.operators.dedup import connected_components
+
+    comp = connected_components(
+        nodes.select(id_col), edges, id_col=id_col, max_iter=max_iter
+    )
+    return (
+        train_valid_test_split(comp, key_col="comp", weights=weights, salt=salt)
+        .select(F.col("id").alias(id_col), "comp", "split")
+    )

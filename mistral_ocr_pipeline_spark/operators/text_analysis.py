@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # A small pinned stopword inventory per language — enough for a reliable
 # n-gram/stopword-ratio language heuristic on en/de/fr/es prose.
@@ -329,3 +329,111 @@ def unigram_surprisal(
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("surprisal")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval — top-k documents per query
+# --------------------------------------------------------------------------
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: (query_id, doc_id, score, rank) — the
+    lexical half of a retrieval stack (`similarity.*` is the dense half;
+    production RAG fuses both).  Lucene-style non-negative idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` and saturation
+    ``tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``; score sums over the
+    query's DISTINCT terms; ties break by doc id ascending.
+
+    Plan shape at scale: the corpus tokenizes ONCE into a postings table
+    (doc, term, tf) + per-doc lengths — at 100 TB you persist that table
+    and every query batch reuses it (`bm25_postings` builds it
+    standalone).  Queries are a small relation: their term lists
+    broadcast-join the postings on term (no corpus shuffle), partial
+    aggregation sums scores map-side, and one window per query takes the
+    top-k.  All JVM expressions — no UDF anywhere.  Stop-word-skewed
+    terms are AQE skew-join territory, or cap postings per term
+    ("champion lists") via `sampling.sample_per_key` on tf rank."""
+    postings, stats = bm25_postings(corpus, id_col, text_col)
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(norm_key_col(F.col(query_text_col)), " "),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    # per-term contributions are rounded to 1e-6 BEFORE summation (exact
+    # integer micro-units): double addition is order-dependent at the ULP
+    # level, and aggregation order varies with partitioning — this keeps
+    # the score bit-identical across cluster sizes and SQL engines
+    micro = F.round(idf * tfn * F.lit(1e6), 0).cast("long")
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc")
+        .agg(F.round(F.sum(micro) / F.lit(1e6), 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("doc").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
+def bm25_postings(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The reusable BM25 index: a postings DataFrame (doc, term, tf, dl,
+    df) and a 1-row stats DataFrame (n_docs, avgdl).  ``dl`` counts a
+    doc's non-empty normalized tokens; ``n_docs``/``avgdl`` cover ALL
+    corpus rows (an empty doc contributes dl = 0 to avgdl, matching its
+    inability to match any term).  Persist the postings at scale — the
+    corpus never re-tokenizes per query batch."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = corpus.select(
+        F.col(id_col).alias("doc"), toks.alias("_toks")
+    ).select("doc", F.explode_outer("_toks").alias("term"), F.size("_toks").alias("dl"))
+    stats = base.groupBy("doc").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.filter(F.col("term").isNotNull())
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(dfreq, "term"), stats

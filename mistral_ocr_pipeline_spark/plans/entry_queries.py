@@ -3175,10 +3175,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed side is iterative min-label propagation
     (operators.dedup.connected_components); the oracle replays it as a
     recursive CTE — min reachable id per node."""
-    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
     from mistral_ocr_pipeline_spark.operators.dedup import connected_components
 
     docs = _t(spark, sf_dir, "documents")
+    return connected_components(docs, _dup_graph_edges(docs), id_col="doc_id")
+
+
+def _dup_graph_edges(docs: DataFrame) -> DataFrame:
+    """The shared test dup graph (also `split_leakage_free`): exact-dup
+    star edges + mod-7 chain edges — its recursive-CTE twin is the
+    `keyed/star/chain/edges/sym/reach` block in the oracles above/below."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
     keyed = docs.select("doc_id", F.md5(norm_key_col(F.col("text"))).alias("k"))
     groups = keyed.groupBy("k").agg(F.min("doc_id").alias("canon"))
     star = (
@@ -3192,8 +3200,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
         .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
     )
-    edges = star.unionAll(chain).distinct()
-    return connected_components(docs, edges, id_col="doc_id")
+    return star.unionAll(chain).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -4219,3 +4226,168 @@ def decontam_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_clean") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval (the sparse half of the retrieval stack)
+# --------------------------------------------------------------------------
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             sum(len(ts))::DOUBLE / count(*) AS avgdl
+      FROM tok),
+    tf AS (
+      SELECT doc, term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc, unnest(ts) AS term, len(ts) AS dl FROM tok)
+      GROUP BY doc, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (
+      SELECT doc AS qid, unnest(list_distinct(ts[1:6])) AS term
+      FROM tok WHERE doc < 4),
+    scored AS (
+      SELECT q.qid, tf.doc,
+             round(sum(round(
+               ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+               * 1000000.0)::BIGINT) / 1000000.0, 6) AS score
+      FROM tf JOIN dfreq USING (term) JOIN q ON q.term = tf.term
+      CROSS JOIN stats
+      GROUP BY q.qid, tf.doc),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc ASC) AS rank
+      FROM scored)
+    SELECT qid AS query_id, doc AS doc_id, score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 (k1=1.2, b=0.75): queries are each sub-4 doc's
+    first 6 normalized tokens, retrieved against the whole corpus.  The
+    postings build (tokenize once, tf/dl/df/N/avgdl), the broadcast
+    query-term join, the micro-unit order-independent score sum, and the
+    rank window are all replayed term-for-term in the DuckDB oracle."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("query_text"),
+    )
+    return bm25_topk(docs, queries, id_col="doc_id", text_col="text", k=5)
+
+
+# --------------------------------------------------------------------------
+# Token-budgeted corpus mixing ("β tokens of web, γ of code")
+# --------------------------------------------------------------------------
+@register(
+    "mix_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split({_KEY.format(c='text')}, ' '),
+                             t -> t != ''))::BIGINT AS tokens
+      FROM documents),
+    a AS (
+      SELECT doc_id, 0 AS mix_source, (doc_id % 4)::INT AS shard, tokens,
+             coalesce(sum(tokens) OVER (
+               PARTITION BY doc_id % 4
+               ORDER BY substring(md5('tokmix:0' || doc_id::varchar), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM tok WHERE lang = 'en'),
+    b AS (
+      SELECT doc_id, 1 AS mix_source, (doc_id % 4)::INT AS shard, tokens,
+             coalesce(sum(tokens) OVER (
+               PARTITION BY doc_id % 4
+               ORDER BY substring(md5('tokmix:1' || doc_id::varchar), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM tok WHERE lang <> 'en')
+    SELECT doc_id, mix_source, shard, tokens, start_offset
+    FROM a WHERE start_offset < 1000
+    UNION ALL
+    SELECT doc_id, mix_source, shard, tokens, start_offset
+    FROM b WHERE start_offset < 375
+    """,
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture — 4000 normalized-whitespace tokens of en +
+    1500 of non-en, documents admitted in content-hash order within 4
+    shards until each shard's budget slice fills
+    (`sampling.token_budget_mix`).  The oracle replays the shard cumsum
+    and the start-offset boundary rule exactly."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    base = docs.select("doc_id", "lang", F.size(toks).alias("tokens"))
+    en = base.filter(F.col("lang") == "en")
+    rest = base.filter(F.col("lang") != "en")
+    return token_budget_mix(
+        [(en, 4000), (rest, 1500)], key_col="doc_id", tokens_col="tokens",
+        n_shards=4,
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-free split: near-dup components move between splits as one unit
+# --------------------------------------------------------------------------
+@register(
+    "split_leakage_free",
+    oracle=f"""
+    WITH RECURSIVE
+    keyed AS (
+      SELECT doc_id, md5({_KEY.format(c='text')}) AS k FROM documents),
+    star AS (
+      SELECT g.canon AS id_a, keyed.doc_id AS id_b
+      FROM keyed
+      JOIN (SELECT k, min(doc_id) AS canon FROM keyed GROUP BY k) g
+        ON g.k = keyed.k
+      WHERE keyed.doc_id <> g.canon),
+    chain AS (
+      SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+      WHERE doc_id % 7 IN (0, 1)
+        AND doc_id + 1 IN (SELECT doc_id FROM documents)),
+    edges AS (SELECT * FROM star UNION SELECT * FROM chain),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+    comp AS (SELECT node AS id, min(lbl) AS comp FROM reach GROUP BY node)
+    SELECT id AS doc_id, comp,
+           CASE
+             WHEN substring(md5('split' || comp::varchar), 1, 8) < 'cccccccd'
+               THEN 'train'
+             WHEN substring(md5('split' || comp::varchar), 1, 8) < 'e6666666'
+               THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM comp
+    """,
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/10/10 split over the shared dup graph
+    (`_dup_graph_edges`): the component closure runs first and the split
+    hash keys on the COMPONENT id, so an eval doc can never have a
+    near-duplicate in train (`sampling.leakage_free_split`).  Oracle =
+    the connected-components recursive CTE + the same md5 threshold CASE
+    as `sample_train_split`, applied to comp."""
+    from mistral_ocr_pipeline_spark.operators.sampling import leakage_free_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_free_split(docs, _dup_graph_edges(docs), id_col="doc_id")

@@ -1582,3 +1582,177 @@ class TestPq:
             assert all(
                 rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1)
             )
+
+
+class TestBm25:
+    """BM25 retrieval (text_analysis.bm25_topk): the full path is
+    value-replayed in SQL by `text_bm25_topk`; these pin the scoring
+    model against a pure-Python BM25 and the edge semantics."""
+
+    def test_matches_pure_python_model(self, spark):
+        import math
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        corpus = [
+            (0, "the cat sat on the mat"),
+            (1, "the dog chased the cat"),
+            (2, "a quantum computer factors integers"),
+            (3, "the mat was red"),
+            (4, ""),  # empty doc: dl=0, counts toward N and avgdl
+        ]
+        queries = [(100, "cat mat"), (101, "quantum computer"), (102, "zzz")]
+
+        def norm_toks(t):
+            import re
+
+            return [
+                w
+                for w in re.sub(r"\s+", " ", re.sub(r"[^\w\s/\-]", "", t.lower())).strip().split(" ")
+                if w != ""
+            ]
+
+        toks = {d: norm_toks(t) for d, t in corpus}
+        n = len(corpus)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        dfreq: dict = {}
+        for ts in toks.values():
+            for term in set(ts):
+                dfreq[term] = dfreq.get(term, 0) + 1
+        expected = set()
+        for qid, qt in queries:
+            scores = {}
+            for d, ts in toks.items():
+                micro = 0
+                for term in set(norm_toks(qt)):
+                    tf = ts.count(term)
+                    if tf == 0:
+                        continue
+                    idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+                    tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+                    micro += round(idf * tfn * 1e6)
+                if micro:
+                    scores[d] = round(micro / 1e6, 6)
+            for rank, (d, s) in enumerate(
+                sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3], start=1
+            ):
+                expected.add((qid, d, s, rank))
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+        got = {
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_topk(cdf, qdf, k=3).collect()
+        }
+        assert got == expected
+        assert not any(q == 102 for q, *_ in got)  # no-hit query → no rows
+
+    def test_rarer_term_outranks_common(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        rows = [(i, "common filler words here") for i in range(20)]
+        rows.append((20, "common rareword here"))
+        cdf = spark.createDataFrame(rows, "doc_id long, text string")
+        qdf = spark.createDataFrame(
+            [(0, "rareword common")], "query_id long, query_text string"
+        )
+        top = bm25_topk(cdf, qdf, k=1).collect()[0]
+        assert top.doc_id == 20  # the idf of 'rareword' dominates
+
+
+class TestTokenBudgetMix:
+    def _fixture(self, spark):
+        rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, tokens long")
+
+    def test_matches_python_replay_and_layout_invariant(self, spark):
+        import hashlib
+
+        from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
+
+        df = self._fixture(spark)
+        rows = [(r.doc_id, r.tokens) for r in df.collect()]
+
+        def h(idx, key):
+            return hashlib.md5(f"tokmix:{idx}{key}".encode()).hexdigest()[:8]
+
+        expected = set()
+        per_shard = 900 // 4
+        for shard in range(4):
+            members = sorted(
+                ((d, t) for d, t in rows if d % 4 == shard),
+                key=lambda dt: (h(0, dt[0]), dt[0]),
+            )
+            off = 0
+            for d, t in members:
+                if off < per_shard:
+                    expected.add((d, 0, shard, t, off))
+                off += t
+        for layout in (df, df.repartition(13), df.coalesce(1)):
+            got = {
+                (r.doc_id, r.mix_source, r.shard, r.tokens, r.start_offset)
+                for r in token_budget_mix(
+                    [(layout, 900)], key_col="doc_id", tokens_col="tokens",
+                    n_shards=4,
+                ).collect()
+            }
+            assert got == expected
+
+    def test_budget_overshoot_bounded_by_one_doc_per_shard(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
+
+        df = self._fixture(spark)
+        out = token_budget_mix(
+            [(df, 1200)], key_col="doc_id", tokens_col="tokens", n_shards=4
+        ).collect()
+        per_shard = 1200 // 4
+        taken: dict = {}
+        for r in out:
+            taken.setdefault(r.shard, []).append(r)
+        for shard, rs in taken.items():
+            total = sum(r.tokens for r in rs)
+            # the straddling doc may overflow the slice; dropping the
+            # largest doc must bring the shard back under its slice
+            assert total - max(r.tokens for r in rs) < per_shard
+            # kept set is exactly the hash-order prefix: offsets tile
+            rs.sort(key=lambda r: r.start_offset)
+            off = 0
+            for r in rs:
+                assert r.start_offset == off
+                off += r.tokens
+
+
+class TestLeakageFreeSplit:
+    def test_dup_components_never_straddle_splits(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            leakage_free_split,
+            train_valid_test_split,
+        )
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(300)], "doc_id long"
+        )
+        # chains of 3: (3k, 3k+1, 3k+2) — multi-hop closure required
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 300, 3)]
+            + [(i + 1, i + 2) for i in range(0, 300, 3)],
+            "id_a long, id_b long",
+        )
+        out = leakage_free_split(nodes, edges, id_col="doc_id").collect()
+        by_comp: dict = {}
+        for r in out:
+            by_comp.setdefault(r.comp, set()).add(r.split)
+            assert r.comp == (r.doc_id // 3) * 3
+        assert all(len(s) == 1 for s in by_comp.values())
+        assert len({next(iter(s)) for s in by_comp.values()}) == 3  # all splits used
+
+        # the naive per-doc hash split WOULD have straddled some component
+        naive = {
+            r.doc_id: r.split
+            for r in train_valid_test_split(nodes, key_col="doc_id").collect()
+        }
+        straddled = sum(
+            1
+            for base in range(0, 300, 3)
+            if len({naive[base], naive[base + 1], naive[base + 2]}) > 1
+        )
+        assert straddled > 0
