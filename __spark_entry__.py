@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "retrieval_rrf_fusion",    # new in r4: BM25+dense RRF hybrid, full SQL oracle
+    "text_bm25_champion",      # new in r4: champion-list capped BM25
     "text_bm25_topk",          # new in r4: BM25 retrieval, full SQL oracle
     "mix_token_budget",        # new in r4: token-budgeted corpus mixing
     "split_leakage_free",      # new in r4: component-keyed split, rec-CTE oracle

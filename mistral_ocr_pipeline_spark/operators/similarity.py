@@ -705,3 +705,60 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion — merge sparse (BM25) and dense (ANN) result lists
+# --------------------------------------------------------------------------
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N ranked retrieval
+    lists: score(q, d) = Σ_lists 1/(c + rank) — the standard way to
+    merge BM25 and embedding ANN results without score calibration,
+    since only RANKS enter the formula.  Returns (query, id, rrf_score,
+    n_lists, rank) — ``n_lists`` = how many input lists retrieved the
+    doc (the agreement signal).
+
+    Contributions are rounded to exact integer micro-units before the
+    sum (same determinism argument as ``text_analysis.bm25_topk``), so
+    fusing any number of lists is bit-stable across partitionings and
+    engines.  Plan shape: the inputs are already top-k-per-query (tiny
+    relative to the corpus); fusion is one union + one well-keyed
+    groupBy + one window — nothing corpus-sized moves."""
+    parts = [
+        df.select(
+            F.col(query_col).alias("qid"),
+            F.col(id_col).alias("id"),
+            F.round(F.lit(1e6) / (F.lit(c) + F.col(rank_col)), 0)
+            .cast("long")
+            .alias("_m"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("qid", "id").agg(
+        F.round(F.sum("_m") / F.lit(1e6), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_col),
+            F.col("id").alias(id_col),
+            "rrf_score",
+            "n_lists",
+            "rank",
+        )
+    )

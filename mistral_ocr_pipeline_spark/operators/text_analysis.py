@@ -344,6 +344,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_postings_per_term: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval: (query_id, doc_id, score, rank) — the
     lexical half of a retrieval stack (`similarity.*` is the dense half;
@@ -358,10 +359,28 @@ def bm25_topk(
     standalone).  Queries are a small relation: their term lists
     broadcast-join the postings on term (no corpus shuffle), partial
     aggregation sums scores map-side, and one window per query takes the
-    top-k.  All JVM expressions — no UDF anywhere.  Stop-word-skewed
-    terms are AQE skew-join territory, or cap postings per term
-    ("champion lists") via `sampling.sample_per_key` on tf rank."""
+    top-k.  All JVM expressions — no UDF anywhere.
+
+    ``max_postings_per_term`` caps each term's posting list to its top-N
+    docs by (tf desc, doc asc) — "champion lists" (Manning et al., IIR
+    §7.1.3), the classic defense against stop-word key skew: a term that
+    appears in half the corpus would otherwise route half the corpus
+    through one join key.  idf keeps the TRUE document frequency, and
+    each surviving (term, doc) contribution is computed identically —
+    but a doc outside some matched term's champions loses that term's
+    contribution, so capped score ≤ uncapped score, with equality iff
+    the doc is a champion for every matched term (high-tf docs, i.e. the
+    ones that contend for the top ranks, are).  The standard
+    accepted-approximation trade: bounded key fan-out for exact scores
+    on the contenders."""
     postings, stats = bm25_postings(corpus, id_col, text_col)
+    if max_postings_per_term is not None:
+        wp = W.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc").asc())
+        postings = (
+            postings.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= max_postings_per_term)
+            .drop("_pr")
+        )
     from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
 
     qterms = (

@@ -4231,9 +4231,23 @@ def decontam_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # BM25 lexical retrieval (the sparse half of the retrieval stack)
 # --------------------------------------------------------------------------
-@register(
-    "text_bm25_topk",
-    oracle=f"""
+def _bm25_cte(postings_cap: int | None = None) -> str:
+    """Shared oracle CTE replaying the BM25 path term-for-term: the
+    normalized tokenization, corpus stats, tf/df postings (optionally
+    champion-capped — idf keeps the FULL df), the sub-4-doc 6-token
+    queries, the micro-unit order-independent score sum, and the rank
+    window.  Ends at ``ranked`` so callers pick their own k / fusion."""
+    cap_cte, tf_src = "", "tf"
+    if postings_cap is not None:
+        cap_cte = f""",
+    tfc AS (
+      SELECT doc, term, tf, dl FROM (
+        SELECT *, row_number() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc ASC) AS rn
+        FROM tf)
+      WHERE rn <= {postings_cap})"""
+        tf_src = "tfc"
+    return f"""
     WITH tok AS (
       SELECT doc_id AS doc,
              list_filter(string_split({_KEY.format(c='text')}, ' '),
@@ -4247,7 +4261,7 @@ def decontam_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc, term, count(*) AS tf, any_value(dl) AS dl
       FROM (SELECT doc, unnest(ts) AS term, len(ts) AS dl FROM tok)
       GROUP BY doc, term),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term){cap_cte},
     q AS (
       SELECT doc AS qid, unnest(list_distinct(ts[1:6])) AS term
       FROM tok WHERE doc < 4),
@@ -4258,13 +4272,20 @@ def decontam_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (tf.tf * 2.2)
                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
                * 1000000.0)::BIGINT) / 1000000.0, 6) AS score
-      FROM tf JOIN dfreq USING (term) JOIN q ON q.term = tf.term
+      FROM {tf_src} tf JOIN dfreq USING (term) JOIN q ON q.term = tf.term
       CROSS JOIN stats
       GROUP BY q.qid, tf.doc),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY qid
                                    ORDER BY score DESC, doc ASC) AS rank
       FROM scored)
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_cte()
+    + """
     SELECT qid AS query_id, doc AS doc_id, score, rank
     FROM ranked WHERE rank <= 5
     """,
@@ -4391,3 +4412,124 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return leakage_free_split(docs, _dup_graph_edges(docs), id_col="doc_id")
+
+
+@register(
+    "text_bm25_champion",
+    oracle=_bm25_cte(postings_cap=10)
+    + """
+    SELECT qid AS query_id, doc AS doc_id, score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def text_bm25_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with champion lists — each term's postings capped to its 10
+    highest-tf docs BEFORE the query join, the stop-word-skew defense
+    that bounds any single join key's fan-out at web scale (a term in
+    half the corpus otherwise routes half the corpus through one key).
+    idf keeps the TRUE document frequency and surviving contributions
+    are computed identically, so capped score ≤ uncapped score with
+    equality for docs inside every matched term's champions — the
+    contenders (pinned in test_ops).  Cap replayed as a row_number
+    window in the oracle."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("query_text"),
+    )
+    return bm25_topk(
+        docs, queries, id_col="doc_id", text_col="text", k=5,
+        max_postings_per_term=10,
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense ANN lists
+# --------------------------------------------------------------------------
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_bm25_cte()
+    + """
+    , sparse AS (SELECT qid, doc AS id, rank FROM ranked WHERE rank <= 10),
+    qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 4),
+    cvec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ds AS (
+      SELECT qv.qid, cvec.vec_id,
+             round(list_dot_product(qv.v, cvec.v) /
+                   (sqrt(list_dot_product(qv.v, qv.v)) *
+                    sqrt(list_dot_product(cvec.v, cvec.v))), 6) AS cosine
+      FROM qv CROSS JOIN cvec),
+    dr AS (
+      SELECT qid, vec_id AS id, row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM ds),
+    dense AS (SELECT qid, id, rank FROM dr WHERE rank <= 10),
+    contrib AS (
+      SELECT qid, id, round(1000000.0 / (60 + rank))::BIGINT AS m FROM sparse
+      UNION ALL
+      SELECT qid, id, round(1000000.0 / (60 + rank))::BIGINT FROM dense),
+    fused AS (
+      SELECT qid, id, round(sum(m) / 1000000.0, 6) AS rrf_score,
+             count(*) AS n_lists
+      FROM contrib GROUP BY qid, id),
+    fr AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf_score DESC, id ASC) AS rank
+      FROM fused)
+    SELECT qid AS query_id, id AS doc_id, rrf_score, n_lists, rank
+    FROM fr WHERE rank <= 5
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the production RAG shape: BM25 top-10 (sparse)
+    and exact-cosine top-10 (dense, embeddings keyed by the same ids as
+    documents in the test corpus) fused by reciprocal rank —
+    `similarity.rrf_fuse`, score Σ 1/(60+rank) in exact micro-units.
+    Neither list excludes the query doc itself, so both lists cover the
+    full corpus symmetrically.  ONE plan: both retrievals and the fusion
+    groupBy+window; only top-k-sized relations move after retrieval."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.similarity import rrf_fuse
+    from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("query_text"),
+    )
+    sparse = bm25_topk(docs, queries, id_col="doc_id", text_col="text", k=10)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), dvec.alias("qv")
+    )
+    cand = emb.select("vec_id", dvec.alias("v"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    cos = F.round(
+        dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+        6,
+    )
+    wd = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    dense = (
+        cand.crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("qid").alias("query_id"), F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense], k=5
+    )

@@ -1756,3 +1756,79 @@ class TestLeakageFreeSplit:
             if len({naive[base], naive[base + 1], naive[base + 2]}) > 1
         )
         assert straddled > 0
+
+
+class TestBm25Champion:
+    def test_cap_bounds_scores_per_pair(self, spark, docs):
+        """Champion capping: idf keeps true df and surviving (term, doc)
+        contributions compute identically, so capped ≤ uncapped per pair.
+        Exact equality under full champion membership is pinned on the
+        micro-fixture below (the sf corpus's tf≈1 common-word queries put
+        no doc inside ALL its terms' champions at cap=5)."""
+        from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+        queries = docs.filter(F.col("doc_id") < 4).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 6), " ").alias("query_text"),
+        )
+        full = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_topk(docs, queries, k=10**6).collect()
+        }
+        capped = bm25_topk(docs, queries, k=100, max_postings_per_term=5).collect()
+        assert capped
+        for r in capped:
+            assert r.score <= full[(r.query_id, r.doc_id)]
+
+    def test_full_champion_membership_keeps_exact_score(self, spark):
+        """A corpus where every doc fits inside every term's champion list
+        must reproduce the uncapped scores bit-for-bit."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        cdf = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha gamma"), (2, "beta beta delta")],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [(9, "alpha beta")], "query_id long, query_text string"
+        )
+        base = {
+            (r.query_id, r.doc_id): (r.score, r.rank)
+            for r in bm25_topk(cdf, qdf, k=10).collect()
+        }
+        capped = {
+            (r.query_id, r.doc_id): (r.score, r.rank)
+            for r in bm25_topk(cdf, qdf, k=10, max_postings_per_term=3).collect()
+        }
+        assert base == capped
+
+
+class TestRrfFuse:
+    def test_matches_python_model(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import rrf_fuse
+
+        sparse = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+            "query_id long, doc_id long, rank long",
+        )
+        dense = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2), (2, 20, 1), (2, 21, 2)],
+            "query_id long, doc_id long, rank long",
+        )
+        got = {
+            (r.query_id, r.doc_id): (r.rrf_score, r.n_lists, r.rank)
+            for r in rrf_fuse([sparse, dense], k=3).collect()
+        }
+
+        def s(*ranks):
+            return round(sum(round(1e6 / (60 + r)) for r in ranks) / 1e6, 6)
+
+        # q1: doc 11 in both lists (ranks 2+1) beats single-list docs
+        assert got[(1, 11)] == (s(2, 1), 2, 1)
+        assert got[(1, 10)] == (s(1,), 1, 2)
+        assert got[(1, 13)] == (s(2,), 1, 3)
+        assert (1, 12) not in got  # k=3 cut
+        assert got[(2, 20)] == (s(1, 1), 2, 1)
+        assert got[(2, 21)] == (s(2,), 1, 2)

@@ -374,3 +374,52 @@ class TestBucketedJoins:
         finally:
             spark.sql("DROP TABLE IF EXISTS bk_left")
             spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+class TestRetrievalPlans:
+    """BM25 / fusion / token-budget-mix plan shapes (round 4)."""
+
+    def test_bm25_query_join_broadcasts_no_cartesian(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        qdf = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma delta")],
+            "query_id long, query_text string",
+        )
+        plan = _plan(bm25_topk(docs, qdf, k=5))
+        # query terms (small) broadcast against the postings on term —
+        # the corpus never shuffles per query batch
+        assert "BroadcastHashJoin [term" in plan
+        # the 1-row stats relation rides a broadcast NLJ, never a cartesian
+        assert "CartesianProduct" not in plan
+
+    def test_champion_cap_adds_one_bounded_window(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        qdf = spark.createDataFrame(
+            [(0, "alpha beta")], "query_id long, query_text string"
+        )
+        base = _plan(bm25_topk(docs, qdf, k=5))
+        capped = _plan(bm25_topk(docs, qdf, k=5, max_postings_per_term=10))
+        # exactly one extra Window NODE (the per-term champion
+        # row_number; "Window" alone also matches the WindowGroupLimit
+        # top-k pushdown nodes), and the cap window partitions on term —
+        # never a global (empty-partition) sort
+        assert capped.count("Window [row_number()") == base.count(
+            "Window [row_number()"
+        ) + 1
+        assert "windowspecdefinition(term" in capped
+        assert "windowspecdefinition(term" not in base
+
+    def test_token_budget_mix_shuffles_on_shard_only(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
+
+        src = docs.select("doc_id", F.length("text").alias("tokens"))
+        plan = _plan(
+            token_budget_mix([(src, 10_000)], "doc_id", "tokens", n_shards=8)
+        )
+        # the only wide op per source is the per-shard cumsum window:
+        # one exchange, hash-partitioned on shard — no global sort
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "shard" in plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
+        assert "rangepartitioning" not in plan
