@@ -456,3 +456,101 @@ def bm25_postings(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(dfreq, "term"), stats
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (hashed n-gram model)
+# --------------------------------------------------------------------------
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Importance log-weights for data selection (DSIR, Xie et al. 2023):
+    score each raw-corpus document by how much more likely its hashed
+    n-gram features are under a TARGET distribution (the high-quality
+    corpus you wish you had more of) than under the raw corpus itself —
+    then resample the raw corpus by weight (`hash_sample` on a weight
+    threshold, or top-fraction).  Returns (id, n_grams, logweight);
+    docs with no tokens emit no row (no features → no evidence).
+
+    Model: word unigrams + bigrams, hashed into ``n_buckets`` buckets
+    (md5-derived, so the bucketing replays in any engine); bucket
+    probabilities add-1 smoothed over each distribution; logweight =
+    Σ_grams ln(p_target[b]/p_raw[b]), each gram's contribution in exact
+    integer micro-units (order-independent sum, cf. `bm25_topk`).
+
+    Plan shape at scale: both bucket-count aggregations collapse the
+    gram streams to ≤ n_buckets rows map-side (the gram stream itself
+    never shuffles for counting); the probability table is ≤ n_buckets
+    rows and broadcasts; scoring is the gram stream joined to that
+    broadcast and ONE groupBy(doc) — a single corpus-sized shuffle,
+    well-keyed on doc id.  All JVM expressions, no UDF."""
+    spark = corpus.sparkSession
+
+    def grams(df: DataFrame) -> DataFrame:
+        from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+        toks = F.filter(
+            F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+        )
+        base = df.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+        # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+        bigrams = F.when(
+            F.size("_ts") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_ts", i), F.element_at("_ts", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = base.select("id", F.explode(F.concat("_ts", bigrams)).alias("g"))
+        return g.select(
+            "id",
+            F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+
+    raw_g = grams(corpus)
+    tgt_g = grams(target)
+    raw_cnt = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_cnt = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    totals = (
+        raw_cnt.agg(F.sum("cr").alias("tr"))
+        .crossJoin(tgt_cnt.agg(F.sum("ct").alias("tt")))
+    )
+    spine = spark.range(n_buckets).select(F.col("id").alias("b"))
+    micro = F.round(
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                / (F.col("tt") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                / (F.col("tr") + F.lit(float(n_buckets)))
+            )
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    probs = (
+        spine.join(raw_cnt, "b", "left")
+        .join(tgt_cnt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", micro.alias("micro"))
+    )
+    return (
+        raw_g.join(F.broadcast(probs), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("micro") / F.lit(1e6), 6).alias("logweight"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "logweight")
+    )

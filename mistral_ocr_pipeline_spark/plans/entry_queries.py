@@ -4533,3 +4533,61 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(
         [sparse.select("query_id", "doc_id", "rank"), dense], k=5
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# --------------------------------------------------------------------------
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(ts) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS g
+      FROM tok),
+    bkt AS (
+      SELECT doc_id, lang,
+             (('0x' || substring(md5(g), 1, 8))::UBIGINT % 256)::BIGINT AS b
+      FROM grams),
+    raw AS (SELECT b, count(*) AS cr FROM bkt GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM bkt WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bkt) AS tr,
+                   (SELECT count(*) FROM bkt WHERE lang = 'en') AS tt),
+    spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+    probs AS (
+      SELECT spine.b,
+             round((ln((coalesce(ct, 0) + 1) / (tt + 256.0))
+                    - ln((coalesce(cr, 0) + 1) / (tr + 256.0)))
+                   * 1000000.0)::BIGINT AS micro
+      FROM spine LEFT JOIN raw USING (b) LEFT JOIN tgt ON tgt.b = spine.b
+      CROSS JOIN tot)
+    SELECT bkt.doc_id, count(*) AS n_grams,
+           round(sum(micro) / 1000000.0, 6) AS logweight
+    FROM bkt JOIN probs USING (b)
+    GROUP BY bkt.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023) for every document,
+    with the en-language slice as the target distribution — positive
+    weight ⇒ the doc's hashed unigram+bigram features look more like the
+    target than like the raw corpus; resample by weight to tilt a 100 TB
+    crawl toward the target domain (`text_analysis.dsir_logweights`).
+    The ENTIRE model — md5 bucket hashing, add-1 smoothed bucket
+    probabilities over both distributions, micro-unit exact gram sums —
+    is replayed in the oracle."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+    )

@@ -1832,3 +1832,48 @@ class TestRrfFuse:
         assert (1, 12) not in got  # k=3 cut
         assert got[(2, 20)] == (s(1, 1), 2, 1)
         assert got[(2, 21)] == (s(2,), 1, 2)
+
+
+class TestDsir:
+    """DSIR importance weights (text_analysis.dsir_logweights): the full
+    model is value-replayed in SQL by `text_dsir_weights`; these pin the
+    selection signal, edge semantics, and layout invariance."""
+
+    def test_target_like_docs_score_higher(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import dsir_logweights
+
+        out = dsir_logweights(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        )
+        joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+        means = {
+            r.is_en: r.m
+            for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+            .agg(F.avg("logweight").alias("m"))
+            .collect()
+        }
+        assert means[True] > means[False]  # the resampling signal exists
+
+    def test_edges_and_layout_invariance(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import dsir_logweights
+
+        corpus = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha"), (2, ""), (3, "   ")],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+        base = {
+            r.doc_id: (r.n_grams, r.logweight)
+            for r in dsir_logweights(corpus, target).collect()
+        }
+        # doc 0: 3 unigrams + 2 bigrams; doc 1: 1 unigram, no bigram;
+        # empty/whitespace docs emit no row (no features, no evidence)
+        assert base[0][0] == 5 and base[1][0] == 1
+        assert set(base) == {0, 1}
+        for layout in (corpus.repartition(7), corpus.coalesce(1)):
+            got = {
+                r.doc_id: (r.n_grams, r.logweight)
+                for r in dsir_logweights(layout, target).collect()
+            }
+            assert got == base
