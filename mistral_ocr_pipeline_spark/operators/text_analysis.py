@@ -554,3 +554,56 @@ def dsir_logweights(
         )
         .select(F.col("id").alias(id_col), "n_grams", "logweight")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality gate funnel — Gopher-style rules with first-fail attribution
+# --------------------------------------------------------------------------
+def quality_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    word_len_bounds: tuple[float, float] = (3.0, 10.0),
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Per-document gate verdict under the published Gopher-rule shapes
+    (Rae et al. 2021 §A1.1): minimum length, mean-word-length bounds,
+    symbol ratio, stop-word evidence, duplicate-line fraction.  Verdict
+    is the FIRST failing rule ('too_short' | 'word_len' | 'symbol_heavy'
+    | 'low_stopword' | 'dup_lines') or 'keep' — first-fail attribution
+    is what makes a drop FUNNEL auditable: each rule's count states what
+    it alone removed from what earlier rules passed, so rule costs add
+    up to the total drop rate (the report a curation run publishes).
+
+    One map-only scan of pure expressions — every signal reuses the
+    documented-SQL-twin forms above (`ws_token_count`, `stopword_hits`,
+    the `repetition_metrics` line split), so the whole funnel replays in
+    DuckDB.  Rows never shuffle; the rollup downstream aggregates ≤6
+    verdict groups."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t).cast("long")
+    n_tokens = ws_token_count(t)
+    n_stop = stopword_hits(t, "en")
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("long")
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    dup_line_frac = F.when(F.size(lines) > 0,
+        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+    ).otherwise(F.lit(0.0))
+    lo, hi = word_len_bounds
+    verdict = (
+        F.when(n_tokens < min_tokens, "too_short")
+        .when((mean_word_len < lo) | (mean_word_len > hi), "word_len")
+        .when(punct_ratio > max_symbol_ratio, "symbol_heavy")
+        .when(n_stop < min_stopword_hits, "low_stopword")
+        .when(dup_line_frac > max_dup_line_frac, "dup_lines")
+        .otherwise("keep")
+    )
+    return df.select(F.col(id_col).alias("id"), verdict.alias("verdict"))

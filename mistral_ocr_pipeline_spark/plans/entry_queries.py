@@ -4591,3 +4591,64 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"),
         docs.filter(F.col("lang") == "en").select("doc_id", "text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality gate funnel rollup (Gopher-rule shapes, first-fail attribution)
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_funnel",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(coalesce(text, ''))::bigint AS n_chars,
+             (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                   ELSE len(string_split_regex(trim(coalesce(text, '')),
+                            '\s+')) END)::bigint AS n_tokens,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                 '\b(the|and|of|to|in|is|that|it|was|for)\b'))::bigint AS n_stop,
+             len(regexp_extract_all(coalesce(text, ''), '[^\w\s]'))::bigint
+                 AS n_punct,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+                 chr(10)), x -> trim(x)), x -> x <> '') AS lines
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+             CASE
+               WHEN n_tokens < 25 THEN 'too_short'
+               WHEN n_chars::double / greatest(n_tokens, 1) < 3.0
+                 OR n_chars::double / greatest(n_tokens, 1) > 6.0
+                 THEN 'word_len'
+               WHEN n_punct::double / greatest(n_chars, 1) > 0.1
+                 THEN 'symbol_heavy'
+               WHEN n_stop < 2 THEN 'low_stopword'
+               WHEN len(lines) > 0 AND
+                    (len(lines) - len(list_distinct(lines)))::double
+                      / len(lines) > 0.3
+                 THEN 'dup_lines'
+               ELSE 'keep'
+             END AS verdict
+      FROM f)
+    SELECT verdict, count(*) AS n,
+           round(count(*) / (sum(count(*)) OVER ()), 6) AS share
+    FROM v GROUP BY verdict
+    """,
+)
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-funnel report under Gopher-rule shapes with first-fail
+    attribution (`text_analysis.quality_funnel`; thresholds tuned to the
+    synthetic corpus so every stage is exercised): per-verdict doc count
+    and share.  One map-only scan; the rollup aggregates ≤6 groups and
+    the share window runs over those rows only."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import quality_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    v = quality_funnel(
+        docs, "doc_id", "text", min_tokens=25, word_len_bounds=(3.0, 6.0)
+    )
+    counts = v.groupBy("verdict").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "verdict",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6).alias("share"),
+    )

@@ -1877,3 +1877,37 @@ class TestDsir:
                 for r in dsir_logweights(layout, target).collect()
             }
             assert got == base
+
+
+class TestQualityFunnel:
+    def test_all_verdicts_and_first_fail_precedence(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import quality_funnel
+
+        good = (
+            "the cat and the dog sat in the old house and it was warm for "
+            "a long while so they slept there until morning came again"
+        )
+        fixture = [
+            (0, good),  # keep
+            (1, "short text"),  # too_short (first rule wins over low_stopword)
+            (2, "supercalifragilistic " * 30),  # word_len (mean > 10)
+            (3, "#!?* " + "$%&@ " * 40),  # symbol_heavy fires before low_stopword? no: word_len lo
+            (4, "lorem ipsum dolor sit amet " * 10),  # low_stopword
+            (5, ("the cat and the dog sat in it\n" * 20) + good),  # dup_lines
+        ]
+        out = {
+            r.id: r.verdict
+            for r in quality_funnel(
+                spark.createDataFrame(fixture, "doc_id long, text string"),
+                min_tokens=5,
+            ).collect()
+        }
+        assert out[0] == "keep"
+        assert out[1] == "too_short"
+        assert out[2] == "word_len"
+        assert out[4] == "low_stopword"
+        assert out[5] == "dup_lines"
+        # doc 3: symbols dominate — but mean word len (5 incl. symbols)
+        # is in bounds, so the verdict must be the symbol rule, not a
+        # later one (first-fail ordering pinned)
+        assert out[3] == "symbol_heavy"
