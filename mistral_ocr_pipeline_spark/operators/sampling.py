@@ -237,6 +237,14 @@ def token_budget_mix(
 
     parts = []
     for idx, (df, target) in enumerate(sources):
+        ktype = df.schema[key_col].dataType.simpleString()
+        if ktype not in ("tinyint", "smallint", "int", "bigint"):
+            # pmod on a non-numeric key silently yields NULL — every row
+            # would collapse into one shard task; fail loudly instead
+            raise TypeError(
+                f"token_budget_mix needs an integral key for sharding; "
+                f"{key_col!r} is {ktype} (hash it to a long first)"
+            )
         per_shard = int(target) // n_shards
         h = _hash_frac_hex(F.col(key_col), f"{salt}:{idx}")
         w = W.partitionBy("shard").orderBy(h, F.col(key_col))

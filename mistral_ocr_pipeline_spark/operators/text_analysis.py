@@ -442,15 +442,17 @@ def bm25_postings(
     toks = F.filter(
         F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
     )
-    base = corpus.select(
-        F.col(id_col).alias("doc"), toks.alias("_toks")
-    ).select("doc", F.explode_outer("_toks").alias("term"), F.size("_toks").alias("dl"))
-    stats = base.groupBy("doc").agg(F.first("dl").alias("dl")).agg(
+    base = corpus.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    # stats come off the DOC-level frame — one map-side aggregate to a
+    # single row, never a shuffle of the exploded term stream
+    stats = base.select(F.size("_toks").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        base.filter(F.col("term").isNotNull())
+        base.select(
+            "doc", F.explode("_toks").alias("term"), F.size("_toks").alias("dl")
+        )
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )

@@ -4652,3 +4652,70 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6).alias("share"),
     )
+
+
+@register(
+    "text_dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(ts) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS g
+      FROM tok),
+    bkt AS (
+      SELECT doc_id, lang,
+             (('0x' || substring(md5(g), 1, 8))::UBIGINT % 256)::BIGINT AS b
+      FROM grams),
+    raw AS (SELECT b, count(*) AS cr FROM bkt GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM bkt WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bkt) AS tr,
+                   (SELECT count(*) FROM bkt WHERE lang = 'en') AS tt),
+    spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+    probs AS (
+      SELECT spine.b,
+             round((ln((coalesce(ct, 0) + 1) / (tt + 256.0))
+                    - ln((coalesce(cr, 0) + 1) / (tr + 256.0)))
+                   * 1000000.0)::BIGINT AS micro
+      FROM spine LEFT JOIN raw USING (b) LEFT JOIN tgt ON tgt.b = spine.b
+      CROSS JOIN tot),
+    w AS (
+      SELECT bkt.doc_id, round(sum(micro) / 1000000.0, 6) AS logweight
+      FROM bkt JOIN probs USING (b)
+      GROUP BY bkt.doc_id),
+    thr AS (SELECT round(quantile_cont(logweight, 0.80), 6) AS t FROM w)
+    SELECT w.doc_id, w.logweight
+    FROM w CROSS JOIN thr
+    WHERE w.logweight >= thr.t
+    """,
+)
+def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end: importance weights → p80 weight threshold →
+    selected documents, the resampling step itself.  ONE plan, zero
+    driver-side actions: the threshold is an exact interpolated
+    percentile over the ~|docs| weight rows (Spark `percentile` ≡
+    DuckDB `quantile_cont`, cf. `a11_exact_percentiles`), broadcast as
+    a 1-row relation into the filter.  At 100 TB swap the exact
+    percentile for `percentile_approx` (t-digest, mergeable) — same
+    plan shape, the threshold stays a 1-row broadcast."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_logweights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+    ).select("doc_id", "logweight")
+    thr = w.agg(
+        F.round(F.percentile(F.col("logweight"), F.lit(0.80)), 6).alias("t")
+    )
+    return (
+        w.crossJoin(F.broadcast(thr))
+        .filter(F.col("logweight") >= F.col("t"))
+        .select("doc_id", "logweight")
+    )

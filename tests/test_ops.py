@@ -1911,3 +1911,14 @@ class TestQualityFunnel:
         # is in bounds, so the verdict must be the symbol rule, not a
         # later one (first-fail ordering pinned)
         assert out[3] == "symbol_heavy"
+
+
+class TestTokenBudgetMixGuard:
+    def test_non_integral_key_raises(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
+
+        df = spark.createDataFrame(
+            [("a", 10)], "doc_key string, tokens long"
+        )
+        with pytest.raises(TypeError, match="integral key"):
+            token_budget_mix([(df, 100)], key_col="doc_key", tokens_col="tokens")
