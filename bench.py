@@ -145,6 +145,9 @@ def main() -> None:
         "ann_ivf_topk",
         "text_quality_score",
         "text_langid",
+        "text_bm25_topk",
+        "text_dsir_weights",
+        "ann_pq_topk",
         "j2_fuzzy_best_match",
         "pricing_summary",
         "w6_stable_turn_ordering",

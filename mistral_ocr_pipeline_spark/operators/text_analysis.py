@@ -465,7 +465,7 @@ def bm25_postings(
 # --------------------------------------------------------------------------
 def dsir_logweights(
     corpus: DataFrame,
-    target: DataFrame,
+    target: "DataFrame | str",
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 256,
@@ -484,6 +484,14 @@ def dsir_logweights(
     Σ_grams ln(p_target[b]/p_raw[b]), each gram's contribution in exact
     integer micro-units (order-independent sum, cf. `bm25_topk`).
 
+    ``target`` is either its own DataFrame (same schema slice) or — the
+    common case, target ⊆ corpus — the NAME of a boolean column on
+    ``corpus`` marking target membership: then both bucket distributions
+    come off ONE gram pass (one `sum(flag)` beside the count), saving
+    the re-shingle of the target slice (measured 1.12× end-to-end on
+    sf0.1 with the en slice as target — the saving scales with the
+    target's share of the corpus, since the scoring pass dominates).
+
     Plan shape at scale: both bucket-count aggregations collapse the
     gram streams to ≤ n_buckets rows map-side (the gram stream itself
     never shuffles for counting); the probability table is ≤ n_buckets
@@ -491,14 +499,16 @@ def dsir_logweights(
     broadcast and ONE groupBy(doc) — a single corpus-sized shuffle,
     well-keyed on doc id.  All JVM expressions, no UDF."""
     spark = corpus.sparkSession
+    flag_col = target if isinstance(target, str) else None
 
-    def grams(df: DataFrame) -> DataFrame:
+    def grams(df: DataFrame, carry: str | None = None) -> DataFrame:
         from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
 
         toks = F.filter(
             F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
         )
-        base = df.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+        carry_cols = [F.col(carry)] if carry else []
+        base = df.select(F.col(id_col).alias("id"), toks.alias("_ts"), *carry_cols)
         # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
         bigrams = F.when(
             F.size("_ts") >= 2,
@@ -509,19 +519,32 @@ def dsir_logweights(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        g = base.select("id", F.explode(F.concat("_ts", bigrams)).alias("g"))
+        g = base.select(
+            "id", F.explode(F.concat("_ts", bigrams)).alias("g"), *carry_cols
+        )
         return g.select(
             "id",
             F.pmod(
                 F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
                 F.lit(n_buckets),
             ).alias("b"),
+            *carry_cols,
         )
 
-    raw_g = grams(corpus)
-    tgt_g = grams(target)
-    raw_cnt = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_cnt = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    if flag_col is not None:
+        raw_g = grams(corpus, carry=flag_col)
+        both = raw_g.groupBy("b").agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.col(flag_col).cast("long")).alias("ct"),
+        )
+        raw_cnt = both.select("b", "cr")
+        tgt_cnt = both.select("b", "ct")
+        raw_g = raw_g.select("id", "b")
+    else:
+        raw_g = grams(corpus)
+        tgt_g = grams(target)
+        raw_cnt = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+        tgt_cnt = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     totals = (
         raw_cnt.agg(F.sum("cr").alias("tr"))
         .crossJoin(tgt_cnt.agg(F.sum("ct").alias("tt")))

@@ -4588,8 +4588,10 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dsir_logweights(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        docs.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("is_tgt")
+        ),
+        "is_tgt",
     )
 
 
@@ -4708,8 +4710,10 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     w = dsir_logweights(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        docs.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("is_tgt")
+        ),
+        "is_tgt",
     ).select("doc_id", "logweight")
     thr = w.agg(
         F.round(F.percentile(F.col("logweight"), F.lit(0.80)), 6).alias("t")

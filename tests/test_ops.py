@@ -1922,3 +1922,28 @@ class TestTokenBudgetMixGuard:
         )
         with pytest.raises(TypeError, match="integral key"):
             token_budget_mix([(df, 100)], key_col="doc_key", tokens_col="tokens")
+
+
+class TestDsirFlagForm:
+    def test_flag_form_equals_two_stream_form(self, spark, docs):
+        """target-as-boolean-column (single gram pass) must reproduce
+        target-as-DataFrame bit-for-bit — same model, cheaper plan."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import dsir_logweights
+
+        two = {
+            r.doc_id: (r.n_grams, r.logweight)
+            for r in dsir_logweights(
+                docs.select("doc_id", "text"),
+                docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+            ).collect()
+        }
+        one = {
+            r.doc_id: (r.n_grams, r.logweight)
+            for r in dsir_logweights(
+                docs.select(
+                    "doc_id", "text", (F.col("lang") == "en").alias("is_tgt")
+                ),
+                "is_tgt",
+            ).collect()
+        }
+        assert one == two
