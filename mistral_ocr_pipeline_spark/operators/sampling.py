@@ -246,6 +246,12 @@ def token_budget_mix(
                 f"{key_col!r} is {ktype} (hash it to a long first)"
             )
         per_shard = int(target) // n_shards
+        if per_shard <= 0:
+            # a zero slice would silently select nothing from this source
+            raise ValueError(
+                f"source {idx}: target {target} tokens < n_shards "
+                f"{n_shards}; lower n_shards or raise the target"
+            )
         h = _hash_frac_hex(F.col(key_col), f"{salt}:{idx}")
         w = W.partitionBy("shard").orderBy(h, F.col(key_col))
         run = w.rowsBetween(W.unboundedPreceding, -1)

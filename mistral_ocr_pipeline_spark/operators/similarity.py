@@ -728,7 +728,9 @@ def rrf_fuse(
     Contributions are rounded to exact integer micro-units before the
     sum (same determinism argument as ``text_analysis.bm25_topk``), so
     fusing any number of lists is bit-stable across partitionings and
-    engines.  Plan shape: the inputs are already top-k-per-query (tiny
+    engines.  Precondition: each input list carries at most one row per
+    (query, id) — a duplicate would contribute twice (every top-k
+    operator in this module satisfies this by construction).  Plan shape: the inputs are already top-k-per-query (tiny
     relative to the corpus); fusion is one union + one well-keyed
     groupBy + one window — nothing corpus-sized moves."""
     parts = [

@@ -479,7 +479,9 @@ def dsir_logweights(
     docs with no tokens emit no row (no features → no evidence).
 
     Model: word unigrams + bigrams, hashed into ``n_buckets`` buckets
-    (md5-derived, so the bucketing replays in any engine); bucket
+    (md5-derived so the bucketing replays in any engine; a production
+    run would swap ``F.xxhash64(g) % n_buckets`` — ~5× cheaper per gram,
+    same plan, no SQL twin); bucket
     probabilities add-1 smoothed over each distribution; logweight =
     Σ_grams ln(p_target[b]/p_raw[b]), each gram's contribution in exact
     integer micro-units (order-independent sum, cf. `bm25_topk`).

@@ -1947,3 +1947,12 @@ class TestDsirFlagForm:
             ).collect()
         }
         assert one == two
+
+
+class TestTokenBudgetMixZeroSlice:
+    def test_target_below_shards_raises(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
+
+        df = spark.createDataFrame([(1, 10)], "doc_id long, tokens long")
+        with pytest.raises(ValueError, match="lower n_shards"):
+            token_budget_mix([(df, 3)], "doc_id", "tokens", n_shards=8)
