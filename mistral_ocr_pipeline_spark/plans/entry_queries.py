@@ -4723,3 +4723,164 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("logweight") >= F.col("t"))
         .select("doc_id", "logweight")
     )
+
+
+# --------------------------------------------------------------------------
+# The full pretraining curation pipeline as ONE declarative plan
+# --------------------------------------------------------------------------
+@register(
+    "pretrain_pipeline",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(coalesce(text, ''))::bigint AS n_chars,
+             (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                   ELSE len(string_split_regex(trim(coalesce(text, '')),
+                            '\\s+')) END)::bigint AS n_tokens,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                 '\\b(the|and|of|to|in|is|that|it|was|for)\\b'))::bigint
+                 AS n_stop,
+             len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]'))::bigint
+                 AS n_punct,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+                 chr(10)), x -> trim(x)), x -> x <> '') AS lines
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+             CASE
+               WHEN n_tokens < 25 THEN 'too_short'
+               WHEN n_chars::double / greatest(n_tokens, 1) < 3.0
+                 OR n_chars::double / greatest(n_tokens, 1) > 6.0
+                 THEN 'word_len'
+               WHEN n_punct::double / greatest(n_chars, 1) > 0.1
+                 THEN 'symbol_heavy'
+               WHEN n_stop < 2 THEN 'low_stopword'
+               WHEN len(lines) > 0 AND
+                    (len(lines) - len(list_distinct(lines)))::double
+                      / len(lines) > 0.3
+                 THEN 'dup_lines'
+               ELSE 'keep'
+             END AS verdict
+      FROM feat),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN v USING (doc_id) WHERE v.verdict = 'keep'),
+    keyed AS (
+      SELECT doc_id, md5({_KEY.format(c='text')}) AS k FROM kept),
+    canon AS (SELECT k, min(doc_id) AS cid FROM keyed GROUP BY k),
+    surv AS (
+      SELECT kept.doc_id, kept.lang,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM kept JOIN keyed USING (doc_id)
+      JOIN canon ON canon.k = keyed.k AND canon.cid = kept.doc_id),
+    grams AS (
+      SELECT doc_id, lang, unnest(ts) AS g FROM surv
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS g
+      FROM surv),
+    bkt AS (
+      SELECT doc_id, lang,
+             (('0x' || substring(md5(g), 1, 8))::UBIGINT % 256)::BIGINT AS b
+      FROM grams),
+    raw AS (SELECT b, count(*) AS cr FROM bkt GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM bkt WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bkt) AS tr,
+                   (SELECT count(*) FROM bkt WHERE lang = 'en') AS tt),
+    spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+    probs AS (
+      SELECT spine.b,
+             round((ln((coalesce(ct, 0) + 1) / (tt + 256.0))
+                    - ln((coalesce(cr, 0) + 1) / (tr + 256.0)))
+                   * 1000000.0)::BIGINT AS micro
+      FROM spine LEFT JOIN raw USING (b) LEFT JOIN tgt ON tgt.b = spine.b
+      CROSS JOIN tot),
+    w AS (
+      SELECT bkt.doc_id, round(sum(micro) / 1000000.0, 6) AS logweight
+      FROM bkt JOIN probs USING (b)
+      GROUP BY bkt.doc_id),
+    thr AS (SELECT round(quantile_cont(logweight, 0.50), 6) AS t FROM w),
+    sel AS (
+      SELECT w.doc_id FROM w CROSS JOIN thr WHERE w.logweight >= thr.t),
+    ptok AS (
+      SELECT surv.doc_id, len(surv.ts)::BIGINT AS tokens
+      FROM surv JOIN sel USING (doc_id)),
+    packed AS (
+      SELECT doc_id, (doc_id % 4)::INT AS shard, tokens,
+             coalesce(sum(tokens) OVER (
+               PARTITION BY doc_id % 4 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM ptok)
+    SELECT shard, floor(start_offset / 512)::BIGINT AS pack_id,
+           count(*) AS n_docs, sum(tokens)::BIGINT AS total_tokens,
+           round(sum(tokens) / 512.0, 6) AS fill_ratio
+    FROM packed GROUP BY shard, pack_id
+    """,
+)
+def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining curation pipeline as one declarative DAG —
+    what a user actually runs before training: Gopher-rule quality gate
+    (keep only 'keep' verdicts) → exact-dedup canonical selection → DSIR
+    importance weighting with the en slice as target and selection at the
+    median weight (threshold is a 1-row broadcast, no driver action) →
+    token-budget sequence packing of the selected docs → per-pack fill
+    rollup.  ONE plan end-to-end, every stage an operator verified by its
+    own oracled query (`text_quality_funnel`, `dedup_exact`,
+    `text_dsir_weights`, `pack_token_budget`) — this row proves the
+    COMPOSITION, token counts and boundaries replayed exactly."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.dedup import exact_dedup
+    from mistral_ocr_pipeline_spark.operators.packing import (
+        pack_rollup,
+        pack_token_budget,
+    )
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        dsir_logweights,
+        quality_funnel,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    verdicts = quality_funnel(
+        docs, "doc_id", "text", min_tokens=25, word_len_bounds=(3.0, 6.0)
+    )
+    kept = docs.join(
+        verdicts.filter(F.col("verdict") == "keep").select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "lang", "text")
+    canon = (
+        exact_dedup(kept, "doc_id", "text")
+        .filter("is_canonical")
+        .select(F.col("id").alias("doc_id"))
+    )
+    toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    surv = kept.join(canon, "doc_id", "left_semi").select(
+        "doc_id",
+        "text",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.size(toks).cast("long").alias("tokens"),
+    )
+    w = dsir_logweights(surv.select("doc_id", "text", "is_tgt"), "is_tgt").select(
+        "doc_id", "logweight"
+    )
+    thr = w.agg(
+        F.round(F.percentile(F.col("logweight"), F.lit(0.50)), 6).alias("t")
+    )
+    sel = (
+        w.crossJoin(F.broadcast(thr))
+        .filter(F.col("logweight") >= F.col("t"))
+        .select("doc_id")
+    )
+    packed = pack_token_budget(
+        surv.join(sel, "doc_id", "left_semi").select("doc_id", "tokens"),
+        "doc_id",
+        "tokens",
+        budget=512,
+        n_shards=4,
+    )
+    return pack_rollup(packed, budget=512)
