@@ -423,3 +423,17 @@ class TestRetrievalPlans:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "shard" in plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
         assert "rangepartitioning" not in plan
+
+
+class TestPretrainPipelinePlan:
+    def test_one_plan_no_cartesian_broadcast_threshold(self, spark):
+        from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+        plan = _plan(QUERIES["pretrain_pipeline"](spark, SF_DIR))
+        # the DSIR median threshold and bucket-probability relations ride
+        # broadcasts; nothing corpus-sized ever cross-joins
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+        # no global (empty-partition) sort anywhere in the composite —
+        # the pack window partitions on shard, dedup/DSIR on keys
+        assert "rangepartitioning" not in plan
