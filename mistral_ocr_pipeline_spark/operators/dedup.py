@@ -1341,3 +1341,41 @@ def contamination_flags(
             ).alias("contaminated"),
         )
     )
+
+
+def intra_line_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Remove REPEATED lines within each document, keeping first
+    occurrences in order — the repair counterpart to the corpus-level
+    ``line_dedup`` (which strips lines hot across documents) and to the
+    quality funnel's ``dup_lines`` verdict (which drops the whole doc):
+    menus, cookie banners, and loop-generated boilerplate repeat INSIDE
+    a page, and removing the repeats salvages the document instead of
+    losing it.
+
+    Pure array expressions, map-only, zero shuffle: trimmed non-empty
+    lines → keep a line iff its index is the line's FIRST occurrence
+    (``array_position`` is 1-based; the filter lambda index is 0-based).
+    Quadratic in a doc's LINE count — fine for real pages (≤ thousands
+    of lines); not a corpus-scale concern since nothing leaves the row.
+    DuckDB twin: ``list_filter(lines, (x, i) -> list_position(lines, x)
+    = i)`` (DuckDB lambda indexes are 1-based).  Output: (id,
+    clean_text, n_lines, n_removed)."""
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("id"), lines.alias("_l"))
+    kept = F.filter(
+        F.col("_l"), lambda x, i: F.array_position(F.col("_l"), x) == i + 1
+    )
+    return base.select(
+        "id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size("_l").cast("long").alias("n_lines"),
+        (F.size("_l") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -4884,3 +4884,67 @@ def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=4,
     )
     return pack_rollup(packed, budget=512)
+
+
+# --------------------------------------------------------------------------
+# Intra-document line dedup (repair, not drop)
+# --------------------------------------------------------------------------
+@register(
+    "text_intra_line_dedup",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               array_to_string(ts[1:5], ' ') || chr(10) ||
+               array_to_string(ts[6:10], ' ') || chr(10) ||
+               array_to_string(ts[1:5], ' ')
+             ELSE
+               array_to_string(ts[1:5], ' ') || chr(10) ||
+               array_to_string(ts[6:10], ' ')
+             END AS text
+      FROM ws),
+    l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+                 chr(10)), x -> trim(x)), x -> x <> '') AS lines
+      FROM raw),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+      FROM l)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           len(lines)::bigint AS n_lines,
+           (len(lines) - len(kept))::bigint AS n_removed
+    FROM k
+    """,
+)
+def text_intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (`dedup.intra_line_dedup`) —
+    the repair counterpart to corpus `line_dedup` and the funnel's
+    dup_lines drop.  The corpus has no multi-line docs, so the query
+    synthesizes them deterministically (two 5-token lines; every third
+    doc repeats line one) — the removal, ordering, and counts are then
+    replayed exactly in SQL, including short docs whose second line is
+    empty and drops at the line filter."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.dedup import intra_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    a = F.array_join(F.slice(ws, 1, 5), " ")
+    b = F.array_join(F.slice(ws, 6, 5), " ")
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat_ws("\n", a, b, a)
+        ).otherwise(F.concat_ws("\n", a, b)).alias("text"),
+    )
+    return intra_line_dedup(raw, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -1956,3 +1956,97 @@ class TestTokenBudgetMixZeroSlice:
         df = spark.createDataFrame([(1, 10)], "doc_id long, tokens long")
         with pytest.raises(ValueError, match="lower n_shards"):
             token_budget_mix([(df, 3)], "doc_id", "tokens", n_shards=8)
+
+
+class TestIntraLineDedup:
+    def test_keeps_first_occurrences_in_order(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import intra_line_dedup
+
+        fixture = [
+            (0, "a\nb\na\nc\nb\na"),      # interleaved repeats
+            (1, "x\ny\nz"),                # all unique
+            (2, "  pad  \n\npad\nq"),      # trim-normalized repeat + blank
+            (3, ""),                       # empty doc
+        ]
+        out = {
+            r.id: (r.clean_text, r.n_lines, r.n_removed)
+            for r in intra_line_dedup(
+                spark.createDataFrame(fixture, "doc_id long, text string"),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+        assert out[0] == ("a\nb\nc", 6, 3)
+        assert out[1] == ("x\ny\nz", 3, 0)
+        assert out[2] == ("pad\nq", 3, 1)
+        assert out[3] == ("", 0, 0)
+
+
+class TestBm25RandomCorpusParity:
+    def test_seeded_random_corpus_matches_python_model(self, spark):
+        """One Spark run over a seeded random corpus (repeats, casing,
+        punctuation, numbers, empty docs) vs the pure-Python BM25 —
+        richer coverage of tokenization/tf/df/dl edges than the hand
+        fixture."""
+        import math
+        import random
+        import re
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        rng = random.Random(1234)
+        vocab = ["the", "Cat", "dog!", "mat", "42", "Qu-antum", "beta",
+                 "gamma", "run/walk", "zz"]
+        corpus = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+            for i in range(60)
+        ]
+        queries = [
+            (100 + j, " ".join(rng.choices(vocab, k=rng.randint(1, 4))))
+            for j in range(6)
+        ]
+
+        def norm_toks(t):
+            return [
+                w
+                for w in re.sub(
+                    r"\s+", " ", re.sub(r"[^\w\s/\-]", "", t.lower())
+                ).strip().split(" ")
+                if w != ""
+            ]
+
+        toks = {d: norm_toks(t) for d, t in corpus}
+        n = len(corpus)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        dfreq: dict = {}
+        for ts in toks.values():
+            for term in set(ts):
+                dfreq[term] = dfreq.get(term, 0) + 1
+        expected = set()
+        for qid, qt in queries:
+            scores = {}
+            for d, ts in toks.items():
+                micro = 0
+                for term in set(norm_toks(qt)):
+                    tf = ts.count(term)
+                    if tf == 0:
+                        continue
+                    idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+                    tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+                    micro += round(idf * tfn * 1e6)
+                if micro:
+                    scores[d] = round(micro / 1e6, 6)
+            for rank, (d, s) in enumerate(
+                sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4],
+                start=1,
+            ):
+                expected.add((qid, d, s, rank))
+        got = {
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_topk(
+                spark.createDataFrame(corpus, "doc_id long, text string"),
+                spark.createDataFrame(queries, "query_id long, query_text string"),
+                k=4,
+            ).collect()
+        }
+        assert got == expected
