@@ -306,3 +306,48 @@ def leakage_free_split(
         train_valid_test_split(comp, key_col="comp", weights=weights, salt=salt)
         .select(F.col("id").alias(id_col), "comp", "split")
     )
+
+
+def training_shard_order(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "mix_key",
+    tie_cols: tuple[str, ...] = ("mix_source",),
+) -> DataFrame:
+    """The EMIT step after ``interleave_order``: assign each row to one of
+    ``n_shards`` contiguous key-range shards and sort within the shard,
+    so writing ``partitionBy('shard')`` (or one file per shard) gives the
+    trainer files it can stream in (shard, row) order and observe exactly
+    the global interleaved epoch order.
+
+    Spark's own ``repartitionByRange`` would do this with SAMPLED
+    boundaries — shard contents then depend on the input's partition
+    layout (the reservoir sample does), which breaks the "same shards on
+    every rerun/cluster size" contract everything in this module keeps.
+    Boundaries here are EXACT percentiles of the key (one aggregate,
+    broadcast back as a 1-row relation), so shard membership is a pure
+    function of the data: deterministic at any parallelism.  Cost: one
+    extra aggregate pass over the key column + one shuffle on shard —
+    at 100 TB prefer `percentile_approx` for the boundary pass (same
+    plan shape; boundaries then depend only on the t-digest, still
+    layout-independent for a deterministic merge order, and a boundary
+    shifted by a few keys moves rows between ADJACENT shards without
+    touching the concatenated order, which is the actual contract).
+
+    Output: input columns + ``shard`` (0-based), rows sorted by (shard,
+    key, tie_cols) within each task."""
+    qs = [i / n_shards for i in range(1, n_shards)]
+    pct = F.percentile(F.col(key_col), F.array(*[F.lit(q) for q in qs]))
+    bounds = df.agg(pct.alias("_bounds"))
+    shard = F.aggregate(
+        F.col("_bounds"),
+        F.lit(0),
+        lambda acc, b: acc + (F.col(key_col) > b).cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("shard", shard)
+        .drop("_bounds")
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", key_col, *tie_cols)
+    )

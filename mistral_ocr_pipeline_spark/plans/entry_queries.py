@@ -4948,3 +4948,58 @@ def text_intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra_line_dedup(raw, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Training-shard emit: exact-percentile range sharding of the epoch order
+# --------------------------------------------------------------------------
+@register(
+    "sample_shard_order",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, 0 AS mix_source, 3 AS w FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT doc_id, 1, 1 FROM documents WHERE lang <> 'en'),
+    keyed AS (
+      SELECT doc_id, mix_source,
+             floor(('0x' || substring(
+                  md5('interleave:' || mix_source::varchar || doc_id::varchar),
+                  1, 8))::UBIGINT / w)::BIGINT AS mix_key
+      FROM u),
+    b AS (SELECT quantile_cont(mix_key, 0.25) AS q1,
+                 quantile_cont(mix_key, 0.50) AS q2,
+                 quantile_cont(mix_key, 0.75) AS q3
+          FROM keyed),
+    s AS (
+      SELECT keyed.*,
+             ((mix_key > q1)::INT + (mix_key > q2)::INT + (mix_key > q3)::INT)
+               AS shard
+      FROM keyed CROSS JOIN b)
+    SELECT shard, mix_source, count(*) AS n,
+           min(mix_key) AS min_key, max(mix_key) AS max_key
+    FROM s GROUP BY shard, mix_source
+    """,
+)
+def sample_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-step sharding (`sampling.training_shard_order`) over the
+    interleaved epoch order: EXACT-percentile boundaries (a 1-row
+    broadcast, never `repartitionByRange`'s layout-dependent sampled
+    ones) cut the key space into 4 contiguous shards; the rollup per
+    (shard, source) pins boundary math and balance.  Concatenating the
+    shard files in shard order replays the global order — pinned in
+    test_ops."""
+    from mistral_ocr_pipeline_spark.operators.sampling import (
+        interleave_order,
+        training_shard_order,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    rest = docs.filter(F.col("lang") != "en").select("doc_id")
+    mixed = interleave_order([(en, 3), (rest, 1)], key_col="doc_id")
+    sharded = training_shard_order(mixed, n_shards=4, key_col="mix_key")
+    return sharded.groupBy("shard", "mix_source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("mix_key").alias("min_key"),
+        F.max("mix_key").alias("max_key"),
+    )

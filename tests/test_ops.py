@@ -2050,3 +2050,58 @@ class TestBm25RandomCorpusParity:
             ).collect()
         }
         assert got == expected
+
+
+class TestTrainingShardOrder:
+    def test_concatenated_order_is_global_and_layout_invariant(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            interleave_order,
+            training_shard_order,
+        )
+
+        en = docs.filter(F.col("lang") == "en").select("doc_id")
+        rest = docs.filter(F.col("lang") != "en").select("doc_id")
+        mixed = interleave_order([(en, 3), (rest, 1)], key_col="doc_id")
+
+        def run(df):
+            out = training_shard_order(
+                df, n_shards=4, key_col="mix_key",
+                tie_cols=("mix_source", "doc_id"),
+            )
+            return [(r.shard, r.mix_key, r.mix_source, r.doc_id)
+                    for r in out.collect()]
+
+        base = run(mixed)
+        # within each shard, rows already arrive sorted; concatenating
+        # the shard groups in shard-VALUE order (what a partitionBy
+        # write gives the trainer) replays the global epoch order
+        by_shard: dict = {}
+        for s, k, m, d in base:
+            by_shard.setdefault(s, []).append((k, m, d))
+        concat = [row for s in sorted(by_shard) for row in by_shard[s]]
+        assert concat == sorted(concat)
+        assert concat == sorted((k, m, d) for _, k, m, d in base)
+        # shard sizes balanced to the percentile boundaries (±ties)
+        from collections import Counter
+
+        sizes = Counter(s for s, *_ in base)
+        assert set(sizes) == {0, 1, 2, 3}
+        assert max(sizes.values()) <= 2 * min(sizes.values())
+        # exact-percentile boundaries: membership is a pure function of
+        # the data — identical at any input partitioning
+        assert run(mixed.repartition(11)) == base
+
+    def test_no_sampled_range_partitioner_in_plan(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            interleave_order,
+            training_shard_order,
+        )
+
+        mixed = interleave_order(
+            [(docs.select("doc_id"), 2)], key_col="doc_id"
+        )
+        plan = training_shard_order(
+            mixed, n_shards=4, key_col="mix_key"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan  # no sampled boundaries
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
