@@ -2105,3 +2105,53 @@ class TestTrainingShardOrder:
         )._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" not in plan  # no sampled boundaries
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestNewOpsEmptyInputs:
+    """Empty-relation behavior of the r4 operators: no crashes, sane
+    empties — the probes a pipeline hits on an empty daily increment."""
+
+    def test_bm25_empty_corpus_and_empty_queries(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        empty_c = spark.createDataFrame([], "doc_id long, text string")
+        empty_q = spark.createDataFrame([], "query_id long, query_text string")
+        docs = spark.createDataFrame([(0, "some words")], "doc_id long, text string")
+        qs = spark.createDataFrame([(1, "words")], "query_id long, query_text string")
+        assert bm25_topk(empty_c, qs, k=3).count() == 0
+        assert bm25_topk(docs, empty_q, k=3).count() == 0
+
+    def test_dsir_empty_corpus(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import dsir_logweights
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, is_tgt boolean"
+        )
+        assert dsir_logweights(empty, "is_tgt").count() == 0
+
+    def test_token_budget_mix_empty_source(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
+
+        empty = spark.createDataFrame([], "doc_id long, tokens long")
+        assert token_budget_mix([(empty, 100)], "doc_id", "tokens").count() == 0
+
+    def test_rrf_empty_lists(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import rrf_fuse
+
+        empty = spark.createDataFrame([], "query_id long, doc_id long, rank long")
+        assert rrf_fuse([empty, empty], k=3).count() == 0
+
+    def test_quality_funnel_empty(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import quality_funnel
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert quality_funnel(empty).count() == 0
+
+    def test_leakage_free_split_no_edges(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import leakage_free_split
+
+        nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        out = {r.doc_id: r.comp for r in
+               leakage_free_split(nodes, edges, id_col="doc_id").collect()}
+        assert out == {1: 1, 2: 2}  # every node its own component
