@@ -345,6 +345,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_postings_per_term: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval: (query_id, doc_id, score, rank) — the
     lexical half of a retrieval stack (`similarity.*` is the dense half;
@@ -415,6 +416,11 @@ def bm25_topk(
         .groupBy("qid", "doc")
         .agg(F.round(F.sum(micro) / F.lit(1e6), 6).alias("score"))
     )
+    if exclude_self:
+        # hard-negative mining: the query IS a document (same id space)
+        # and its own row must not count as a retrieved negative — drop
+        # it BEFORE ranking so ranks stay dense
+        scored = scored.filter(F.col("qid") != F.col("doc"))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

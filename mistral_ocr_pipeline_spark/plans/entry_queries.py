@@ -5003,3 +5003,38 @@ def sample_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mix_key").alias("min_key"),
         F.max("mix_key").alias("max_key"),
     )
+
+
+@register(
+    "retrieval_hard_negatives",
+    oracle=_bm25_cte()
+    + """
+    SELECT qid AS query_id, doc AS doc_id, score, rank FROM (
+      SELECT qid, doc, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc ASC) AS rank
+      FROM scored WHERE qid != doc)
+    WHERE rank <= 5
+    """,
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedder training: for each
+    (query, positive-doc) pair — here the query derives FROM the positive
+    doc — the top BM25 hits EXCLUDING the positive itself are the hard
+    negatives (lexically confusable, semantically wrong: exactly what a
+    contrastive trainer needs beside random negatives).
+    ``bm25_topk(exclude_self=True)`` drops the positive before ranking so
+    negative ranks stay dense; the oracle replays the exclusion inside
+    the shared BM25 CTE."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("query_text"),
+    )
+    return bm25_topk(
+        docs, queries, id_col="doc_id", text_col="text", k=5, exclude_self=True
+    )

@@ -2155,3 +2155,25 @@ class TestNewOpsEmptyInputs:
         out = {r.doc_id: r.comp for r in
                leakage_free_split(nodes, edges, id_col="doc_id").collect()}
         assert out == {1: 1, 2: 2}  # every node its own component
+
+
+class TestHardNegatives:
+    def test_exclude_self_drops_positive_keeps_dense_ranks(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
+
+        corpus = [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta delta"),
+            (2, "alpha epsilon"),
+            (3, "unrelated words here"),
+        ]
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        qdf = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "query_id long, query_text string"
+        )
+        with_self = bm25_topk(cdf, qdf, k=3).collect()
+        negs = bm25_topk(cdf, qdf, k=3, exclude_self=True).collect()
+        assert with_self[0].doc_id == 0  # the positive wins its own query
+        got = [(r.doc_id, r.rank) for r in sorted(negs, key=lambda r: r.rank)]
+        assert [d for d, _ in got] == [1, 2]  # hard negatives, no doc 0
+        assert [r for _, r in got] == [1, 2]  # ranks dense after exclusion
