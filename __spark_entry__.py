@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "mix_epoch_repeat",        # new in r4: fractional epoch-repetition recipe
     "retrieval_hard_negatives", # new in r4: BM25 hard-negative mining
     "sample_shard_order",      # new in r4: exact-percentile training-shard emit
     "text_intra_line_dedup",   # new in r4: in-doc repeated-line repair

@@ -351,3 +351,46 @@ def training_shard_order(
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", key_col, *tie_cols)
     )
+
+
+def epoch_repeat_mix(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Epoch-repetition mixing — the data-recipe form "2.5 epochs of
+    wiki, 1 epoch of web" (high-quality sources repeat; Llama/DoReMi
+    style): each source's rows emit ``floor(epochs)`` full replicas plus
+    one more for a content-hash-chosen ``frac(epochs)`` subset.  Output
+    adds ``mix_source`` and ``epoch`` (0-based replica index) — the
+    (key, epoch) pair is unique, so downstream interleave/shard steps
+    can salt on it to spread replicas across the stream.
+
+    Scan-side only: the replica fan-out is one ``explode(sequence)``
+    per source and the fractional subset is the `hash_sample` predicate
+    — no shuffle, no window; deterministic at any parallelism.  A
+    replica COUNT n_i per row (not a join) keeps the plan width
+    constant however large epochs get."""
+    parts = []
+    for idx, (df, epochs) in enumerate(sources):
+        if epochs <= 0:
+            raise ValueError(f"source {idx}: epochs must be > 0, got {epochs}")
+        whole = int(epochs)
+        frac = epochs - whole
+        n = F.lit(whole) + (
+            _hash_frac_hex(F.col(key_col), f"{salt}:{idx}")
+            < F.lit(_threshold_hex(frac))
+        ).cast("int")
+        parts.append(
+            df.withColumn("_n", n)
+            .filter(F.col("_n") > 0)
+            .withColumn(
+                "epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+            )
+            .drop("_n")
+            .withColumn("mix_source", F.lit(idx))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

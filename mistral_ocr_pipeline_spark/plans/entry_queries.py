@@ -5038,3 +5038,35 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, queries, id_col="doc_id", text_col="text", k=5, exclude_self=True
     )
+
+
+@register(
+    "mix_epoch_repeat",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             2 + (substring(md5('epoch:0' || doc_id::varchar), 1, 8)
+                  < '{_thr_hex(0.5)}')::INT AS n
+      FROM documents WHERE lang = 'en')
+    SELECT doc_id, 0 AS mix_source,
+           unnest(generate_series(0, n - 1)) AS epoch
+    FROM a
+    UNION ALL
+    SELECT doc_id, 1 AS mix_source, 0 AS epoch
+    FROM documents WHERE lang <> 'en'
+    """,
+)
+def mix_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition recipe (`sampling.epoch_repeat_mix`): 2.5 epochs
+    of the en slice (every en doc twice, a content-hash-chosen half a
+    third time) against 1 epoch of everything else — scan-side
+    explode(sequence), fractional subset replayed as the same md5
+    threshold in SQL."""
+    from mistral_ocr_pipeline_spark.operators.sampling import epoch_repeat_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    rest = docs.filter(F.col("lang") != "en").select("doc_id")
+    return epoch_repeat_mix([(en, 2.5), (rest, 1.0)], key_col="doc_id").select(
+        "doc_id", "mix_source", F.col("epoch").cast("int").alias("epoch")
+    )

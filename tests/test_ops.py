@@ -2177,3 +2177,41 @@ class TestHardNegatives:
         got = [(r.doc_id, r.rank) for r in sorted(negs, key=lambda r: r.rank)]
         assert [d for d, _ in got] == [1, 2]  # hard negatives, no doc 0
         assert [r for _, r in got] == [1, 2]  # ranks dense after exclusion
+
+
+class TestEpochRepeatMix:
+    def test_replica_counts_and_layout_invariance(self, spark):
+        import hashlib
+
+        from mistral_ocr_pipeline_spark.operators.sampling import epoch_repeat_mix
+
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        out = epoch_repeat_mix([(df, 2.5)], key_col="doc_id")
+        base = sorted((r.doc_id, r.epoch) for r in out.collect())
+        counts: dict = {}
+        for d, e in base:
+            counts[d] = counts.get(d, 0) + 1
+            assert 0 <= e < counts[d] + 1
+        assert set(counts.values()) == {2, 3}  # 2 or 3 replicas, never else
+        # fractional subset ≈ half, chosen by the hash predicate exactly
+        thr = int(0.5 * (1 << 32))
+        for d, c in counts.items():
+            h = int(hashlib.md5(f"epoch:0{d}".encode()).hexdigest()[:8], 16)
+            assert c == (3 if h < thr else 2)
+        # epochs are dense 0..n-1 per doc
+        by_doc: dict = {}
+        for d, e in base:
+            by_doc.setdefault(d, []).append(e)
+        assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+        again = sorted(
+            (r.doc_id, r.epoch)
+            for r in epoch_repeat_mix([(df.repartition(7), 2.5)], "doc_id").collect()
+        )
+        assert again == base
+
+    def test_zero_epochs_rejected(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import epoch_repeat_mix
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="epochs"):
+            epoch_repeat_mix([(df, 0.0)], key_col="doc_id")
