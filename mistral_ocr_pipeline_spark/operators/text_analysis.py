@@ -376,9 +376,27 @@ def bm25_topk(
     on the contenders."""
     postings, stats = bm25_postings(corpus, id_col, text_col)
     if max_postings_per_term is not None:
-        wp = W.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc").asc())
+        # salted two-phase cap: phase 1 takes each (term, salt-shard)'s
+        # top-N, phase 2 merges shards and takes the final top-N — EXACT
+        # (any of the union's top-N is in its own shard's top-N, the
+        # minhash posting-cap argument), and the hot stop-word term's
+        # postings spread over n_salts tasks instead of one.  The plain
+        # single window gets only a Final WindowGroupLimit (no map-side
+        # Partial below the term exchange, observed on the physical
+        # plan), so without the salt the full posting list of a term in
+        # half the corpus lands on one task before truncation — the
+        # exact skew the cap exists to bound.
+        n_salts = 16
+        wp1 = W.partitionBy(
+            "term", F.pmod(F.xxhash64("doc"), F.lit(n_salts))
+        ).orderBy(F.col("tf").desc(), F.col("doc").asc())
+        wp2 = W.partitionBy("term").orderBy(
+            F.col("tf").desc(), F.col("doc").asc()
+        )
         postings = (
-            postings.withColumn("_pr", F.row_number().over(wp))
+            postings.withColumn("_pr", F.row_number().over(wp1))
+            .filter(F.col("_pr") <= max_postings_per_term)
+            .withColumn("_pr", F.row_number().over(wp2))
             .filter(F.col("_pr") <= max_postings_per_term)
             .drop("_pr")
         )

@@ -393,7 +393,7 @@ class TestRetrievalPlans:
         # the 1-row stats relation rides a broadcast NLJ, never a cartesian
         assert "CartesianProduct" not in plan
 
-    def test_champion_cap_adds_one_bounded_window(self, spark, docs):
+    def test_champion_cap_salted_two_phase_windows(self, spark, docs):
         from mistral_ocr_pipeline_spark.operators.text_analysis import bm25_topk
 
         qdf = spark.createDataFrame(
@@ -401,14 +401,16 @@ class TestRetrievalPlans:
         )
         base = _plan(bm25_topk(docs, qdf, k=5))
         capped = _plan(bm25_topk(docs, qdf, k=5, max_postings_per_term=10))
-        # exactly one extra Window NODE (the per-term champion
-        # row_number; "Window" alone also matches the WindowGroupLimit
-        # top-k pushdown nodes), and the cap window partitions on term —
-        # never a global (empty-partition) sort
+        # exactly two extra Window NODES: the salted per-(term, shard)
+        # phase (spreads a stop-word term's postings over 16 tasks) and
+        # the exact merge phase on term — the plain single window gets
+        # only a Final WindowGroupLimit, i.e. the hot term's whole
+        # posting list on one task, which is the skew the cap bounds
         assert capped.count("Window [row_number()") == base.count(
             "Window [row_number()"
-        ) + 1
+        ) + 2
         assert "windowspecdefinition(term" in capped
+        assert "pmod(xxhash64(doc" in capped  # the salt phase is real
         assert "windowspecdefinition(term" not in base
 
     def test_token_budget_mix_shuffles_on_shard_only(self, spark, docs):
