@@ -521,3 +521,66 @@ class TableCatalog:
         to the planner (a plain ``read.parquet`` of the same files would
         lose it and reintroduce the shuffle)."""
         return self.spark.table(table)
+
+    # -- incremental consumption -------------------------------------------
+    def read_incremental(
+        self, table: str, since_snapshot: str, allow_rewrite: bool = False
+    ) -> DataFrame:
+        """Rows added to ``table`` AFTER ``since_snapshot`` — the
+        CDC-style "what's new since my last run" read that pairs with the
+        incremental operators (`minhash_incremental_pairs` dedups exactly
+        this delta against history).
+
+        Works because appends carry prior files forward as HARDLINKS with
+        unchanged relative paths: the delta is the set difference of data
+        file paths between the current snapshot and ``since_snapshot`` —
+        metadata-only planning, and the read scans ONLY the new files
+        (O(delta), not O(table)).
+
+        A compact()/overwrite between the two snapshots rewrites files,
+        so the path diff would misreport rewritten history as new rows;
+        that surfaces as old files missing from the current snapshot and
+        raises unless ``allow_rewrite=True`` (which then returns all
+        current files absent from the old snapshot — correct for
+        "changed or added" semantics, wrong for pure appends).  An
+        EXPIRED ``since_snapshot`` raises: its file inventory is gone,
+        fall back to a full read."""
+        cur = self.current_tables().get(table)
+        if cur is None:
+            raise KeyError(f"no committed table {table!r}")
+        since = (
+            since_snapshot
+            if "/" in since_snapshot
+            else f"{table}/{since_snapshot}"
+        )
+
+        def data_files(rel: str) -> set[str]:
+            base = os.path.join(self.warehouse, rel)
+            if not os.path.isdir(base):
+                raise FileNotFoundError(
+                    f"snapshot {rel!r} not on disk (expired?); "
+                    "incremental read impossible — do a full read"
+                )
+            out: set[str] = set()
+            for root, _dirs, files in os.walk(base):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        out.add(
+                            os.path.relpath(os.path.join(root, f), base)
+                        )
+            return out
+
+        cur_files = data_files(cur)
+        old_files = data_files(since)
+        if not old_files <= cur_files and not allow_rewrite:
+            raise RuntimeError(
+                f"{len(old_files - cur_files)} files of {since!r} are "
+                f"absent from the current snapshot — a compaction or "
+                "overwrite happened in between; the path diff is not an "
+                "append delta (allow_rewrite=True to read it anyway)"
+            )
+        new = sorted(cur_files - old_files)
+        if not new:
+            return self.read(table).limit(0)
+        base = os.path.join(self.warehouse, cur)
+        return self.spark.read.parquet(*[os.path.join(base, f) for f in new])

@@ -352,3 +352,51 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path, input_df):
     assert stats["files_after"] < n_files_before
     assert stats["files_after"] <= 2
     assert _sorted_rows(cat.read("extracted")) == before_rows
+
+
+class TestIncrementalRead:
+    def test_delta_reads_only_new_rows(self, spark, tmp_path):
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        cat = TableCatalog(spark, str(tmp_path / "wh"))
+        cat.append(spark.createDataFrame([(1,), (2,)], "id long"), "t")
+        snap1 = cat.current_tables()["t"]
+        cat.append(spark.createDataFrame([(3,)], "id long"), "t")
+        snap2 = cat.current_tables()["t"]
+        cat.append(spark.createDataFrame([(4,), (5,)], "id long"), "t")
+
+        assert {r.id for r in cat.read_incremental("t", snap1).collect()} == {3, 4, 5}
+        assert {r.id for r in cat.read_incremental("t", snap2).collect()} == {4, 5}
+        # delta from the CURRENT snapshot is empty, schema intact
+        cur = cat.current_tables()["t"]
+        empty = cat.read_incremental("t", cur)
+        assert empty.count() == 0 and empty.columns == ["id"]
+        # bare snapshot name (no table/ prefix) accepted
+        assert cat.read_incremental("t", snap1.split("/", 1)[1]).count() == 3
+
+    def test_rewrite_between_snapshots_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        cat = TableCatalog(spark, str(tmp_path / "wh"))
+        cat.append(spark.createDataFrame([(1,)], "id long"), "t")
+        snap1 = cat.current_tables()["t"]
+        cat.overwrite(spark.createDataFrame([(9,)], "id long"), "t")
+        with _pytest.raises(RuntimeError, match="not an append delta"):
+            cat.read_incremental("t", snap1)
+        assert {r.id for r in
+                cat.read_incremental("t", snap1, allow_rewrite=True).collect()} == {9}
+
+    def test_expired_since_snapshot_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        cat = TableCatalog(spark, str(tmp_path / "wh"))
+        cat.append(spark.createDataFrame([(1,)], "id long"), "t")
+        snap1 = cat.current_tables()["t"]
+        cat.append(spark.createDataFrame([(2,)], "id long"), "t")
+        cat.expire_snapshots("t", keep_last=1)
+        with _pytest.raises(FileNotFoundError, match="expired"):
+            cat.read_incremental("t", snap1)
