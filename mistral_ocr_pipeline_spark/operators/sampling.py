@@ -217,17 +217,22 @@ def token_budget_mix(
     source contributes documents in content-hash order until its token
     target is met.
 
-    Per source: shard by ``pmod(key, n_shards)`` (modulo, so any SQL
-    engine replays it — production would smooth with xxhash64, same plan
-    shape), lay documents out in (hash, key) order within the shard, one
-    window cumsum of tokens, and keep every document whose START offset
-    is under the shard's slice ``target // n_shards`` of the budget —
-    so each shard overshoots by at most one document (the packing
-    boundary convention, `packing.pack_token_budget`).  Total take is
-    within ±(n_shards · max_doc_tokens) of the target; raise
-    ``n_shards`` with corpus size — per-task input is corpus/n_shards —
-    and accept the proportionally SMALLER absolute slack, or set
-    ``n_shards=1`` for the exact-boundary eval-scale form.
+    Per source: shard by the 32-bit CONTENT hash of the key modulo
+    ``n_shards`` (not ``pmod(key, …)`` — patterned ids, e.g. all-even
+    doc_ids from an upstream stride, would starve whole shards and
+    silently undershoot the target by their undelivered slices; the
+    hash spreads any key population uniformly, and the md5-hex →
+    UBIGINT conversion replays in SQL).  Within a shard documents lay
+    out in (hash, key) order, one window cumsum of tokens, and every
+    document whose START offset is under the shard's slice
+    ``target // n_shards`` is kept — so each shard overshoots by at
+    most one document (the packing boundary convention,
+    `packing.pack_token_budget`).  Total take is within
+    ±(n_shards · max_doc_tokens) of the target provided each shard
+    HOLDS at least its slice; raise ``n_shards`` with corpus size —
+    per-task input is corpus/n_shards — and accept the proportionally
+    SMALLER absolute slack, or set ``n_shards=1`` for the
+    exact-boundary eval-scale form.
 
     Deterministic across partitionings/cluster sizes/reruns like every
     operator in this module: a document's fate depends only on (salt,
@@ -237,14 +242,6 @@ def token_budget_mix(
 
     parts = []
     for idx, (df, target) in enumerate(sources):
-        ktype = df.schema[key_col].dataType.simpleString()
-        if ktype not in ("tinyint", "smallint", "int", "bigint"):
-            # pmod on a non-numeric key silently yields NULL — every row
-            # would collapse into one shard task; fail loudly instead
-            raise TypeError(
-                f"token_budget_mix needs an integral key for sharding; "
-                f"{key_col!r} is {ktype} (hash it to a long first)"
-            )
         per_shard = int(target) // n_shards
         if per_shard <= 0:
             # a zero slice would silently select nothing from this source
@@ -253,12 +250,16 @@ def token_budget_mix(
                 f"{n_shards}; lower n_shards or raise the target"
             )
         h = _hash_frac_hex(F.col(key_col), f"{salt}:{idx}")
+        shard_h = _hash_frac_hex(F.col(key_col), f"{salt}-shard:{idx}")
+        shard = F.pmod(
+            F.conv(shard_h, 16, 10).cast("long"), F.lit(n_shards)
+        ).cast("int")
         w = W.partitionBy("shard").orderBy(h, F.col(key_col))
         run = w.rowsBetween(W.unboundedPreceding, -1)
         parts.append(
             df.select(
                 F.col(key_col),
-                F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("shard"),
+                shard.alias("shard"),
                 F.col(tokens_col).cast("long").alias("tokens"),
             )
             .withColumn(

@@ -29,6 +29,26 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
+def fold_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Dot product as a sequential ``aggregate`` fold over
+    ``zip_with(a, b, *)`` — IN ARRAY ORDER, which is what makes it
+    bit-identical to a SQL engine's sequential ``list_dot_product`` and
+    therefore value-oracle-able.  The ONE shared definition: the exact
+    fold shape (accumulator seed 0.0, left-to-right adds) is load-bearing
+    for every oracle built on it — change it here or nowhere."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_expr(a: F.Column, b: F.Column, dp: int = 6) -> F.Column:
+    """Cosine similarity via `fold_dot`, rounded to ``dp`` — the shared
+    exact-verification expression of the retrieval/dedup stack."""
+    return F.round(
+        fold_dot(a, b) / (F.sqrt(fold_dot(a, a)) * F.sqrt(fold_dot(b, b))), dp
+    )
+
+
 def hash_embedding_col(text: F.Column, dim: int = 8) -> F.Column:
     """Deterministic pseudo-embedding for a text column: ``dim`` doubles
     in [-1, 1), component i derived from the first 32 md5 bits of
@@ -515,6 +535,10 @@ def pq_codebooks_kmeans(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "pq_codebooks_kmeans: corpus is empty — no vectors to train on"
+        )
     smat = np.array([list(r._v) for r in sample], dtype=np.float64)
     dim = smat.shape[1]
     if dim % m:
@@ -600,6 +624,16 @@ def pq_encode(
     )
 
 
+def _micro(x: float) -> int:
+    """×1e6 rounded HALF-AWAY-FROM-ZERO — matching SQL/Spark round()
+    semantics (Python's built-in round is banker's and would disagree
+    with the oracle on an exact .5 boundary)."""
+    import math
+
+    y = x * 1e6
+    return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -609,6 +643,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     refine: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: corpus vectors become ``m`` small
     codes (``pq_encode``); each query precomputes a (m × ksub) lookup
@@ -625,8 +660,19 @@ def pq_topk(
     touched.  At 100 TB: codes table scanned (32× smaller than floats),
     candidates join back to the vector table by id.
 
+    ``exclude_self`` (default True, the ANN-module convention) drops the
+    corpus row whose id equals the query id — pass False when query ids
+    live in their OWN id space, or a numerically colliding corpus doc
+    would silently never be retrievable for that query.
+
+    LUT partials and ‖q‖² are rounded to exact integer micro-units
+    driver-side, so the ADC fold sums LONGS — the same order-independence
+    convention as `text_analysis.bm25_topk` (a raw-double fold rounded
+    only at the end can flip the 6th decimal vs the oracle's
+    different-order aggregation on an unlucky corpus).
+
     Queries ride the driver (same `_collect_queries` convention as every
-    ANN kernel here): the LUT block is #queries × m × ksub doubles."""
+    ANN kernel here): the LUT block is #queries × m × ksub longs."""
     m, ksub, dsub = codebooks.shape
     rows = queries.select(query_id_col, vec_col).collect()
     qids = [int(r[0]) for r in rows]
@@ -642,8 +688,8 @@ def pq_topk(
         lut_rows.append(
             (
                 qid,
-                float(qv @ qv),
-                [float(x) for x in lut.ravel()],
+                _micro(float(qv @ qv)),
+                [_micro(float(x)) for x in lut.ravel()],
                 [float(x) for x in qv],
             )
         )
@@ -653,29 +699,32 @@ def pq_topk(
         T.StructType(
             [
                 T.StructField("query_id", T.LongType(), False),
-                T.StructField("_qq", T.DoubleType(), False),
-                T.StructField("_lut", T.ArrayType(T.DoubleType()), False),
+                T.StructField("_qq", T.LongType(), False),
+                T.StructField("_lut", T.ArrayType(T.LongType()), False),
                 T.StructField("_qv", T.ArrayType(T.DoubleType()), False),
             ]
         ),
     )
 
     enc = pq_encode(corpus, codebooks, id_col, vec_col, keep_vec=refine is not None)
-    adc = (
+    adc_micro = (
         F.col("_qq")
         + F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, j: acc
             + F.element_at(
                 F.col("_lut"), j * F.lit(ksub) + F.element_at(F.col("codes"), j + 1) + 1
             ),
         )
     )
-    scored = (
-        enc.crossJoin(F.broadcast(lut_df.drop("_qv") if refine is None else lut_df))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("adc_dist", F.round(adc, 6))
+    scored = enc.crossJoin(
+        F.broadcast(lut_df.drop("_qv") if refine is None else lut_df)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "adc_dist", F.round(adc_micro / F.lit(1e6), 6)
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     ranked = scored.withColumn("rank", F.row_number().over(w))
@@ -684,20 +733,11 @@ def pq_topk(
             "query_id", "vec_id", "adc_dist", "rank"
         )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
-
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     cand = ranked.filter(F.col("rank") <= int(refine)).select(
         "query_id", "vec_id", "_qv", dv.alias("_v")
     )
-    cosine = F.round(
-        dot(F.col("_qv"), F.col("_v"))
-        / (F.sqrt(dot(F.col("_qv"), F.col("_qv"))) * F.sqrt(dot(F.col("_v"), F.col("_v")))),
-        6,
-    )
+    cosine = cosine_expr(F.col("_qv"), F.col("_v"))
     w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         cand.withColumn("cosine", cosine)

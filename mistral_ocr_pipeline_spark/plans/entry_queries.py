@@ -1152,10 +1152,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = emb.select("vec_id", dvec.alias("v"))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
+    from mistral_ocr_pipeline_spark.operators.similarity import fold_dot as dot
 
     s = (
         c.crossJoin(F.broadcast(q))
@@ -1618,15 +1615,18 @@ def _pq_cte() -> str:
       WHERE rn = 1),
     lut AS (
       SELECT q.qid, cb.mm, cb.kk,
-             list_dot_product(cb.cv, cb.cv)
+             round((list_dot_product(cb.cv, cb.cv)
              - 2 * list_dot_product(
                  list_slice(q.qv, cb.mm * {dsub} + 1, cb.mm * {dsub} + {dsub}),
-                 cb.cv) AS part
+                 cb.cv)) * 1000000.0)::BIGINT AS micro
       FROM q CROSS JOIN cb),
-    qq AS (SELECT qid, list_dot_product(qv, qv) AS qq FROM q),
+    qq AS (SELECT qid,
+                  round(list_dot_product(qv, qv) * 1000000.0)::BIGINT AS qq
+           FROM q),
     adc AS (
       SELECT l.qid, c.vec_id,
-             round(any_value(qq.qq) + sum(l.part), 6) AS adc_dist
+             round((any_value(qq.qq) + sum(l.micro)) / 1000000.0, 6)
+               AS adc_dist
       FROM codes c
       JOIN lut l ON l.mm = c.mm AND l.kk = c.code
       JOIN qq ON qq.qid = l.qid
@@ -2968,10 +2968,7 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("qid"), F.col("v").alias("qv")
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
+    from mistral_ocr_pipeline_spark.operators.similarity import fold_dot as dot
 
     s = (
         emb.crossJoin(F.broadcast(q))
@@ -4320,17 +4317,25 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              t -> t != ''))::BIGINT AS tokens
       FROM documents),
     a AS (
-      SELECT doc_id, 0 AS mix_source, (doc_id % 4)::INT AS shard, tokens,
+      SELECT doc_id, 0 AS mix_source,
+             (('0x' || substring(md5('tokmix-shard:0' || doc_id::varchar),
+                                 1, 8))::UBIGINT % 4)::INT AS shard,
+             tokens,
              coalesce(sum(tokens) OVER (
-               PARTITION BY doc_id % 4
+               PARTITION BY ('0x' || substring(
+                 md5('tokmix-shard:0' || doc_id::varchar), 1, 8))::UBIGINT % 4
                ORDER BY substring(md5('tokmix:0' || doc_id::varchar), 1, 8), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
                AS start_offset
       FROM tok WHERE lang = 'en'),
     b AS (
-      SELECT doc_id, 1 AS mix_source, (doc_id % 4)::INT AS shard, tokens,
+      SELECT doc_id, 1 AS mix_source,
+             (('0x' || substring(md5('tokmix-shard:1' || doc_id::varchar),
+                                 1, 8))::UBIGINT % 4)::INT AS shard,
+             tokens,
              coalesce(sum(tokens) OVER (
-               PARTITION BY doc_id % 4
+               PARTITION BY ('0x' || substring(
+                 md5('tokmix-shard:1' || doc_id::varchar), 1, 8))::UBIGINT % 4
                ORDER BY substring(md5('tokmix:1' || doc_id::varchar), 1, 8), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
                AS start_offset
@@ -4512,10 +4517,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = emb.select("vec_id", dvec.alias("v"))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
+    from mistral_ocr_pipeline_spark.operators.similarity import fold_dot as dot
 
     cos = F.round(
         dot(F.col("qv"), F.col("v"))

@@ -104,12 +104,18 @@ def run_incremental_extraction(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load()
 
-    # batch ids are unique per CHECKPOINT, so the idempotence key carries
-    # the checkpoint dir's identity — a fresh checkpoint (new batch-id
-    # namespace) can never be mistaken for a replay of an old one
+    # batch ids are unique per CHECKPOINT LIFECYCLE, so the idempotence
+    # key carries the checkpoint dir's path AND inode — a fresh
+    # checkpoint (new batch-id namespace) can never be mistaken for a
+    # replay of an old one, including one wiped and recreated at the
+    # SAME path (whose restarted batch ids would otherwise be skipped
+    # as replays — silent data loss)
     import os
 
-    stream_id = os.path.abspath(checkpoint_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream_id = (
+        f"{os.path.abspath(checkpoint_dir)}#{os.stat(checkpoint_dir).st_ino}"
+    )
 
     def process_batch(batch_df, batch_id: int) -> None:
         commit_extracted_batch(

@@ -155,16 +155,22 @@ def run_neardup_ingest(
     """AvailableNow drain of a document directory through the near-dup
     gate.  ``maxFilesPerTrigger`` bounds micro-batch size; the streaming
     checkpoint replaces any resume index, and the (stream_id, batch_id)
-    lineage key makes replays no-ops (stream_id carries the checkpoint
-    dir's identity — a fresh checkpoint's restarted batch ids can never
-    be mistaken for replays)."""
+    lineage key makes replays no-ops.  ``stream_id`` carries the
+    checkpoint dir's path AND its inode: batch ids are unique only per
+    checkpoint LIFECYCLE, and a checkpoint wiped and recreated at the
+    same path restarts them at 0 — keyed on path alone, the new run's
+    first batches would be silently skipped as replays of the old run's
+    (data loss); the recreated directory has a fresh inode, so it gets a
+    fresh idempotence namespace (same one-filesystem assumption the
+    catalog's hardlink appends already make)."""
     reader = (
         spark.readStream.schema(DOCS_DDL).format("parquet").option("path", input_dir)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load()
-    stream_id = os.path.abspath(checkpoint_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream_id = f"{os.path.abspath(checkpoint_dir)}#{os.stat(checkpoint_dir).st_ino}"
 
     def process_batch(batch_df, batch_id: int) -> None:
         commit_neardup_batch(

@@ -1502,15 +1502,26 @@ class TestPq:
         for j in range(m):
             sub = mat[:, j * dsub : (j + 1) * dsub]
             codes[:, j] = np.argmin(c2[j][None, :] - 2.0 * (sub @ cb[j].T), axis=1)
+        def micro(x):
+            import math
+
+            y = x * 1e6
+            return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+
         expected = set()
         for qi in np.where(ids < 8)[0]:
             qv = mat[qi]
-            lut = np.empty((m, ksub))
+            lut = np.empty((m, ksub), dtype=np.int64)
             for j in range(m):
-                lut[j] = c2[j] - 2.0 * (cb[j] @ qv[j * dsub : (j + 1) * dsub])
-            adc = float(qv @ qv) + lut[np.arange(m)[None, :], codes].sum(axis=1)
+                for kk in range(ksub):
+                    lut[j, kk] = micro(
+                        float(c2[j][kk] - 2.0 * (cb[j][kk] @ qv[j * dsub : (j + 1) * dsub]))
+                    )
+            adc_micro = micro(float(qv @ qv)) + lut[
+                np.arange(m)[None, :], codes
+            ].sum(axis=1)
             order = sorted(
-                (round(adc[i], 6), int(ids[i]))
+                (round(adc_micro[i] / 1e6, 6), int(ids[i]))
                 for i in range(len(ids))
                 if ids[i] != ids[qi]
             )
@@ -1675,11 +1686,17 @@ class TestTokenBudgetMix:
         def h(idx, key):
             return hashlib.md5(f"tokmix:{idx}{key}".encode()).hexdigest()[:8]
 
+        def sh(idx, key):
+            return (
+                int(hashlib.md5(f"tokmix-shard:{idx}{key}".encode())
+                    .hexdigest()[:8], 16) % 4
+            )
+
         expected = set()
         per_shard = 900 // 4
         for shard in range(4):
             members = sorted(
-                ((d, t) for d, t in rows if d % 4 == shard),
+                ((d, t) for d, t in rows if sh(0, d) == shard),
                 key=lambda dt: (h(0, dt[0]), dt[0]),
             )
             off = 0
@@ -1914,14 +1931,30 @@ class TestQualityFunnel:
 
 
 class TestTokenBudgetMixGuard:
-    def test_non_integral_key_raises(self, spark):
+    def test_string_keys_shard_uniformly(self, spark):
+        """Hash sharding accepts any key type and spreads PATTERNED key
+        populations (all-even ids, string urls) across every shard — the
+        pmod(key) rule this replaced starved whole shards and silently
+        undershot the token target by their undelivered slices."""
         from mistral_ocr_pipeline_spark.operators.sampling import token_budget_mix
 
-        df = spark.createDataFrame(
-            [("a", 10)], "doc_key string, tokens long"
+        strs = spark.createDataFrame(
+            [(f"url-{i}", 10) for i in range(200)], "doc_key string, tokens long"
         )
-        with pytest.raises(TypeError, match="integral key"):
-            token_budget_mix([(df, 100)], key_col="doc_key", tokens_col="tokens")
+        out = token_budget_mix([(strs, 400)], key_col="doc_key",
+                               tokens_col="tokens", n_shards=4)
+        assert {r.shard for r in out.collect()} == {0, 1, 2, 3}
+        evens = spark.createDataFrame(
+            [(2 * i, 10) for i in range(200)], "doc_id long, tokens long"
+        )
+        out2 = token_budget_mix([(evens, 400)], key_col="doc_id",
+                                tokens_col="tokens", n_shards=4).collect()
+        assert {r.shard for r in out2} == {0, 1, 2, 3}
+        # every shard delivers its full 100-token slice (no starvation)
+        totals = {}
+        for r in out2:
+            totals[r.shard] = totals.get(r.shard, 0) + r.tokens
+        assert all(t >= 100 for t in totals.values())
 
 
 class TestDsirFlagForm:

@@ -97,3 +97,30 @@ def test_replay_is_noop(spark, tmp_path):
         stream_id="s2",
     )
     assert {r.doc_id for r in catalog.read("corpus").collect()} == before | {3}
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_wiped_checkpoint_is_new_stream_not_replay(spark, tmp_path):
+    """Batch ids restart at 0 when a checkpoint is wiped and recreated at
+    the SAME path; the inode-carrying stream_id must give the new
+    lifecycle a fresh idempotence namespace so its first batches are not
+    skipped as replays of the old run's batch 0 (silent data loss)."""
+    import shutil
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    catalog = TableCatalog(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    _write([(1, BASE)], input_dir / "b1.parquet")
+    run_neardup_ingest(spark, str(input_dir), catalog, ckpt)
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1}
+
+    # wipe + recreate the checkpoint: the next drain re-reads b1 AND the
+    # new file, as batch 0 of a NEW stream lifecycle
+    shutil.rmtree(ckpt)
+    _write([(2, "a wholly different document about rivers")],
+           input_dir / "b2.parquet")
+    run_neardup_ingest(spark, str(input_dir), catalog, ckpt)
+    kept = {r.doc_id for r in catalog.read("corpus").collect()}
+    assert 2 in kept  # the new doc landed — not skipped as a replay
