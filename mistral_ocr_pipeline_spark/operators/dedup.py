@@ -768,11 +768,11 @@ def simhash_pairs(
 # Embedding near-dup (cosine)
 # --------------------------------------------------------------------------
 def _dot(a: F.Column, b: F.Column) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # the single shared fold definition — its exact shape is load-bearing
+    # for every SQL oracle's bit-identity (see fold_dot's docstring)
+    from mistral_ocr_pipeline_spark.operators.similarity import fold_dot
+
+    return fold_dot(a, b)
 
 
 def _l2norm(a: F.Column) -> F.Column:
@@ -1002,6 +1002,7 @@ def semantic_pairs(
     threshold: float = 0.95,
     max_bucket: int = 4096,
     observation: Observation | None = None,
+    keyed: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1018,14 +1019,21 @@ def semantic_pairs(
 
     Scale: pair fan-out is Σ_cells |cell|² — governed by n_centroids; at
     100 TB you size n_centroids ≈ corpus/√target_cell and persist the
-    assignment (``similarity.ivf_build``) instead of recomputing it."""
-    keyed = _assign_cells(
-        ensure_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ),
-        centroids,
-    )
+    assignment (``similarity.ivf_build``) instead of recomputing it.
+
+    ``keyed``: a precomputed (id, vec, cell, csim) assignment frame — a
+    caller that also needs the assignment itself (``semdedup`` does)
+    passes it here so the centroid-argmax (n_centroids dot products per
+    row, the most expensive expression in the plan) is evaluated over
+    the corpus ONCE, not once per consumer."""
+    if keyed is None:
+        keyed = _assign_cells(
+            ensure_parallelism(df).select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            ),
+            centroids,
+        )
     buckets = _bounded_bucket_collect(
         keyed,
         ["cell"],
@@ -1079,6 +1087,7 @@ def semdedup(
     threshold: float = 0.95,
     max_bucket: int = 4096,
     observation: Observation | None = None,
+    keyed: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup pruning: drop a row when a semantic near-duplicate exists
     that sits FARTHER from the shared cluster centroid — the paper's
@@ -1101,9 +1110,26 @@ def semdedup(
     raw-double comparison is not cross-engine stable — rounding collapses
     ulp noise to the id tie-break (measured: the only Spark↔DuckDB
     divergence on the clone fixture, fixed by this)."""
-    assigned = semantic_assign(df, id_col, vec_col, centroids)
+    # the survivor frame and the pair generation both consume the cell
+    # assignment — the plan's most expensive expression (n_centroids dot
+    # products per row).  Both branches share ONE keyed frame; note that
+    # in a single lazy plan Catalyst still evaluates the subtree once per
+    # branch (no DataFrame-level CTE reuse), so the at-scale form passes
+    # ``keyed`` = a PERSISTED assignment table (`similarity.ivf_build`
+    # shape, or semantic_assign written through the catalog) and the
+    # argmax runs exactly once per corpus, not once per semdedup call.
+    if keyed is None:
+        keyed = _assign_cells(
+            ensure_parallelism(df).select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            ),
+            centroids,
+        )
+    assigned = keyed.select("id", "cell", F.round("csim", 6).alias("csim"))
     pairs = semantic_pairs(
-        df, id_col, vec_col, centroids, threshold, max_bucket, observation
+        df, id_col, vec_col, centroids, threshold, max_bucket, observation,
+        keyed=keyed,
     )
     ra, rb = F.round("csim_a", 6), F.round("csim_b", 6)
     losers = pairs.select(

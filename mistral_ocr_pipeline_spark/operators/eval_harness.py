@@ -39,9 +39,20 @@ class FieldSpec:
 
 
 def _field_score(l: Column, r: Column, spec: FieldSpec) -> Column:
-    """1.0 match / 0.0 mismatch / NULL when review side is empty (excluded
-    from rollups, mirroring the reference's score<0 sentinel exclusion)."""
-    both_null = l.isNull() & r.isNull()
+    """Faithful to compare_results.py's sentinel scheme (cmp_* at
+    :496-597): BOTH sides empty → NULL (the reference's -1
+    exclude-from-scoring sentinel — the only case that leaves the
+    rollups); review empty but output present → 0.25 ('extra');
+    review present but output empty → 0.0 ('missing', which also covers
+    UNMATCHED rows — the reference scores them 0.0 per field and counts
+    them in accuracy, :807-818 + the sc >= 0 rollup rule); otherwise
+    1.0/0.0 by the kind's comparator.  'Empty' means null or
+    whitespace-only, the reference's strip() falsiness."""
+
+    def empty(c: Column) -> Column:
+        return c.isNull() | (F.trim(c.cast("string")) == "")
+
+    l_empty, r_empty = empty(l), empty(r)
     if spec.kind == "exact":
         hit = norm_key_col(l) == norm_key_col(r)
     elif spec.kind == "year":
@@ -67,9 +78,10 @@ def _field_score(l: Column, r: Column, spec: FieldSpec) -> Column:
     else:
         raise ValueError(spec.kind)
     return (
-        F.when(l.isNull() & ~both_null, F.lit(None).cast("double"))
-        .when(both_null, F.lit(1.0))
-        .otherwise(hit.cast("double"))
+        F.when(l_empty & r_empty, F.lit(None).cast("double"))
+        .when(l_empty, F.lit(0.25))
+        .when(r_empty, F.lit(0.0))
+        .otherwise(F.coalesce(hit.cast("double"), F.lit(0.0)))
     )
 
 

@@ -28,6 +28,12 @@ def _hash_frac_hex(key: Column, salt: str) -> Column:
 
 
 def _threshold_hex(fraction: float) -> str:
+    if fraction >= 1.0:
+        # "g" sorts after every hex string, so `hash < threshold` keeps ALL
+        # rows — clamping to 'ffffffff' with the strict < would silently
+        # drop the 2^-32 of rows whose hash is exactly 0xffffffff from a
+        # source meant to be fully kept
+        return "g"
     t = min(max(int(round(fraction * (1 << 32))), 0), (1 << 32) - 1)
     return format(t, "08x")
 
@@ -175,13 +181,20 @@ def interleave_order(
     salt: str = "interleave",
 ) -> DataFrame:
     """Deterministic weighted interleave of N corpora — the epoch-ordering
-    step of a training pipeline (stream 3 parts web to 1 part code, in one
-    reproducible global order).
+    step of a training pipeline: one reproducible global order in which
+    every source is spread uniformly rather than concatenated.
 
     Each row gets ``mix_key = floor(u32 / weight)`` where ``u32`` is its
     32-bit content hash: sorting by ``mix_key`` yields a stream whose
-    source shares converge to the weights at every prefix (a source with
-    weight w compresses its uniform keys into a w×-denser range).  The key
+    source shares converge at every prefix to n_i·w_i proportions — a
+    source with weight w appears w× denser RELATIVE TO ITS SIZE (its
+    uniform keys compress into a w×-denser range).  With equal-sized
+    sources that is exactly the w ratios; to hit a target RECIPE on
+    unequal corpora, set the volumes first (`weighted_mix` /
+    `weighted_mix_exact` / `token_budget_mix` / `epoch_repeat_mix`) and
+    interleave with equal weights for ordering — this operator
+    deliberately never drops or repeats a row, so it cannot change
+    shares on its own.  The key
     is a SCAN-SIDE integer expression — no window, no shuffle, no
     transcendental functions (exact in any engine) — so producing the
     order costs nothing; consumers sort-merge on read or bucket by key

@@ -75,9 +75,25 @@ def hash_embedding_col(text: F.Column, dim: int = 8) -> F.Column:
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:  # norm(axis=1) on a shape-(0,) array would raise
+        return qids, np.zeros((0, 0), dtype=np.float64)
     qmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     return qids, qmat
+
+
+def _empty_topk(df: DataFrame) -> DataFrame:
+    """Empty (query_id, vec_id, cosine, rank) frame — the zero-query /
+    zero-corpus result of every ANN entry point (a periodic retrieval
+    job's empty cycle must yield an empty frame, not a driver crash)."""
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            list(_TOPK_SCHEMA.fields)
+            + [T.StructField("rank", T.IntegerType(), False)]
+        ),
+    )
 
 
 def _emit_cell_pairs(
@@ -142,6 +158,10 @@ def _kmeans_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "_kmeans_centroids: corpus is empty — no vectors to seed cells"
+        )
     smat = np.array([list(r._v) for r in sample], dtype=np.float64)
     smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -172,6 +192,8 @@ def brute_force_topk(
     per-query partial: each partition emits only its local top-k, so the
     shuffle carries O(#queries × k × #partitions) rows, not the corpus."""
     qids, qmat = _collect_queries(queries, query_id_col, vec_col)
+    if qids.size == 0:
+        return _empty_topk(corpus)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat, k))
 
@@ -238,10 +260,12 @@ def lsh_topk(
     by several tables is scored redundantly and deduped by the final
     window — the shuffle carries per-partition top candidates only."""
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    qids, qmat = _collect_queries(queries, query_id_col, vec_col)
+    if first is None or qids.size == 0:  # empty corpus or query batch
+        return _empty_topk(corpus)
     d = first.d
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_tables, n_planes, d))
-    qids, qmat = _collect_queries(queries, query_id_col, vec_col)
     pows = 1 << np.arange(n_planes)
     probe_sets: list[list[tuple[int, int]]] = []  # [(table, bucket)]
     for qi in range(len(qids)):
@@ -362,6 +386,8 @@ def ivf_topk(
         )
 
     qids, qmat = _collect_queries(queries, query_id_col, vec_col)
+    if qids.size == 0:
+        return _empty_topk(corpus)
     q_cells = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat, q_cells, cent, k))
@@ -462,6 +488,8 @@ def ivf_search_assigned(
     partitioned by cell), then exact cosine runs only on surviving rows.
     Same output contract as ``ivf_topk`` (query_id, vec_id, cosine, rank)."""
     qids, qmat = _collect_queries(queries, query_id_col, vec_col)
+    if qids.size == 0:
+        return _empty_topk(corpus)
     q_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
     probed = sorted({int(c) for row in q_cells for c in row})
     spark = assigned.sparkSession

@@ -38,12 +38,18 @@ def bpe_token_count(c: Column) -> Column:
 
 
 def stopword_hits(c: Column, lang: str = "en") -> Column:
-    """Occurrences of the language's stopwords as standalone words.
-    DuckDB: ``length(regexp_extract_all(lower(t), pattern))`` with the same
-    RE2-safe alternation."""
-    words = "|".join(STOPWORDS[lang])
-    pat = rf"\b({words})\b"
-    return F.regexp_count(F.lower(c), F.lit(pat)).cast("long")
+    """Occurrences of the language's stopwords as standalone words,
+    counted by ASCII-class tokenization — NOT ``\\b``: Java's ``\\b`` is
+    Unicode-aware while RE2's is ASCII (the same engine split the PII
+    patterns below avoid), so a stopword adjacent to a non-ASCII word
+    char ('müde') would count differently in Spark vs the DuckDB oracle.
+    Splitting on ``[^a-z0-9_]+`` (the ASCII ``\\w`` complement) behaves
+    identically in both engines.  DuckDB:
+    ``len(list_filter(string_split_regex(lower(t), '[^a-z0-9_]+'),
+    x -> x IN (...)))``."""
+    words = STOPWORDS[lang]
+    toks = F.split(F.lower(c), r"[^a-z0-9_]+")
+    return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

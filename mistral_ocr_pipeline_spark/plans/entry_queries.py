@@ -1891,8 +1891,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint
                  AS n_tokens,
-             len(regexp_extract_all(lower(text),
-                 '\b(the|and|of|to|in|is|that|it|was|for)\b'))::bigint AS n_stop,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for')))::bigint AS n_stop,
              len(regexp_extract_all(text, '[^\w\s]'))::bigint AS n_punct,
              len(regexp_extract_all(text, '[0-9]'))::bigint AS n_digit
       FROM documents)
@@ -1927,14 +1927,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
              len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS ar,
              len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS ru,
-             len(regexp_extract_all(lower(text),
-                 '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS en,
-             len(regexp_extract_all(lower(text),
-                 '\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS de,
-             len(regexp_extract_all(lower(text),
-                 '\b(le|la|les|et|de|un|une|est|dans|pour)\b')) AS fr,
-             len(regexp_extract_all(lower(text),
-                 '\b(el|la|los|de|que|y|en|un|una|es)\b')) AS es
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'))) AS en,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'auf', 'zu'))) AS de,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('le', 'la', 'les', 'et', 'de', 'un', 'une', 'est', 'dans', 'pour'))) AS fr,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('el', 'la', 'los', 'de', 'que', 'y', 'en', 'un', 'una', 'es'))) AS es
       FROM documents)
     SELECT doc_id,
            CASE WHEN cjk > 0 THEN 'cjk'
@@ -3950,8 +3950,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN trim(text) = '' THEN 0
                    ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint
                  AS n_tokens,
-             len(regexp_extract_all(lower(text),
-                 '\b(the|and|of|to|in|is|that|it|was|for)\b'))::bigint AS n_stop,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for')))::bigint AS n_stop,
              len(regexp_extract_all(text, '[^\w\s]'))::bigint AS n_punct,
              len(regexp_extract_all(text, '[0-9]'))::bigint AS n_digit
       FROM documents),
@@ -4609,8 +4609,8 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                    ELSE len(string_split_regex(trim(coalesce(text, '')),
                             '\s+')) END)::bigint AS n_tokens,
-             len(regexp_extract_all(lower(coalesce(text, '')),
-                 '\b(the|and|of|to|in|is|that|it|was|for)\b'))::bigint AS n_stop,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for')))::bigint AS n_stop,
              len(regexp_extract_all(coalesce(text, ''), '[^\w\s]'))::bigint
                  AS n_punct,
              list_filter(list_transform(string_split(coalesce(text, ''),
@@ -4739,8 +4739,9 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                    ELSE len(string_split_regex(trim(coalesce(text, '')),
                             '\\s+')) END)::bigint AS n_tokens,
-             len(regexp_extract_all(lower(coalesce(text, '')),
-                 '\\b(the|and|of|to|in|is|that|it|was|for)\\b'))::bigint
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in',
+                 'is', 'that', 'it', 'was', 'for')))::bigint
                  AS n_stop,
              len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]'))::bigint
                  AS n_punct,

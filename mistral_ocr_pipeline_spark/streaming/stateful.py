@@ -45,7 +45,11 @@ def _update(
                 n_errors += 1
             elif rec["extracted_text"]:
                 text_bytes += len(rec["extracted_text"].encode("utf-8"))
-            max_idx = max(max_idx, int(idx))
+            # a null turn_idx arrives as NaN (pandas float column) —
+            # int(NaN) raises and a single poison row would kill the
+            # whole streaming query; treat it as "no index evidence"
+            if idx == idx and idx is not None:
+                max_idx = max(max_idx, int(idx))
     state.update((n_turns, n_errors, max_idx, text_bytes))
     yield pd.DataFrame(
         [

@@ -26,6 +26,8 @@ same protocol as ``streaming/incremental.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
@@ -131,8 +133,16 @@ def run_incremental_heavy_hitters(
     ``shard_expr`` / ``value_expr``: SQL expressions over the stream's
     columns (e.g. ``"pmod(xxhash64(doc_id), 8)"`` / ``"term"``).  Each
     micro-batch publishes {topk, err, lineage} in ONE atomic commit;
-    replays (same stream_id + batch_id already in lineage) are no-ops."""
-    stream_id = checkpoint_dir
+    replays (same stream_id + batch_id already in lineage) are no-ops.
+    The stream identity carries the checkpoint dir's abspath AND inode —
+    batch ids are unique only per checkpoint LIFECYCLE, and a checkpoint
+    wiped and recreated at the same path restarts them at 0, which a
+    path-only key would misread as replays (silently dropped batches;
+    same fix as streaming/incremental.py and streaming/neardup.py)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream_id = (
+        f"{os.path.abspath(checkpoint_dir)}#{os.stat(checkpoint_dir).st_ino}"
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if catalog.exists(lineage_table):

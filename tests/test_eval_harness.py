@@ -44,8 +44,12 @@ def test_evaluate_end_to_end(spark):
     assert scores[3].right_id is None         # unmatched → left outer
 
     per_field = {r.field: r for r in res["per_field"].collect()}
-    assert per_field["year"].accuracy == 1.0
-    assert per_field["drugs"].n_scored == 2   # unmatched row excluded? no: null r side scores 0/NULL
+    # reference parity (compare_results.py:807-818 + the sc >= 0 rule):
+    # an UNMATCHED review row scores 0.0 on every field and ENTERS the
+    # accuracy — so year = (1 + 1 + 0)/3; only both-empty is excluded
+    assert per_field["year"].accuracy == 0.666667
+    assert per_field["year"].n_scored == 3
+    assert per_field["drugs"].n_scored == 3
 
     overall = res["overall"].first()
     assert overall.n_review_rows == 3
@@ -143,3 +147,38 @@ def test_field_configs_derive_from_schema(spark):
     assert cfgs["Design"].is_list is False
     assert cfgs["Drugs"].sentence_field == "Drugs_sentence_from_text"
     assert cfgs["Design"].field_label == "design"
+
+
+def test_field_score_sentinels_reference_parity(spark):
+    """The cmp_* sentinel scheme of compare_results.py:496-597, pinned:
+    both-empty → excluded; review-empty/output-present → 0.25 'extra';
+    output-empty/review-present → 0.0 'missing'; plain mismatch → 0.0."""
+    review = spark.createDataFrame(
+        [
+            (1, "shared title alpha beta gamma", "2021"),   # match, year hit
+            (2, "shared title delta epsilon zeta", ""),     # review year empty
+            (3, "shared title eta theta iota", "1999"),     # output year empty
+            (4, "shared title kappa lambda mu", ""),        # both empty
+        ],
+        "rid long, title string, year string",
+    )
+    output = spark.createDataFrame(
+        [
+            (10, "shared title alpha beta gamma", "2021"),
+            (20, "shared title delta epsilon zeta", "2022"),  # extra
+            (30, "shared title eta theta iota", "   "),       # missing (ws)
+            (40, "shared title kappa lambda mu", None),       # both empty
+        ],
+        "oid long, title string, year string",
+    )
+    res = evaluate(
+        review, output, "rid", "oid", ("title", "title"),
+        [FieldSpec("year", "year")],
+    )
+    got = {r.left_id: r.score_year for r in res["scores"].collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.25   # 'extra'
+    assert got[3] == 0.0    # 'missing'
+    assert got[4] is None   # both_empty → the -1 exclusion sentinel
+    pf = res["per_field"].first()
+    assert pf.n_scored == 3  # the both-empty row left the rollup

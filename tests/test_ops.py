@@ -2248,3 +2248,92 @@ class TestEpochRepeatMix:
         df = spark.createDataFrame([(1,)], "doc_id long")
         with pytest.raises(ValueError, match="epochs"):
             epoch_repeat_mix([(df, 0.0)], key_col="doc_id")
+
+
+class TestStopwordEngineParity:
+    def test_non_ascii_adjacency_matches_duckdb(self, spark):
+        """The \\b the old implementation used is Unicode-aware in Java
+        but ASCII in RE2 — 'müde' counted a 'de' stopword hit in DuckDB
+        and none in Spark.  The ASCII-class tokenization must agree with
+        DuckDB on exactly that text."""
+        import duckdb
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import stopword_hits
+
+        texts = ["ich bin müde und gehe", "das ist nicht güt", "plain the and"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "id long, text string")
+        got = {
+            r.id: r.n
+            for r in df.select("id", stopword_hits(F.col("text"), "de").alias("n")).collect()
+        }
+        con = duckdb.connect()
+        words = "'der','die','das','und','ist','nicht','ein','mit','auf','zu'"
+        for i, t in enumerate(texts):
+            (exp,) = con.execute(
+                "SELECT len(list_filter(string_split_regex(lower(?), "
+                f"'[^a-z0-9_]+'), x -> x IN ({words})))", [t]
+            ).fetchone()
+            assert got[i] == exp, (i, t)
+        # the müde case exercises the boundary: ü splits the ASCII token
+        # ('m', 'de') IDENTICALLY in both engines — under \b Java would
+        # have seen no boundary inside 'müde' while RE2 did, so the
+        # engines could disagree the moment a stopword bordered the split
+        assert got[0] == 1  # 'und' ('de' is not in the German list)
+
+
+class TestAnnEmptyInputs:
+    """A periodic retrieval job's empty cycle (no queries this batch, or a
+    fresh empty corpus) must yield an empty typed frame, not a driver
+    crash — pins the `_empty_topk` guards on every ANN entry point."""
+
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        empty_q = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        return corpus, empty_q
+
+    def test_brute_force_empty_queries(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        corpus, empty_q = self._frames(spark)
+        out = brute_force_topk(corpus, empty_q, k=3)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "vec_id", "cosine", "rank",
+        ]
+
+    def test_lsh_empty_queries_and_empty_corpus(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import lsh_topk
+
+        corpus, empty_q = self._frames(spark)
+        assert lsh_topk(corpus, empty_q, k=3).count() == 0
+        # empty corpus with real queries: `first()` is None — guard path
+        empty_c = empty_q
+        queries = corpus
+        assert lsh_topk(empty_c, queries, k=3).count() == 0
+
+    def test_ivf_empty_queries(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import ivf_topk
+
+        corpus, empty_q = self._frames(spark)
+        assert ivf_topk(corpus, empty_q, k=3, n_centroids=2).count() == 0
+
+    def test_kmeans_empty_corpus_raises(self, spark):
+        import pytest as _pytest
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            _kmeans_centroids,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="empty"):
+            _kmeans_centroids(empty, "vec_id", "embedding", 2, 5, 16, 0)
