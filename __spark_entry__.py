@@ -38,6 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "mix_unimax",              # new in r4: UniMax water-filling allocation
+    "mix_unimax_expand",       # new in r4: UniMax doc-stream materialization
+    "mix_temperature",         # new in r4: temperature-scaled language shares
+    "text_paragraph_dedup",    # new in r4: keep-first paragraph dedup + rebuild
     "mix_epoch_repeat",        # new in r4: fractional epoch-repetition recipe
     "retrieval_hard_negatives", # new in r4: BM25 hard-negative mining
     "sample_shard_order",      # new in r4: exact-percentile training-shard emit

@@ -913,6 +913,79 @@ def line_dedup(
     ).withColumnRenamed("id", id_col)
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_para_chars: int = 16,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup with KEEP-FIRST semantics
+    and document reconstruction — the granularity between whole-document
+    dedup (`exact_dedup`) and hot-line stripping (`line_dedup`): Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") remove repeated passages while keeping one canonical
+    occurrence, so shared boilerplate paragraphs (licenses, disclaimers,
+    syndicated intros) survive exactly once instead of everywhere or
+    nowhere.
+
+    Keep rule: a paragraph (md5 of its trimmed text) survives only at
+    its globally FIRST occurrence ordered by (id, pos); every later
+    occurrence is dropped.  Paragraphs shorter than ``min_para_chars``
+    after trim are never deduped (blank separators, markdown rules).
+
+    Plan — deliberately NOT a row_number window over the digest: a hot
+    paragraph repeated millions of times corpus-wide would make that
+    window's key group one giant per-task sort.  Instead the canonical
+    occurrence is ``min(struct(id, pos))`` per digest — a map-side
+    combinable aggregate whose hot-key cost is one struct per input
+    partition — joined back on the digest (count-free, so AQE can
+    broadcast the small distinct-digest side when it fits and
+    skew-split the join when it doesn't).  One groupBy(id) reassembles
+    in paragraph order.  Returns (id, text_clean, n_kept, n_removed)."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = F.length(F.trim(F.col("para"))) >= min_para_chars
+    keyed = paras.withColumn(
+        "k", F.when(eligible, F.md5(F.trim(F.col("para"))))
+    )
+    first = (
+        keyed.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.min(F.struct("id", "pos")).alias("_first"))
+    )
+    flagged = keyed.join(first, "k", "left").select(
+        "id",
+        "pos",
+        "para",
+        (
+            F.col("k").isNotNull()
+            & ~(
+                (F.col("_first.id") == F.col("id"))
+                & (F.col("_first.pos") == F.col("pos"))
+            )
+        ).alias("_drop"),
+    )
+    kept = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("pos", "para", "_drop"))),
+            lambda s: ~s["_drop"],
+        ),
+        lambda s: s["para"],
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(kept, sep).alias("text_clean"),
+            F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
+            F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 # --------------------------------------------------------------------------
 # SemDeDup — semantic dedup via embedding-cluster pruning
 # --------------------------------------------------------------------------

@@ -367,6 +367,203 @@ def training_shard_order(
     )
 
 
+def unimax_allocation(
+    df: DataFrame,
+    lang_col: str,
+    tokens_col: str,
+    token_budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax language-balanced budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): split a total token budget across
+    languages as uniformly as possible, capping every language at
+    ``max_epochs`` passes over its corpus — low-resource languages stop
+    being drowned out without being repeated into memorization.
+
+    Water-filling, exactly the paper's greedy: visit languages in
+    ASCENDING corpus size; a language is CAPPED (gets max_epochs · n
+    tokens) when its cap is at most the current fair share of the
+    remaining budget, else it and every larger language split the
+    remainder evenly.  The capped set is a prefix of the size order, so
+    the whole allocation is closed-form over one cumulative sum:
+    capped(r) ⇔ e·n_r·(L−r+1) ≤ B − e·cum_{r−1} — ALL-INTEGER arithmetic
+    (``max_epochs`` is an int), so the capped/uncapped decision is exact
+    in every engine; only the final uncapped per-language rate involves
+    float division, and that is micro-unit rounded (×1e6, half-away,
+    BIGINT) so the published numbers are bit-identical cross-engine.
+
+    The per-language frame is one row per language — the single-partition
+    windows here sort dozens of rows, not the corpus (the corpus-sized
+    work is the one map-side-combined groupBy).  Output, one row per
+    language: (lang, n_docs, n_tokens, capped, budget_tokens_micro,
+    rate_micro) where rate = allocated epochs for the language
+    (= budget/n_tokens, ≤ max_epochs; capped rows are exactly
+    max_epochs·1e6)."""
+    from pyspark.sql import Window as W
+
+    if max_epochs < 1 or int(max_epochs) != max_epochs:
+        raise ValueError(f"max_epochs must be a positive int, got {max_epochs}")
+    e = int(max_epochs)
+    stats = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
+    order = W.orderBy("n_tokens", "lang")
+    ranked = (
+        stats.withColumn("r", F.row_number().over(order))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    order.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("L", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    b = F.lit(int(token_budget)).cast("long")
+    capped = (
+        F.lit(e) * F.col("n_tokens") * (F.col("L") - F.col("r") + 1)
+        <= b - F.lit(e) * F.col("cum_prev")
+    )
+    flagged = ranked.withColumn("capped", capped)
+    agg = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("n_tokens")).otherwise(0)).alias(
+            "cap_tokens"
+        ),
+        F.sum(F.col("capped").cast("int")).alias("k"),
+    )
+    # one row; broadcast back as a literal relation (no shuffle on the
+    # corpus — everything after the stats groupBy is language-cardinality)
+    shared = (
+        (b - F.lit(e) * F.col("cap_tokens")).cast("double")
+        / F.nullif((F.col("L") - F.col("k")).cast("double"), F.lit(0.0))
+    )
+    out = flagged.crossJoin(F.broadcast(agg)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "capped",
+        F.when(
+            F.col("capped"),
+            F.lit(e) * F.col("n_tokens") * F.lit(1000000),
+        )
+        .otherwise(F.round(shared * F.lit(1000000.0)).cast("long"))
+        .alias("budget_tokens_micro"),
+        F.when(F.col("capped"), F.lit(e) * F.lit(1000000))
+        .otherwise(
+            F.round(
+                shared / F.col("n_tokens").cast("double") * F.lit(1000000.0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rate_micro"),
+    )
+    return out
+
+
+def unimax_mix(
+    df: DataFrame,
+    key_col: str,
+    lang_col: str,
+    tokens_col: str,
+    token_budget: int,
+    max_epochs: int = 4,
+    salt: str = "unimax",
+) -> DataFrame:
+    """Materialize the UniMax allocation as a document stream: each
+    document emits ``floor(rate)`` full replicas plus one more for a
+    content-hash-chosen ``frac(rate)`` subset of its language (the
+    `epoch_repeat_mix` fan-out shape with per-language DATA-DEPENDENT
+    epochs).  The fate rule is ALL-INTEGER with NO division:
+    ``u32 · 1e6 < frac_micro · 2^32`` — both sides BIGINT products under
+    2^63 — so replica membership is bit-identical across engines,
+    partitionings, and cluster sizes (a divide-then-cast form would ride
+    on cast semantics: Spark truncates double→long where DuckDB rounds).
+
+    Plan: the language-cardinality allocation broadcasts onto the corpus
+    scan; the replica fan-out is one explode(sequence) — no corpus
+    shuffle anywhere.  Output: (key, lang, epoch) with epoch 0-based."""
+    alloc = unimax_allocation(df, lang_col, tokens_col, token_budget, max_epochs)
+    plan = alloc.select(
+        "lang",
+        (F.col("rate_micro") / F.lit(1000000)).cast("long").alias("_whole"),
+        F.pmod(F.col("rate_micro"), F.lit(1000000)).alias("_frac_micro"),
+    )
+    u32 = F.conv(_hash_frac_hex(F.col(key_col), salt), 16, 10).cast("long")
+    n = F.col("_whole") + (
+        u32 * F.lit(1000000)
+        < F.col("_frac_micro").cast("long") * F.lit(4294967296)
+    ).cast("int")
+    return (
+        df.select(F.col(key_col), F.col(lang_col).alias("lang"))
+        .join(F.broadcast(plan), "lang")
+        .withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .select(key_col, "lang", "epoch")
+    )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    lang_col: str,
+    tokens_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling rates (mT5 / XLM-R style): language
+    share ∝ n_lang^α, α ∈ (0, 1] — α=1 is proportional, smaller α
+    flattens toward uniform, boosting low-resource languages.
+
+    ``alpha`` must be 1/2^m (1.0, 0.5, 0.25, …): n^α is then computed by
+    repeated ``sqrt``, which IEEE 754 requires to be CORRECTLY ROUNDED —
+    bit-identical in every engine — where a general ``pow`` is
+    libm-dependent at the ulp and can flip a rounding boundary between
+    Spark and an oracle.  Each n^α is micro-unit rounded BEFORE the
+    cross-language sum, so the normalizer is an order-independent BIGINT
+    sum (the repo-wide float-determinism rule).  Output, one row per
+    language: (lang, n_docs, n_tokens, scaled_micro, share_micro,
+    budget_tokens, epochs_micro) where epochs = budget/n_tokens."""
+    m = 0
+    a = alpha
+    while a < 1.0 and m < 8:
+        a *= 2.0
+        m += 1
+    if a != 1.0:
+        raise ValueError(
+            f"alpha must be 1/2^m for exact cross-engine n^alpha, got {alpha}"
+        )
+    stats = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
+    scaled = F.col("n_tokens").cast("double")
+    for _ in range(m):
+        scaled = F.sqrt(scaled)
+    stats = stats.withColumn(
+        "scaled_micro", F.round(scaled * F.lit(1000000.0)).cast("long")
+    )
+    total = stats.agg(F.sum("scaled_micro").alias("_total"))
+    b = F.lit(int(token_budget)).cast("double")
+    share = F.col("scaled_micro").cast("double") / F.col("_total").cast("double")
+    return stats.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "scaled_micro",
+        F.round(share * F.lit(1000000.0)).cast("long").alias("share_micro"),
+        F.round(b * share).cast("long").alias("budget_tokens"),
+        F.round(
+            b * share / F.col("n_tokens").cast("double") * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("epochs_micro"),
+    )
+
+
 def epoch_repeat_mix(
     sources: list[tuple[DataFrame, float]],
     key_col: str,

@@ -5073,3 +5073,205 @@ def mix_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_repeat_mix([(en, 2.5), (rest, 1.0)], key_col="doc_id").select(
         "doc_id", "mix_source", F.col("epoch").cast("int").alias("epoch")
     )
+
+
+# --------------------------------------------------------------------------
+# UniMax / temperature language mixing + paragraph dedup (sampling, dedup)
+# --------------------------------------------------------------------------
+_TOK = (
+    "(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT"
+)
+
+_UNIMAX_ALLOC = f"""
+    WITH d AS (SELECT lang, {_TOK} AS tok FROM documents),
+    s AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens
+          FROM d GROUP BY lang),
+    b AS (SELECT (3 * sum(n_tokens)) // 2 AS budget FROM s),
+    r AS (SELECT s.*, budget,
+                 row_number() OVER (ORDER BY n_tokens, lang) AS r,
+                 coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_prev,
+                 count(*) OVER () AS L
+          FROM s CROSS JOIN b),
+    f AS (SELECT *,
+                 (2 * n_tokens * (L - r + 1) <= budget - 2 * cum_prev)
+                     AS capped
+          FROM r),
+    a AS (SELECT coalesce(sum(CASE WHEN capped THEN n_tokens END),
+                   0)::BIGINT AS cap_tokens,
+                 coalesce(sum(capped::INT), 0) AS k
+          FROM f),
+    alloc AS (
+      SELECT lang, n_docs, n_tokens, capped,
+             CASE WHEN capped THEN 2 * n_tokens * 1000000
+                  ELSE round(((budget - 2 * cap_tokens)::DOUBLE
+                              / (L - k)::DOUBLE) * 1000000.0)::BIGINT
+             END AS budget_tokens_micro,
+             CASE WHEN capped THEN 2000000
+                  ELSE round((budget - 2 * cap_tokens)::DOUBLE
+                             / (L - k)::DOUBLE / n_tokens::DOUBLE
+                             * 1000000.0)::BIGINT
+             END AS rate_micro
+      FROM f CROSS JOIN a)
+"""
+
+
+def _unimax_spark(spark: SparkSession, sf_dir: str):
+    from mistral_ocr_pipeline_spark.operators.text_analysis import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("tok")
+    )
+    total = docs.agg(F.sum("tok").cast("long").alias("t")).first().t
+    return docs, 3 * int(total) // 2
+
+
+@register(
+    "mix_unimax",
+    oracle=f"{_UNIMAX_ALLOC} SELECT * FROM alloc ORDER BY lang",
+)
+def mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling budget allocation (Chung et al. 2023,
+    `sampling.unimax_allocation`): budget = 1.5× the corpus, 2-epoch cap
+    — the four smaller languages cap at 2 epochs and `en` absorbs the
+    remainder at <1 epoch.  The capped/uncapped frontier is all-integer
+    arithmetic and the two float divisions are shape-matched + micro-unit
+    rounded, so the whole greedy is value-replayed in SQL."""
+    from mistral_ocr_pipeline_spark.operators.sampling import unimax_allocation
+
+    docs, budget = _unimax_spark(spark, sf_dir)
+    return unimax_allocation(docs, "lang", "tok", budget, max_epochs=2).orderBy(
+        "lang"
+    )
+
+
+@register(
+    "mix_unimax_expand",
+    oracle=f"""{_UNIMAX_ALLOC},
+    e AS (SELECT lang, rate_micro // 1000000 AS whole,
+                 rate_micro % 1000000 AS frac_micro
+          FROM alloc),
+    nn AS (SELECT doc_id, d.lang,
+                  whole + ((('0x' || substring(
+                        md5('unimax' || doc_id::varchar), 1, 8))
+                        ::UBIGINT::BIGINT * 1000000)
+                      < frac_micro * 4294967296)::INT AS n
+           FROM documents d JOIN e USING (lang))
+    SELECT doc_id, lang, unnest(generate_series(0, n::INT - 1)) AS epoch
+    FROM nn WHERE n > 0
+    """,
+)
+def mix_unimax_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax allocation materialized as a document stream
+    (`sampling.unimax_mix`): per-language floor(rate) full replicas plus
+    a content-hash-chosen frac(rate) subset.  The fate rule is division-
+    free BIGINT (u32·1e6 < frac_micro·2^32), so every replica decision
+    replays bit-identically in SQL."""
+    from mistral_ocr_pipeline_spark.operators.sampling import unimax_mix
+
+    docs, budget = _unimax_spark(spark, sf_dir)
+    return unimax_mix(
+        docs, "doc_id", "lang", "tok", budget, max_epochs=2
+    ).select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+@register(
+    "mix_temperature",
+    oracle=f"""
+    WITH d AS (SELECT lang, {_TOK} AS tok FROM documents),
+    s AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens
+          FROM d GROUP BY lang),
+    sc AS (SELECT *, round(sqrt(n_tokens::DOUBLE) * 1000000.0)::BIGINT
+                         AS scaled_micro
+           FROM s),
+    t AS (SELECT sum(scaled_micro)::BIGINT AS total FROM sc)
+    SELECT lang, n_docs, n_tokens, scaled_micro,
+           round(scaled_micro::DOUBLE / total::DOUBLE * 1000000.0)::BIGINT
+               AS share_micro,
+           round(50000.0 * (scaled_micro::DOUBLE / total::DOUBLE))::BIGINT
+               AS budget_tokens,
+           round(50000.0 * (scaled_micro::DOUBLE / total::DOUBLE)
+                 / n_tokens::DOUBLE * 1000000.0)::BIGINT AS epochs_micro
+    FROM sc CROSS JOIN t ORDER BY lang
+    """,
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (mT5/XLM-R style,
+    `sampling.temperature_allocation`): shares ∝ n^0.5 over a 50k-token
+    budget.  α=1/2^m is computed by repeated IEEE-correctly-rounded
+    sqrt (engine-exact where pow is libm-dependent), and each n^α is
+    micro-unit rounded BEFORE the cross-language sum so the normalizer
+    is an order-independent BIGINT."""
+    from mistral_ocr_pipeline_spark.operators.sampling import (
+        temperature_allocation,
+    )
+    from mistral_ocr_pipeline_spark.operators.text_analysis import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", ws_token_count(F.col("text")).alias("tok")
+    )
+    return temperature_allocation(
+        docs, "lang", "tok", token_budget=50000, alpha=0.5
+    ).orderBy("lang")
+
+
+@register(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 100) || chr(10) || chr(10) ||
+             'license paragraph rotating variant number ' ||
+                 (doc_id % 11)::varchar || chr(10) || chr(10) ||
+             substr(text, 101, 100) || chr(10) || chr(10) || 'tiny' AS text
+      FROM documents),
+    ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS a FROM d),
+    p AS (SELECT doc_id, unnest(range(0, len(a)))::INT AS pos,
+                 unnest(a) AS para
+          FROM ps),
+    k AS (SELECT doc_id, pos, para,
+                 CASE WHEN length(trim(para)) >= 16
+                      THEN md5(trim(para)) END AS k
+          FROM p),
+    f AS (SELECT doc_id, pos, para,
+                 (k IS NOT NULL AND row_number() OVER (
+                      PARTITION BY k ORDER BY doc_id, pos) > 1) AS drp
+          FROM k)
+    SELECT doc_id,
+           coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                        FILTER (NOT drp), '') AS text_clean,
+           count(*) FILTER (NOT drp) AS n_kept,
+           count(*) FILTER (drp) AS n_removed
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level keep-first dedup with document reconstruction
+    (`dedup.paragraph_dedup`, Lee et al. 2021 granularity) over
+    synthesized multi-paragraph pages: unique prose slices around 11
+    rotating license paragraphs — each license text survives exactly
+    once at its (doc_id, pos)-first occurrence, unlike `text_line_dedup`
+    which strips hot lines everywhere.  The canonical-occurrence rule
+    (min(struct) aggregation, not a skewed window) and the ordered
+    reassembly are value-replayed in SQL."""
+    from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ml = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring("text", 1, 100),
+            F.concat(
+                F.lit("license paragraph rotating variant number "),
+                (F.col("doc_id") % 11).cast("string"),
+            ),
+            F.substring("text", 101, 100),
+            F.lit("tiny"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(ml, "doc_id", "text", min_para_chars=16).orderBy(
+        "doc_id"
+    )

@@ -2337,3 +2337,160 @@ class TestAnnEmptyInputs:
         )
         with _pytest.raises(ValueError, match="empty"):
             _kmeans_centroids(empty, "vec_id", "embedding", 2, 5, 16, 0)
+
+
+class TestUnimaxAllocation:
+    def _fixture(self, spark):
+        rows = (
+            [(f"a{i}", "a", 10) for i in range(10)]
+            + [(f"b{i}", "b", 40) for i in range(10)]
+            + [(f"c{i}", "c", 150) for i in range(10)]
+        )
+        return spark.createDataFrame(rows, "doc_id string, lang string, toks long")
+
+    def test_water_filling_hand_example(self, spark):
+        """a=100, b=400, c=1500 tokens; B=1200, cap 2: a caps at 200,
+        b and c split the remaining 1000 evenly (500 each)."""
+        from mistral_ocr_pipeline_spark.operators.sampling import unimax_allocation
+
+        df = self._fixture(spark)
+        got = {
+            r.lang: r
+            for r in unimax_allocation(df, "lang", "toks", 1200, 2).collect()
+        }
+        assert got["a"].capped and not got["b"].capped and not got["c"].capped
+        assert got["a"].budget_tokens_micro == 200 * 1_000_000
+        assert got["a"].rate_micro == 2_000_000
+        assert got["b"].budget_tokens_micro == 500 * 1_000_000
+        assert got["b"].rate_micro == 1_250_000
+        assert got["c"].rate_micro == 333_333
+        # conservation: budgets sum to B (micro-rounding slack < 1 token)
+        total = sum(r.budget_tokens_micro for r in got.values())
+        assert abs(total - 1200 * 1_000_000) < 1_000_000
+
+    def test_all_capped_when_budget_exceeds_cap_total(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import unimax_allocation
+
+        df = self._fixture(spark)
+        rows = unimax_allocation(df, "lang", "toks", 100_000, 2).collect()
+        assert all(r.capped for r in rows)
+        assert all(r.rate_micro == 2_000_000 for r in rows)
+
+    def test_none_capped_small_budget(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import unimax_allocation
+
+        df = self._fixture(spark)
+        rows = unimax_allocation(df, "lang", "toks", 300, 5).collect()
+        assert not any(r.capped for r in rows)
+        # equal split: every language gets B/L = 100 tokens
+        assert all(r.budget_tokens_micro == 100 * 1_000_000 for r in rows)
+
+    def test_mix_counts_bounded_by_epochs(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import unimax_mix
+
+        df = self._fixture(spark)
+        out = unimax_mix(df, "doc_id", "lang", "toks", 1200, 2)
+        counts = {
+            r.lang: r.n
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # a: exactly 2 epochs of 10 docs; b: rate 1.25 -> between 10 and 20
+        assert counts["a"] == 20
+        assert 10 <= counts["b"] <= 20
+        assert 0 <= counts.get("c", 0) <= 10
+
+    def test_rejects_fractional_epochs(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import unimax_allocation
+
+        with pytest.raises(ValueError, match="max_epochs"):
+            unimax_allocation(self._fixture(spark), "lang", "toks", 100, 1.5)
+
+
+class TestTemperatureAllocation:
+    def test_alpha_one_is_proportional(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [("x", "a", 100), ("y", "b", 300)], "id string, lang string, t long"
+        )
+        got = {
+            r.lang: r
+            for r in temperature_allocation(df, "lang", "t", 1000, 1.0).collect()
+        }
+        assert got["a"].share_micro == 250_000
+        assert got["b"].share_micro == 750_000
+
+    def test_alpha_half_flattens_toward_uniform(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [("x", "a", 100), ("y", "b", 10000)], "id string, lang string, t long"
+        )
+        got = {
+            r.lang: r
+            for r in temperature_allocation(df, "lang", "t", 1000, 0.5).collect()
+        }
+        # proportional share for a would be ~9900; sqrt gives 10/110 ≈ 9.09%
+        assert got["a"].share_micro > 9_900 * 2
+        assert got["a"].share_micro + got["b"].share_micro in (999_999, 1_000_000, 1_000_001)
+        # low-resource language is upsampled in epochs, high-resource down
+        assert got["a"].epochs_micro > got["b"].epochs_micro
+
+    def test_rejects_non_dyadic_alpha(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        df = spark.createDataFrame([("x", "a", 10)], "id string, lang string, t long")
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_allocation(df, "lang", "t", 100, 0.3)
+
+
+class TestParagraphDedup:
+    def test_keep_first_and_reassembly(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "SHARED LICENSE PARAGRAPH HERE\n\nunique one alpha beta"),
+                (2, "unique two gamma delta epsi\n\nSHARED LICENSE PARAGRAPH HERE"),
+                (3, "SHARED LICENSE PARAGRAPH HERE\n\nshort"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in paragraph_dedup(df, "doc_id", "text").collect()
+        }
+        # canonical occurrence is (1, 0); later ones drop
+        assert got[1].text_clean.startswith("SHARED LICENSE")
+        assert got[1].n_removed == 0
+        assert "SHARED" not in got[2].text_clean
+        assert got[2].n_removed == 1
+        # 'short' (< 16 chars) is never deduped
+        assert got[3].text_clean == "short"
+
+    def test_within_doc_duplicate_by_pos(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(7, "same paragraph repeated twice\n\nsame paragraph repeated twice")],
+            "doc_id long, text string",
+        )
+        row = paragraph_dedup(df, "doc_id", "text").first()
+        assert row.n_kept == 1 and row.n_removed == 1
+        assert row.text_clean == "same paragraph repeated twice"
+
+    def test_all_dropped_yields_empty_string(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "only unique paragraph content"), (2, "only unique paragraph content")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+        assert got[2].text_clean == "" and got[2].n_removed == 1
