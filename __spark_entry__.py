@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_ccnet_buckets",      # new in r4: CCNet perplexity terciles per lang
     "mix_unimax",              # new in r4: UniMax water-filling allocation
     "mix_unimax_expand",       # new in r4: UniMax doc-stream materialization
     "mix_temperature",         # new in r4: temperature-scaled language shares

@@ -337,6 +337,47 @@ def unigram_surprisal(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str = "surprisal",
+    group_col: str | None = "lang",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style quality stratification (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    rank each language's documents by LM perplexity (here the corpus-
+    unigram `unigram_surprisal` proxy — lower = more ordinary prose) and
+    split into equal head/middle/tail buckets, per language so
+    high-resource languages don't define "fluent" for low-resource ones.
+    Trainers keep head+middle (or sample tail at a discount).
+
+    Bucketing is ``ntile(n)`` over the deterministic total order
+    (score, id) — ANSI semantics, identical in any engine; the score is
+    pre-rounded (6 dp) upstream so the order itself is cross-engine
+    stable.  Scale note: the window sorts each language's rows — one
+    sort per language partition, acceptable because stratification runs
+    once per corpus build; the incremental/streaming form replaces
+    ntile with FIXED score thresholds (the previous build's per-language
+    tercile boundaries via `a11`-style exact or approx percentiles), a
+    scan-level CASE with no window at all."""
+    if len(labels) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+    from pyspark.sql import Window as W
+
+    part = W.partitionBy(group_col) if group_col else W.partitionBy()
+    w = part.orderBy(F.col(score_col), F.col(id_col))
+    label = F.lit(None).cast("string")
+    for i, name in enumerate(labels, start=1):
+        label = F.when(F.col("_b") == i, F.lit(name)).otherwise(label)
+    return (
+        scored.withColumn("_b", F.ntile(n_buckets).over(w))
+        .withColumn("bucket", label)
+        .drop("_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # BM25 lexical retrieval — top-k documents per query
 # --------------------------------------------------------------------------

@@ -5275,3 +5275,47 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(ml, "doc_id", "text", min_para_chars=16).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split({_KEY.format(c='text')}, ' ')) AS t
+      FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+    s AS (SELECT id AS doc_id,
+                 round(avg(-ln(c / (SELECT n FROM tot))), 6) AS surprisal
+          FROM toks JOIN cnt USING (t)
+          GROUP BY id),
+    b AS (SELECT d.doc_id, d.lang, s.surprisal,
+                 ntile(3) OVER (PARTITION BY d.lang
+                                ORDER BY s.surprisal, d.doc_id) AS nb
+          FROM documents d JOIN s USING (doc_id))
+    SELECT doc_id, lang, surprisal,
+           CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM b ORDER BY doc_id
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality stratification
+    (`text_analysis.perplexity_buckets` over `unigram_surprisal`):
+    per-language perplexity terciles by the corpus-unigram proxy, the
+    deterministic (score, id) ntile order replayed exactly in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        perplexity_buckets,
+        unigram_surprisal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        unigram_surprisal(docs, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return perplexity_buckets(
+        scored, "doc_id", "surprisal", "lang", 3
+    ).select("doc_id", "lang", "surprisal", "bucket").orderBy("doc_id")

@@ -2494,3 +2494,34 @@ class TestParagraphDedup:
         )
         got = {r.doc_id: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
         assert got[2].text_clean == "" and got[2].n_removed == 1
+
+
+class TestPerplexityBuckets:
+    def test_tercile_assignment_per_group(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        rows = [(i, "a", float(i)) for i in range(9)] + [
+            (100 + i, "b", float(-i)) for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, surprisal double")
+        got = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(df, "doc_id", "surprisal", "lang").collect()
+        }
+        # lang a: 0-2 head, 3-5 middle, 6-8 tail (lowest surprisal = head)
+        assert [got[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+        # lang b gets its own terciles: -2 is its head
+        assert got[102] == "head" and got[100] == "tail"
+
+    def test_label_arity_checked(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame([(1, "a", 0.0)], "doc_id long, lang string, s double")
+        with pytest.raises(ValueError, match="labels"):
+            perplexity_buckets(df, "doc_id", "s", "lang", n_buckets=4)
