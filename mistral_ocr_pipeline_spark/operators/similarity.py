@@ -135,6 +135,29 @@ def _emit_cell_pairs(
     ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
 
 
+def _micro_away(y: np.ndarray) -> np.ndarray:
+    """Vectorized `_micro`: ×1e6 rounded half-away-from-zero (the exact
+    floor(y+0.5)/ceil(y-0.5) form of `_micro`, so numpy and the SQL
+    ``round(x*1000000.0)::BIGINT`` agree on every boundary)."""
+    y = y * 1e6
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+
+
+def _seq_fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot as a LEFT-TO-RIGHT fold over the dimension axis —
+    the numpy twin of `fold_dot` / a SQL engine's sequential
+    ``list_dot_product``.  ``np.dot``/``@`` use pairwise summation, whose
+    intermediate rounding differs from a sequential fold at the ulp; the
+    k-means replay below needs the SAME bits on both engines, so every
+    dot in the training loop folds in array order (vectorized across
+    rows — the loop is over the 64 dims, not the corpus).
+    Shapes: (n, d) × (k, d) → (n, k)."""
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc += a[:, d, None] * b[None, :, d]
+    return acc
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -144,17 +167,35 @@ def _kmeans_centroids(
     sample_size: int,
     seed: int,
 ) -> np.ndarray:
-    """Seeded mini k-means over a DETERMINISTIC corpus sample.
+    """Mini k-means over a deterministic corpus sample, built so the WHOLE
+    training replays bit-identically in SQL (the step that kept
+    `ann_ivf_topk` rows-only through round 3):
 
-    The sample orders by (xxhash64(id), id) before the limit — a
-    partition-invariant pseudo-random draw that Spark executes as
-    TakeOrderedAndProject (per-partition top-n + driver merge, no full
-    sort).  A bare ``limit(n)`` takes whatever rows the scan yields first,
-    so split sizing / AQE / cluster layout would change the sample, the
-    centroids, and hence the ANN results (round-3 verdict defect #2)."""
+    - **sample**: order by (md5-hex of the id, id) then limit — the same
+      partition-invariant pseudo-random draw as `sampling._hash_frac_hex`
+      (Spark executes it as TakeOrderedAndProject: per-partition top-n +
+      driver merge, no full sort), and — unlike the previous xxhash64
+      order — one a SQL engine reproduces verbatim.
+    - **seeding**: the first ``n_centroids`` rows of the hash order (the
+      order is already a uniform shuffle, so head-of-order IS a seeded
+      random draw; an RNG ``choice`` would have no SQL twin).  ``seed``
+      is retained for API compatibility and ignored.
+    - **float discipline**: normalized sample vectors snap to integer
+      micro-units, so every per-cell mean is an ORDER-INDEPENDENT integer
+      sum (a group sum of raw doubles would depend on the engine's
+      reduction order); all dots fold sequentially (`_seq_fold_dot`);
+      every division/sqrt is a correctly-rounded IEEE op with pinned
+      operand order.  Equal-dot argmax ties break to the LOWEST cell
+      (numpy first-max == SQL ``row_number() ... ORDER BY d DESC, c``).
+      Remaining cross-engine exposure is ulp-level dot noise flipping a
+      near-exact assignment tie — the same exposure every green ANN
+      oracle already carries."""
+    h = F.substring(
+        F.md5(F.concat(F.lit("ivf:"), F.col("_id").cast("string"))), 1, 8
+    )
     sample = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .orderBy(h, F.col("_id"))
         .limit(sample_size)
         .collect()
     )
@@ -163,18 +204,27 @@ def _kmeans_centroids(
             "_kmeans_centroids: corpus is empty — no vectors to seed cells"
         )
     smat = np.array([list(r._v) for r in sample], dtype=np.float64)
-    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cent = smat[
-        rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)
-    ]
+    nrm2 = np.zeros(len(smat), dtype=np.float64)
+    for d in range(smat.shape[1]):  # sequential fold, see _seq_fold_dot
+        nrm2 += smat[:, d] * smat[:, d]
+    u = _micro_away(smat / np.maximum(np.sqrt(nrm2), 1e-12)[:, None])
+    uf = u.astype(np.float64)  # micro ints are exactly representable
+    k = min(n_centroids, len(u))
+
+    def _centroid(sum_u: np.ndarray, n: int) -> np.ndarray:
+        m = sum_u.astype(np.float64) / (n * 1e6)
+        mn2 = 0.0
+        for x in m:  # sequential fold
+            mn2 += x * x
+        return m / max(np.sqrt(mn2), 1e-12)
+
+    cent = np.stack([_centroid(u[c], 1) for c in range(k)])
     for _ in range(kmeans_iters):
-        assign = np.argmax(smat @ cent.T, axis=1)  # cosine on unit vectors
+        assign = np.argmax(_seq_fold_dot(uf, cent), axis=1)
         for c in range(len(cent)):
-            members = smat[assign == c]
+            members = u[assign == c]
             if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+                cent[c] = _centroid(members.sum(axis=0), len(members))
     return cent
 
 

@@ -2447,11 +2447,124 @@ def j2_fuzzy_difflib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")
+def _ivf_trained_oracle_sql(
+    n_centroids: int = 16,
+    kmeans_iters: int = 8,
+    sample_size: int = 2048,
+    n_probe: int = 6,
+    k: int = 5,
+) -> str:
+    """Full value oracle for the TRAINED k-means IVF — the query that was
+    rows-only through round 3 because its index derived from a
+    driver-side numpy sample.  `similarity._kmeans_centroids` is now
+    engine-replayable (md5-hash-ordered sample, first-k seeding,
+    sequential-fold dots, integer micro-unit cell means), so this oracle
+    UNROLLS the whole training — one CTE block per k-means iteration:
+    assign every sample row to its nearest centroid (row_number over
+    (dot DESC, cell), the kernel's first-max tie-break), integer-sum the
+    snapped member coordinates per (cell, dim) — order-independent where
+    a raw double group sum is not — rebuild + renormalize centroids with
+    the exact pinned op order of `_centroid`, and carry empty cells
+    forward — then replays the standard IVF search path (cell argmax,
+    top-n_probe probe, exact cosine, rank) from `_ivf_fixed_oracle_sql`."""
+    it = [
+        f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, u, c FROM (
+        SELECT su.vec_id, su.u, cc.c,
+               row_number() OVER (PARTITION BY su.vec_id
+                   ORDER BY list_dot_product(
+                       list_transform(su.u, x -> x::DOUBLE), cc.cv) DESC,
+                       cc.c) AS arn
+        FROM su CROSS JOIN c{i - 1} cc)
+      WHERE arn = 1),
+    e{i} AS (SELECT c, unnest(range(len(u)))::INT AS d, unnest(u) AS x
+             FROM a{i}),
+    g{i} AS (SELECT c, d, sum(x)::BIGINT AS sx, count(*)::BIGINT AS n
+             FROM e{i} GROUP BY c, d),
+    m{i} AS MATERIALIZED (SELECT c, list(sx::DOUBLE / (n::DOUBLE * 1000000.0)
+                            ORDER BY d) AS m
+             FROM g{i} GROUP BY c),
+    c{i} AS MATERIALIZED (
+      SELECT c, list_transform(m,
+                 x -> x / greatest(sqrt(list_dot_product(m, m)), 1e-12))
+                 AS cv
+      FROM m{i}
+      UNION ALL
+      SELECT p.c, p.cv FROM c{i - 1} p
+      WHERE p.c NOT IN (SELECT c FROM m{i}))"""
+        for i in range(1, kmeans_iters + 1)
+    ]
+    last = f"c{kmeans_iters}"
+    return f"""
+    WITH samp AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v, rn FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                   ORDER BY substring(md5('ivf:' || vec_id::varchar), 1, 8),
+                            vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= {sample_size}),
+    su AS MATERIALIZED (
+      SELECT vec_id, rn,
+             list_transform(v,
+               x -> round(x / greatest(sqrt(list_dot_product(v, v)), 1e-12)
+                          * 1000000.0)::BIGINT) AS u
+      FROM samp),
+    m0 AS (SELECT rn - 1 AS c,
+                  list_transform(u, s -> s::DOUBLE / 1000000.0) AS m
+           FROM su WHERE rn <= {n_centroids}),
+    c0 AS MATERIALIZED (SELECT c, list_transform(m,
+               x -> x / greatest(sqrt(list_dot_product(m, m)), 1e-12)) AS cv
+           FROM m0),
+    {",".join(it)},
+    corp AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+    cassign AS (
+      SELECT vec_id, c FROM (
+        SELECT cd.vec_id, cd.c,
+               row_number() OVER (PARTITION BY cd.vec_id
+                                  ORDER BY cd.d DESC, cd.c) AS rn
+        FROM (SELECT corp.vec_id, cc.c,
+                     list_dot_product(corp.v, cc.cv) AS d
+              FROM corp CROSS JOIN {last} cc) cd)
+      WHERE rn = 1),
+    qprobe AS (
+      SELECT qid, c FROM (
+        SELECT qd.qid, qd.c,
+               row_number() OVER (PARTITION BY qd.qid
+                                  ORDER BY qd.d DESC, qd.c) AS rn
+        FROM (SELECT q.qid, cc.c,
+                     list_dot_product(q.qv, cc.cv) AS d
+              FROM q CROSS JOIN {last} cc) qd)
+      WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT qp.qid, ca.vec_id
+      FROM qprobe qp JOIN cassign ca ON qp.c = ca.c
+      WHERE ca.vec_id != qp.qid),
+    s AS (
+      SELECT cand.qid, cand.vec_id,
+             round(list_dot_product(q.qv, corp.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(corp.v, corp.v))), 6) AS cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN corp ON corp.vec_id = cand.vec_id),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM s)
+    SELECT qid AS query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_trained_oracle_sql())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (seeded mini-k-means cells + n_probe search) — the
-    scale-path counterpart of the LSH variant.  Rows-only; recall vs exact
-    asserted in tests."""
+    """IVF-Flat ANN with a TRAINED mini-k-means index — the scale-path
+    counterpart of the LSH variant, and since r4 fully value-oracled:
+    `_kmeans_centroids` is engine-replayable (hash-ordered sample,
+    first-k seeding, sequential folds, integer micro-unit means), so
+    `_ivf_trained_oracle_sql` unrolls the 8 training iterations in SQL
+    and replays the search path on the resulting centroids."""
     from mistral_ocr_pipeline_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -2525,3 +2525,57 @@ class TestPerplexityBuckets:
         df = spark.createDataFrame([(1, "a", 0.0)], "doc_id long, lang string, s double")
         with pytest.raises(ValueError, match="labels"):
             perplexity_buckets(df, "doc_id", "s", "lang", n_buckets=4)
+
+
+class TestKmeansReplayHelpers:
+    """The numpy kernels backing the trained-IVF SQL replay: `_micro_away`
+    must agree with the scalar `_micro` on every boundary, and
+    `_seq_fold_dot` must be the left-to-right fold (not pairwise)."""
+
+    def test_micro_away_matches_scalar_micro(self):
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            _micro,
+            _micro_away,
+        )
+
+        xs = [0.0, 0.5e-6, -0.5e-6, 1.5e-6, -1.5e-6, 0.1234565,
+              -0.1234565, 0.9999995, -0.9999995, 1.0, -1.0, 0.3333333]
+        got = _micro_away(np.array(xs, dtype=np.float64))
+        assert [int(v) for v in got] == [_micro(x) for x in xs]
+
+    def test_seq_fold_dot_is_sequential(self):
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            _seq_fold_dot,
+        )
+
+        rng = np.random.RandomState(3)
+        a, b = rng.standard_normal((5, 64)), rng.standard_normal((3, 64))
+        got = _seq_fold_dot(a, b)
+        for i in range(5):
+            for j in range(3):
+                acc = 0.0
+                for d in range(64):
+                    acc += a[i, d] * b[j, d]
+                assert got[i, j] == acc  # bitwise, not approx
+
+    def test_trained_centroids_are_unit_and_layout_invariant(self, spark):
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            _kmeans_centroids,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)])
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        c1 = _kmeans_centroids(df, "vec_id", "embedding", 4, 3, 100, 0)
+        c2 = _kmeans_centroids(
+            df.repartition(7), "vec_id", "embedding", 4, 3, 100, 0
+        )
+        assert np.array_equal(c1, c2)  # bitwise across layouts
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
