@@ -584,3 +584,83 @@ class TableCatalog:
             return self.read(table).limit(0)
         base = os.path.join(self.warehouse, cur)
         return self.spark.read.parquet(*[os.path.join(base, f) for f in new])
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+        validate_unique: bool = True,
+    ) -> None:
+        """Keyed MERGE (Iceberg ``MERGE INTO t USING s ON keys WHEN
+        MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *``): rows of
+        ``df`` REPLACE current rows sharing their key, everything else is
+        inserted — the idempotent-ingest primitive (re-running a
+        corrected extraction batch must update, not duplicate).
+
+        Copy-on-write: survivors = current ⟨left_anti on keys⟩ source,
+        unioned with the source and staged as one new snapshot — the
+        whole merge publishes in ONE atomic commit, so readers see either
+        the pre-merge or the post-merge table, never a mix, and time
+        travel to the pre-merge snapshot still works.  The anti-join is
+        declarative — AQE broadcasts the source keys when the batch is
+        small (the common case) and shuffle-joins when it is not.  The
+        staged snapshot's base is validated at commit like every write
+        here, so a concurrent committer surfaces as CommitConflictError,
+        not lost updates.  Schema evolution rides the union:
+        source-added columns surface as nulls on pre-merge rows.
+
+        At 10^12 turns this COW form rewrites the table's data files; the
+        hardlink `append` stays the right tool for pure inserts, and
+        partition ``drop_partition_dirs`` + append covers
+        partition-replace.  A merge-on-read (delete files + read-time
+        anti-join) is a catalog-format feature out of scope here.
+
+        ``validate_unique`` (one cheap agg over the SOURCE batch) raises
+        when ``df`` carries duplicate keys — Iceberg rejects multi-row
+        matches for the same reason: "both rows win" is not a meaning."""
+        from pyspark.sql import functions as F
+
+        if validate_unique:
+            dup = (
+                df.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                key = {c: dup[0][c] for c in key_cols}
+                raise ValueError(
+                    f"merge_upsert source has duplicate key {key}; "
+                    "dedupe the batch or define a precedence upstream"
+                )
+        if not self.exists(table):
+            self.overwrite(df, table, partition_by)
+            return
+        current = self.read(table, merge_schema=True)
+        survivors = current.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(df, allowMissingColumns=True)
+        self.overwrite(merged, table, partition_by)
+
+    def merge_delete(
+        self,
+        keys: DataFrame,
+        table: str,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Keyed DELETE (``MERGE … WHEN MATCHED THEN DELETE`` /
+        ``DELETE WHERE key IN …``): drop every current row whose key
+        appears in ``keys`` — the right-to-be-forgotten / bad-batch-
+        retraction primitive.  Same copy-on-write single-commit shape as
+        `merge_upsert`; deleting from a missing table is a no-op."""
+        if not self.exists(table):
+            return
+        survivors = self.read(table, merge_schema=True).join(
+            keys.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        self.overwrite(survivors, table, partition_by)

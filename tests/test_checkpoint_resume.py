@@ -400,3 +400,93 @@ class TestIncrementalRead:
         cat.expire_snapshots("t", keep_last=1)
         with _pytest.raises(FileNotFoundError, match="expired"):
             cat.read_incremental("t", snap1)
+
+
+class TestMergeUpsert:
+    def _cat(self, spark, tmp_path):
+        return TableCatalog(spark, str(tmp_path / "wh_merge"))
+
+    def test_update_and_insert_in_one_commit(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.overwrite(
+            spark.createDataFrame(
+                [(1, "old-a"), (2, "old-b"), (3, "old-c")], "id long, v string"
+            ),
+            "docs",
+        )
+        pre = cat.current_tables()["docs"]
+        cat.merge_upsert(
+            spark.createDataFrame(
+                [(2, "NEW-b"), (9, "NEW-i")], "id long, v string"
+            ),
+            "docs",
+            ["id"],
+        )
+        got = {r.id: r.v for r in cat.read("docs").collect()}
+        assert got == {1: "old-a", 2: "NEW-b", 3: "old-c", 9: "NEW-i"}
+        # time travel: pre-merge snapshot intact (atomic single commit)
+        old = {r.id: r.v for r in cat.read("docs", snapshot=pre.split("/")[1]).collect()}
+        assert old == {1: "old-a", 2: "old-b", 3: "old-c"}
+
+    def test_rerun_is_idempotent(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.overwrite(
+            spark.createDataFrame([(1, "a")], "id long, v string"), "docs"
+        )
+        batch = spark.createDataFrame([(1, "a2"), (2, "b")], "id long, v string")
+        cat.merge_upsert(batch, "docs", ["id"])
+        once = sorted(map(tuple, cat.read("docs").collect()))
+        cat.merge_upsert(batch, "docs", ["id"])
+        assert sorted(map(tuple, cat.read("docs").collect())) == once
+
+    def test_duplicate_source_keys_rejected(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.overwrite(
+            spark.createDataFrame([(1, "a")], "id long, v string"), "docs"
+        )
+        dup = spark.createDataFrame([(2, "x"), (2, "y")], "id long, v string")
+        with pytest.raises(ValueError, match="duplicate key"):
+            cat.merge_upsert(dup, "docs", ["id"])
+
+    def test_missing_table_becomes_create(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.merge_upsert(
+            spark.createDataFrame([(5, "v")], "id long, v string"),
+            "fresh",
+            ["id"],
+        )
+        assert {r.id for r in cat.read("fresh").collect()} == {5}
+
+    def test_schema_evolution_on_merge(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.overwrite(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            "docs",
+        )
+        cat.merge_upsert(
+            spark.createDataFrame(
+                [(2, "b2", 0.5)], "id long, v string, score double"
+            ),
+            "docs",
+            ["id"],
+        )
+        rows = {r.id: (r.v, r.score) for r in cat.read("docs").collect()}
+        assert rows[2] == ("b2", 0.5)
+        assert rows[1] == ("a", None)  # pre-merge row null-filled
+
+    def test_merge_delete(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        cat.overwrite(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+            ),
+            "docs",
+        )
+        cat.merge_delete(
+            spark.createDataFrame([(2,), (99,)], "id long"), "docs", ["id"]
+        )
+        assert {r.id for r in cat.read("docs").collect()} == {1, 3}
+        # deleting from a missing table is a no-op, not a crash
+        cat.merge_delete(
+            spark.createDataFrame([(1,)], "id long"), "nope", ["id"]
+        )
