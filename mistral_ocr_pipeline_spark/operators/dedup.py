@@ -942,10 +942,18 @@ def paragraph_dedup(
     partition — joined back on the digest (count-free, so AQE can
     broadcast the small distinct-digest side when it fits and
     skew-split the join when it doesn't).  One groupBy(id) reassembles
-    in paragraph order.  Returns (id, text_clean, n_kept, n_removed)."""
+    in paragraph order.  Returns (id, text_clean, n_kept, n_removed).
+    NULL text is treated as '' (one empty, never-deduped paragraph) so
+    the document survives into the output instead of vanishing from the
+    explode.  ``sep`` is a LITERAL separator (regex-escaped for the
+    split, verbatim for the rejoin)."""
+    import re
+
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
+        ).alias("pos", "para"),
     )
     eligible = F.length(F.trim(F.col("para"))) >= min_para_chars
     keyed = paras.withColumn(
@@ -1188,9 +1196,14 @@ def semdedup(
     # products per row).  Both branches share ONE keyed frame; note that
     # in a single lazy plan Catalyst still evaluates the subtree once per
     # branch (no DataFrame-level CTE reuse), so the at-scale form passes
-    # ``keyed`` = a PERSISTED assignment table (`similarity.ivf_build`
-    # shape, or semantic_assign written through the catalog) and the
-    # argmax runs exactly once per corpus, not once per semdedup call.
+    # ``keyed`` = a PERSISTED assignment table with EXACTLY the
+    # `_assign_cells` columns — (id, vec, cell, csim); the vec column
+    # must be retained because `semantic_pairs` re-scores within-cell
+    # pairs — i.e. write `_assign_cells(...)` output through the catalog
+    # (NOT `semantic_assign`, which drops vec, and NOT raw
+    # `similarity.ivf_build` output, whose columns are named
+    # differently); then the argmax runs once per corpus, not once per
+    # semdedup call.
     if keyed is None:
         keyed = _assign_cells(
             ensure_parallelism(df).select(

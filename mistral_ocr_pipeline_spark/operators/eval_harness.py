@@ -11,9 +11,11 @@ Field comparators (reference compare_results.py:490-787):
 * ``text``    — normalized Levenshtein similarity ≥ threshold (C5-family;
                 SQL-replayable, unlike difflib).
 
-Rollups (reference compare_results.py:858-901,1022-1101): overall accuracy,
-per-field accuracy, per-row (per-paper) accuracy, each as mean of 0/1
-scores excluding unmatched rows — one groupBy each, all Catalyst exprs."""
+Rollups (reference compare_results.py:855-901,1261-1263): overall,
+per-field, and per-row (per-paper) accuracy, each a mean over the
+``sc >= 0`` field scores — unmatched rows enter at a flat 0.0 per field
+(:807-818); only matched both-empty fields (the -1 sentinel, NULL here)
+are excluded — one groupBy each, all Catalyst exprs."""
 
 from __future__ import annotations
 
@@ -39,15 +41,17 @@ class FieldSpec:
 
 
 def _field_score(l: Column, r: Column, spec: FieldSpec) -> Column:
-    """Faithful to compare_results.py's sentinel scheme (cmp_* at
-    :496-597): BOTH sides empty → NULL (the reference's -1
+    """Faithful to compare_results.py's MATCHED-row sentinel scheme
+    (cmp_* at :496-597): BOTH sides empty → NULL (the reference's -1
     exclude-from-scoring sentinel — the only case that leaves the
     rollups); review empty but output present → 0.25 ('extra');
-    review present but output empty → 0.0 ('missing', which also covers
-    UNMATCHED rows — the reference scores them 0.0 per field and counts
-    them in accuracy, :807-818 + the sc >= 0 rollup rule); otherwise
-    1.0/0.0 by the kind's comparator.  'Empty' means null or
-    whitespace-only, the reference's strip() falsiness."""
+    review present but output empty → 0.0 ('missing'); otherwise 1.0/0.0
+    by the kind's comparator.  'Empty' means null or whitespace-only,
+    the reference's strip() falsiness.  UNMATCHED rows never reach these
+    sentinels: `evaluate` overrides them to a flat 0.0 per field BEFORE
+    this comparator (:807-818 scores `out is None` 0.0 unconditionally
+    — even when the review side is itself empty, so the both-empty
+    exclusion must not fire there)."""
 
     def empty(c: Column) -> Column:
         return c.isNull() | (F.trim(c.cast("string")) == "")
@@ -98,9 +102,14 @@ def evaluate(
     """Returns {"scores", "per_field", "per_row", "overall"} DataFrames.
 
     Match stage = J2 fuzzy best-match (broadcast cross join + two-stage
-    windows); unmatched review rows score NULL on every field and surface
-    in ``overall.n_unmatched`` (left-outer semantics,
-    compare_results.py:113-121).
+    windows); unmatched review rows score a flat 0.0 on EVERY field
+    (compare_results.py:807-818), enter every rollup, and surface in
+    ``overall.n_unmatched``.  Rollups follow the reference's ``sc >= 0``
+    rule (:855-895): ``per_field.accuracy`` and ``overall_accuracy`` are
+    means over all non-excluded field scores — ``overall`` is the FLAT
+    mean across (row, field) scores, not a mean of per-row means — and
+    only matched both-empty fields (the -1 sentinel, here NULL) are
+    excluded.  ``per_row.row_accuracy`` is the per-paper analog.
 
     ``sequential=True`` switches to the REFERENCE-PARITY greedy matcher
     (``fuzzy_best_match_sequential``): reviews processed in id order, a
@@ -132,13 +141,19 @@ def evaluate(
         *[F.col(s.name).alias(f"r_{s.name}") for s in fields],
     )
     joined = matches.join(l, "left_id").join(r, "right_id", "left")
+    unmatched = F.col("right_id").isNull()
     scores = joined.select(
         "left_id",
         "right_id",
         *[
-            _field_score(F.col(f"l_{s.name}"), F.col(f"r_{s.name}"), s).alias(
-                f"score_{s.name}"
+            # :807-818 — an unmatched review row scores 0.0 on every
+            # field UNCONDITIONALLY (the matched-row empty sentinels,
+            # including the both-empty exclusion, must not apply)
+            F.when(unmatched, F.lit(0.0))
+            .otherwise(
+                _field_score(F.col(f"l_{s.name}"), F.col(f"r_{s.name}"), s)
             )
+            .alias(f"score_{s.name}")
             for s in fields
         ],
     )
@@ -175,12 +190,18 @@ def evaluate(
         F.round(F.avg("score"), 6).alias("accuracy"),
         F.count("score").alias("n_scored"),
     )
-    overall = per_row.agg(
-        F.round(F.avg(F.when(~F.col("unmatched"), F.col("row_accuracy"))), 6).alias(
-            "overall_accuracy"
-        ),
+    # the reference's overall (:861-864) is the FLAT mean over every
+    # sc >= 0 (field, row) score — unmatched rows' zeros included —
+    # which is exactly the stacked per-field frame's mean, NOT the mean
+    # of per-row means (those weight rows equally regardless of how many
+    # of their fields were excluded)
+    counts = per_row.agg(
         F.sum(F.col("unmatched").cast("long")).alias("n_unmatched"),
         F.count(F.lit(1)).alias("n_review_rows"),
+    )
+    overall = (
+        stacked.agg(F.round(F.avg("score"), 6).alias("overall_accuracy"))
+        .crossJoin(counts)
     )
     return {
         "scores": scores,

@@ -424,20 +424,27 @@ def ivf_topk(
     column and reused across queries.
 
     ``centroids``: a data-independent (n_centroids, dim) float64 array to
-    use INSTEAD of the k-means build — the deterministic-index variant a
-    SQL oracle can replay literal-for-literal (the k-means index derives
-    from a driver-side sample, so no static SQL can reproduce it; the
-    search path is identical either way)."""
-    if centroids is not None:
-        cent = np.asarray(centroids, dtype=np.float64)
-    else:
-        cent = _kmeans_centroids(
-            corpus, id_col, vec_col, n_centroids, kmeans_iters, sample_size, seed
-        )
-
+    use INSTEAD of the k-means build — the literal-replay oracle variant;
+    since late r4 the TRAINED path is also SQL-replayable
+    (`_kmeans_centroids` is engine-deterministic and
+    ``_ivf_trained_oracle_sql`` unrolls the iterations), so both variants
+    carry full value oracles; the search path is identical either way.
+    ``seed`` is accepted for API compatibility but has no effect — see
+    `ivf_build`."""
+    # guards BEFORE the index build: an empty query batch must not pay
+    # (or an empty corpus crash in) the sample collect + k-means loop —
+    # the empty-cycle contract every ANN entry point keeps
     qids, qmat = _collect_queries(queries, query_id_col, vec_col)
     if qids.size == 0:
         return _empty_topk(corpus)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        if corpus.select(id_col).first() is None:
+            return _empty_topk(corpus)
+        cent = _kmeans_centroids(
+            corpus, id_col, vec_col, n_centroids, kmeans_iters, sample_size, seed
+        )
     q_cells = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat, q_cells, cent, k))
@@ -488,7 +495,14 @@ def ivf_build(
     shape for one-off queries but an O(corpus) rescan per batch when
     queries arrive continuously.  With a persisted assignment table each
     search touches only the probed cells' partitions (partition pruning on
-    ``cell``), the warehouse IVF layout."""
+    ``cell``), the warehouse IVF layout.
+
+    ``seed`` is accepted for API compatibility but has NO effect since
+    the training became engine-replayable (see `_kmeans_centroids`:
+    seeding is the head of the content-hash order, not an RNG draw) —
+    two builds over the same corpus yield identical indexes regardless
+    of seed; vary ``sample_size``/``n_centroids`` for genuinely
+    different indexes."""
     cent = _kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, kmeans_iters, sample_size, seed
     )

@@ -606,10 +606,13 @@ class TableCatalog:
         travel to the pre-merge snapshot still works.  The anti-join is
         declarative — AQE broadcasts the source keys when the batch is
         small (the common case) and shuffle-joins when it is not.  The
-        staged snapshot's base is validated at commit like every write
-        here, so a concurrent committer surfaces as CommitConflictError,
-        not lost updates.  Schema evolution rides the union:
-        source-added columns surface as nulls on pre-merge rows.
+        optimistic-concurrency base is captured at READ time — the
+        snapshot the merged frame was actually computed from — not at
+        stage time, so a writer landing anywhere in the read→commit
+        window surfaces as CommitConflictError (re-run the merge from
+        the new current), never as lost updates.  Schema evolution rides
+        the union: source-added columns surface as nulls on pre-merge
+        rows.
 
         At 10^12 turns this COW form rewrites the table's data files; the
         hardlink `append` stays the right tool for pure inserts, and
@@ -639,12 +642,53 @@ class TableCatalog:
         if not self.exists(table):
             self.overwrite(df, table, partition_by)
             return
+        base = self.current_tables().get(table)
         current = self.read(table, merge_schema=True)
         survivors = current.join(
             df.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = survivors.unionByName(df, allowMissingColumns=True)
-        self.overwrite(merged, table, partition_by)
+        self._commit_cow(merged, table, base, partition_by)
+
+    def _current_partition_cols(self, table: str) -> list[str]:
+        """Partition columns of the CURRENT snapshot, inferred from its
+        hive-style ``col=value`` directory layout (the catalog keeps no
+        layout metadata; the layout IS the directories)."""
+        dp = self.data_path(table)
+        cols: list[str] = []
+        d = dp
+        while d and os.path.isdir(d):
+            sub = [
+                s for s in sorted(os.listdir(d))
+                if "=" in s and os.path.isdir(os.path.join(d, s))
+            ]
+            if not sub:
+                break
+            cols.append(sub[0].split("=", 1)[0])
+            d = os.path.join(d, sub[0])
+        return cols
+
+    def _commit_cow(
+        self,
+        merged: DataFrame,
+        table: str,
+        base: str | None,
+        partition_by: list[str] | None,
+    ) -> None:
+        """Shared copy-on-write publish for the merge primitives: stage
+        the rewritten table, pin the base to the snapshot the frame was
+        COMPUTED from (read time — `stage_overwrite` records the current
+        snapshot at stage time, which would let a commit landing in the
+        read→stage window pass validation and be silently overwritten),
+        and preserve the table's existing hive layout when the caller
+        does not re-state ``partition_by`` (a COW rewrite that silently
+        de-partitions a partitioned table costs every later read its
+        partition pruning)."""
+        if partition_by is None:
+            partition_by = self._current_partition_cols(table) or None
+        rel = self.stage_overwrite(merged, table, partition_by)
+        self._staged_bases[rel] = base
+        self.commit({table: rel})
 
     def merge_delete(
         self,
@@ -660,7 +704,8 @@ class TableCatalog:
         `merge_upsert`; deleting from a missing table is a no-op."""
         if not self.exists(table):
             return
+        base = self.current_tables().get(table)
         survivors = self.read(table, merge_schema=True).join(
             keys.select(*key_cols).distinct(), key_cols, "left_anti"
         )
-        self.overwrite(survivors, table, partition_by)
+        self._commit_cow(survivors, table, base, partition_by)

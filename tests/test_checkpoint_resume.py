@@ -490,3 +490,51 @@ class TestMergeUpsert:
         cat.merge_delete(
             spark.createDataFrame([(1,)], "id long"), "nope", ["id"]
         )
+
+
+class TestMergeConcurrencyAndLayout:
+    def test_commit_landing_in_read_window_raises(self, spark, tmp_path):
+        """The merge base is captured at READ time: a writer committing
+        between the merge's read and its commit must surface as
+        CommitConflictError, never as silently lost updates."""
+        from mistral_ocr_pipeline_spark.sources.catalog import (
+            CommitConflictError,
+        )
+
+        cat = TableCatalog(spark, str(tmp_path / "wh_race"))
+        cat.overwrite(
+            spark.createDataFrame([(1, "a")], "id long, v string"), "docs"
+        )
+        base = cat.current_tables()["docs"]
+        merged = cat.read("docs").unionByName(
+            spark.createDataFrame([(2, "b")], "id long, v string")
+        )
+        # a concurrent writer lands AFTER the read captured its base
+        cat.overwrite(
+            spark.createDataFrame([(9, "z")], "id long, v string"), "docs"
+        )
+        with pytest.raises(CommitConflictError):
+            cat._commit_cow(merged, "docs", base, None)
+        # the conflicting writer's row is still there (nothing lost)
+        assert {r.id for r in cat.read("docs").collect()} == {9}
+
+    def test_merge_preserves_partition_layout(self, spark, tmp_path):
+        cat = TableCatalog(spark, str(tmp_path / "wh_layout"))
+        cat.overwrite(
+            spark.createDataFrame(
+                [(1, "en", "a"), (2, "de", "b")], "id long, lang string, v string"
+            ),
+            "docs",
+            partition_by=["lang"],
+        )
+        cat.merge_upsert(
+            spark.createDataFrame([(2, "de", "B2")], "id long, lang string, v string"),
+            "docs",
+            ["id"],
+        )
+        # hive layout survived the COW rewrite without re-stating it
+        assert cat._current_partition_cols("docs") == ["lang"]
+        dp = cat.data_path("docs")
+        assert any(s.startswith("lang=") for s in os.listdir(dp))
+        got = {r.id: r.v for r in cat.read("docs").collect()}
+        assert got == {1: "a", 2: "B2"}

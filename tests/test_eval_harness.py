@@ -182,3 +182,35 @@ def test_field_score_sentinels_reference_parity(spark):
     assert got[4] is None   # both_empty → the -1 exclusion sentinel
     pf = res["per_field"].first()
     assert pf.n_scored == 3  # the both-empty row left the rollup
+
+
+def test_unmatched_rows_score_zero_and_enter_flat_overall(spark):
+    """Review-finding parity pins (compare_results.py:807-818 + :861-864):
+    an UNMATCHED review row scores 0.0 on every field even when its own
+    review-side value is empty (the matched-row both-empty exclusion must
+    not fire), and overall_accuracy is the FLAT mean over all sc>=0
+    (row, field) scores — unmatched zeros included."""
+    review = spark.createDataFrame(
+        [
+            (1, "shared title alpha beta gamma", "2021"),
+            (2, "completely different unmatched title", ""),  # empty year!
+        ],
+        "rid long, title string, year string",
+    )
+    output = spark.createDataFrame(
+        [(10, "shared title alpha beta gamma", "2021")],
+        "oid long, title string, year string",
+    )
+    res = evaluate(
+        review, output, "rid", "oid", ("title", "title"),
+        [FieldSpec("year", "year")],
+    )
+    got = {r.left_id: r for r in res["scores"].collect()}
+    assert got[2].right_id is None
+    assert got[2].score_year == 0.0      # NOT None: unmatched beats both-empty
+    pf = res["per_field"].first()
+    assert pf.n_scored == 2              # the unmatched zero is IN the rollup
+    assert pf.accuracy == 0.5
+    ov = res["overall"].first()
+    assert ov.overall_accuracy == 0.5    # flat mean (1.0 + 0.0) / 2
+    assert ov.n_unmatched == 1 and ov.n_review_rows == 2

@@ -2579,3 +2579,42 @@ class TestKmeansReplayHelpers:
         )
         assert np.array_equal(c1, c2)  # bitwise across layouts
         assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
+class TestReviewRegressionFixes:
+    """Pins for the late-r4 structured-review findings."""
+
+    def test_paragraph_dedup_preserves_null_text_doc(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "real paragraph content here"), (2, None)],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+        assert 2 in got                      # the doc did not vanish
+        assert got[2].text_clean == ""
+        assert got[2].n_removed == 0
+
+    def test_paragraph_dedup_literal_separator_with_regex_metachar(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsi|unique second block here")],
+            "doc_id long, text string",
+        )
+        row = paragraph_dedup(df, "doc_id", "text", sep="|").first()
+        # '|' as a regex would split every character; as a literal it
+        # yields exactly the two blocks and rejoins them verbatim
+        assert row.n_kept == 2
+        assert row.text_clean == "alpha beta gamma delta epsi|unique second block here"
+
+    def test_ivf_empty_corpus_trained_path_returns_empty(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import ivf_topk
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        out = ivf_topk(empty, queries, k=3, n_centroids=2)
+        assert out.count() == 0
