@@ -358,10 +358,10 @@ def perplexity_buckets(
     pre-rounded (6 dp) upstream so the order itself is cross-engine
     stable.  Scale note: the window sorts each language's rows — one
     sort per language partition, acceptable because stratification runs
-    once per corpus build; the incremental/streaming form replaces
-    ntile with FIXED score thresholds (the previous build's per-language
-    tercile boundaries via `a11`-style exact or approx percentiles), a
-    scan-level CASE with no window at all."""
+    once per corpus build; the incremental/streaming form is
+    `perplexity_thresholds` + `apply_perplexity_thresholds` below —
+    frozen per-language boundaries broadcast onto the scan, no window
+    at all."""
     if len(labels) != n_buckets:
         raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
     from pyspark.sql import Window as W
@@ -375,6 +375,65 @@ def perplexity_buckets(
         scored.withColumn("_b", F.ntile(n_buckets).over(w))
         .withColumn("bucket", label)
         .drop("_b")
+    )
+
+
+def perplexity_thresholds(
+    scored: DataFrame,
+    score_col: str = "surprisal",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Per-group EXACT percentile boundaries for `perplexity_buckets`'
+    scan-level form: one map-side-combinable aggregate emitting
+    (group, bounds[n_buckets-1]) — language-cardinality output meant to
+    be persisted from the PREVIOUS corpus build and broadcast onto the
+    next (the CCNet production shape: thresholds are frozen per release,
+    new documents bucket by comparison, no window, no sort).  At 100 TB
+    swap `percentile` for `percentile_approx` — same plan shape, and a
+    t-digest boundary shifting by a few documents moves rows only
+    between ADJACENT buckets."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return scored.groupBy(F.col(group_col).alias("group")).agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias(
+            "bounds"
+        )
+    )
+
+
+def apply_perplexity_thresholds(
+    df: DataFrame,
+    thresholds: DataFrame,
+    score_col: str = "surprisal",
+    group_col: str = "lang",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Bucket rows against FROZEN boundaries: broadcast the
+    language-cardinality thresholds onto the scan and count boundary
+    crossings — a pure scan-level expression, zero shuffle on the corpus
+    (the window-free twin of `perplexity_buckets`; exact agreement on
+    the build that produced the thresholds is boundary-tie-modulo —
+    ntile splits equal counts, thresholds split at values).  Rows of
+    groups absent from ``thresholds`` keep a NULL bucket (surface new
+    languages rather than silently mislabeling them)."""
+    idx = F.aggregate(
+        F.col("bounds"),
+        F.lit(0),
+        lambda acc, b: acc + (F.col(score_col) > b).cast("int"),
+    )
+    label = F.lit(None).cast("string")
+    for i, name in enumerate(labels):
+        label = F.when(idx == i, F.lit(name)).otherwise(label)
+    return (
+        df.join(
+            F.broadcast(thresholds.withColumnRenamed("group", group_col)),
+            group_col,
+            "left",
+        )
+        .withColumn(
+            "bucket", F.when(F.col("bounds").isNotNull(), label)
+        )
+        .drop("bounds")
     )
 
 

@@ -2618,3 +2618,46 @@ class TestReviewRegressionFixes:
         )
         out = ivf_topk(empty, queries, k=3, n_centroids=2)
         assert out.count() == 0
+
+
+class TestPerplexityThresholds:
+    def test_frozen_thresholds_bucket_scan_side(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            apply_perplexity_thresholds,
+            perplexity_thresholds,
+        )
+
+        build = spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(9)],
+            "doc_id long, lang string, surprisal double",
+        )
+        th = perplexity_thresholds(build)
+        bounds = th.first().bounds
+        assert len(bounds) == 2  # terciles → two boundaries
+        # new documents bucket against the FROZEN bounds, no window
+        incoming = spark.createDataFrame(
+            [(100, "a", -5.0), (101, "a", 4.5), (102, "a", 99.0),
+             (103, "zz", 1.0)],  # unseen language
+            "doc_id long, lang string, surprisal double",
+        )
+        got = {
+            r.doc_id: r.bucket
+            for r in apply_perplexity_thresholds(incoming, th).collect()
+        }
+        assert got[100] == "head" and got[101] == "middle" and got[102] == "tail"
+        assert got[103] is None  # unseen group surfaces, not mislabeled
+
+    def test_plan_is_broadcast_no_corpus_shuffle(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            apply_perplexity_thresholds,
+            perplexity_thresholds,
+        )
+
+        build = spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(9)],
+            "doc_id long, lang string, surprisal double",
+        )
+        out = apply_perplexity_thresholds(build, perplexity_thresholds(build))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "hashpartitioning(doc_id" not in plan

@@ -439,3 +439,53 @@ class TestPretrainPipelinePlan:
         # no global (empty-partition) sort anywhere in the composite —
         # the pack window partitions on shard, dedup/DSIR on keys
         assert "rangepartitioning" not in plan
+
+
+class TestLateR4OpPlans:
+    def test_paragraph_dedup_partial_agg_and_broadcast_flagback(self, spark, docs):
+        """The canonical-occurrence rule must be a map-side-combinable
+        min(struct) aggregate (partial_min before the digest exchange —
+        a hot paragraph collapses per input partition, never one giant
+        window sort), and the flag-back join must broadcast under AQE at
+        this scale."""
+        from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+        out = paragraph_dedup(docs, "doc_id", "text")
+        plan = _plan(out)
+        assert "partial_min" in plan, plan
+        assert "CartesianProduct" not in plan
+        out.write.format("noop").mode("overwrite").save()
+        final = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final
+
+    def test_unimax_mix_broadcasts_plan_no_corpus_shuffle(self, spark, docs):
+        """The language-cardinality allocation rides a broadcast onto the
+        corpus scan; the corpus itself must never hash-exchange — the
+        replica fan-out is scan-side explode."""
+        from mistral_ocr_pipeline_spark.operators.sampling import unimax_mix
+
+        src = docs.select(
+            "doc_id", "lang", F.length("text").cast("long").alias("tok")
+        )
+        out = unimax_mix(src, "doc_id", "lang", "tok", 100_000, 2)
+        out.write.format("noop").mode("overwrite").save()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        # the only exchanges allowed are broadcast (plan) + the tiny
+        # language-stats aggregation — never a corpus-sized hash exchange
+        # keyed on the document id
+        assert "hashpartitioning(doc_id" not in plan
+
+    def test_perplexity_buckets_single_window_per_lang(self, spark, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        scored = docs.select(
+            "doc_id", "lang", F.length("text").cast("double").alias("surprisal")
+        )
+        plan = _plan(perplexity_buckets(scored, "doc_id", "surprisal", "lang"))
+        # one hash exchange on lang for the ntile window; no global
+        # single-partition window, no range shuffle
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan
