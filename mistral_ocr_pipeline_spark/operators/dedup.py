@@ -709,6 +709,23 @@ def simhash_pairs(
     fps = shingle_sets(eligible, id_col, text_col, n, hash_basis=hash_basis).withColumn(
         "fp", _simhash_udf()(F.col("sh"))
     ).drop("sh")
+    return fingerprint_pairs(fps, max_hamming, max_bucket, observation)
+
+
+def fingerprint_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column — the band/verify
+    half of `simhash_pairs`, factored out so non-text fingerprints
+    (`multimodal.media_fingerprint`'s perceptual-hash analog for binary
+    payloads) reuse the identical blocking machinery.  Input: (id, fp
+    long).  4×16-bit band blocking (pigeonhole: any pair within hamming
+    ≤3 shares ≥1 exact band), salted bounded bucket collect, exact
+    ``bit_count(xor)`` verification — all JVM.  Output: (id_a, id_b,
+    hamming, bucket_truncated)."""
     bands = fps.select(
         "id",
         "fp",

@@ -252,3 +252,79 @@ def sample_frames(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
     return src.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def media_fingerprint(
+    df: DataFrame,
+    deterministic_fake: bool = False,
+    gram: int = 4,
+) -> DataFrame:
+    """(media_id, fp) — 64-bit perceptual-hash fingerprint per media item,
+    the image-dedup index column.
+
+    The REAL kernel (decode → grayscale → 32×32 DCT → top-left 8×8 sign
+    bits — classic pHash) needs image codecs this container doesn't ship,
+    so like every decode in this module it raises unless
+    ``deterministic_fake=True``.  The fake is not a checksum, though —
+    dedup needs LOCALITY: it computes a simhash over character
+    ``gram``-grams of the payload decoded as UTF-8, so near-identical
+    payloads land at small hamming distance exactly as near-identical
+    images would under real pHash.  The fake path is all-JVM gram
+    hashing (md5 big-endian basis — SQL-replayable) + the shared
+    batch-vectorized majority kernel (`dedup._simhash_udf`); payloads
+    shorter than ``gram`` characters are dropped (no grams → a shared
+    all-zero fingerprint would cross-match every short payload)."""
+    if not deterministic_fake:
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "perceptual hashing requires an image codec library; not "
+                "available in this container — pass deterministic_fake=True "
+                "for the locality-preserving test double"
+            )
+            yield  # pragma: no cover
+
+        return df.select("media_id", "payload").mapInPandas(
+            kernel,
+            T.StructType(
+                [
+                    T.StructField("media_id", T.LongType(), False),
+                    T.StructField("fp", T.LongType(), False),
+                ]
+            ),
+        )
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        _md5_be_long,
+        _simhash_udf,
+    )
+
+    decoded = F.decode(F.col("payload"), "UTF-8")
+    n_grams = F.length(decoded) - (gram - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: decoded.substr(i, F.lit(gram))
+    )
+    hs = F.array_distinct(F.transform(grams, _md5_be_long))
+    return (
+        df.filter(F.length(F.decode(F.col("payload"), "UTF-8")) >= gram)
+        .select(F.col("media_id").alias("id"), hs.alias("_hs"))
+        .select("id", _simhash_udf()(F.col("_hs")).alias("fp"))
+        .withColumnRenamed("id", "media_id")
+    )
+
+
+def media_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Image/media near-duplicate pairs: `media_fingerprint` + the shared
+    `dedup.fingerprint_pairs` band/verify machinery (4×16-bit band
+    blocking, salted bounded buckets, exact bit_count(xor)) — the
+    re-encoded/resized-copy dedup step of a multimodal training pipeline,
+    with the same scale bounds as text SimHash."""
+    from mistral_ocr_pipeline_spark.operators.dedup import fingerprint_pairs
+
+    fps = media_fingerprint(df, deterministic_fake=deterministic_fake).select(
+        F.col("media_id").alias("id"), "fp"
+    )
+    return fingerprint_pairs(fps, max_hamming, max_bucket)

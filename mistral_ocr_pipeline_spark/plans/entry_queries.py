@@ -5432,3 +5432,66 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(
         scored, "doc_id", "surprisal", "lang", 3
     ).select("doc_id", "lang", "surprisal", "bucket").orderBy("doc_id")
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || '~' FROM documents
+      WHERE doc_id % 10 = 0),
+    e AS (SELECT id, text FROM u WHERE length(text) >= 4),
+    g AS (SELECT id,
+                 [substring(text, i, 4)
+                  for i in range(1, length(text) - 2)] AS grams
+          FROM e),
+    h AS (SELECT id, list_distinct(
+                 list_transform(grams,
+                     s -> ('0x' || substring(md5(s), 1, 16))::UBIGINT)) AS hs
+          FROM g),
+    b AS (SELECT id,
+                 [CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1))
+                            >= len(hs)
+                       THEN 1.0 ELSE 0.0 END
+                  for j in range(0, 64)] AS bits
+          FROM h),
+    s AS (SELECT id, bits, list_sum(bits) AS nbits FROM b),
+    p AS (SELECT a.id AS id_a, c.id AS id_b,
+                 (a.nbits + c.nbits
+                  - 2 * list_dot_product(a.bits, c.bits))::INTEGER AS hamming
+          FROM s a JOIN s c ON a.id < c.id)
+    SELECT id_a, id_b, hamming, FALSE AS bucket_truncated
+    FROM p WHERE hamming <= 3
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-duplicate pairs (`multimodal.media_neardup_pairs`) over
+    binary payloads ∪ one-byte-appended re-encodes — the resized/
+    re-encoded-copy image dedup step.  The real pHash kernel is stubbed
+    (no codecs in the container); the locality-preserving fake — char
+    4-gram simhash over the decoded payload, md5 basis — is fully
+    value-replayed in SQL (fingerprint bits, majority math, all-pairs
+    hamming), which certifies the shared band/verify machinery
+    (`dedup.fingerprint_pairs`) on a second fingerprint family.
+    ``max_bucket`` is raised to 4096 here because the all-pairs oracle
+    cannot replay cap truncation, and same-language char-gram
+    fingerprints cluster tightly enough to overflow the 64-member
+    default at sf0.1 (14 truncated rows measured); the cap path itself
+    stays value-pinned by `dedup_simhash`'s green oracle and the salted
+    bounded-collect tests."""
+    from mistral_ocr_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        media_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("~")).alias("text"),
+    )
+    media = documents_as_media(docs.select("doc_id", "text").unionAll(clones))
+    return media_neardup_pairs(
+        media, max_hamming=3, max_bucket=4096, deterministic_fake=True
+    )

@@ -2661,3 +2661,63 @@ class TestPerplexityThresholds:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "hashpartitioning(doc_id" not in plan
+
+
+class TestMediaNearDup:
+    def _media(self, spark):
+        from mistral_ocr_pipeline_spark.operators.multimodal import (
+            documents_as_media,
+        )
+
+        # gram-RICH payload: locality means a 1-byte edit to a payload
+        # with many distinct grams flips ~0 majority bits (measured 0
+        # here).  A short/repetitive payload has few distinct grams, so
+        # one extra gram can flip >3 near-tied bits and fall outside the
+        # 4-band pigeonhole guarantee — small-edit-to-LARGE-payload is
+        # the contract, same as real pHash.
+        base = " ".join(f"w{i}token{i}variant" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + "~"),
+                (3, "entirely different payload with no shared content " * 4),
+                (4, "abc"),  # shorter than one gram
+            ],
+            "doc_id long, text string",
+        )
+        return documents_as_media(docs)
+
+    def test_locality_and_short_payload_drop(self, spark):
+        from mistral_ocr_pipeline_spark.operators.multimodal import (
+            media_fingerprint,
+            media_neardup_pairs,
+        )
+
+        fps = {
+            r.media_id: r.fp
+            for r in media_fingerprint(
+                self._media(spark), deterministic_fake=True
+            ).collect()
+        }
+        assert 4 not in fps  # no grams → dropped, not zero-fingerprinted
+        near = bin(fps[1] ^ fps[2]).count("1")
+        far = bin(fps[1] ^ fps[3]).count("1")
+        # locality: the 1-byte edit stays inside the 4-band pigeonhole
+        # radius; unrelated content sits far outside it
+        assert near <= 3 < far, (near, far)
+        pairs = media_neardup_pairs(
+            self._media(spark), deterministic_fake=True
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    def test_real_kernel_is_honestly_stubbed(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        from mistral_ocr_pipeline_spark.operators.multimodal import (
+            media_fingerprint,
+        )
+
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError)):
+            media_fingerprint(self._media(spark), deterministic_fake=False).count()
