@@ -46,7 +46,15 @@ def main() -> None:
     p.add_argument("--pack-budget", type=int, default=0,
                    help="token budget per context window (0 = no packing)")
     p.add_argument("--pack-shards", type=int, default=64)
+    p.add_argument("--lang-col", default=None,
+                   help="language column on the input (enables --unimax-*)")
+    p.add_argument("--unimax-budget-tokens", type=int, default=0,
+                   help="UniMax total token budget across languages "
+                        "(0 = no language balancing; needs --lang-col)")
+    p.add_argument("--unimax-max-epochs", type=int, default=4)
     args = p.parse_args()
+    if args.unimax_budget_tokens > 0 and not args.lang_col:
+        p.error("--unimax-budget-tokens requires --lang-col")
 
     spark = SparkSession.builder.appName("corpus_curation").getOrCreate()
 
@@ -64,13 +72,20 @@ def main() -> None:
     from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
 
     catalog = TableCatalog(spark, args.warehouse)
-    docs = spark.read.parquet(args.input).select(
-        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
-    )
+    in_cols = [
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.text_col).alias("text"),
+    ]
+    if args.lang_col:
+        in_cols.append(F.col(args.lang_col).alias("lang"))
+    docs = spark.read.parquet(args.input).select(*in_cols)
     if args.scrub_pii:
-        docs = pii_scrub(docs, "doc_id", "text").select(
+        scrubbed = pii_scrub(docs, "doc_id", "text").select(
             F.col("id").alias("doc_id"), F.col("scrubbed").alias("text")
         )
+        if args.lang_col:  # pii_scrub projects id+text; carry lang through
+            scrubbed = scrubbed.join(docs.select("doc_id", "lang"), "doc_id")
+        docs = scrubbed
     gated = quality_features(docs).filter(F.col("q_score") >= args.min_quality)
     canon = gated.join(
         exact_dedup(gated, "doc_id", "text").filter("is_canonical"),
@@ -83,6 +98,33 @@ def main() -> None:
     updates = {
         "curated": catalog.stage_overwrite(split, "curated", partition_by=["split"])
     }
+    if args.unimax_budget_tokens > 0:
+        # UniMax language balancing over the TRAIN split: the allocation
+        # plan (one row per language) and the replica stream (doc_id,
+        # lang, epoch — all replicas of a doc stay in one split because
+        # the split hashed the doc_id) publish in the same atomic commit
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            unimax_allocation,
+            unimax_mix,
+        )
+
+        train_docs = split.filter(F.col("split") == "train").select(
+            "doc_id", "lang", ws_token_count(F.col("text")).alias("tok")
+        )
+        updates["unimax_plan"] = catalog.stage_overwrite(
+            unimax_allocation(
+                train_docs, "lang", "tok",
+                args.unimax_budget_tokens, args.unimax_max_epochs,
+            ).coalesce(1),
+            "unimax_plan",
+        )
+        updates["unimax_stream"] = catalog.stage_overwrite(
+            unimax_mix(
+                train_docs, "doc_id", "lang", "tok",
+                args.unimax_budget_tokens, args.unimax_max_epochs,
+            ),
+            "unimax_stream",
+        )
     rollup = split.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("q_score"), 6).alias("mean_q")
     )
@@ -109,6 +151,9 @@ def main() -> None:
     if args.pack_budget > 0:
         n_packs = catalog.read("pack_stats").count()
         out["packs"] = n_packs
+    if args.unimax_budget_tokens > 0:
+        out["unimax_langs"] = catalog.read("unimax_plan").count()
+        out["unimax_stream_rows"] = catalog.read("unimax_stream").count()
     print(out)
     spark.stop()
 
