@@ -261,15 +261,14 @@ def brute_force_topk(
                 sims = np.where(mask, -np.inf, sims)
             take = min(b_k, sims.shape[1])
             idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            out_q, out_v, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                for j in idx[qi]:
-                    s = sims[qi, j]
-                    if s == -np.inf:
-                        continue
-                    out_q.append(b_qids[qi])
-                    out_v.append(ids[j])
-                    out_s.append(float(s))
+            # batch emission (np.repeat/take), no per-candidate Python —
+            # same pattern as the LSH/IVF kernels; the final window sorts,
+            # so emission order is free
+            vals = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = vals != -np.inf
+            out_q = np.repeat(b_qids, take)[keep]
+            out_v = ids[idx.ravel()[keep]]
+            out_s = vals[keep]
             yield pd.DataFrame(
                 {"query_id": out_q, "vec_id": out_v, "cosine": out_s}
             ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
