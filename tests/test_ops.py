@@ -2721,3 +2721,127 @@ class TestMediaNearDup:
 
         with pytest.raises((PythonException, Py4JJavaError)):
             media_fingerprint(self._media(spark), deterministic_fake=False).count()
+
+
+def _unimax_model(stats, budget, e):
+    """Pure-Python water-filling reference (exact integer frontier) for
+    the property tests: stats = {lang: n_tokens}."""
+    order = sorted(stats.items(), key=lambda kv: (kv[1], kv[0]))
+    L, k, cap_tokens = len(order), 0, 0
+    capped = {}
+    hit_uncapped = False
+    for r, (lang, n) in enumerate(order, start=1):
+        # the TRUE greedy's capped set is a PREFIX: once a language is
+        # uncapped, the fair share freezes and no larger language can
+        # re-enter the cap (e·n only grows while the share stays put)
+        if not hit_uncapped and e * n * (L - r + 1) <= budget - e * cap_tokens:
+            capped[lang] = True
+            cap_tokens += n
+            k += 1
+        else:
+            hit_uncapped = True
+            capped[lang] = False
+    share = (
+        (budget - e * cap_tokens) / (L - k) if k < L else 0.0
+    )
+    out = {}
+    for lang, n in stats.items():
+        if capped[lang]:
+            out[lang] = (True, e * n * 1_000_000, e * 1_000_000)
+        else:
+            out[lang] = (
+                False,
+                round(share * 1_000_000.0),
+                round(share / n * 1_000_000.0),
+            )
+    return out
+
+
+class TestUnimaxProperties:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+    def test_matches_python_model_and_invariants(self, spark, seed):
+        import random
+
+        from mistral_ocr_pipeline_spark.operators.sampling import unimax_allocation
+
+        rng = random.Random(seed)
+        langs = [f"l{i}" for i in range(rng.randint(2, 7))]
+        rows = []
+        stats = {}
+        for li, lang in enumerate(langs):
+            n_docs = rng.randint(1, 6)
+            for d in range(n_docs):
+                tok = rng.randint(1, 500)
+                stats[lang] = stats.get(lang, 0) + tok
+                rows.append((f"{lang}-{d}", lang, tok))
+        total = sum(stats.values())
+        budget = rng.randint(total // 2, 3 * total)
+        e = rng.randint(1, 4)
+        df = spark.createDataFrame(rows, "doc_id string, lang string, toks long")
+        got = {
+            r.lang: r
+            for r in unimax_allocation(df, "lang", "toks", budget, e).collect()
+        }
+        model = _unimax_model(stats, budget, e)
+        for lang, (m_capped, m_budget, m_rate) in model.items():
+            r = got[lang]
+            assert r.capped == m_capped, (seed, lang)
+            assert abs(r.budget_tokens_micro - m_budget) <= 1, (seed, lang)
+            assert abs(r.rate_micro - m_rate) <= 1, (seed, lang)
+            # a language never exceeds the epoch cap
+            assert r.rate_micro <= e * 1_000_000 + 1
+        # conservation: capped get e·n exactly; uncapped split the rest,
+        # so totals reconstruct the budget unless everything capped
+        tot_micro = sum(r.budget_tokens_micro for r in got.values())
+        if all(r.capped for r in got.values()):
+            assert tot_micro == e * total * 1_000_000
+            assert e * total <= budget
+        else:
+            assert abs(tot_micro - budget * 1_000_000) <= len(langs) * 1_000_000
+
+
+class TestParagraphDedupProperties:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_unique_corpus_roundtrips_and_dups_kept_once(self, spark, seed):
+        import random
+
+        from mistral_ocr_pipeline_spark.operators.dedup import paragraph_dedup
+
+        rng = random.Random(seed)
+        shared = [
+            f"shared paragraph variant number {i} with stable words"
+            for i in range(4)
+        ]
+        docs = []
+        for d in range(12):
+            paras = [f"unique paragraph of doc {d} index {j} filler words"
+                     for j in range(rng.randint(1, 3))]
+            for s in shared:
+                if rng.random() < 0.5:
+                    paras.insert(rng.randrange(len(paras) + 1), s)
+            docs.append((d, "\n\n".join(paras)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+        # every doc survives; each distinct eligible paragraph appears
+        # exactly once across the whole reconstructed corpus
+        assert set(got) == {d for d, _ in docs}
+        seen: dict[str, int] = {}
+        for d, _ in docs:
+            for para in got[d].text_clean.split("\n\n"):
+                if para.strip():
+                    seen[para.strip()] = seen.get(para.strip(), 0) + 1
+        assert all(v == 1 for v in seen.values()), seen
+        # kept paragraphs are an ordered subsequence of the original
+        for d, text in docs:
+            orig = text.split("\n\n")
+            kept = [p for p in got[d].text_clean.split("\n\n") if p != ""]
+            it = iter(orig)
+            assert all(any(p == o for o in it) for p in kept), d
+        # a corpus with NO duplicates round-trips byte-identically
+        uniq = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon\n\nzeta eta theta iota kappa")],
+            "doc_id long, text string",
+        )
+        row = paragraph_dedup(uniq, "doc_id", "text").first()
+        assert row.text_clean == "alpha beta gamma delta epsilon\n\nzeta eta theta iota kappa"
+        assert row.n_removed == 0
