@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "ann_pq_trained_topk",     # late r4: trained PQ codebooks fully oracled
     "eval_rollups",            # late r4: sc>=0 flat-mean rollup oracled
     "eval_field_scores",       # late r4: eval sentinel scoring fully oracled
     "multimodal_phash_neardup", # late r4: media near-dup via shared band/verify

@@ -616,13 +616,29 @@ def pq_codebooks_kmeans(
     sample_size: int = 2048,
     seed: int = 29,
 ) -> np.ndarray:
-    """Trained PQ codebooks: per-subspace Lloyd k-means (L2) over the
-    same partition-invariant hash-ordered sample `_kmeans_centroids`
-    uses, so the index is reproducible under any corpus layout.  Raw
-    (unnormalized) subvectors — classic PQ quantizes L2 geometry."""
+    """Trained PQ codebooks: per-subspace Lloyd k-means (L2) over a
+    deterministic corpus sample — ENGINE-REPLAYABLE with the same
+    discipline as `_kmeans_centroids` (the trained-IVF treatment), so a
+    SQL oracle can unroll the whole training:
+
+    - sample ordered by (md5-hex of the id, id) then limited
+      (partition-invariant AND reproducible verbatim in SQL);
+    - seeding = the first ``ksub`` sample rows per subspace (``seed`` is
+      retained for API compatibility and ignored — an RNG ``choice``
+      has no SQL twin);
+    - assignment distances use the PQ reduced form ``c·c − 2·x·c`` on
+      RAW subvectors with SEQUENTIAL folds (ties → lowest codeword,
+      numpy first-min == SQL row_number);
+    - centroid updates are integer micro-unit means (``Σ round(x·1e6)``
+      per dimension / (n·1e6)) — order-independent where a raw double
+      group sum is not.  Raw (unnormalized) subvectors throughout —
+      classic PQ quantizes L2 geometry."""
+    h = F.substring(
+        F.md5(F.concat(F.lit("pq:"), F.col("_id").cast("string"))), 1, 8
+    )
     sample = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .orderBy(h, F.col("_id"))
         .limit(sample_size)
         .collect()
     )
@@ -635,23 +651,31 @@ def pq_codebooks_kmeans(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    rng = np.random.RandomState(seed)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
         sub = smat[:, j * dsub : (j + 1) * dsub]
-        cb = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        u = _micro_away(sub)
+        k = min(ksub, len(sub))
+        cb = u[:k].astype(np.float64) / 1e6
         for _ in range(iters):
-            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d, axis=1)
+            cc = np.zeros(len(cb), dtype=np.float64)
+            xc = np.zeros((len(sub), len(cb)), dtype=np.float64)
+            for d in range(dsub):  # sequential folds, see _seq_fold_dot
+                cc += cb[:, d] * cb[:, d]
+                xc += sub[:, d, None] * cb[None, :, d]
+            assign = np.argmin(cc[None, :] - 2 * xc, axis=1)
             for c in range(len(cb)):
-                members = sub[assign == c]
+                members = u[assign == c]
                 if len(members):
-                    cb[c] = members.mean(axis=0)
-        books[j, : len(cb)] = cb
-        if len(cb) < ksub:  # tiny sample: pad with seeded noise, never NaN
-            books[j, len(cb) :] = rng.standard_normal(
-                (ksub - len(cb), dsub)
-            ) / np.sqrt(dim)
+                    cb[c] = members.sum(axis=0).astype(np.float64) / (
+                        len(members) * 1e6
+                    )
+        books[j, :k] = cb
+        if k < ksub:  # tiny sample: pad by cycling real centroids — a
+            # duplicate codeword loses every argmin tie to its lower
+            # index, so padding never changes codes (and unlike RNG
+            # noise it keeps the codebook a pure function of the data)
+            books[j, k:] = cb[np.arange(ksub - k) % k]
     return books
 
 

@@ -1583,23 +1583,13 @@ def _pq_seeded_codebooks():
     return seeded_pq_codebooks(64, m=16, ksub=16, seed=29)
 
 
-def _pq_cte() -> str:
-    """Shared oracle CTE replaying the ENTIRE PQ path literal-for-literal:
-    the 16×16 seeded sub-codebooks as float64-exact VALUES, corpus codes
-    via per-subspace argmin of the reduced distance c·c − 2·x·c (the
-    exact expression `pq_encode` vectorizes; ties → lowest codeword, same
-    row_number convention), the per-query LUT, and the ADC sum
-    ‖q‖² + Σⱼ lut[j, codeⱼ] rounded like the Spark fold."""
-    cb = _pq_seeded_codebooks()
-    m, ksub, dsub = cb.shape
-    vals = ",\n      ".join(
-        f"({j}, {k}, [{', '.join(repr(float(x)) for x in cb[j, k])}]::DOUBLE[])"
-        for j in range(m)
-        for k in range(ksub)
-    )
+def _pq_search_body(dsub: int) -> str:
+    """The PQ SEARCH oracle body (corpus codes via argmin of the reduced
+    distance c·c − 2·x·c, per-query LUT, ADC sum ‖q‖² + Σⱼ lut[j, codeⱼ]
+    rounded like the Spark fold) — parameterized over the codebook
+    relation ``cb(mm, kk, cv)``, which the literal variant supplies as
+    VALUES and the trained variant as unrolled k-means CTEs."""
     return f"""
-    WITH cb(mm, kk, cv) AS (VALUES
-      {vals}),
     corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
           FROM embeddings WHERE vec_id < 8),
@@ -1635,6 +1625,24 @@ def _pq_cte() -> str:
     adcr AS (SELECT *, row_number() OVER (
                PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank FROM adc)
     """
+
+
+def _pq_cte() -> str:
+    """Literal-codebook PQ oracle: the 16×16 seeded sub-codebooks as
+    float64-exact VALUES + the shared search body (`_pq_search_body`)."""
+    cb = _pq_seeded_codebooks()
+    m, ksub, dsub = cb.shape
+    vals = ",\n      ".join(
+        f"({j}, {k}, [{', '.join(repr(float(x)) for x in cb[j, k])}]::DOUBLE[])"
+        for j in range(m)
+        for k in range(ksub)
+    )
+    return (
+        f"""
+    WITH cb(mm, kk, cv) AS (VALUES
+      {vals}),"""
+        + _pq_search_body(dsub)
+    )
 
 
 @register(
@@ -5706,3 +5714,96 @@ def eval_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         [FieldSpec("year", "year"), FieldSpec("brand", "exact")],
     )
     return res["per_field"]
+
+
+def _pq_trained_oracle_sql(
+    m: int = 8, ksub: int = 8, iters: int = 4, sample_size: int = 2048
+) -> str:
+    """Full value oracle for TRAINED-codebook PQ: `pq_codebooks_kmeans`
+    is engine-replayable (md5-hash-ordered sample, first-k seeding,
+    sequential-fold reduced distances on RAW subvectors, integer
+    micro-unit centroid means — the `_kmeans_centroids` discipline, L2
+    flavor), so this unrolls the per-subspace Lloyd iterations — ALL
+    subspaces ride one CTE chain keyed by ``mm`` — and hands the trained
+    ``cb(mm, kk, cv)`` relation to the shared search body.  CTEs are
+    MATERIALIZED: ``pc{i}`` references ``pc{i-1}`` twice (update +
+    empty-cell carry), which inlines exponentially otherwise."""
+    dsub = 64 // m
+    it = [
+        f"""
+    pa{i} AS MATERIALIZED (
+      SELECT vec_id, mm, kk, u FROM (
+        SELECT pu.vec_id, pu.mm, pu.u, cc.kk,
+               row_number() OVER (PARTITION BY pu.vec_id, pu.mm
+                   ORDER BY list_dot_product(cc.cv, cc.cv)
+                            - 2 * list_dot_product(pu.x, cc.cv),
+                            cc.kk) AS arn
+        FROM pu JOIN pc{i - 1} cc USING (mm))
+      WHERE arn = 1),
+    pe{i} AS (SELECT mm, kk, unnest(range(len(u)))::INT AS d,
+                     unnest(u) AS uv
+              FROM pa{i}),
+    pg{i} AS (SELECT mm, kk, d, sum(uv)::BIGINT AS su,
+                     count(*)::BIGINT AS n
+              FROM pe{i} GROUP BY mm, kk, d),
+    pm{i} AS MATERIALIZED (
+      SELECT mm, kk, list(su::DOUBLE / (n::DOUBLE * 1000000.0)
+                          ORDER BY d) AS cv
+      FROM pg{i} GROUP BY mm, kk),
+    pc{i} AS MATERIALIZED (
+      SELECT mm, kk, cv FROM pm{i}
+      UNION ALL
+      SELECT p.mm, p.kk, p.cv FROM pc{i - 1} p
+      WHERE NOT EXISTS (SELECT 1 FROM pm{i} q
+                        WHERE q.mm = p.mm AND q.kk = p.kk))"""
+        for i in range(1, iters + 1)
+    ]
+    return (
+        f"""
+    WITH samp AS MATERIALIZED (
+      SELECT vec_id, v, rn FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               row_number() OVER (
+                   ORDER BY substring(md5('pq:' || vec_id::varchar), 1, 8),
+                            vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= {sample_size}),
+    pu AS MATERIALIZED (
+      SELECT vec_id, rn, mm,
+             list_slice(v, mm * {dsub} + 1, mm * {dsub} + {dsub}) AS x,
+             list_transform(
+                 list_slice(v, mm * {dsub} + 1, mm * {dsub} + {dsub}),
+                 e -> round(e * 1000000.0)::BIGINT) AS u
+      FROM samp CROSS JOIN (SELECT unnest(range({m}))::INT AS mm) t),
+    pc0 AS MATERIALIZED (
+      SELECT mm, (rn - 1)::INT AS kk,
+             list_transform(u, s -> s::DOUBLE / 1000000.0) AS cv
+      FROM pu WHERE rn <= {ksub}),
+    {",".join(it)},
+    cb AS (SELECT mm, kk, cv FROM pc{iters}),"""
+        + _pq_search_body(dsub)
+    )
+
+
+@register(
+    "ann_pq_trained_topk",
+    oracle=_pq_trained_oracle_sql()
+    + """
+    SELECT qid AS query_id, vec_id, adc_dist, rank FROM adcr WHERE rank <= 5
+    """,
+)
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with TRAINED per-subspace Lloyd codebooks, fully
+    value-oracled: `_pq_trained_oracle_sql` unrolls the k-means in SQL
+    (the trained-IVF treatment, L2 flavor) and replays encode/LUT/ADC on
+    the resulting codebooks — so both of the repo's trained vector
+    indexes, IVF cells and PQ codebooks, are now hash-checked end to
+    end, not just their seeded literal variants."""
+    from mistral_ocr_pipeline_spark.operators.similarity import (
+        pq_codebooks_kmeans,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks_kmeans(emb, m=8, ksub=8, iters=4)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 8), cb, k=5)
