@@ -725,7 +725,19 @@ def fingerprint_pairs(
     long).  4×16-bit band blocking (pigeonhole: any pair within hamming
     ≤3 shares ≥1 exact band), salted bounded bucket collect, exact
     ``bit_count(xor)`` verification — all JVM.  Output: (id_a, id_b,
-    hamming, bucket_truncated)."""
+    hamming, bucket_truncated).
+
+    ``max_hamming`` must be ≤ 3: with 4 bands the pigeonhole guarantee
+    stops at radius 3 — a pair at hamming 4 whose differing bits hit all
+    four bands shares no band and would be SILENTLY missing, so a larger
+    radius is rejected rather than quietly under-recalled (a radius-7
+    search needs 8×8-bit bands: band differently, don't raise the
+    verify threshold)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "radius (3); pairs beyond it would be silently missed"
+        )
     bands = fps.select(
         "id",
         "fp",

@@ -472,6 +472,7 @@ def unimax_mix(
     token_budget: int,
     max_epochs: int = 4,
     salt: str = "unimax",
+    allocation: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the UniMax allocation as a document stream: each
     document emits ``floor(rate)`` full replicas plus one more for a
@@ -485,10 +486,24 @@ def unimax_mix(
 
     Plan: the language-cardinality allocation broadcasts onto the corpus
     scan; the replica fan-out is one explode(sequence) — no corpus
-    shuffle anywhere.  Output: (key, lang, epoch) with epoch 0-based."""
-    alloc = unimax_allocation(df, lang_col, tokens_col, token_budget, max_epochs)
+    shuffle anywhere.  Output: (key, lang, epoch) with epoch 0-based.
+
+    The plan join is NULL-SAFE: `unimax_allocation`'s groupBy keeps a
+    NULL-language group (and allocates budget to it), so the stream must
+    deliver those documents too — a null-unsafe equi-join would silently
+    drop every NULL-lang doc while the published plan still counted
+    them.  ``allocation``: pass `unimax_allocation`'s output when the
+    caller also publishes the plan itself, so the corpus-scale token
+    aggregation underneath it runs once, not once per consumer."""
+    alloc = (
+        allocation
+        if allocation is not None
+        else unimax_allocation(
+            df, lang_col, tokens_col, token_budget, max_epochs
+        )
+    )
     plan = alloc.select(
-        "lang",
+        F.col("lang").alias("_plan_lang"),
         (F.col("rate_micro") / F.lit(1000000)).cast("long").alias("_whole"),
         F.pmod(F.col("rate_micro"), F.lit(1000000)).alias("_frac_micro"),
     )
@@ -499,7 +514,10 @@ def unimax_mix(
     ).cast("int")
     return (
         df.select(F.col(key_col), F.col(lang_col).alias("lang"))
-        .join(F.broadcast(plan), "lang")
+        .join(
+            F.broadcast(plan),
+            F.col("lang").eqNullSafe(F.col("_plan_lang")),
+        )
         .withColumn("_n", n)
         .filter(F.col("_n") > 0)
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))

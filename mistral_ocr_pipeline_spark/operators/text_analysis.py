@@ -126,18 +126,28 @@ PII_PATTERNS = (
 )
 
 
-def pii_scrub(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Redact emails / SSNs / phone numbers / IP literals and count each —
     the pre-training privacy pass.  All JVM ``regexp_replace`` /
     ``regexp_count`` (codegen'd, no UDF); at 100 TB this is a map-only
-    scan.  DuckDB twin: the same staged ``regexp_replace(..., 'g')``
-    cascade (RE2 flavor; patterns are deliberately RE2∩Java-safe)."""
+    scan.  ``keep_cols`` ride through the projection (the
+    `repetition_metrics` convention) so callers needing extra columns
+    stay a single scan instead of re-joining the input — a re-join both
+    rescans and fans out k² rows per k-duplicated id.  DuckDB twin: the
+    same staged ``regexp_replace(..., 'g')`` cascade (RE2 flavor;
+    patterns are deliberately RE2∩Java-safe)."""
     cur = F.col(text_col)
     cols = [F.col(id_col).alias("id")]
     for name, pat, token in PII_PATTERNS:
         cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, token)
     cols.append(cur.alias("scrubbed"))
+    cols.extend(F.col(c) for c in keep_cols or [])
     return df.select(*cols)
 
 
@@ -415,7 +425,11 @@ def apply_perplexity_thresholds(
     the build that produced the thresholds is boundary-tie-modulo —
     ntile splits equal counts, thresholds split at values).  Rows of
     groups absent from ``thresholds`` keep a NULL bucket (surface new
-    languages rather than silently mislabeling them)."""
+    languages rather than silently mislabeling them).  A thresholds
+    table built with a DIFFERENT bucket count than ``labels`` covers
+    RAISES at evaluation — otherwise every row past the last label
+    would get the NULL bucket and masquerade as the unseen-group
+    sentinel."""
     idx = F.aggregate(
         F.col("bounds"),
         F.lit(0),
@@ -424,6 +438,16 @@ def apply_perplexity_thresholds(
     label = F.lit(None).cast("string")
     for i, name in enumerate(labels):
         label = F.when(idx == i, F.lit(name)).otherwise(label)
+    arity_ok = F.size(F.col("bounds")) == len(labels) - 1
+    checked = F.when(arity_ok, label).otherwise(
+        F.raise_error(
+            F.lit(
+                f"apply_perplexity_thresholds: thresholds carry "
+                f"size(bounds)+1 buckets but {len(labels)} labels were "
+                "given — rebuild thresholds or pass matching labels"
+            )
+        ).cast("string")
+    )
     return (
         df.join(
             F.broadcast(thresholds.withColumnRenamed("group", group_col)),
@@ -431,7 +455,7 @@ def apply_perplexity_thresholds(
             "left",
         )
         .withColumn(
-            "bucket", F.when(F.col("bounds").isNotNull(), label)
+            "bucket", F.when(F.col("bounds").isNotNull(), checked)
         )
         .drop("bounds")
     )

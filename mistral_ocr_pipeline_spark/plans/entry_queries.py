@@ -5279,7 +5279,9 @@ def mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
                         md5('unimax' || doc_id::varchar), 1, 8))
                         ::UBIGINT::BIGINT * 1000000)
                       < frac_micro * 4294967296)::INT AS n
-           FROM documents d JOIN e USING (lang))
+           -- null-safe like the operator: a NULL-language group is
+           -- allocated budget, so its docs must join the plan too
+           FROM documents d JOIN e ON d.lang IS NOT DISTINCT FROM e.lang)
     SELECT doc_id, lang, unnest(generate_series(0, n::INT - 1)) AS epoch
     FROM nn WHERE n > 0
     """,
@@ -5505,111 +5507,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "eval_field_scores",
-    oracle=f"""
-    WITH l AS (
-      SELECT p_partkey AS lid, {_KEY.format(c='p_name')} AS lt,
-             CASE p_partkey % 5 WHEN 0 THEN '' WHEN 1 THEN '2020'
-                  WHEN 2 THEN '2021' WHEN 3 THEN NULL
-                  ELSE '1999.0' END AS l_year,
-             p_brand AS l_brand
-      FROM part WHERE p_partkey % 23 = 1),
-    r AS (
-      SELECT p_partkey + 1000000 AS rid,
-             {_KEY.format(c="upper(p_name) || '!'")} AS rt,
-             CASE p_partkey % 4 WHEN 0 THEN '2020' WHEN 1 THEN '  '
-                  WHEN 2 THEN '2021.0' ELSE '1999' END AS r_year,
-             CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
-                  ELSE '' END AS r_brand
-      FROM part WHERE p_partkey % 3 = 0),
-    s AS (
-      SELECT lid, rid,
-             round(3 * (1 - levenshtein(lt, rt)::double /
-                        greatest(length(lt), length(rt), 1)), 9) AS score
-      FROM l CROSS JOIN r),
-    b AS (SELECT *, row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid) rn_l
-          FROM s),
-    u AS (SELECT *, row_number() OVER (PARTITION BY rid ORDER BY score DESC, lid) rn_r
-          FROM b WHERE rn_l = 1),
-    m AS (
-      SELECT l.lid AS left_id, u2.rid AS right_id,
-             l.l_year, l.l_brand, r.r_year, r.r_brand
-      FROM l
-      LEFT JOIN (SELECT * FROM u WHERE rn_r = 1 AND score >= 1.5) u2
-        ON u2.lid = l.lid
-      LEFT JOIN r ON r.rid = u2.rid)
-    SELECT left_id, right_id,
-           CASE WHEN right_id IS NULL THEN 0.0
-                WHEN (l_year IS NULL OR trim(l_year) = '')
-                     AND (r_year IS NULL OR trim(r_year) = '') THEN NULL
-                WHEN l_year IS NULL OR trim(l_year) = '' THEN 0.25
-                WHEN r_year IS NULL OR trim(r_year) = '' THEN 0.0
-                WHEN regexp_replace(l_year, '\\.0$', '')
-                     = regexp_replace(r_year, '\\.0$', '') THEN 1.0
-                ELSE 0.0 END::DOUBLE AS score_year,
-           CASE WHEN right_id IS NULL THEN 0.0
-                WHEN (l_brand IS NULL OR trim(l_brand) = '')
-                     AND (r_brand IS NULL OR trim(r_brand) = '') THEN NULL
-                WHEN l_brand IS NULL OR trim(l_brand) = '' THEN 0.25
-                WHEN r_brand IS NULL OR trim(r_brand) = '' THEN 0.0
-                WHEN {_KEY.format(c='l_brand')} = {_KEY.format(c='r_brand')}
-                     THEN 1.0
-                ELSE 0.0 END::DOUBLE AS score_brand
-    FROM m
-    """,
-)
-def eval_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The eval harness's per-field sentinel scoring
-    (`eval_harness.evaluate`), value-oracled end to end: J2 fuzzy match →
-    left-outer field attach → the reference's sentinel scheme (unmatched
-    → flat 0.0 on every field; matched both-empty → NULL exclusion;
-    'extra' → 0.25; 'missing' → 0.0; else the kind's comparator — year
-    after the '.0' strip, exact on the normalized key).  The year/brand
-    fixtures cycle through every sentinel branch, so the oracle hash
-    certifies the whole compare_results.py:496-597 + :807-818 scheme."""
-    from mistral_ocr_pipeline_spark.operators.eval_harness import (
-        FieldSpec,
-        evaluate,
-    )
-
-    part = _t(spark, sf_dir, "part")
-    p = F.col("p_partkey")
-    review = part.filter(p % 23 == 1).select(
-        p.alias("lid"),
-        F.col("p_name").alias("title"),
-        F.when(p % 5 == 0, "")
-        .when(p % 5 == 1, "2020")
-        .when(p % 5 == 2, "2021")
-        .when(p % 5 == 3, F.lit(None).cast("string"))
-        .otherwise("1999.0")
-        .alias("year"),
-        F.col("p_brand").alias("brand"),
-    )
-    output = part.filter(p % 3 == 0).select(
-        (p + 1000000).alias("rid"),
-        F.concat(F.upper("p_name"), F.lit("!")).alias("title"),
-        F.when(p % 4 == 0, "2020")
-        .when(p % 4 == 1, "  ")
-        .when(p % 4 == 2, "2021.0")
-        .otherwise("1999")
-        .alias("year"),
-        F.when(p % 2 == 0, F.upper("p_brand")).otherwise(F.lit("")).alias("brand"),
-    )
-    res = evaluate(
-        review,
-        output,
-        "lid",
-        "rid",
-        ("title", "title"),
-        [FieldSpec("year", "year"), FieldSpec("brand", "exact")],
-    )
-    return res["scores"]
-
-
-@register(
-    "eval_rollups",
-    oracle=f"""
+_EVAL_SCORES_SQL = f"""
     WITH l AS (
       SELECT p_partkey AS lid, {_KEY.format(c='p_name')} AS lt,
              CASE p_partkey % 5 WHEN 0 THEN '' WHEN 1 THEN '2020'
@@ -5642,7 +5540,7 @@ def eval_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON u2.lid = l.lid
       LEFT JOIN r ON r.rid = u2.rid),
     sc AS (
-      SELECT left_id,
+      SELECT left_id, right_id,
            CASE WHEN right_id IS NULL THEN 0.0
                 WHEN (l_year IS NULL OR trim(l_year) = '')
                      AND (r_year IS NULL OR trim(r_year) = '') THEN NULL
@@ -5659,29 +5557,14 @@ def eval_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_KEY.format(c='l_brand')} = {_KEY.format(c='r_brand')}
                      THEN 1.0
                 ELSE 0.0 END::DOUBLE AS score_brand
-      FROM m),
-    stacked AS (
-      SELECT 'year' AS field, score_year AS score FROM sc
-      UNION ALL
-      SELECT 'brand', score_brand FROM sc)
-    SELECT field, round(avg(score), 6) AS accuracy,
-           count(score) AS n_scored
-    FROM stacked GROUP BY field
-    """,
-)
-def eval_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The eval harness's per-field accuracy rollup
-    (compare_results.py:855-895's sc≥0 rule), value-oracled: every score
-    is a multiple of 0.25, so the cross-engine SUM is exact regardless
-    of reduction order — the one float aggregate in the repo that needs
-    NO micro-unit trick — and round(avg, 6) is then bit-identical.
-    Unmatched rows' flat zeros enter the mean; matched both-empty NULLs
-    leave it (review finding #1's contract, now hash-pinned)."""
-    from mistral_ocr_pipeline_spark.operators.eval_harness import (
-        FieldSpec,
-        evaluate,
-    )
+      FROM m)
+"""
 
+
+def _eval_fixture(spark: SparkSession, sf_dir: str):
+    """Shared review/output fixture for the eval-harness oracle queries:
+    year/brand values cycle through every sentinel branch (hit, miss,
+    'extra', 'missing', both-empty, unmatched)."""
     part = _t(spark, sf_dir, "part")
     p = F.col("p_partkey")
     review = part.filter(p % 23 == 1).select(
@@ -5705,7 +5588,17 @@ def eval_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("year"),
         F.when(p % 2 == 0, F.upper("p_brand")).otherwise(F.lit("")).alias("brand"),
     )
-    res = evaluate(
+    return review, output
+
+
+def _eval_result(spark: SparkSession, sf_dir: str):
+    from mistral_ocr_pipeline_spark.operators.eval_harness import (
+        FieldSpec,
+        evaluate,
+    )
+
+    review, output = _eval_fixture(spark, sf_dir)
+    return evaluate(
         review,
         output,
         "lid",
@@ -5713,7 +5606,49 @@ def eval_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("title", "title"),
         [FieldSpec("year", "year"), FieldSpec("brand", "exact")],
     )
-    return res["per_field"]
+
+
+@register(
+    "eval_field_scores",
+    oracle=_EVAL_SCORES_SQL
+    + " SELECT left_id, right_id, score_year, score_brand FROM sc",
+)
+def eval_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness's per-field sentinel scoring
+    (`eval_harness.evaluate`), value-oracled end to end: J2 fuzzy match →
+    left-outer field attach → the reference's sentinel scheme (unmatched
+    → flat 0.0 on every field; matched both-empty → NULL exclusion;
+    'extra' → 0.25; 'missing' → 0.0; else the kind's comparator — year
+    after the '.0' strip, exact on the normalized key).  Fixture + the
+    whole score-CTE chain are shared with `eval_rollups`
+    (`_EVAL_SCORES_SQL` / `_eval_fixture`), so the two queries certify
+    the SAME contract and cannot drift apart."""
+    return _eval_result(spark, sf_dir)["scores"]
+
+
+@register(
+    "eval_rollups",
+    oracle=_EVAL_SCORES_SQL
+    + """
+    , stacked AS (
+      SELECT 'year' AS field, score_year AS score FROM sc
+      UNION ALL
+      SELECT 'brand', score_brand FROM sc)
+    SELECT field, round(avg(score), 6) AS accuracy,
+           count(score) AS n_scored
+    FROM stacked GROUP BY field
+    """,
+)
+def eval_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness's per-field accuracy rollup
+    (compare_results.py:855-895's sc≥0 rule), value-oracled: every score
+    is a multiple of 0.25, so the cross-engine SUM is exact regardless
+    of reduction order — the one float aggregate in the repo that needs
+    NO micro-unit trick — and round(avg, 6) is then bit-identical.
+    Unmatched rows' flat zeros enter the mean; matched both-empty NULLs
+    leave it.  Scores come from the same shared fixture + SQL as
+    `eval_field_scores`."""
+    return _eval_result(spark, sf_dir)["per_field"]
 
 
 def _pq_trained_oracle_sql(

@@ -80,12 +80,15 @@ def main() -> None:
         in_cols.append(F.col(args.lang_col).alias("lang"))
     docs = spark.read.parquet(args.input).select(*in_cols)
     if args.scrub_pii:
-        scrubbed = pii_scrub(docs, "doc_id", "text").select(
-            F.col("id").alias("doc_id"), F.col("scrubbed").alias("text")
+        # keep_cols carries lang through the scrub's own projection —
+        # one scan; a re-join would rescan AND fan out k² rows per
+        # k-duplicated raw id (dedup only runs later)
+        keep = ["lang"] if args.lang_col else None
+        docs = pii_scrub(docs, "doc_id", "text", keep_cols=keep).select(
+            F.col("id").alias("doc_id"),
+            F.col("scrubbed").alias("text"),
+            *(["lang"] if args.lang_col else []),
         )
-        if args.lang_col:  # pii_scrub projects id+text; carry lang through
-            scrubbed = scrubbed.join(docs.select("doc_id", "lang"), "doc_id")
-        docs = scrubbed
     gated = quality_features(docs).filter(F.col("q_score") >= args.min_quality)
     canon = gated.join(
         exact_dedup(gated, "doc_id", "text").filter("is_canonical"),
@@ -93,7 +96,9 @@ def main() -> None:
         "left_semi",
     )
     w = tuple(float(x) for x in args.weights.split(","))
-    split = train_valid_test_split(canon, key_col="doc_id", weights=w)
+    # each staged table is its own action; persist the shared curation
+    # DAG so scrub→gate→dedup→split run once, not once per output table
+    split = train_valid_test_split(canon, key_col="doc_id", weights=w).persist()
 
     updates = {
         "curated": catalog.stage_overwrite(split, "curated", partition_by=["split"])
@@ -102,7 +107,9 @@ def main() -> None:
         # UniMax language balancing over the TRAIN split: the allocation
         # plan (one row per language) and the replica stream (doc_id,
         # lang, epoch — all replicas of a doc stay in one split because
-        # the split hashed the doc_id) publish in the same atomic commit
+        # the split hashed the doc_id) publish in the same atomic commit.
+        # The plan is computed ONCE and passed into the mix so the
+        # corpus-scale token aggregation never runs twice.
         from mistral_ocr_pipeline_spark.operators.sampling import (
             unimax_allocation,
             unimax_mix,
@@ -111,17 +118,18 @@ def main() -> None:
         train_docs = split.filter(F.col("split") == "train").select(
             "doc_id", "lang", ws_token_count(F.col("text")).alias("tok")
         )
+        alloc = unimax_allocation(
+            train_docs, "lang", "tok",
+            args.unimax_budget_tokens, args.unimax_max_epochs,
+        ).persist()
         updates["unimax_plan"] = catalog.stage_overwrite(
-            unimax_allocation(
-                train_docs, "lang", "tok",
-                args.unimax_budget_tokens, args.unimax_max_epochs,
-            ).coalesce(1),
-            "unimax_plan",
+            alloc.coalesce(1), "unimax_plan"
         )
         updates["unimax_stream"] = catalog.stage_overwrite(
             unimax_mix(
                 train_docs, "doc_id", "lang", "tok",
                 args.unimax_budget_tokens, args.unimax_max_epochs,
+                allocation=alloc,
             ),
             "unimax_stream",
         )

@@ -62,9 +62,10 @@ class TestMinhashSimhash:
     def test_simhash_finds_near_dups(self, spark, near_dups):
         from mistral_ocr_pipeline_spark.operators.dedup import simhash_pairs
 
+        # radius 3 is the 4-band pigeonhole bound; larger now raises
         pairs = {
             (r.id_a, r.id_b): r.hamming
-            for r in simhash_pairs(near_dups, "id", "text", max_hamming=8).collect()
+            for r in simhash_pairs(near_dups, "id", "text", max_hamming=3).collect()
         }
         assert (1, 4) in pairs and pairs[(1, 4)] == 0
         assert not any(3 in p for p in pairs)
@@ -2845,3 +2846,75 @@ class TestParagraphDedupProperties:
         row = paragraph_dedup(uniq, "doc_id", "text").first()
         assert row.text_clean == "alpha beta gamma delta epsilon\n\nzeta eta theta iota kappa"
         assert row.n_removed == 0
+
+
+class TestSecondReviewFixes:
+    def test_unimax_mix_null_lang_not_dropped(self, spark):
+        """The allocation groups NULL-language docs and budgets them, so
+        the stream must deliver them too (null-safe plan join)."""
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            unimax_allocation,
+            unimax_mix,
+        )
+
+        rows = [("a1", "a", 50), ("a2", "a", 50), ("n1", None, 50), ("n2", None, 50)]
+        df = spark.createDataFrame(rows, "doc_id string, lang string, toks long")
+        alloc = {r.lang: r for r in unimax_allocation(df, "lang", "toks", 400, 2).collect()}
+        assert None in alloc and alloc[None].budget_tokens_micro > 0
+        out = unimax_mix(df, "doc_id", "lang", "toks", 400, 2)
+        got = {r.doc_id for r in out.collect()}
+        assert {"n1", "n2"} <= got  # NULL-lang docs are in the stream
+
+    def test_unimax_mix_accepts_precomputed_allocation(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            unimax_allocation,
+            unimax_mix,
+        )
+
+        df = spark.createDataFrame(
+            [("x1", "x", 10), ("y1", "y", 90)], "doc_id string, lang string, toks long"
+        )
+        alloc = unimax_allocation(df, "lang", "toks", 150, 3)
+        a = sorted(map(tuple, unimax_mix(df, "doc_id", "lang", "toks", 150, 3).collect()))
+        b = sorted(map(tuple, unimax_mix(
+            df, "doc_id", "lang", "toks", 150, 3, allocation=alloc
+        ).collect()))
+        assert a == b
+
+    def test_fingerprint_pairs_rejects_radius_beyond_banding(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import fingerprint_pairs
+
+        fps = spark.createDataFrame([(1, 7), (2, 7)], "id long, fp long")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            fingerprint_pairs(fps, max_hamming=4)
+
+    def test_threshold_label_arity_mismatch_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        from pyspark.errors import PythonException, SparkRuntimeException
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            apply_perplexity_thresholds,
+            perplexity_thresholds,
+        )
+
+        build = spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(8)],
+            "doc_id long, lang string, surprisal double",
+        )
+        th4 = perplexity_thresholds(build, n_buckets=4)  # 3 bounds
+        out = apply_perplexity_thresholds(build, th4)    # 3 labels: mismatch
+        with pytest.raises((SparkRuntimeException, PythonException, Py4JJavaError)):
+            out.collect()
+
+    def test_pii_scrub_keep_cols_single_projection(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "mail me a@b.co", "en"), (2, "plain", "de")],
+            "doc_id long, text string, lang string",
+        )
+        out = pii_scrub(df, "doc_id", "text", keep_cols=["lang"])
+        got = {r.id: r.lang for r in out.collect()}
+        assert got == {1: "en", 2: "de"}
+        assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
