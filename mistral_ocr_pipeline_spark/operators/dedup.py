@@ -717,35 +717,44 @@ def fingerprint_pairs(
     max_hamming: int = 3,
     max_bucket: int = 64,
     observation: Observation | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column — the band/verify
     half of `simhash_pairs`, factored out so non-text fingerprints
     (`multimodal.media_fingerprint`'s perceptual-hash analog for binary
     payloads) reuse the identical blocking machinery.  Input: (id, fp
-    long).  4×16-bit band blocking (pigeonhole: any pair within hamming
-    ≤3 shares ≥1 exact band), salted bounded bucket collect, exact
-    ``bit_count(xor)`` verification — all JVM.  Output: (id_a, id_b,
-    hamming, bucket_truncated).
+    long).  ``n_bands`` × (64/n_bands)-bit band blocking (pigeonhole:
+    any pair within hamming ≤ n_bands−1 shares ≥1 exact band), salted
+    bounded bucket collect, exact ``bit_count(xor)`` verification — all
+    JVM.  Output: (id_a, id_b, hamming, bucket_truncated).
 
-    ``max_hamming`` must be ≤ 3: with 4 bands the pigeonhole guarantee
-    stops at radius 3 — a pair at hamming 4 whose differing bits hit all
-    four bands shares no band and would be SILENTLY missing, so a larger
-    radius is rejected rather than quietly under-recalled (a radius-7
-    search needs 8×8-bit bands: band differently, don't raise the
-    verify threshold)."""
-    if max_hamming > 3:
+    ``max_hamming`` must be ≤ n_bands−1 — past that a pair whose
+    differing bits hit every band shares no band and would be SILENTLY
+    missing, so the radius is rejected rather than quietly
+    under-recalled.  For a larger radius, raise ``n_bands`` (radius 7 →
+    8×8-bit bands): narrower bands collide more — candidate volume grows
+    as corpus²/2^band_bits per band — which is the usual recall/cost
+    dial, not a correctness trade."""
+    if 64 % n_bands:
+        raise ValueError(f"n_bands {n_bands} must divide 64")
+    if max_hamming > n_bands - 1:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
-            "radius (3); pairs beyond it would be silently missed"
+            f"max_hamming={max_hamming} exceeds the {n_bands}-band "
+            f"pigeonhole radius ({n_bands - 1}); pairs beyond it would "
+            "be silently missed — raise n_bands instead"
         )
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
     bands = fps.select(
         "id",
         "fp",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("fp"), k * 16).bitwiseAND(F.lit(0xFFFF))
-                    for k in range(4)
+                    F.shiftright(F.col("fp"), k * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_val"),

@@ -2918,3 +2918,20 @@ class TestSecondReviewFixes:
         got = {r.id: r.lang for r in out.collect()}
         assert got == {1: "en", 2: "de"}
         assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_wider_radius_via_more_bands(self, spark):
+        """radius 7 works by banding 8×8-bit (pigeonhole radius 7), the
+        alternative the radius guard points to."""
+        from mistral_ocr_pipeline_spark.operators.dedup import fingerprint_pairs
+
+        fp_b = sum(1 << (8 * i) for i in range(7))  # 7 bits, 7 bands
+        fps = spark.createDataFrame(
+            [(1, 0), (2, fp_b), (3, -1)], "id long, fp long"
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in fingerprint_pairs(fps, max_hamming=7, n_bands=8).collect()
+        }
+        assert got == {(1, 2): 7}
+        with pytest.raises(ValueError, match="divide 64"):
+            fingerprint_pairs(fps, max_hamming=2, n_bands=5)
