@@ -2935,3 +2935,47 @@ class TestSecondReviewFixes:
         assert got == {(1, 2): 7}
         with pytest.raises(ValueError, match="divide 64"):
             fingerprint_pairs(fps, max_hamming=2, n_bands=5)
+
+
+class TestTemperatureProperties:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_python_model(self, spark, seed):
+        """Seeded random corpora vs a pure-Python model of the
+        temperature allocation (micro-rounded sqrt, order-free integer
+        normalizer) — shares sum to 1, alpha monotonicity."""
+        import math
+        import random
+
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        rng = random.Random(seed)
+        stats = {f"l{i}": rng.randint(1, 100000) for i in range(rng.randint(2, 6))}
+        rows = [(f"{k}-0", k, v) for k, v in stats.items()]
+        df = spark.createDataFrame(rows, "id string, lang string, t long")
+        got = {
+            r.lang: r
+            for r in temperature_allocation(df, "lang", "t", 10_000, 0.5).collect()
+        }
+
+        def away(y):
+            return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+
+        scaled = {k: away(math.sqrt(float(v)) * 1e6) for k, v in stats.items()}
+        total = sum(scaled.values())
+        for k, v in stats.items():
+            share = scaled[k] / total
+            assert got[k].scaled_micro == scaled[k]
+            assert abs(got[k].share_micro - away(share * 1e6)) <= 1
+            assert abs(got[k].budget_tokens - away(10_000.0 * share)) <= 1
+        assert abs(sum(r.share_micro for r in got.values()) - 1_000_000) <= len(stats)
+        # flattening: the smallest language's share under alpha=0.5
+        # strictly exceeds its proportional (alpha=1) share
+        small = min(stats, key=lambda k: (stats[k], k))
+        prop = {
+            r.lang: r.share_micro
+            for r in temperature_allocation(df, "lang", "t", 10_000, 1.0).collect()
+        }
+        if len(set(stats.values())) > 1:
+            assert got[small].share_micro > prop[small]
