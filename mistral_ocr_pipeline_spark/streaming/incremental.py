@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession, functions as F
 from mistral_ocr_pipeline_spark.fixtures.gen import transcripts_schema
 from mistral_ocr_pipeline_spark.plans.extract_pipeline import extract_transcripts
 from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+from mistral_ocr_pipeline_spark.streaming.identity import stream_identity
 
 
 def commit_extracted_batch(
@@ -105,17 +106,12 @@ def run_incremental_extraction(
     stream = reader.load()
 
     # batch ids are unique per CHECKPOINT LIFECYCLE, so the idempotence
-    # key carries the checkpoint dir's path AND inode — a fresh
+    # key carries the checkpoint lifecycle's UUID marker — a fresh
     # checkpoint (new batch-id namespace) can never be mistaken for a
     # replay of an old one, including one wiped and recreated at the
     # SAME path (whose restarted batch ids would otherwise be skipped
     # as replays — silent data loss)
-    import os
-
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    stream_id = (
-        f"{os.path.abspath(checkpoint_dir)}#{os.stat(checkpoint_dir).st_ino}"
-    )
+    stream_id = stream_identity(checkpoint_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
         commit_extracted_batch(

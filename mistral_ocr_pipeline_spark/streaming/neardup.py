@@ -49,6 +49,7 @@ from mistral_ocr_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+from mistral_ocr_pipeline_spark.streaming.identity import stream_identity
 
 DOCS_DDL = "doc_id long, text string"
 
@@ -156,11 +157,11 @@ def run_neardup_ingest(
     gate.  ``maxFilesPerTrigger`` bounds micro-batch size; the streaming
     checkpoint replaces any resume index, and the (stream_id, batch_id)
     lineage key makes replays no-ops.  ``stream_id`` carries the
-    checkpoint dir's path AND its inode: batch ids are unique only per
+    checkpoint LIFECYCLE's UUID marker: batch ids are unique only per
     checkpoint LIFECYCLE, and a checkpoint wiped and recreated at the
     same path restarts them at 0 — keyed on path alone, the new run's
     first batches would be silently skipped as replays of the old run's
-    (data loss); the recreated directory has a fresh inode, so it gets a
+    (data loss); a recreated checkpoint mints a fresh marker, so it gets a
     fresh idempotence namespace (same one-filesystem assumption the
     catalog's hardlink appends already make)."""
     reader = (
@@ -169,8 +170,7 @@ def run_neardup_ingest(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load()
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    stream_id = f"{os.path.abspath(checkpoint_dir)}#{os.stat(checkpoint_dir).st_ino}"
+    stream_id = stream_identity(checkpoint_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
         commit_neardup_batch(

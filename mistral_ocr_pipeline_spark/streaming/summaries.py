@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+from mistral_ocr_pipeline_spark.streaming.identity import stream_identity
 
 
 def merge_summary(
@@ -134,15 +135,12 @@ def run_incremental_heavy_hitters(
     columns (e.g. ``"pmod(xxhash64(doc_id), 8)"`` / ``"term"``).  Each
     micro-batch publishes {topk, err, lineage} in ONE atomic commit;
     replays (same stream_id + batch_id already in lineage) are no-ops.
-    The stream identity carries the checkpoint dir's abspath AND inode —
+    The stream identity carries the checkpoint lifecycle's UUID marker —
     batch ids are unique only per checkpoint LIFECYCLE, and a checkpoint
     wiped and recreated at the same path restarts them at 0, which a
     path-only key would misread as replays (silently dropped batches;
     same fix as streaming/incremental.py and streaming/neardup.py)."""
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    stream_id = (
-        f"{os.path.abspath(checkpoint_dir)}#{os.stat(checkpoint_dir).st_ino}"
-    )
+    stream_id = stream_identity(checkpoint_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if catalog.exists(lineage_table):
