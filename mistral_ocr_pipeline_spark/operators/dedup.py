@@ -920,7 +920,11 @@ def line_dedup(
     n_kept, n_removed)."""
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        # coalesce: split(NULL) is NULL and posexplode would emit no rows,
+        # silently dropping NULL-text docs (same guard as paragraph_dedup)
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     key = F.md5(F.trim(F.col("line")))
     eligible = F.length(F.trim(F.col("line"))) >= min_line_chars

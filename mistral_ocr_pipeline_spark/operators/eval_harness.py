@@ -51,18 +51,26 @@ def _field_score(l: Column, r: Column, spec: FieldSpec) -> Column:
     sentinels: `evaluate` overrides them to a flat 0.0 per field BEFORE
     this comparator (:807-818 scores `out is None` 0.0 unconditionally
     — even when the review side is itself empty, so the both-empty
-    exclusion must not fire there)."""
+    exclusion must not fire there).
+
+    EXCEPTION — kind='year' follows cmp_year (:549-557), which checks raw
+    equality BEFORE any empty test: the trailing-'.0' strip applies to
+    the OUTPUT side only (review '1999.0' vs output '1999' is a 0.0
+    mismatch), both-empty compares ''=='' and scores 1.0 — it ENTERS the
+    rollups; cmp_year's -1 branch is unreachable — and there is no
+    'extra' 0.25 branch (review-empty/output-present is 0.0)."""
 
     def empty(c: Column) -> Column:
         return c.isNull() | (F.trim(c.cast("string")) == "")
 
+    if spec.kind == "year":
+        lv = F.trim(F.coalesce(l.cast("string"), F.lit("")))
+        rv = strip_trailing_dot_zero(F.trim(F.coalesce(r.cast("string"), F.lit(""))))
+        return (lv == rv).cast("double")
+
     l_empty, r_empty = empty(l), empty(r)
     if spec.kind == "exact":
         hit = norm_key_col(l) == norm_key_col(r)
-    elif spec.kind == "year":
-        hit = strip_trailing_dot_zero(l.cast("string")) == strip_trailing_dot_zero(
-            r.cast("string")
-        )
     elif spec.kind == "set":
         def to_set(c: Column) -> Column:
             # split on ';' FIRST (normalization strips punctuation incl. ';')

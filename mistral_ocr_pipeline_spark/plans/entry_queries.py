@@ -5542,12 +5542,9 @@ _EVAL_SCORES_SQL = f"""
     sc AS (
       SELECT left_id, right_id,
            CASE WHEN right_id IS NULL THEN 0.0
-                WHEN (l_year IS NULL OR trim(l_year) = '')
-                     AND (r_year IS NULL OR trim(r_year) = '') THEN NULL
-                WHEN l_year IS NULL OR trim(l_year) = '' THEN 0.25
-                WHEN r_year IS NULL OR trim(r_year) = '' THEN 0.0
-                WHEN regexp_replace(l_year, '\\.0$', '')
-                     = regexp_replace(r_year, '\\.0$', '') THEN 1.0
+                WHEN coalesce(trim(l_year), '')
+                     = regexp_replace(coalesce(trim(r_year), ''),
+                                      '\\.0$', '') THEN 1.0
                 ELSE 0.0 END::DOUBLE AS score_year,
            CASE WHEN right_id IS NULL THEN 0.0
                 WHEN (l_brand IS NULL OR trim(l_brand) = '')
@@ -5563,8 +5560,10 @@ _EVAL_SCORES_SQL = f"""
 
 def _eval_fixture(spark: SparkSession, sf_dir: str):
     """Shared review/output fixture for the eval-harness oracle queries:
-    year/brand values cycle through every sentinel branch (hit, miss,
-    'extra', 'missing', both-empty, unmatched)."""
+    brand values cycle through every sentinel branch (hit, miss,
+    'extra', 'missing', both-empty, unmatched); year values cycle through
+    every cmp_year branch (hit, output-side '.0'-strip hit, review-side
+    no-strip miss, both-empty 1.0, one-side-empty miss)."""
     part = _t(spark, sf_dir, "part")
     p = F.col("p_partkey")
     review = part.filter(p % 23 == 1).select(
@@ -5618,8 +5617,11 @@ def eval_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`eval_harness.evaluate`), value-oracled end to end: J2 fuzzy match →
     left-outer field attach → the reference's sentinel scheme (unmatched
     → flat 0.0 on every field; matched both-empty → NULL exclusion;
-    'extra' → 0.25; 'missing' → 0.0; else the kind's comparator — year
-    after the '.0' strip, exact on the normalized key).  Fixture + the
+    'extra' → 0.25; 'missing' → 0.0; else the kind's comparator — exact
+    on the normalized key).  'year' is the cmp_year exception
+    (compare_results.py:549-557): raw equality FIRST with the '.0' strip
+    on the OUTPUT side only, so matched both-empty scores 1.0 and enters
+    rollups, and there is no 'extra' branch.  Fixture + the
     whole score-CTE chain are shared with `eval_rollups`
     (`_EVAL_SCORES_SQL` / `_eval_fixture`), so the two queries certify
     the SAME contract and cannot drift apart."""

@@ -50,6 +50,7 @@ which is already atomic at the table-registration level.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -101,36 +102,41 @@ class TableCatalog:
         """table name → current snapshot relpath (``table/snap-…``)."""
         return self._load_manifest(self._current_manifest_name())["tables"]
 
-    def _acquire_commit_lock(
-        self, timeout_secs: float = 60.0, stale_secs: float = 300.0
-    ) -> str:
-        """Exclusive advisory lock for the commit critical section
-        (O_CREAT|O_EXCL — atomic on one filesystem, which is also the
-        hardlink-append assumption).  A lock older than ``stale_secs``
-        belongs to a crashed committer (commits are sub-second) and is
-        broken.  This is the single-HOST CAS; multi-host deployments need
-        the catalog service (Iceberg/Nessie/Glue) named in the module
-        docstring."""
+    def _acquire_commit_lock(self, timeout_secs: float = 60.0) -> int:
+        """Exclusive advisory lock for the commit critical section:
+        ``flock(LOCK_EX)`` on a PERSISTENT lock file that is created once
+        and never unlinked.  The kernel drops a crashed committer's lock
+        automatically, so there is no staleness heuristic — the earlier
+        mtime-based stale-break was racy (two waiters could both judge
+        the lock stale and each unlink-and-recreate, the second unlinking
+        the first's fresh lock and admitting two committers).  Never
+        unlink the file: a waiter that opened the old inode would
+        otherwise lock an orphan while a new opener locks a fresh one.
+        flock conflicts across processes AND across fds in one process
+        (per open-file-description), which is exactly the same-host
+        single-filesystem contract the hardlink appends already assume;
+        multi-host deployments need the catalog service (Iceberg/Nessie/
+        Glue) named in the module docstring.  Returns the locked fd —
+        release with ``_release_commit_lock``."""
         lock = os.path.join(self.warehouse, _HEAD_LOCK)
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + timeout_secs
         while True:
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return lock
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > stale_secs:
-                        os.unlink(lock)  # crashed committer
-                        continue
-                except OSError:
-                    continue  # lock released between exists and stat
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd
+            except OSError:
                 if time.monotonic() > deadline:
+                    os.close(fd)
                     raise TimeoutError(
                         f"commit lock {lock} held for >{timeout_secs}s"
                     )
                 time.sleep(0.01)
+
+    @staticmethod
+    def _release_commit_lock(fd: int) -> None:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
     def commit(
         self, updates: dict[str, str | None], validate_bases: bool = True
@@ -150,7 +156,7 @@ class TableCatalog:
         longer the table's current snapshot, ``CommitConflictError`` is
         raised and the caller re-stages from the new current (pass False
         only for a deliberate last-wins overwrite)."""
-        lock = self._acquire_commit_lock()
+        lock_fd = self._acquire_commit_lock()
         try:
             parent = self._current_manifest_name()
             tables = dict(self._load_manifest(parent)["tables"])
@@ -172,7 +178,7 @@ class TableCatalog:
                     tables[t] = snap
             return self._write_manifest(tables, parent)
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock_fd)
 
     def _write_manifest(self, tables: dict[str, str], parent: str | None) -> str:
         name = f"m-{uuid.uuid4().hex}.json"

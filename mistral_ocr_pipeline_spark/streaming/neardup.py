@@ -38,7 +38,6 @@ is a partition_by away)."""
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -20,7 +20,6 @@ surface in the output where a filter would silently lose them."""
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

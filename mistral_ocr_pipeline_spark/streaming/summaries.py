@@ -26,7 +26,6 @@ same protocol as ``streaming/incremental.py``.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 

@@ -289,7 +289,16 @@ def test_commit_lock_released_on_conflict(spark, tmp_path):
     b.append(spark.range(20, 22).withColumnRenamed("id", "v"), "t")
     with _pytest.raises(CommitConflictError):
         a.commit({"t": snap_a})
-    assert not os.path.exists(os.path.join(wh, "_HEAD.lock"))
+    # lock file is persistent (flock-based) but must be UNLOCKED after the
+    # failed commit — a fresh non-blocking flock succeeds immediately
+    import fcntl
+
+    lock_fd = os.open(os.path.join(wh, "_HEAD.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+    finally:
+        os.close(lock_fd)
     # subsequent commits proceed normally
     b.append(spark.range(30, 31).withColumnRenamed("id", "v"), "t")
     assert a.read("t").count() == 2 + 2 + 1

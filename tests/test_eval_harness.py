@@ -150,38 +150,57 @@ def test_field_configs_derive_from_schema(spark):
 
 
 def test_field_score_sentinels_reference_parity(spark):
-    """The cmp_* sentinel scheme of compare_results.py:496-597, pinned:
-    both-empty → excluded; review-empty/output-present → 0.25 'extra';
-    output-empty/review-present → 0.0 'missing'; plain mismatch → 0.0."""
+    """The cmp_* sentinel scheme of compare_results.py:496-597, pinned on
+    an 'exact' field: both-empty → excluded; review-empty/output-present
+    → 0.25 'extra'; output-empty/review-present → 0.0 'missing'; plain
+    mismatch → 0.0.  The 'year' field is the cmp_year EXCEPTION
+    (:549-557): raw equality fires before any empty test with the '.0'
+    strip on the OUTPUT side only — both-empty scores 1.0 and ENTERS the
+    rollup, there is no 'extra' branch, and review '1999.0' vs output
+    '1999' is a 0.0 mismatch."""
     review = spark.createDataFrame(
         [
-            (1, "shared title alpha beta gamma", "2021"),   # match, year hit
-            (2, "shared title delta epsilon zeta", ""),     # review year empty
-            (3, "shared title eta theta iota", "1999"),     # output year empty
-            (4, "shared title kappa lambda mu", ""),        # both empty
+            (1, "shared title alpha beta gamma", "2021", "v1"),
+            (2, "shared title delta epsilon zeta", "", ""),
+            (3, "shared title eta theta iota", "1999", "v3"),
+            (4, "shared title kappa lambda mu", "", ""),
+            (5, "shared title nu xi omicron", "2021", "v5"),
+            (6, "shared title pi rho sigma", "1999.0", "v6"),
         ],
-        "rid long, title string, year string",
+        "rid long, title string, year string, val string",
     )
     output = spark.createDataFrame(
         [
-            (10, "shared title alpha beta gamma", "2021"),
-            (20, "shared title delta epsilon zeta", "2022"),  # extra
-            (30, "shared title eta theta iota", "   "),       # missing (ws)
-            (40, "shared title kappa lambda mu", None),       # both empty
+            (10, "shared title alpha beta gamma", "2021", "v1"),
+            (20, "shared title delta epsilon zeta", "2022", "vx"),  # extra
+            (30, "shared title eta theta iota", "   ", "   "),  # missing (ws)
+            (40, "shared title kappa lambda mu", None, None),   # both empty
+            (50, "shared title nu xi omicron", "2021.0", "v5"),  # out-side strip
+            (60, "shared title pi rho sigma", "1999", "v6"),    # rv-side NO strip
         ],
-        "oid long, title string, year string",
+        "oid long, title string, year string, val string",
     )
     res = evaluate(
         review, output, "rid", "oid", ("title", "title"),
-        [FieldSpec("year", "year")],
+        [FieldSpec("year", "year"), FieldSpec("val", "exact")],
     )
-    got = {r.left_id: r.score_year for r in res["scores"].collect()}
-    assert got[1] == 1.0
-    assert got[2] == 0.25   # 'extra'
-    assert got[3] == 0.0    # 'missing'
-    assert got[4] is None   # both_empty → the -1 exclusion sentinel
-    pf = res["per_field"].first()
-    assert pf.n_scored == 3  # the both-empty row left the rollup
+    rows = {r.left_id: r for r in res["scores"].collect()}
+    # exact field: the full sentinel scheme
+    assert rows[1].score_val == 1.0
+    assert rows[2].score_val == 0.25   # 'extra'
+    assert rows[3].score_val == 0.0    # 'missing'
+    assert rows[4].score_val is None   # both_empty → the -1 exclusion
+    # year field: cmp_year — equality first, output-side-only strip
+    assert rows[1].score_year == 1.0
+    assert rows[2].score_year == 0.0   # NO 'extra' branch for year
+    assert rows[3].score_year == 0.0   # '1999' vs '' → mismatch
+    assert rows[4].score_year == 1.0   # both-empty: '' == '' → exact
+    assert rows[5].score_year == 1.0   # '2021' vs '2021.0' → strip → hit
+    assert rows[6].score_year == 0.0   # '1999.0' vs '1999' → NO rv strip
+    pf = {r.field: r for r in res["per_field"].collect()}
+    assert pf["val"].n_scored == 5   # the both-empty row left the rollup
+    assert pf["year"].n_scored == 6  # ...but ENTERS the year rollup
+    assert pf["year"].accuracy == 0.5  # (1+0+0+1+1+0)/6
 
 
 def test_unmatched_rows_score_zero_and_enter_flat_overall(spark):
