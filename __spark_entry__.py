@@ -38,6 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "ann_ivfpq_topk",          # r5: IVFPQ composite, both trained halves oracled
+    "ann_ivfpq_recall",        # r5: composite recall claim (refined, n_probe=8)
+    "ann_lsh_df_topk",         # r5: DataFrame-native LSH query side
+    "ann_ivf_df_topk",         # r5: DataFrame-native IVF query side
+    "ann_pq_df_topk",          # r5: in-plan PQ LUT (no driver-built LUT)
     "ann_pq_trained_topk",     # late r4: trained PQ codebooks fully oracled
     "eval_rollups",            # late r4: sc>=0 flat-mean rollup oracled
     "eval_field_scores",       # late r4: eval sentinel scoring fully oracled

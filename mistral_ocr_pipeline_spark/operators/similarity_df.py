@@ -1,0 +1,569 @@
+"""DataFrame-native query sides for the ANN kernels — and the IVFPQ
+composite index built on them.
+
+The collect-form kernels in ``similarity`` (`brute_force_topk`,
+`lsh_topk`, `ivf_topk`, `pq_topk`) materialize the query relation on the
+driver (``_collect_queries`` / a driver-built PQ LUT) and broadcast it
+into an Arrow kernel.  That is the right LOW-LATENCY shape for top-k
+retrieval — a handful of queries against a huge corpus — but the wrong
+shape for a corpus-sized query relation (reranking a whole eval set,
+refreshing an online index, corpus-vs-corpus joins): the collect OOMs
+the driver long before the cluster is busy.
+
+These forms keep the query relation a DataFrame END TO END:
+
+* candidate generation is an **equi-join** on in-plan bucket/cell keys
+  (hyperplane sign bits for LSH, centroid argmax for IVF) — a standard
+  shuffle join that AQE skew-handles, so the query side scales exactly
+  like the corpus side;
+* the exact brute force is an explicit cartesian (inherently all-pairs;
+  pass ``broadcast_queries=False`` to keep both sides partitioned);
+* scoring is the shared `cosine_expr` / ADC ``aggregate`` fold —
+  sequential array-order arithmetic, which makes every form replay the
+  SAME SQL oracles as the collect kernels (the DuckDB twins compute
+  ``list_dot_product`` sequentially, exactly `fold_dot`);
+* ranking is a per-query ``row_number`` window.
+
+Nothing query-sized ever rides the driver; the only driver residency
+left in the ANN stack is the INDEX build (`_kmeans_centroids` /
+`pq_codebooks_kmeans` train on a bounded, hash-ordered sample — a
+deliberate, documented bounded collect).
+
+``ivfpq_topk`` is the FAISS-shaped composite (IndexIVFPQ with
+``by_residual=False``): IVF coarse cells prune the corpus to the probed
+cells, PQ asymmetric-distance scoring ranks inside them reading only
+the m-byte code table, and an optional exact-cosine refinement touches
+float vectors for the top-R candidates alone.  At 100 TB the encode
+pass is written once as a (cell, codes) table bucketed by cell; each
+query batch equi-joins its probed cells and folds over a LUT it
+computed in-plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+from mistral_ocr_pipeline_spark.operators.similarity import (
+    _empty_topk,
+    _kmeans_centroids,
+    cosine_expr,
+    fold_dot,
+    pq_codebooks_kmeans,
+    pq_encode,
+)
+
+
+def _arr(vec) -> F.Column:
+    """float64-exact literal array — the same convention as the SQL
+    oracles' ``VALUES ([...]::DOUBLE[])`` literals."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _dvec(col: F.Column) -> F.Column:
+    # double throughout so every fold is the same IEEE op sequence as a
+    # SQL DOUBLE[] dot product (float*float rounds each product first)
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _rank_topk(scored: DataFrame, k: int, score_col: str, descending: bool) -> DataFrame:
+    order = F.col(score_col).desc() if descending else F.col(score_col).asc()
+    w = W.partitionBy("query_id").orderBy(order, F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", score_col, "rank")
+    )
+
+
+def brute_force_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k with a DataFrame query side: corpus × queries
+    cartesian (exact search IS all-pairs), `cosine_expr` scoring, window
+    top-k.  ``broadcast_queries=True`` is the retrieval shape (small
+    query block rides the broadcast); ``False`` keeps both sides
+    partitioned — a distributed block-nested-loop for corpus-sized query
+    relations, O(|C|·|Q|) by definition (use `lsh_topk_df` /
+    `ivf_topk_df` when that is too much).  Value-identical to
+    `similarity.brute_force_topk` at the shared 6-dp rounding."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    joined = c.crossJoin(F.broadcast(q) if broadcast_queries else q)
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    return _rank_topk(scored, k, "cosine", descending=True)
+
+
+def lsh_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_probe: int = 3,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-table multi-probe hyperplane LSH with a DataFrame query
+    side — semantics of `similarity.lsh_topk`, candidates via EQUI-JOIN:
+
+    * corpus: per table, the bucket id Σ 2^p·[proj_p ≥ 0] is computed
+      IN-PLAN from plane literals (one fold per plane) and exploded to
+      (t, bucket) keys — map-side only, ``n_tables`` rows per vector;
+    * queries: the probe set (own bucket + the ``n_probe−1``
+      lowest-|projection| bit flips — ``array_sort`` over
+      (|proj|, p) structs replays the kernel's argsort) is likewise
+      in-plan, ``n_tables × n_probe`` keys per query;
+    * candidates = probes ⋈ buckets on (t, bucket) — the shuffle is on
+      bucket keys, never all-pairs, and a corpus-sized query relation
+      just makes the join's left side bigger;
+    * cross-table duplicate pairs carry identical cosines, so the
+      groupBy(query, vec) min is value-neutral dedup (the collect
+      kernel's lexsort-first, the oracle's DISTINCT).
+
+    Signs compare a float64 dot against 0 on RAW vectors —
+    normalization scales projections by a positive constant, so sign
+    and |proj| order match the kernel's normalized ones."""
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return _empty_topk(corpus)
+    d = dim or first.d
+    planes = np.random.RandomState(seed).standard_normal((n_tables, n_planes, d))
+    pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+
+    def projections(vec: F.Column, t: int) -> list[F.Column]:
+        return [fold_dot(vec, _arr(planes[t][p])) for p in range(n_planes)]
+
+    def bucket_of(projs: list[F.Column]) -> F.Column:
+        b = F.lit(0)
+        for p, pr in enumerate(projs):
+            b = b + F.when(pr >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b.cast("int")
+
+    c0 = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    c_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                bucket_of(projections(F.col("_cv"), t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    c = c0.select("vec_id", "_cv", F.explode(c_entries).alias("e")).select(
+        "vec_id", "_cv", F.col("e.t").alias("t"), F.col("e.bucket").alias("bucket")
+    )
+
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    q_entries = []
+    for t in range(n_tables):
+        projs = projections(F.col("_qv"), t)
+        bucket = bucket_of(projs)
+        order = F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(F.abs(pr).alias("a"), F.lit(p).alias("p"))
+                        for p, pr in enumerate(projs)
+                    ]
+                )
+            ),
+            lambda s: s["p"],
+        )
+        flips = F.transform(
+            F.slice(order, 1, max(0, n_probe - 1)),
+            lambda b: bucket.bitwiseXOR(F.element_at(pow2, b + 1)),
+        )
+        q_entries.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                F.concat(F.array(bucket), flips).alias("bs"),
+            )
+        )
+    q1 = q0.select("query_id", "_qv", F.explode(F.array(*q_entries)).alias("e"))
+    q = q1.select(
+        "query_id", "_qv", F.col("e.t").alias("t"), F.explode("e.bs").alias("bucket")
+    )
+
+    cand = q.join(c, ["t", "bucket"])
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    scored = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+        # duplicate (query, vec) pairs from different tables carry the
+        # SAME cosine (same two vectors) — min() is pure dedup
+        .groupBy("query_id", "vec_id")
+        .agg(F.min("cosine").alias("cosine"))
+    )
+    return _rank_topk(scored, k, "cosine", descending=True)
+
+
+def _cell_dots(vec: F.Column, cent: np.ndarray) -> F.Column:
+    return F.array(*[fold_dot(vec, _arr(cent[c])) for c in range(len(cent))])
+
+
+def _argmax_cell(dots: F.Column) -> F.Column:
+    # first index of the max — float equality against the element
+    # array_max returned is exact, so this is numpy's first-hit argmax
+    # and the oracle's row_number() ORDER BY d DESC, c
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    kmeans_iters: int = 8,
+    sample_size: int = 2048,
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-Flat ANN with a DataFrame query side — semantics of
+    `similarity.ivf_topk`: corpus cell = in-plan argmax over centroid
+    dots, query probes = top-``n_probe`` cells via posexplode + window
+    (fully distributed — a corpus-sized query relation is just a bigger
+    window input, partitioned per query), candidates via the cell
+    EQUI-JOIN, exact cosine inside probed cells only.  The index build
+    (`_kmeans_centroids` unless ``centroids`` is given) stays the
+    documented bounded driver-side sample; the QUERY side never touches
+    the driver."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        if corpus.select(id_col).first() is None:
+            return _empty_topk(corpus)
+        cent = _kmeans_centroids(
+            corpus, id_col, vec_col, n_centroids, kmeans_iters, sample_size, seed
+        )
+
+    c0 = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    c = c0.select(
+        "vec_id", "_cv", _argmax_cell(_cell_dots(F.col("_cv"), cent)).alias("cell")
+    )
+
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    qd = q0.select(
+        "query_id",
+        "_qv",
+        F.posexplode(_cell_dots(F.col("_qv"), cent)).alias("cell", "_d"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell").asc())
+    probes = (
+        qd.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+
+    cand = probes.join(c, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    # no pair dedup needed: a corpus row lives in ONE cell and a query's
+    # probed cells are distinct
+    return _rank_topk(scored, k, "cosine", descending=True)
+
+
+def _lut_cols(
+    qv: F.Column, codebooks: np.ndarray
+) -> tuple[F.Column, F.Column]:
+    """In-plan PQ lookup table: (_lut flat array<long>, _qq long) — the
+    DataFrame twin of `pq_topk`'s driver-built LUT block.  Each partial
+    ``c·c − 2·q_sub·c`` uses SEQUENTIAL folds over codeword literals
+    (`fold_dot`), the exact arithmetic of the SQL oracle's
+    ``list_dot_product`` — including ``c·c`` itself, which the driver
+    form takes from a numpy (BLAS) sum of squares; micro-rounding uses
+    Spark ``round`` (HALF_UP = half-away-from-zero, the `_micro`
+    convention)."""
+    m, ksub, dsub = codebooks.shape
+    entries = []
+    for j in range(m):
+        sub = F.slice(qv, j * dsub + 1, dsub)
+        for kk in range(ksub):
+            cb = _arr(codebooks[j][kk])
+            partial = fold_dot(cb, cb) - F.lit(2.0) * fold_dot(sub, cb)
+            entries.append(F.round(partial * F.lit(1e6), 0).cast("long"))
+    lut = F.array(*entries)
+    qq = F.round(fold_dot(qv, qv) * F.lit(1e6), 0).cast("long")
+    return lut, qq
+
+
+def _adc_expr(m: int, ksub: int) -> F.Column:
+    """ADC distance in micro-units: ‖q‖² + Σⱼ lut[j, codeⱼ] as a pure
+    ``aggregate`` fold over LONGS (order-independent) — shared by
+    `pq_topk_df` and `ivfpq_topk`, same expression as `pq_topk`."""
+    return F.col("_qq") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_lut"), j * F.lit(ksub) + F.element_at(F.col("codes"), j + 1) + 1
+        ),
+    )
+
+
+def pq_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    refine: int | None = None,
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with a DataFrame query side: the
+    per-query LUT is computed IN-PLAN (`_lut_cols`) instead of on the
+    driver, so a corpus-sized query batch works — pass
+    ``broadcast_queries=False`` to keep it partitioned (the join is
+    still against the 32×-smaller codes table, not the float vectors).
+    Scoring/rank/refine are exactly `similarity.pq_topk`."""
+    m, ksub, _ = codebooks.shape
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    lut, qq = _lut_cols(F.col("_qv"), codebooks)
+    q1 = q0.select(
+        "query_id",
+        *(["_qv"] if refine is not None else []),
+        lut.alias("_lut"),
+        qq.alias("_qq"),
+    )
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, keep_vec=refine is not None)
+    scored = enc.crossJoin(F.broadcast(q1) if broadcast_queries else q1)
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "adc_dist", F.round(_adc_expr(m, ksub) / F.lit(1e6), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "vec_id", "adc_dist", "rank"
+        )
+    return _refine_exact(ranked, refine, k)
+
+
+def _refine_exact(ranked: DataFrame, refine: int, k: int) -> DataFrame:
+    """Exact-cosine re-rank of the top-``refine`` ADC candidates — only
+    those candidates' float vectors are ever read (carried as
+    ``embedding`` by the encode pass)."""
+    cand = ranked.filter(F.col("rank") <= int(refine)).select(
+        "query_id", "vec_id", "_qv", _dvec(F.col("embedding")).alias("_v")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_qv"), F.col("_v")).alias("cosine"),
+    )
+    return _rank_topk(scored, k, "cosine", descending=True)
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """ONE Arrow pass building the IVFPQ index table: (vec_id, cell,
+    codes[, embedding]) — IVF cell = argmax centroid dot (first-hit tie
+    break; raw vectors — normalization is argmax-invariant), PQ codes =
+    per-subspace argmin of the reduced L2 on RAW subvectors
+    (``by_residual=False``, so the codebooks are exactly
+    `pq_codebooks_kmeans`'s and the codes match `pq_encode`).  At scale
+    this table is written once, bucketed/partitioned BY CELL, so a query
+    batch's cell equi-join prunes file scans to the probed cells."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cent, books))
+
+    out_fields = [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+    ]
+    if keep_vec:
+        out_fields.append(
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True)
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_cent, b_books = bc.value
+        c2 = (b_books**2).sum(axis=2)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
+            cells = np.argmax(mat @ b_cent.T, axis=1).astype(np.int32)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                dist = c2[j][None, :] - 2.0 * (sub @ b_books[j].T)
+                codes[:, j] = np.argmin(dist, axis=1)
+            out = {
+                "vec_id": pdf["_id"].to_numpy(dtype=np.int64),
+                "cell": cells,
+                "codes": list(codes),
+            }
+            if keep_vec:
+                out["embedding"] = pdf["_vec"]
+            yield pd.DataFrame(out)
+
+    from mistral_ocr_pipeline_spark.operators.util import ensure_parallelism
+
+    return (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(kernel, T.StructType(out_fields))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    ivf_iters: int = 8,
+    pq_iters: int = 4,
+    sample_size: int = 2048,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    refine: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFPQ composite ANN — the FAISS IndexIVFPQ shape
+    (``by_residual=False``), DataFrame-native on the query side:
+
+    1. **index**: trained IVF centroids (`_kmeans_centroids`) + trained
+       PQ codebooks (`pq_codebooks_kmeans`) — both engine-replayable, so
+       the WHOLE path value-oracles; `ivfpq_encode` writes (cell, codes)
+       in one corpus pass.
+    2. **query**: probes = top-``n_probe`` centroid cells (posexplode +
+       window, in-plan), LUT = `_lut_cols` (in-plan).
+    3. **search**: probes ⋈ codes ON CELL — the corpus pruned to probed
+       cells BEFORE any scoring; ADC = long fold over the LUT; rank;
+       optional exact-cosine ``refine`` touching only top-R vectors.
+
+    vs `pq_topk`: the ADC scan drops from |C| to |C|·n_probe/n_centroids
+    rows per query AND the scoring join becomes an equi-join (shuffle on
+    cell keys) instead of a broadcast cartesian — the 100 TB shape.
+    Recall is certified by the `ann_ivfpq_recall` claim query."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        if corpus.select(id_col).first() is None:
+            return _empty_topk(corpus)
+        cent = _kmeans_centroids(
+            corpus, id_col, vec_col, n_centroids, ivf_iters, sample_size, seed=11
+        )
+    books = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else pq_codebooks_kmeans(
+            corpus, id_col, vec_col, m=m, ksub=ksub, iters=pq_iters,
+            sample_size=sample_size,
+        )
+    )
+    m, ksub, _ = books.shape
+
+    enc = ivfpq_encode(
+        corpus, cent, books, id_col, vec_col, keep_vec=refine is not None
+    )
+
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    lut, qq = _lut_cols(F.col("_qv"), books)
+    q1 = q0.select(
+        "query_id", "_qv", lut.alias("_lut"), qq.alias("_qq"),
+        _cell_dots(F.col("_qv"), cent).alias("_dots"),
+    )
+    qd = q1.select(
+        "query_id", "_qv", "_lut", "_qq",
+        F.posexplode("_dots").alias("cell", "_d"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell").asc())
+    probes = (
+        qd.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id", "_lut", "_qq", "cell",
+            *(["_qv"] if refine is not None else []),
+        )
+    )
+
+    scored = probes.join(enc, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "adc_dist", F.round(_adc_expr(m, ksub) / F.lit(1e6), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "vec_id", "adc_dist", "rank"
+        )
+    return _refine_exact(ranked, refine, k)

@@ -1,0 +1,153 @@
+"""DataFrame-native ANN query sides (`operators/similarity_df`): value
+parity with the collect-form kernels, corpus-sized query relations that
+never ride the driver, and the IVFPQ composite."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mistral_ocr_pipeline_spark.operators import similarity as S
+from mistral_ocr_pipeline_spark.operators import similarity_df as D
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def _emb(spark, sf=SF_DIR):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_brute_df_matches_collect_kernel(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    assert _rows(D.brute_force_topk_df(emb, q, k=5)) == _rows(
+        S.brute_force_topk(emb, q, k=5)
+    )
+
+
+def test_lsh_df_matches_collect_kernel(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    kw = dict(k=5, n_planes=5, n_probe=4, n_tables=8)
+    assert _rows(D.lsh_topk_df(emb, q, **kw)) == _rows(S.lsh_topk(emb, q, **kw))
+
+
+def test_ivf_df_matches_collect_kernel_trained(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    kw = dict(k=5, n_centroids=16, n_probe=6)
+    assert _rows(D.ivf_topk_df(emb, q, **kw)) == _rows(S.ivf_topk(emb, q, **kw))
+
+
+def test_pq_df_matches_collect_kernel_adc_and_refine(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    cb = S.pq_codebooks_kmeans(emb, m=8, ksub=8, iters=4)
+    assert _rows(D.pq_topk_df(emb, q, cb, k=5)) == _rows(S.pq_topk(emb, q, cb, k=5))
+    assert _rows(D.pq_topk_df(emb, q, cb, k=5, refine=32)) == _rows(
+        S.pq_topk(emb, q, cb, k=5, refine=32)
+    )
+
+
+def test_df_forms_large_repartitioned_query_relation(spark):
+    """The r4-verdict done-criterion: the query side as a big (corpus-
+    sized, multi-partition) DataFrame — results hash-equal to the collect
+    kernel fed the same relation.  The collect form materializes all 500
+    queries on the driver; the DF forms join them partitioned."""
+    emb = _emb(spark)
+    queries = emb.repartition(16)  # every corpus row is a query
+    kw = dict(k=3, n_planes=5, n_probe=4, n_tables=8)
+    assert _rows(D.lsh_topk_df(emb, queries, **kw)) == _rows(
+        S.lsh_topk(emb, queries, **kw)
+    )
+    ikw = dict(k=3, n_centroids=16, n_probe=4)
+    assert _rows(D.ivf_topk_df(emb, queries, **ikw)) == _rows(
+        S.ivf_topk(emb, queries, **ikw)
+    )
+    # brute force, non-broadcast: the distributed cartesian shape
+    assert _rows(
+        D.brute_force_topk_df(emb, queries, k=3, broadcast_queries=False)
+    ) == _rows(S.brute_force_topk(emb, queries, k=3))
+
+
+def test_corpus_as_queries_sf01_smoke_no_driver_queries(spark):
+    """sf0.1 corpus-as-queries smoke: the full 2000-vector corpus is the
+    query relation.  Structural guarantee that queries never ride the
+    driver: the LSH-DF plan is joins + window over two scans — no
+    mapInPandas stage (where the collect form injects its broadcast
+    query block) and no local (driver-built) table of queries."""
+    emb = _emb(spark, SF_BIG)
+    out = D.lsh_topk_df(emb, emb, k=3, n_planes=6, n_probe=2, n_tables=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "mapInPandas" not in plan
+    assert "LocalTableScan" not in plan  # no driver-materialized relation
+    n_queries_with_hits = out.select("query_id").distinct().count()
+    assert n_queries_with_hits > 1500  # ~every query finds bucket-mates
+    top1 = out.filter(F.col("rank") == 1)
+    assert top1.count() == n_queries_with_hits
+
+
+def test_ivfpq_matches_pq_at_full_probe(spark):
+    """Probing ALL cells makes IVFPQ scan exactly what PQ scans, so the
+    composite must reproduce `pq_topk` verbatim — isolates the cell-
+    pruning logic from the ADC scoring it shares."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    cb = S.pq_codebooks_kmeans(emb, m=8, ksub=8, iters=4)
+    full = D.ivfpq_topk(emb, q, k=5, n_centroids=16, n_probe=16, codebooks=cb)
+    assert _rows(full) == _rows(S.pq_topk(emb, q, cb, k=5))
+
+
+def test_ivfpq_prunes_to_probed_cells(spark):
+    """With n_probe=1 every returned candidate must live in the query's
+    single probed cell — the structural IVF guarantee."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 4)
+    cent = S._kmeans_centroids(emb, "vec_id", "embedding", 8, 4, 512, 11)
+    cb = S.pq_codebooks_kmeans(emb, m=8, ksub=8, iters=2)
+    out = D.ivfpq_topk(
+        emb, q, k=50, n_probe=1, centroids=cent, codebooks=cb
+    ).collect()
+    enc = {
+        r.vec_id: r.cell
+        for r in D.ivfpq_encode(emb, cent, cb).select("vec_id", "cell").collect()
+    }
+    qcell = {
+        r.vec_id: int(
+            np.argmax(S._seq_fold_dot(np.array([list(r.embedding)], float), cent))
+        )
+        for r in q.select("vec_id", "embedding").collect()
+    }
+    assert out
+    for r in out:
+        assert enc[r.vec_id] == qcell[r.query_id]
+
+
+def test_ivfpq_encode_matches_pq_encode_codes(spark):
+    emb = _emb(spark)
+    cb = S.pq_codebooks_kmeans(emb, m=8, ksub=8, iters=2)
+    cent = S._kmeans_centroids(emb, "vec_id", "embedding", 8, 4, 512, 11)
+    a = {
+        r.vec_id: list(r.codes)
+        for r in D.ivfpq_encode(emb, cent, cb).collect()
+    }
+    b = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, cb).collect()}
+    assert a == b
+
+
+def test_df_forms_empty_query_relation(spark):
+    """Empty-cycle contract: an empty query DataFrame yields an empty
+    result with the stable (query_id, vec_id, score, rank) schema."""
+    emb = _emb(spark)
+    none = emb.filter(F.col("vec_id") < 0)
+    assert D.brute_force_topk_df(emb, none, k=3).count() == 0
+    assert D.lsh_topk_df(emb, none, k=3).count() == 0
+    assert D.ivf_topk_df(emb, none, k=3, n_centroids=8).count() == 0
+    cb = S.seeded_pq_codebooks(64, m=8, ksub=8)
+    assert D.pq_topk_df(emb, none, cb, k=3).count() == 0
+    assert D.ivfpq_topk(emb, none, k=3, n_centroids=8, codebooks=cb).count() == 0
