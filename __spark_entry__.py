@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_substring_dedup",    # r5: Lee-et-al span removal + rebuild
+    "j3_apply_verdicts",       # r5: verdict write-back re-collect leg
     "ann_ivfpq_topk",          # r5: IVFPQ composite, both trained halves oracled
     "ann_ivfpq_recall",        # r5: composite recall claim (refined, n_probe=8)
     "ann_lsh_df_topk",         # r5: DataFrame-native LSH query side

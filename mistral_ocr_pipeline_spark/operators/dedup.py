@@ -894,6 +894,91 @@ def embedding_neardup_pairs(
 # --------------------------------------------------------------------------
 # Line-level corpus dedup (C4 / RefinedWeb boilerplate removal)
 # --------------------------------------------------------------------------
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup at Lee et al. (2022) granularity — the
+    spans THEMSELVES are removed, not just flagged (the step beyond
+    `substring_overlap_pairs`): every duplicated ``span_words``-word
+    window is cut from all but its first (canonical, lowest
+    ``(doc_id, pos)``) occurrence, and each document is reassembled
+    from its surviving words.
+
+    Semantics: word position ``i`` of a document is removed iff some
+    duplicated k-gram whose occurrence here is non-canonical covers it
+    — so a verbatim-copied region of ANY length L ≥ k marks L−k+1 gram
+    starts whose interval union is exactly the region, reproducing the
+    paper's "remove all but one occurrence of every duplicated
+    substring ≥ k tokens" for the fixed window size.  The paper's
+    suffix array finds variable maximal matches but needs a monolithic
+    index; this fixed-k formulation is the shuffle-native equivalent.
+    Rebuilt text joins surviving words with single spaces (the same
+    whitespace-normalizing rebuild convention as `line_dedup`'s
+    newline join); a NULL/empty/shorter-than-k document survives
+    unchanged (modulo that normalization).
+
+    Plan: gram DIGESTS are computed map-side (md5 of the k-word
+    window — the count shuffle moves 32-char digests, never text);
+    canonical occurrence via ONE map-side-combinable
+    ``min(struct(id, pos))`` + count aggregate — NOT a window, so a
+    million-way duplicated boilerplate span costs one struct per
+    partition (the `paragraph_dedup` argument); hot digests join back
+    (count-filtered, AQE-broadcastable for real corpora); one
+    groupBy(doc) gathers removal starts; interval union + word filter
+    + rejoin are pure array expressions.  Returns
+    (id, text_clean, n_kept, n_removed)."""
+    k = int(span_words)
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("id"), words.alias("w"))
+    grams = base.filter(F.size("w") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - k),
+                lambda p: F.md5(F.array_join(F.slice("w", p + 1, k), " ")),
+            )
+        ).alias("pos", "g"),
+    )
+    hot = (
+        grams.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("id", "pos")).alias("_c"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select("g", "_c")
+    )
+    marks = (
+        grams.join(hot, "g")
+        .filter(
+            ~(
+                (F.col("id") == F.col("_c.id"))
+                & (F.col("pos") == F.col("_c.pos"))
+            )
+        )
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_mk"))
+    )
+    mk = F.coalesce(F.col("_mk"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(F.transform(mk, lambda p: F.sequence(p, p + k - 1)))
+    )
+    out = base.join(marks, "id", "left").withColumn("_cov", covered)
+    kept = F.filter(F.col("w"), lambda x, i: ~F.array_contains(F.col("_cov"), i))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,

@@ -891,6 +891,79 @@ def j3_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j3_apply_verdicts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      string_split({_KEY.format(c='text')}, ' ')[1:6] AS toks
+               FROM documents),
+    e AS (SELECT doc_id,
+                 unnest(range(0, len(toks)))::INT AS pos,
+                 unnest(toks) AS value
+          FROM t),
+    verd AS (
+      SELECT doc_id, pos, length(value) % 2 = 0 AS sup FROM e
+      WHERE NOT (doc_id % 7 = 0 AND pos = 0)
+      UNION ALL
+      SELECT doc_id, 99, TRUE FROM t WHERE doc_id % 11 = 0),
+    j AS (SELECT e.doc_id, e.pos, e.value, v.sup,
+                 v.doc_id IS NOT NULL AS m
+          FROM e LEFT JOIN verd v ON v.doc_id = e.doc_id AND v.pos = e.pos),
+    re AS (SELECT doc_id,
+                  list(value ORDER BY pos)
+                      FILTER (WHERE coalesce(sup, FALSE)) AS keep,
+                  count(*) FILTER (WHERE m) AS n_matched,
+                  count(*) AS n_pos
+           FROM j GROUP BY doc_id),
+    vt AS (SELECT doc_id, count(*) AS v_tot FROM verd GROUP BY doc_id),
+    f AS (SELECT t.doc_id, t.toks,
+                 list_transform(t.toks, x -> upper(x)) AS sents,
+                 r.keep,
+                 coalesce(r.n_pos, 0) = len(t.toks)
+                 AND coalesce(r.n_matched, 0) = len(t.toks)
+                 AND coalesce(vt.v_tot, 0) = len(t.toks) AS aligned
+          FROM t LEFT JOIN re r USING (doc_id) LEFT JOIN vt USING (doc_id))
+    SELECT doc_id,
+           CASE WHEN aligned
+                THEN CASE WHEN len(coalesce(keep, [])) > 0 THEN keep END
+                ELSE toks END AS values_clean,
+           CASE WHEN aligned AND len(sents) = 0 THEN NULL
+                ELSE sents END AS sentences,
+           aligned AS verdicts_aligned
+    FROM f
+    """,
+)
+def j3_apply_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict application — the re-collect leg the r4 verdict flagged
+    as the last un-twinned reference dataflow
+    (post_processing.py:155-202,309-315): per-position support verdicts
+    filter a row's parallel lists and an ORDERED collect_list
+    reassembles one row per document (`operators/verdicts.
+    apply_verdicts`).  Fixture exercises every guard: even-length
+    support rule, all-unsupported → NULL, missing pos-0 verdict on
+    doc_id%7 (misaligned → row unchanged), extra pos-99 verdict on
+    doc_id%11 (likewise); the oracle replays the rebuild with DuckDB's
+    ``list(... ORDER BY pos)``."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.verdicts import apply_verdicts
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(norm_key_col(F.col("text")), " "), 1, 6)
+    rows = docs.select(
+        "doc_id",
+        toks.alias("values"),
+        F.transform(toks, lambda x: F.upper(x)).alias("sentences"),
+    )
+    ev = docs.select("doc_id", F.posexplode(toks).alias("pos", "value"))
+    verd = ev.select(
+        "doc_id", "pos", (F.length("value") % 2 == 0).alias("supported")
+    ).filter(~((F.col("doc_id") % 7 == 0) & (F.col("pos") == 0)))
+    extra = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.lit(99).alias("pos"), F.lit(True).alias("supported")
+    )
+    return apply_verdicts(rows, verd.unionByName(extra))
+
+
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------
@@ -2960,6 +3033,68 @@ def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = docs.unionByName(clones)
     return substring_overlap_pairs(u, "doc_id", "text", n=8)
+
+
+@register(
+    "text_substring_dedup",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^\w+', 'changed')
+      FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS w
+          FROM u),
+    g0 AS (SELECT id, w, unnest(generate_series(0, len(w) - 8))::INT AS p
+           FROM t WHERE len(w) >= 8),
+    g AS (SELECT id, p, md5(array_to_string(w[p + 1 : p + 8], ' ')) AS gr
+          FROM g0),
+    ranked AS (
+      SELECT id, p,
+             row_number() OVER (PARTITION BY gr ORDER BY id, p) AS rn
+      FROM g),
+    marks AS (SELECT id, p FROM ranked WHERE rn >= 2),
+    cov AS (SELECT DISTINCT id, unnest(generate_series(p, p + 7))::INT AS i
+            FROM marks),
+    wpos AS (
+      SELECT id, i, w[i + 1] AS word FROM (
+        SELECT id, w, unnest(generate_series(0, len(w) - 1))::INT AS i
+        FROM t WHERE len(w) > 0)),
+    kept AS (
+      SELECT wp.id, wp.i, wp.word FROM wpos wp
+      WHERE NOT EXISTS (SELECT 1 FROM cov c
+                        WHERE c.id = wp.id AND c.i = wp.i)),
+    agg AS (SELECT id, string_agg(word, ' ' ORDER BY i) AS text_clean,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY id)
+    SELECT t.id AS doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           (len(t.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+    FROM t LEFT JOIN agg a USING (id)
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al exact-substring dedup with the spans REMOVED and the
+    documents reassembled (`dedup.substring_dedup`) — the step beyond
+    `dedup_substring_overlap`'s pair flags.  Same clone fixture (every
+    10th doc first-word-perturbed): each clone's grams from position 1
+    on are non-canonical duplicates of its original, so the interval
+    union strips it down to its changed first word, while originals
+    (canonical occurrences) survive intact — the oracle replays gram
+    ranking, interval union, and the word-level rebuild, hash-matching
+    the reassembled strings."""
+    from mistral_ocr_pipeline_spark.operators.dedup import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    u = docs.unionByName(clones)
+    return substring_dedup(u, "doc_id", "text", span_words=8)
 
 
 # --------------------------------------------------------------------------

@@ -2979,3 +2979,128 @@ class TestTemperatureProperties:
         }
         if len(set(stats.values())) > 1:
             assert got[small].share_micro > prop[small]
+
+
+class TestSubstringDedup:
+    """Lee-et-al exact-substring removal (`dedup.substring_dedup`):
+    span cut + word-level reassembly semantics."""
+
+    def _run(self, spark, rows, k=4):
+        from mistral_ocr_pipeline_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in substring_dedup(df, "doc_id", "text", span_words=k).collect()
+        }
+
+    def test_copied_region_cut_from_noncanonical_only(self, spark):
+        span = "alpha beta gamma delta epsilon zeta"  # 6 words > k=4
+        got = self._run(
+            spark,
+            [
+                (1, f"intro one two {span} outro"),
+                (2, f"other words here {span} tail piece"),
+            ],
+        )
+        # doc 1 is canonical (lowest id): survives verbatim
+        assert got[1].text_clean == f"intro one two {span} outro"
+        assert got[1].n_removed == 0
+        # doc 2 loses exactly the 6 copied words
+        assert got[2].text_clean == "other words here tail piece"
+        assert got[2].n_removed == 6
+
+    def test_intra_doc_repeat_keeps_first(self, spark):
+        span = "w1 w2 w3 w4"
+        got = self._run(spark, [(1, f"{span} middle bit {span}")])
+        assert got[1].text_clean == f"{span} middle bit"
+        assert got[1].n_removed == 4
+
+    def test_short_null_and_unique_docs_survive(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "a b c"),                      # shorter than k
+                (2, None),                          # NULL text
+                (3, "all unique words in here ok"), # no duplicated gram
+            ],
+        )
+        assert got[1].text_clean == "a b c" and got[1].n_removed == 0
+        assert got[2].text_clean == "" and got[2].n_kept == 0
+        assert got[3].n_removed == 0
+
+    def test_whitespace_normalizing_rebuild(self, spark):
+        got = self._run(spark, [(1, "  a\n b\tc   d ")])
+        assert got[1].text_clean == "a b c d"
+        assert got[1].n_kept == 4
+
+
+class TestApplyVerdicts:
+    """post_processing.py:155-202 write-back semantics: ordered rebuild,
+    all-unsupported -> NULL, misalignment guards, scalar variant."""
+
+    def _run(self, spark, rows, verdicts):
+        from mistral_ocr_pipeline_spark.operators.verdicts import apply_verdicts
+
+        r = spark.createDataFrame(
+            rows, "doc_id long, values array<string>, sentences array<string>"
+        )
+        v = spark.createDataFrame(
+            verdicts, "doc_id long, pos int, supported boolean"
+        )
+        return {x.doc_id: x for x in apply_verdicts(r, v).collect()}
+
+    def test_ordered_filter_and_reassembly(self, spark):
+        got = self._run(
+            spark,
+            [(1, ["a", "b", "c"], ["SA", "SB", "SC"])],
+            [(1, 2, True), (1, 0, True), (1, 1, False)],  # shuffled input order
+        )
+        assert got[1].values_clean == ["a", "c"]  # order preserved
+        assert got[1].sentences == ["SA", "SB", "SC"]  # kept unchanged
+        assert got[1].verdicts_aligned
+
+    def test_all_unsupported_becomes_null(self, spark):
+        got = self._run(
+            spark,
+            [(1, ["a", "b"], ["x", "y"])],
+            [(1, 0, False), (1, 1, None)],  # NULL verdict element = falsy
+        )
+        assert got[1].values_clean is None
+        assert got[1].verdicts_aligned
+
+    def test_misaligned_rows_unchanged(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, ["a", "b"], ["x", "y"]),  # missing verdict for pos 1
+                (2, ["c", "d"], ["z", "w"]),  # extra verdict at pos 9
+                (3, ["e"], ["q"]),            # aligned control
+            ],
+            [
+                (1, 0, False),
+                (2, 0, False), (2, 1, False), (2, 9, True),
+                (3, 0, False),
+            ],
+        )
+        assert got[1].values_clean == ["a", "b"] and not got[1].verdicts_aligned
+        assert got[2].values_clean == ["c", "d"] and not got[2].verdicts_aligned
+        assert got[3].values_clean is None and got[3].verdicts_aligned
+
+    def test_scalar_variant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.verdicts import (
+            apply_verdict_scalar,
+        )
+
+        r = spark.createDataFrame(
+            [(1, "keep", "s1"), (2, "drop", "s2"), (3, "noverdict", "s3")],
+            "doc_id long, value string, sentence string",
+        )
+        v = spark.createDataFrame(
+            [(1, True), (2, False)], "doc_id long, supported boolean"
+        )
+        got = {x.doc_id: x for x in apply_verdict_scalar(r, v).collect()}
+        assert got[1].value == "keep"
+        assert got[2].value is None          # unsupported -> nulled
+        assert got[2].sentence == "s2"       # sentence kept
+        assert got[3].value == "noverdict"   # missing verdict -> unchanged
