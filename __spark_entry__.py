@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "pack_token_budget_bpe2",  # r5: REAL trained-BPE token basis (rows-only)
     "text_substring_dedup",    # r5: Lee-et-al span removal + rebuild
     "j3_apply_verdicts",       # r5: verdict write-back re-collect leg
     "ann_ivfpq_topk",          # r5: IVFPQ composite, both trained halves oracled

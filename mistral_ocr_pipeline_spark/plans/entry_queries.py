@@ -3298,6 +3298,32 @@ def pack_token_budget_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_budget(docs, "doc_id", "tokens", budget=512, n_shards=8)
 
 
+@register("pack_token_budget_bpe2")
+def pack_token_budget_bpe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing budgeted on REAL trained-BPE counts (r4 verdict item 5):
+    `bpe.bpe_train` learns 200 merges from the hash-ordered corpus
+    sample, `bpe_token_count_trained` applies them in an Arrow kernel
+    with a per-batch word memo, and the document-preserving
+    shard/cumsum/boundary plan cuts 512-token windows on those counts.
+    The merge-apply loop has no SQL twin, so this row is rows-only by
+    design (the `j2_fuzzy_difflib` convention); the kernel's counts are
+    value-pinned in tests/test_ops.py against an independent reference
+    BPE implementation, and the regex-proxy `pack_token_budget_bpe`
+    keeps the fully-oracled twin of the plan shape."""
+    from mistral_ocr_pipeline_spark.operators.bpe import (
+        bpe_token_count_trained,
+        bpe_train,
+    )
+    from mistral_ocr_pipeline_spark.operators.packing import pack_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", "doc_id", n_merges=200, sample_size=1024)
+    counted = docs.select(
+        "doc_id", bpe_token_count_trained(merges)(F.col("text")).alias("tokens")
+    )
+    return pack_token_budget(counted, "doc_id", "tokens", budget=512, n_shards=8)
+
+
 @register(
     "pack_rollup",
     oracle=f"""{_PACK_OFF}

@@ -3104,3 +3104,146 @@ class TestApplyVerdicts:
         assert got[2].value is None          # unsupported -> nulled
         assert got[2].sentence == "s2"       # sentence kept
         assert got[3].value == "noverdict"   # missing verdict -> unchanged
+
+
+class TestTrainedBPE:
+    """Real-BPE basis (`operators/bpe`): the trained merge table and the
+    Arrow apply kernel, value-pinned against an INDEPENDENT reference
+    implementation (training re-derived with a different pair-scan
+    structure; application via sequential in-rank-order replacement,
+    which is provably equivalent to the kernel's lowest-rank-first loop
+    — a pair involving a merged symbol always ranks later than the
+    merge that created it)."""
+
+    @staticmethod
+    def _ref_train(words_with_freq, n_merges):
+        # independent training: pair counts rebuilt from scratch via
+        # zip() each round, ties broken max-count-then-lexicographic
+        seqs = {w: tuple(w) + ("</w>",) for w in words_with_freq}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for w, f in words_with_freq.items():
+                s = seqs[w]
+                for pair in zip(s, s[1:]):
+                    counts[pair] = counts.get(pair, 0) + f
+            if not counts:
+                break
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            merges.append(best)
+            new = {}
+            for w, s in seqs.items():
+                out, skip = [], False
+                for i, sym in enumerate(s):
+                    if skip:
+                        skip = False
+                        continue
+                    if i + 1 < len(s) and (sym, s[i + 1]) == best:
+                        out.append(sym + s[i + 1])
+                        skip = True
+                    else:
+                        out.append(sym)
+                new[w] = tuple(out)
+            seqs = new
+        return merges
+
+    @staticmethod
+    def _ref_count(text, merges):
+        # independent application: merges applied sequentially in rank
+        # order (NOT the kernel's lowest-rank-present loop)
+        if not text:
+            return 0
+        total = 0
+        for w in text.split():
+            syms = list(w) + ["</w>"]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        return total
+
+    def test_training_matches_reference(self, spark):
+        from mistral_ocr_pipeline_spark.operators.bpe import bpe_train
+
+        rows = [
+            (1, "low low low low low lower lower newest newest"),
+            (2, "newest newest newest newest wider wider wider new new"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = bpe_train(df, "text", "doc_id", n_merges=12, sample_size=10)
+        freq = {}
+        for _, t in rows:
+            for w in t.split():
+                freq[w] = freq.get(w, 0) + 1
+        assert got == self._ref_train(freq, 12)
+
+    def test_kernel_counts_match_reference_on_fixture(self, spark):
+        from mistral_ocr_pipeline_spark.operators.bpe import (
+            bpe_token_count_trained,
+            bpe_train,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        merges = bpe_train(docs, "text", "doc_id", n_merges=80, sample_size=256)
+        got = {
+            r.doc_id: r.n
+            for r in docs.select(
+                "doc_id", bpe_token_count_trained(merges)(F.col("text")).alias("n")
+            ).collect()
+        }
+        ref = {
+            r.doc_id: self._ref_count(r.text, merges)
+            for r in docs.select("doc_id", "text").collect()
+        }
+        assert got == ref
+        assert sum(got.values()) > 0
+
+    def test_more_merges_never_increase_counts(self, spark):
+        from mistral_ocr_pipeline_spark.operators.bpe import (
+            bpe_token_count_trained,
+            bpe_train,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        m_small = bpe_train(docs, "text", "doc_id", n_merges=20, sample_size=64)
+        m_big = bpe_train(docs, "text", "doc_id", n_merges=120, sample_size=64)
+        assert m_big[: len(m_small)] == m_small  # training is prefix-stable
+        a = docs.select(
+            "doc_id", bpe_token_count_trained(m_small)(F.col("text")).alias("n")
+        ).collect()
+        b = {
+            r.doc_id: r.n
+            for r in docs.select(
+                "doc_id", bpe_token_count_trained(m_big)(F.col("text")).alias("n")
+            ).collect()
+        }
+        for r in a:
+            assert b[r.doc_id] <= r.n
+
+    def test_null_and_empty_text(self, spark):
+        from mistral_ocr_pipeline_spark.operators.bpe import (
+            bpe_token_count_trained,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "  "), (4, "ab")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n
+            for r in df.select(
+                "doc_id", bpe_token_count_trained([])(F.col("text")).alias("n")
+            ).collect()
+        }
+        # no merges: every char + </w> is a token
+        assert got == {1: 0, 2: 0, 3: 0, 4: 3}
