@@ -33,15 +33,19 @@ Commit protocol (real snapshot isolation, not an approximation):
 * superseded snapshots stay readable (``read(table,
   snapshot="snap-…")`` = time travel) until ``expire_snapshots``.
 
-Concurrency: same-HOST writers serialize through an exclusive commit
-lockfile, with snapshot-level optimistic validation — a commit whose
-staged base is no longer the table's current snapshot raises
-``CommitConflictError`` for a re-stage-and-retry loop (Iceberg's
-CommitFailedException semantics); commits touching different tables
-interleave safely.  The lock is ``O_CREAT|O_EXCL`` on the warehouse
-filesystem — the same one-filesystem assumption hardlink appends already
-make — so MULTI-host writers still need the CAS service a real
-Iceberg/Nessie/Glue catalog provides at 100 TB.
+Concurrency — same-host MULTI-WRITER is supported: writers (processes
+or threads) serialize the pointer swap through an exclusive ``flock``
+on a persistent lockfile (kernel-released on crash, no staleness
+heuristic), with snapshot-level optimistic validation under the lock —
+a commit whose staged base is no longer the table's current snapshot
+raises ``CommitConflictError`` (Iceberg's CommitFailedException
+semantics), and ``append_retry`` wraps the full CAS loop: re-stage from
+the new current, bounded retries.  Commits touching different tables
+interleave safely; concurrent OVERWRITES of one table deliberately
+conflict (pass ``validate_bases=False`` for last-wins).  The lock lives
+on the warehouse filesystem — the same one-filesystem assumption
+hardlink appends already make — so MULTI-host writers still need the
+CAS service a real Iceberg/Nessie/Glue catalog provides at 100 TB.
 
 Bucketed tables (``write_bucketed``) live outside the manifest: their
 bucketing metadata is owned by the Spark session catalog (saveAsTable),
@@ -339,6 +343,34 @@ class TableCatalog:
     # -- public write API --------------------------------------------------
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         self.commit({table: self.stage_append(df, table, partition_by)})
+
+    def append_retry(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        max_retries: int = 5,
+    ) -> str:
+        """CAS append for CONCURRENT writers: stage against the current
+        snapshot, attempt the commit, and on ``CommitConflictError``
+        (another writer advanced the table between stage and commit)
+        discard the staged snapshot and re-stage from the new current —
+        appends commute (the hardlink carry-forward picks up whatever is
+        current plus the new files), so the retry is always
+        semantics-preserving.  Bounded by ``max_retries`` then
+        re-raises; each retry re-executes the Spark write (the staged
+        files are immutable per snapshot, so they cannot be rebased in
+        place).  Returns the committed manifest name."""
+        for attempt in range(max_retries + 1):
+            rel = self.stage_append(df, table, partition_by)
+            try:
+                return self.commit({table: rel})
+            except CommitConflictError:
+                self.discard_staged(rel)
+                self._staged_bases.pop(rel, None)
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         self.commit({table: self.stage_overwrite(df, table, partition_by)})
