@@ -740,30 +740,191 @@ def dsir_logweights(
 # --------------------------------------------------------------------------
 # Quality gate funnel — Gopher-style rules with first-fail attribution
 # --------------------------------------------------------------------------
+def _nonempty_words(t: Column) -> Column:
+    """Whitespace words, empties dropped — DuckDB
+    ``list_filter(string_split_regex(t, '\\s+'), x -> x <> '')``."""
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def _char_total(items: Column) -> Column:
+    return F.aggregate(
+        items, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+
+
+def _dup_char_count(items: Column) -> Column:
+    """Σ len(x) over NON-FIRST occurrences of each repeated value — i.e.
+    Σ (count−1)·len(value) — via one sorted-adjacency fold (map-only; the
+    relational twin is a GROUP BY value).  The numerator of Gopher's
+    duplicate-line/paragraph CHARACTER fractions."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    return F.aggregate(
+        F.array_sort(items),
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            (
+                a["dup"]
+                + F.when(x.eqNullSafe(a["prev"]), F.length(x)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup"),
+        ),
+        lambda a: a["dup"],
+    )
+
+
+def _grams_arr(words: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams (empty when the doc is shorter than
+    ``n`` — guarded because Spark's ``sequence(0, -1)`` DESCENDS)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda p: F.array_join(F.slice(words, p + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_chars(words: Column, n: int) -> Column:
+    """count × len of the MOST FREQUENT n-gram (ties → lexicographically
+    smallest, the sorted fold's first max ≡ SQL ``row_number() ORDER BY
+    cnt DESC, gram``) — the numerator of Gopher's top-n-gram character
+    fraction.  Gram length includes its inner spaces."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bestrun"),
+        F.lit(0).cast("long").alias("bestlen"),
+    )
+
+    def step(a, x):
+        run = F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > a["bestrun"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(a["bestrun"]).alias("bestrun"),
+            F.when(better, F.length(x).cast("long"))
+            .otherwise(a["bestlen"])
+            .alias("bestlen"),
+        )
+
+    return F.aggregate(
+        F.array_sort(_grams_arr(words, n)),
+        acc0,
+        step,
+        lambda a: a["bestrun"] * a["bestlen"],
+    )
+
+
+def _dup_gram_cover_chars(words: Column, n: int) -> Column:
+    """Σ len(word) over word positions covered by ANY n-gram that occurs
+    ≥2 times in the document (interval union over [p, p+n−1], counting
+    each position once — Gopher's "taking care not to count characters
+    twice") — the numerator of the duplicate-n-gram character fraction,
+    over word characters (whitespace excluded from both numerator and
+    the `_char_total` denominator; a fixed convention shared with the
+    SQL oracle)."""
+    g = _grams_arr(words, n)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.array().cast("array<string>").alias("dups"),
+    )
+    dups = F.aggregate(
+        F.array_sort(g),
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                x.eqNullSafe(a["prev"]) & (a["run"] == 1),
+                F.concat(a["dups"], F.array(x)),
+            )
+            .otherwise(a["dups"])
+            .alias("dups"),
+        ),
+        lambda a: a["dups"],
+    )
+    hit_starts = F.filter(
+        F.transform(
+            g, lambda x, i: F.when(F.array_contains(dups, x), i).otherwise(F.lit(-1))
+        ),
+        lambda v: v >= 0,
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform(hit_starts, lambda p: F.sequence(p, p + n - 1)))
+    )
+    return F.aggregate(
+        covered,
+        F.lit(0).cast("long"),
+        lambda a, i: a + F.length(F.element_at(words, i + 1)),
+    )
+
+
+TOP_GRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_GRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
 def quality_funnel(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 50,
+    max_tokens: int = 100_000,
     word_len_bounds: tuple[float, float] = (3.0, 10.0),
     max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
     min_stopword_hits: int = 2,
     max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_dup_para_frac: float = 0.3,
+    max_dup_para_char_frac: float = 0.2,
+    top_gram_thresholds: dict[int, float] = TOP_GRAM_THRESHOLDS,
+    dup_gram_thresholds: dict[int, float] = DUP_GRAM_THRESHOLDS,
 ) -> DataFrame:
-    """Per-document gate verdict under the published Gopher-rule shapes
-    (Rae et al. 2021 §A1.1): minimum length, mean-word-length bounds,
-    symbol ratio, stop-word evidence, duplicate-line fraction.  Verdict
-    is the FIRST failing rule ('too_short' | 'word_len' | 'symbol_heavy'
-    | 'low_stopword' | 'dup_lines') or 'keep' — first-fail attribution
-    is what makes a drop FUNNEL auditable: each rule's count states what
-    it alone removed from what earlier rules passed, so rule costs add
-    up to the total drop rate (the report a curation run publishes).
+    """Per-document gate verdict under the FULL published Gopher rule
+    battery (Rae et al. 2021 Table A1) with first-fail attribution:
 
-    One map-only scan of pure expressions — every signal reuses the
-    documented-SQL-twin forms above (`ws_token_count`, `stopword_hits`,
-    the `repetition_metrics` line split), so the whole funnel replays in
-    DuckDB.  Rows never shuffle; the rollup downstream aggregates ≤6
-    verdict groups."""
+    length rules ('too_short', 'too_long'), mean-word-length bounds
+    ('word_len'), symbol ratio ('symbol_heavy'), bullet-line and
+    ellipsis-line ratios ('bullet_lines', 'ellipsis_lines' — >90% lines
+    starting with a bullet / >30% ending in an ellipsis), alphabetic-
+    word fraction ('low_alpha' — <80% of words contain a letter),
+    stop-word evidence ('low_stopword'), then the repetition section:
+    duplicate-line fraction and CHARACTER fraction ('dup_lines',
+    'dup_line_chars'), duplicate-paragraph fraction and character
+    fraction ('dup_paragraphs', 'dup_para_chars' — paragraphs split on
+    blank lines), top-2/3/4-gram character mass ('top_ngram', paper
+    thresholds 0.20/0.18/0.16), and duplicate-5..10-gram character
+    coverage ('dup_ngram', thresholds 0.15…0.10, interval-union so no
+    character is counted twice) — or 'keep'.  First-fail attribution is
+    what makes a drop FUNNEL auditable: each rule's count states what it
+    alone removed from what earlier rules passed, so rule costs add up
+    to the total drop rate.  NOTE: a duplicated paragraph necessarily
+    duplicates its lines, so the paragraph rules can only attribute when
+    the line thresholds are looser — the funnel order (lines before
+    paragraphs, the paper's listing order) is part of the contract.
+
+    Character-fraction conventions (pinned for the SQL oracle): line /
+    paragraph char fractions are over the total line / paragraph chars;
+    top-gram mass is over the DOCUMENT length; dup-gram coverage is
+    over total word chars (whitespace excluded on both sides).
+
+    One map-only scan of pure expressions — sorted-adjacency folds
+    replace per-doc GROUP BYs (`_dup_char_count`, `_top_gram_chars`,
+    `_dup_gram_cover_chars`), so rows never shuffle and the whole funnel
+    replays relationally in DuckDB."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(t).cast("long")
     n_tokens = ws_token_count(t)
@@ -775,16 +936,65 @@ def quality_funnel(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    dup_line_frac = F.when(F.size(lines) > 0,
-        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+    paras = F.filter(
+        F.transform(F.split(t, "\n\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    words = _nonempty_words(t)
+    n_words = F.greatest(F.size(words), F.lit(1))
+
+    def dup_frac(items: Column) -> Column:
+        return F.when(
+            F.size(items) > 0,
+            (F.size(items) - F.size(F.array_distinct(items)))
+            / F.size(items),
+        ).otherwise(F.lit(0.0))
+
+    def dup_char_frac(items: Column) -> Column:
+        total = _char_total(items)
+        return F.when(
+            total > 0, _dup_char_count(items) / total
+        ).otherwise(F.lit(0.0))
+
+    bullet_frac = F.when(
+        F.size(lines) > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[-•*]"))) / F.size(lines),
     ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        F.size(lines) > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+        / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))) / n_words
+    word_chars = F.greatest(_char_total(words), F.lit(1))
+
+    top_ngram_fail = F.lit(False)
+    for n, thr in sorted(top_gram_thresholds.items()):
+        top_ngram_fail = top_ngram_fail | (
+            _top_gram_chars(words, n) / F.greatest(n_chars, F.lit(1)) > thr
+        )
+    dup_ngram_fail = F.lit(False)
+    for n, thr in sorted(dup_gram_thresholds.items()):
+        dup_ngram_fail = dup_ngram_fail | (
+            _dup_gram_cover_chars(words, n) / word_chars > thr
+        )
+
     lo, hi = word_len_bounds
     verdict = (
         F.when(n_tokens < min_tokens, "too_short")
+        .when(n_tokens > max_tokens, "too_long")
         .when((mean_word_len < lo) | (mean_word_len > hi), "word_len")
         .when(punct_ratio > max_symbol_ratio, "symbol_heavy")
+        .when(bullet_frac > max_bullet_frac, "bullet_lines")
+        .when(ellipsis_frac > max_ellipsis_frac, "ellipsis_lines")
+        .when(alpha_frac < min_alpha_frac, "low_alpha")
         .when(n_stop < min_stopword_hits, "low_stopword")
-        .when(dup_line_frac > max_dup_line_frac, "dup_lines")
+        .when(dup_frac(lines) > max_dup_line_frac, "dup_lines")
+        .when(dup_char_frac(lines) > max_dup_line_char_frac, "dup_line_chars")
+        .when(dup_frac(paras) > max_dup_para_frac, "dup_paragraphs")
+        .when(dup_char_frac(paras) > max_dup_para_char_frac, "dup_para_chars")
+        .when(top_ngram_fail, "top_ngram")
+        .when(dup_ngram_fail, "dup_ngram")
         .otherwise("keep")
     )
     return df.select(F.col(id_col).alias("id"), verdict.alias("verdict"))

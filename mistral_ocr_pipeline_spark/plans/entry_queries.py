@@ -4884,55 +4884,197 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Quality gate funnel rollup (Gopher-rule shapes, first-fail attribution)
 # --------------------------------------------------------------------------
-@register(
-    "text_quality_funnel",
-    oracle=r"""
-    WITH f AS (
+_FUNNEL_VARIANTS: list[tuple[int, int, str]] = [
+    (2000000, 17, '- bullet item number 00\n- bullet item number 01\n- bullet item number 02\n- bullet item number 03\n- bullet item number 04\n- bullet item number 05\n- bullet item number 06\n- bullet item number 07\n- bullet item number 08\n- bullet item number 09\n- bullet item number 10\n- bullet item number 11'),
+    (3000000, 19, 'plain line number 00...\nplain line number 01 ok\nplain line number 02...\nplain line number 03 ok\nplain line number 04...\nplain line number 05 ok\nplain line number 06...\nplain line number 07 ok\nplain line number 08...\nplain line number 09 ok\nplain line number 10...\nplain line number 11 ok'),
+    (4000000, 23, 'this paragraph repeats twice in the document and it was here for a while\n\nthis paragraph repeats twice in the document and it was here for a while\n\nunique closing paragraph with fresh words that she wrote near the end today'),
+    (5000000, 29, 'the long paragraph block w000 w001 w002 w003 w004 w005 w006 w007 w008 w009 w010 w011 w012 w013 w014 w015 w016 w017 and it was fine\n\nthe long paragraph block w000 w001 w002 w003 w004 w005 w006 w007 w008 w009 w010 w011 w012 w013 w014 w015 w016 w017 and it was fine\n\nuniq para number 00 the end\n\nuniq para number 01 the end\n\nuniq para number 02 the end\n\nuniq para number 03 the end'),
+    (6000000, 31, 'the and spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham tail words here okay'),
+    (7000000, 37, 'the and dup1 dup2 dup3 dup4 dup5 dup6 dup7 dup8 u000 u001 u002 u003 u004 u005 u006 u007 u008 u009 u010 u011 u012 u013 u014 u015 u016 u017 u018 u019 u020 u021 u022 u023 u024 u025 u026 u027 u028 u029 u030 u031 u032 u033 u034 u035 u036 u037 u038 u039 dup1 dup2 dup3 dup4 dup5 dup6 dup7 dup8'),
+    (8000000, 41, '1000 1001 1002 1003 1004 1005 1006 1007 1008 1009 1010 1011 1012 1013 1014 1015 1016 1017 1018 1019 1020 1021 1022 1023 1024 1025 1026 1027 1028 1029 1030 1031 1032 1033 1034 1035 1036 1037 1038 1039'),
+    (9000000, 43, 'this repeated line has quite a few handy words in it for sure yes\nthis repeated line has quite a few handy words in it for sure yes\nthis repeated line has quite a few handy words in it for sure yes\nthis repeated line has quite a few handy words in it for sure yes\nunique tail line here'),
+    (10000000, 47, 'the long repeated line zz000 zz001 zz002 zz003 zz004 zz005 zz006 zz007 zz008 zz009 zz010 zz011 zz012 zz013 zz014 zz015 zz016 zz017 zz018 zz019 zz020 zz021 zz022 zz023 and it was okay\nthe long repeated line zz000 zz001 zz002 zz003 zz004 zz005 zz006 zz007 zz008 zz009 zz010 zz011 zz012 zz013 zz014 zz015 zz016 zz017 zz018 zz019 zz020 zz021 zz022 zz023 and it was okay\nu00 ok\nu01 ok\nu02 ok'),
+]
+
+
+def _funnel_oracle_sql() -> str:
+    """Full DuckDB replay of the COMPLETE Gopher battery
+    (`text_analysis.quality_funnel`): the sorted-adjacency folds become
+    per-doc GROUP BYs (duplicate line/paragraph char fractions), the
+    top-2/3/4-gram masses a count+rank per n, and the duplicate-
+    5..10-gram coverages an interval-union DISTINCT per n — same
+    signals, same first-fail CASE order, same tuned thresholds as the
+    query.  Fixture variants are shared verbatim via
+    ``_FUNNEL_VARIANTS``."""
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id + {off}, '{txt}' FROM documents WHERE doc_id % {mod} = 0"
+        for off, mod, txt in _FUNNEL_VARIANTS
+    )
+    tg = "".join(
+        f"""
+    tg{n} AS (
+      SELECT doc_id, cnt * length(gram) AS mass FROM (
+        SELECT doc_id, gram, count(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, gram) AS rn
+        FROM (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(words) - {n} + 1),
+                 i -> array_to_string(words[i : i + {n} - 1], ' '))) AS gram
+              FROM f WHERE len(words) >= {n})
+        GROUP BY doc_id, gram)
+      WHERE rn = 1),"""
+        for n in (2, 3, 4)
+    )
+    dg = "".join(
+        f"""
+    dgr{n} AS (
+      SELECT doc_id, p, array_to_string(words[p + 1 : p + {n}], ' ') AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(0, len(words) - {n}))::INT AS p
+            FROM f WHERE len(words) >= {n})),
+    dgd{n} AS (SELECT doc_id, gram FROM dgr{n}
+               GROUP BY doc_id, gram HAVING count(*) >= 2),
+    dgc{n} AS (
+      SELECT doc_id, sum(length(w))::BIGINT AS cov FROM (
+        SELECT DISTINCT c.doc_id, c.i, ff.words[c.i + 1] AS w
+        FROM (SELECT g.doc_id,
+                     unnest(generate_series(g.p, g.p + {n} - 1))::INT AS i
+              FROM dgr{n} g
+              JOIN dgd{n} d ON d.doc_id = g.doc_id AND d.gram = g.gram) c
+        JOIN f ff ON ff.doc_id = c.doc_id)
+      GROUP BY doc_id),"""
+        for n in range(5, 11)
+    )
+    top_cond = " OR ".join(
+        f"t{n}m::DOUBLE / greatest(n_chars, 1) > {thr}"
+        for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16))
+    )
+    dup_cond = " OR ".join(
+        f"d{n}c::DOUBLE / wchars > {thr}"
+        for n, thr in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12),
+                       (9, 0.11), (10, 0.10))
+    )
+    tg_joins = "".join(f"\n      LEFT JOIN tg{n} USING (doc_id)" for n in (2, 3, 4))
+    dg_joins = "".join(f"\n      LEFT JOIN dgc{n} dg{n} USING (doc_id)" for n in range(5, 11))
+    tg_cols = ", ".join(f"coalesce(tg{n}.mass, 0) AS t{n}m" for n in (2, 3, 4))
+    dg_cols = ", ".join(f"coalesce(dg{n}.cov, 0) AS d{n}c" for n in range(5, 11))
+    return rf"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {unions}),
+    f AS (
       SELECT doc_id,
-             length(coalesce(text, ''))::bigint AS n_chars,
+             length(coalesce(text, ''))::BIGINT AS n_chars,
              (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                    ELSE len(string_split_regex(trim(coalesce(text, '')),
-                            '\s+')) END)::bigint AS n_tokens,
+                            '\s+')) END)::BIGINT AS n_tokens,
              len(list_filter(string_split_regex(lower(coalesce(text, '')),
-                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for')))::bigint AS n_stop,
-             len(regexp_extract_all(coalesce(text, ''), '[^\w\s]'))::bigint
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in',
+                 'is', 'that', 'it', 'was', 'for')))::BIGINT AS n_stop,
+             len(regexp_extract_all(coalesce(text, ''), '[^\w\s]'))::BIGINT
                  AS n_punct,
              list_filter(list_transform(string_split(coalesce(text, ''),
-                 chr(10)), x -> trim(x)), x -> x <> '') AS lines
-      FROM documents),
+                 chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+                 chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS paras,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS words
+      FROM u),
+    ldup AS (
+      SELECT doc_id, sum((cnt - 1) * length(val))::BIGINT AS dup,
+             sum(cnt * length(val))::BIGINT AS tot
+      FROM (SELECT doc_id, val, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(lines) AS val FROM f)
+            GROUP BY doc_id, val)
+      GROUP BY doc_id),
+    pdup AS (
+      SELECT doc_id, sum((cnt - 1) * length(val))::BIGINT AS dup,
+             sum(cnt * length(val))::BIGINT AS tot
+      FROM (SELECT doc_id, val, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(paras) AS val FROM f)
+            GROUP BY doc_id, val)
+      GROUP BY doc_id),{tg}{dg}
+    sig AS (
+      SELECT f.*,
+             coalesce(ldup.dup, 0) AS l_dup, coalesce(ldup.tot, 0) AS l_tot,
+             coalesce(pdup.dup, 0) AS p_dup, coalesce(pdup.tot, 0) AS p_tot,
+             {tg_cols}, {dg_cols},
+             greatest(coalesce(list_aggregate(
+                 list_transform(f.words, x -> length(x)), 'sum'), 0), 1)
+                 AS wchars
+      FROM f
+      LEFT JOIN ldup USING (doc_id)
+      LEFT JOIN pdup USING (doc_id){tg_joins}{dg_joins}),
     v AS (
-      SELECT doc_id,
-             CASE
-               WHEN n_tokens < 25 THEN 'too_short'
-               WHEN n_chars::double / greatest(n_tokens, 1) < 3.0
-                 OR n_chars::double / greatest(n_tokens, 1) > 6.0
-                 THEN 'word_len'
-               WHEN n_punct::double / greatest(n_chars, 1) > 0.1
-                 THEN 'symbol_heavy'
-               WHEN n_stop < 2 THEN 'low_stopword'
-               WHEN len(lines) > 0 AND
-                    (len(lines) - len(list_distinct(lines)))::double
-                      / len(lines) > 0.3
-                 THEN 'dup_lines'
-               ELSE 'keep'
-             END AS verdict
-      FROM f)
+      SELECT doc_id, CASE
+        WHEN n_tokens < 25 THEN 'too_short'
+        WHEN n_tokens > 90 THEN 'too_long'
+        WHEN n_chars::DOUBLE / greatest(n_tokens, 1) < 3.0
+          OR n_chars::DOUBLE / greatest(n_tokens, 1) > 6.0 THEN 'word_len'
+        WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.1
+          THEN 'symbol_heavy'
+        WHEN len(lines) > 0 AND len(list_filter(lines,
+             x -> regexp_matches(x, '^[-•*]')))::DOUBLE / len(lines) > 0.9
+          THEN 'bullet_lines'
+        WHEN len(lines) > 0 AND len(list_filter(lines,
+             x -> regexp_matches(x, '(\.\.\.|…)$')))::DOUBLE / len(lines)
+             > 0.3
+          THEN 'ellipsis_lines'
+        WHEN len(list_filter(words,
+             x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+             / greatest(len(words), 1) < 0.8 THEN 'low_alpha'
+        WHEN n_stop < 2 THEN 'low_stopword'
+        WHEN len(lines) > 0 AND
+             (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+             > 0.5 THEN 'dup_lines'
+        WHEN l_tot > 0 AND l_dup::DOUBLE / l_tot > 0.42
+          THEN 'dup_line_chars'
+        WHEN len(paras) > 0 AND
+             (len(paras) - len(list_distinct(paras)))::DOUBLE / len(paras)
+             > 0.3 THEN 'dup_paragraphs'
+        WHEN p_tot > 0 AND p_dup::DOUBLE / p_tot > 0.2
+          THEN 'dup_para_chars'
+        WHEN {top_cond} THEN 'top_ngram'
+        WHEN {dup_cond} THEN 'dup_ngram'
+        ELSE 'keep' END AS verdict
+      FROM sig)
     SELECT verdict, count(*) AS n,
            round(count(*) / (sum(count(*)) OVER ()), 6) AS share
     FROM v GROUP BY verdict
-    """,
-)
+    """
+
+
+@register("text_quality_funnel", oracle=_funnel_oracle_sql())
 def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drop-funnel report under Gopher-rule shapes with first-fail
-    attribution (`text_analysis.quality_funnel`; thresholds tuned to the
-    synthetic corpus so every stage is exercised): per-verdict doc count
-    and share.  One map-only scan; the rollup aggregates ≤6 groups and
-    the share window runs over those rows only."""
+    """Drop-funnel report under the FULL published Gopher rule battery
+    (Rae et al. 2021 Table A1 — `text_analysis.quality_funnel`
+    docstring lists all 14 rules) with first-fail attribution:
+    per-verdict doc count and share.  The raw corpus exercises the
+    scalar rules (thresholds tuned: min 25 / max 90 tokens, word-len
+    (3,6)); nine literal variants attached to modulo-selected doc ids
+    (`_FUNNEL_VARIANTS`) exercise bullet/ellipsis lines, dup paragraphs
+    (+char fraction), dup lines (+char fraction — line thresholds
+    loosened to 0.5/0.42 so the paragraph rules can attribute, see the
+    operator's funnel-order note), top-n-gram mass, dup-n-gram
+    coverage, and low-alpha.  One map-only scan (sorted-adjacency folds,
+    no per-doc shuffle); the rollup aggregates ≤15 verdict groups."""
     from mistral_ocr_pipeline_spark.operators.text_analysis import quality_funnel
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [docs] + [
+        docs.filter(F.col("doc_id") % mod == 0).select(
+            (F.col("doc_id") + off).alias("doc_id"), F.lit(txt).alias("text")
+        )
+        for off, mod, txt in _FUNNEL_VARIANTS
+    ]
+    u = parts[0]
+    for p_ in parts[1:]:
+        u = u.unionByName(p_)
     v = quality_funnel(
-        docs, "doc_id", "text", min_tokens=25, word_len_bounds=(3.0, 6.0)
+        u, "doc_id", "text",
+        min_tokens=25, max_tokens=90, word_len_bounds=(3.0, 6.0),
+        max_dup_line_frac=0.5, max_dup_line_char_frac=0.42,
     )
     counts = v.groupBy("verdict").agg(F.count(F.lit(1)).alias("n"))
     return counts.select(

@@ -3247,3 +3247,91 @@ class TestTrainedBPE:
         }
         # no merges: every char + </w> is a token
         assert got == {1: 0, 2: 0, 3: 0, 4: 3}
+
+
+class TestGopherFullBattery:
+    """Every verdict branch of the FULL Gopher rule battery (Rae et al.
+    2021 Table A1), pinned with one crafted doc per rule and first-fail
+    ordering verified."""
+
+    STOP = "the and of to in is that it was for"
+
+    def _verdicts(self, spark, rows, **kw):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            quality_funnel,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        args = dict(min_tokens=10, max_tokens=200, word_len_bounds=(3.0, 10.0))
+        args.update(kw)
+        return {
+            r.id: r.verdict for r in quality_funnel(df, **args).collect()
+        }
+
+    def test_every_branch_fires(self, spark):
+        filler = lambda n, p="tok": " ".join(f"{p}{i:03d}" for i in range(n))
+        s = self.STOP
+        rows = [
+            (1, "tiny doc"),
+            (2, filler(300)),
+            (3, " ".join(f"{chr(97+i%26)}{chr(97+(i//26)%26)}" for i in range(60))),
+            (4, ("w!!! " * 40) + s),
+            (5, "\n".join(f"- bullet item {i:03d}" for i in range(30)) + "\n" + s),
+            (6, "\n".join(
+                f"line {i:03d} ends here..." if i % 2 == 0
+                else f"plain {i:03d} line okay" for i in range(30)) + "\n" + s),
+            (7, " ".join(f"{i:04d}" for i in range(1000, 1040)) + " " + s),
+            (8, filler(40, "zq")),
+            (9, "\n".join(["same line here okay"] * 20
+                          + [f"uniq {i:03d} line okay" for i in range(10)])
+                + "\n" + s),
+            (10, "\n".join(["long repeated line " + filler(30, "LL")] * 2
+                           + [f"u{i:02d}" for i in range(18)]) + "\n" + s),
+            (11, s + " " + filler(30) + " spam ham " * 40),
+            (12, s + " " + filler(20, "aa") + " " + filler(8, "dup") + " "
+                 + filler(20, "bb") + " " + filler(8, "dup")),
+            (13, s + " " + filler(40, "good")),
+        ]
+        got = self._verdicts(spark, rows)
+        assert got == {
+            1: "too_short", 2: "too_long", 3: "word_len", 4: "symbol_heavy",
+            5: "bullet_lines", 6: "ellipsis_lines", 7: "low_alpha",
+            8: "low_stopword", 9: "dup_lines", 10: "dup_line_chars",
+            11: "top_ngram", 12: "dup_ngram", 13: "keep",
+        }
+
+    def test_paragraph_branches_with_loosened_line_rules(self, spark):
+        """A duplicated paragraph necessarily duplicates its lines, so
+        the paragraph rules attribute only when line thresholds are
+        looser (documented funnel-order contract)."""
+        s = self.STOP
+        filler = lambda n, p: " ".join(f"{p}{i:03d}" for i in range(n))
+        p_short = "alpha paragraph here okay " + s
+        long_p = "repeated block " + filler(30, "PP") + " " + s
+        rows = [
+            (1, f"{p_short}\n\n{p_short}\n\nunique tail paragraph okay {s}"),
+            (2, "\n\n".join([long_p] * 2 + [f"uniq {i:02d} {s}" for i in range(8)])),
+        ]
+        got = self._verdicts(
+            spark, rows,
+            max_dup_line_frac=0.6, max_dup_line_char_frac=0.6,
+        )
+        assert got == {1: "dup_paragraphs", 2: "dup_para_chars"}
+
+    def test_top_gram_tie_breaks_deterministically(self, spark):
+        """Two grams with equal top count: the lexicographically
+        smallest wins (sorted-fold first max == the oracle's row_number
+        ORDER BY cnt DESC, gram) — pinned via a doc where the tie
+        decides the verdict (long gram fails, short gram passes)."""
+        from pyspark.sql import functions as F
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            _top_gram_chars, _nonempty_words,
+        )
+
+        # 'aa bb' and 'zzzzzz yyyyyy' both occur twice; tie -> 'aa bb'
+        text = "aa bb c1 aa bb c2 zzzzzz yyyyyy c3 zzzzzz yyyyyy"
+        df = spark.createDataFrame([(text,)], "t string")
+        got = df.select(
+            _top_gram_chars(_nonempty_words(F.col("t")), 2).alias("m")
+        ).first().m
+        assert got == 2 * len("aa bb")
