@@ -148,6 +148,8 @@ def main() -> None:
         "text_bm25_topk",
         "text_dsir_weights",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
+        "text_substring_dedup",
         "j2_fuzzy_best_match",
         "pricing_summary",
         "w6_stable_turn_ordering",
