@@ -931,20 +931,8 @@ def substring_dedup(
     + rejoin are pure array expressions.  Returns
     (id, text_clean, n_kept, n_removed)."""
     k = int(span_words)
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )
-    base = df.select(F.col(id_col).alias("id"), words.alias("w"))
-    grams = base.filter(F.size("w") >= k).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - k),
-                lambda p: F.md5(F.array_join(F.slice("w", p + 1, k), " ")),
-            )
-        ).alias("pos", "g"),
-    )
+    base = _substring_words(df, id_col, text_col)
+    grams = _substring_grams(base, k)
     hot = (
         grams.groupBy("g")
         .agg(
@@ -954,22 +942,45 @@ def substring_dedup(
         .filter(F.col("_n") >= 2)
         .select("g", "_c")
     )
-    marks = (
-        grams.join(hot, "g")
-        .filter(
-            ~(
-                (F.col("id") == F.col("_c.id"))
-                & (F.col("pos") == F.col("_c.pos"))
-            )
-        )
-        .groupBy("id")
-        .agg(F.collect_list("pos").alias("_mk"))
+    marks = grams.join(hot, "g").filter(
+        ~((F.col("id") == F.col("_c.id")) & (F.col("pos") == F.col("_c.pos")))
     )
+    return _rebuild_without_spans(base, marks, k, id_col)
+
+
+def _substring_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    return df.select(F.col(id_col).alias("id"), words.alias("w"))
+
+
+def _substring_grams(base: DataFrame, k: int) -> DataFrame:
+    """(id, pos, g): md5 digest of each k-word window — computed
+    map-side so downstream shuffles move 32-char digests, never text."""
+    return base.filter(F.size("w") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - k),
+                lambda p: F.md5(F.array_join(F.slice("w", p + 1, k), " ")),
+            )
+        ).alias("pos", "g"),
+    )
+
+
+def _rebuild_without_spans(
+    base: DataFrame, marks: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Interval-union the marked gram starts per doc and reassemble the
+    surviving words (shared by the one-shot and incremental forms)."""
+    per_doc = marks.groupBy("id").agg(F.collect_list("pos").alias("_mk"))
     mk = F.coalesce(F.col("_mk"), F.array().cast("array<int>"))
     covered = F.array_distinct(
         F.flatten(F.transform(mk, lambda p: F.sequence(p, p + k - 1)))
     )
-    out = base.join(marks, "id", "left").withColumn("_cov", covered)
+    out = base.join(per_doc, "id", "left").withColumn("_cov", covered)
     kept = F.filter(F.col("w"), lambda x, i: ~F.array_contains(F.col("_cov"), i))
     return out.select(
         F.col("id").alias(id_col),
@@ -977,6 +988,116 @@ def substring_dedup(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def build_substring_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 50,
+) -> DataFrame:
+    """Persisted exact-substring index: one row per distinct k-gram
+    digest over the historical corpus — (g, canon_id, canon_pos, cnt) —
+    so daily increments run Lee-et-al span removal against 100 TB of
+    history WITHOUT re-tokenizing it (the `build_minhash_index`
+    convention for the exact-substring family).  ``canon`` is the global
+    lowest (id, pos) occurrence; both fields are map-side-combinable
+    (min / sum), which is what makes `substring_index_append` exactly
+    one-shot-equivalent.  The index stores digests and two integers per
+    distinct gram — no text."""
+    grams = _substring_grams(_substring_words(df, id_col, text_col), int(span_words))
+    return grams.groupBy("g").agg(
+        F.min(F.struct("id", "pos")).alias("_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        "g",
+        F.col("_c.id").alias("canon_id"),
+        F.col("_c.pos").alias("canon_pos"),
+        "cnt",
+    )
+
+
+def substring_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 50,
+) -> DataFrame:
+    """Merge a new batch into a `build_substring_index` table — EXACT
+    one-shot equivalence (hash-identical to rebuilding over history ∪
+    batch) because both stored facts are lattice merges: canonical =
+    min of the two sides' minima, count = sum.  Only the increment's
+    text is tokenized; history costs one full-outer shuffle of the
+    digest index (O(index), not O(history text))."""
+    delta = build_substring_index(new_df, id_col, text_col, span_words)
+    a = index.select(
+        "g",
+        F.struct(
+            F.col("canon_id").alias("id"), F.col("canon_pos").alias("pos")
+        ).alias("_ca"),
+        F.col("cnt").alias("_na"),
+    )
+    b = delta.select(
+        "g",
+        F.struct(
+            F.col("canon_id").alias("id"), F.col("canon_pos").alias("pos")
+        ).alias("_cb"),
+        F.col("cnt").alias("_nb"),
+    )
+    merged = a.join(b, "g", "full")
+    canon = F.least(F.col("_ca"), F.col("_cb"))  # least skips NULLs
+    return merged.select(
+        "g",
+        canon["id"].alias("canon_id"),
+        canon["pos"].alias("canon_pos"),
+        (
+            F.coalesce(F.col("_na"), F.lit(0)) + F.coalesce(F.col("_nb"), F.lit(0))
+        ).alias("cnt"),
+    )
+
+
+def substring_dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 50,
+) -> DataFrame:
+    """Lee-et-al span removal for a NEW batch against history ∪ batch,
+    reading only the persisted digest index for history — never its
+    text.  EXACTLY equivalent, for the batch's rows, to running
+    `substring_dedup` over history ∪ batch (any id ordering): a batch
+    occurrence is cut iff its gram's GLOBAL count (index + batch) is ≥2
+    and it is not the global canonical (min (id, pos) across both
+    sides) — the same rule the one-shot applies, computed from merged
+    lattice facts.  Plan: batch grams (map-side digests) → one groupBy
+    for batch-side stats → ONE join against the index on digest (the
+    batch side is the small side; AQE broadcasts it for real corpora) →
+    flag-back join, interval union, rebuild."""
+    k = int(span_words)
+    base = _substring_words(new_df, id_col, text_col)
+    grams = _substring_grams(base, k)
+    bstats = grams.groupBy("g").agg(
+        F.min(F.struct("id", "pos")).alias("_cb"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    hist = index.select(
+        "g",
+        F.struct(
+            F.col("canon_id").alias("id"), F.col("canon_pos").alias("pos")
+        ).alias("_ca"),
+        F.col("cnt").alias("_na"),
+    )
+    stats = bstats.join(hist, "g", "left").select(
+        "g",
+        F.least(F.col("_ca"), F.col("_cb")).alias("_c"),
+        (F.coalesce(F.col("_na"), F.lit(0)) + F.col("_nb")).alias("_n"),
+    ).filter(F.col("_n") >= 2)
+    marks = grams.join(stats, "g").filter(
+        ~((F.col("id") == F.col("_c.id")) & (F.col("pos") == F.col("_c.pos")))
+    )
+    return _rebuild_without_spans(base, marks, k, id_col)
 
 
 def line_dedup(

@@ -3097,6 +3097,120 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(u, "doc_id", "text", span_words=8)
 
 
+_SUBSTR_INC_CTES = """
+    WITH hist AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0),
+    batch AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^\\w+', 'changed')
+      FROM documents WHERE doc_id % 10 = 0),
+    u AS (SELECT * FROM hist UNION ALL SELECT * FROM batch),
+    t AS (SELECT id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                             x -> x <> '') AS w
+          FROM u),
+    g0 AS (SELECT id, w, unnest(generate_series(0, len(w) - 8))::INT AS p
+           FROM t WHERE len(w) >= 8),
+    g AS (SELECT id, p, md5(array_to_string(w[p + 1 : p + 8], ' ')) AS gr
+          FROM g0)"""
+
+
+@register(
+    "text_substring_incremental",
+    oracle=_SUBSTR_INC_CTES + r""",
+    ranked AS (
+      SELECT id, p,
+             row_number() OVER (PARTITION BY gr ORDER BY id, p) AS rn
+      FROM g),
+    marks AS (SELECT id, p FROM ranked WHERE rn >= 2),
+    cov AS (SELECT DISTINCT id, unnest(generate_series(p, p + 7))::INT AS i
+            FROM marks),
+    wpos AS (
+      SELECT id, i, w[i + 1] AS word FROM (
+        SELECT id, w, unnest(generate_series(0, len(w) - 1))::INT AS i
+        FROM t WHERE len(w) > 0)),
+    kept AS (
+      SELECT wp.id, wp.i, wp.word FROM wpos wp
+      WHERE NOT EXISTS (SELECT 1 FROM cov c
+                        WHERE c.id = wp.id AND c.i = wp.i)),
+    agg AS (SELECT id, string_agg(word, ' ' ORDER BY i) AS text_clean,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY id)
+    SELECT t.id AS doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           (len(t.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+    FROM t LEFT JOIN agg a USING (id)
+    WHERE t.id % 10 <> 0 OR t.id >= 1000000
+    """,
+)
+def text_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al span removal for a daily BATCH against a persisted
+    digest index (`dedup.substring_dedup_incremental` over
+    `build_substring_index`) — history text is never re-tokenized.  The
+    oracle replays the ONE-SHOT dedup over history ∪ batch restricted to
+    batch rows, so the hash match IS the batch-equivalence proof: the
+    incremental rule (global count from merged lattice facts, global
+    min-(id,pos) canonical) must reproduce exactly what a full rerun
+    would emit for these docs.  Fixture: history = every 10th doc;
+    batch = the other doc_id%5 docs plus first-word-perturbed clones of
+    history (cross-batch duplicates by construction)."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        build_substring_index,
+        substring_dedup_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    hist = docs.filter(F.col("doc_id") % 10 == 0)
+    clones = hist.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    batch = docs.filter(F.col("doc_id") % 10 != 0).unionByName(clones)
+    index = build_substring_index(hist, "doc_id", "text", span_words=8)
+    return substring_dedup_incremental(batch, index, "doc_id", "text", span_words=8)
+
+
+@register(
+    "substring_index_append",
+    oracle=_SUBSTR_INC_CTES + r"""
+    SELECT gr AS g, id AS canon_id, p AS canon_pos, cnt FROM (
+      SELECT gr, id, p,
+             count(*) OVER (PARTITION BY gr) AS cnt,
+             row_number() OVER (PARTITION BY gr ORDER BY id, p) AS rn
+      FROM g)
+    WHERE rn = 1
+    """,
+)
+def substring_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance for the exact-substring family
+    (`dedup.substring_index_append`): merging the batch into the
+    history index must be HASH-IDENTICAL to rebuilding from scratch
+    over history ∪ batch (the oracle) — exact because both stored facts
+    are lattice merges (canonical = min of minima, count = sum).  Same
+    fixture as `text_substring_incremental`."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        build_substring_index,
+        substring_index_append,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    hist = docs.filter(F.col("doc_id") % 10 == 0)
+    clones = hist.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    batch = docs.filter(F.col("doc_id") % 10 != 0).unionByName(clones)
+    index = build_substring_index(hist, "doc_id", "text", span_words=8)
+    return substring_index_append(index, batch, "doc_id", "text", span_words=8)
+
+
 # --------------------------------------------------------------------------
 # Sequence packing — curated docs → fixed-token-budget context windows
 # --------------------------------------------------------------------------

@@ -3335,3 +3335,51 @@ class TestGopherFullBattery:
             _top_gram_chars(_nonempty_words(F.col("t")), 2).alias("m")
         ).first().m
         assert got == 2 * len("aa bb")
+
+
+class TestSubstringIncremental:
+    def test_batch_matches_oneshot_and_history_untouched(self, spark):
+        """Incremental span removal for a batch == one-shot over
+        history ∪ batch restricted to batch rows; history text is never
+        read by the incremental path (only its digest index)."""
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            build_substring_index,
+            substring_dedup,
+            substring_dedup_incremental,
+            substring_index_append,
+        )
+
+        span = "alpha beta gamma delta epsilon"
+        hist_rows = [(1, f"h one two {span} tail")]
+        batch_rows = [
+            (10, f"b first words {span} end bit"),   # dups history -> cut
+            (11, "fresh unique content here now ok"),
+            (12, f"x y z {span} q r"),               # also dups -> cut
+        ]
+        hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        idx = build_substring_index(hist, "doc_id", "text", span_words=5)
+        inc = {
+            r.doc_id: (r.text_clean, r.n_removed)
+            for r in substring_dedup_incremental(
+                batch, idx, "doc_id", "text", span_words=5
+            ).collect()
+        }
+        oneshot = {
+            r.doc_id: (r.text_clean, r.n_removed)
+            for r in substring_dedup(
+                hist.unionByName(batch), "doc_id", "text", span_words=5
+            ).collect()
+            if r.doc_id >= 10
+        }
+        assert inc == oneshot
+        assert inc[10] == ("b first words end bit", 5)
+        assert inc[11][1] == 0
+        # index append == rebuild over the union (lattice-merge exactness)
+        merged = substring_index_append(idx, batch, "doc_id", "text", 5)
+        rebuilt = build_substring_index(
+            hist.unionByName(batch), "doc_id", "text", 5
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
