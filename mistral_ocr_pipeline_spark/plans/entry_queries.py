@@ -924,11 +924,13 @@ def j3_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND coalesce(vt.v_tot, 0) = len(t.toks) AS aligned
           FROM t LEFT JOIN re r USING (doc_id) LEFT JOIN vt USING (doc_id))
     SELECT doc_id,
-           CASE WHEN aligned
-                THEN CASE WHEN len(coalesce(keep, [])) > 0 THEN keep END
-                ELSE toks END AS values_clean,
-           CASE WHEN aligned AND len(sents) = 0 THEN NULL
-                ELSE sents END AS sentences,
+           array_to_string(
+               CASE WHEN aligned
+                    THEN CASE WHEN len(coalesce(keep, [])) > 0 THEN keep END
+                    ELSE toks END, '|') AS values_clean,
+           array_to_string(
+               CASE WHEN aligned AND len(sents) = 0 THEN NULL
+                    ELSE sents END, '|') AS sentences,
            aligned AS verdicts_aligned
     FROM f
     """,
@@ -961,7 +963,15 @@ def j3_apply_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = docs.filter(F.col("doc_id") % 11 == 0).select(
         "doc_id", F.lit(99).alias("pos"), F.lit(True).alias("supported")
     )
-    return apply_verdicts(rows, verd.unionByName(extra))
+    out = apply_verdicts(rows, verd.unionByName(extra))
+    # driver contract: scalar output columns only — flatten the arrays
+    # (array_join passes NULL through, preserving the NULL-list sentinel)
+    return out.select(
+        "doc_id",
+        F.array_join("values_clean", "|").alias("values_clean"),
+        F.array_join("sentences", "|").alias("sentences"),
+        "verdicts_aligned",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5011,19 +5021,24 @@ _FUNNEL_VARIANTS: list[tuple[int, int, str]] = [
 ]
 
 
-def _funnel_oracle_sql() -> str:
-    """Full DuckDB replay of the COMPLETE Gopher battery
-    (`text_analysis.quality_funnel`): the sorted-adjacency folds become
-    per-doc GROUP BYs (duplicate line/paragraph char fractions), the
-    top-2/3/4-gram masses a count+rank per n, and the duplicate-
-    5..10-gram coverages an interval-union DISTINCT per n — same
-    signals, same first-fail CASE order, same tuned thresholds as the
-    query.  Fixture variants are shared verbatim via
-    ``_FUNNEL_VARIANTS``."""
-    unions = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id + {off}, '{txt}' FROM documents WHERE doc_id % {mod} = 0"
-        for off, mod, txt in _FUNNEL_VARIANTS
-    )
+def _funnel_verdict_ctes(
+    min_tokens: int = 25,
+    max_tokens: int = 90,
+    wl_lo: float = 3.0,
+    wl_hi: float = 6.0,
+    line_frac: float = 0.5,
+    line_char_frac: float = 0.42,
+) -> str:
+    """Reusable DuckDB replay of the COMPLETE Gopher battery
+    (`text_analysis.quality_funnel`): expects a relation ``u(doc_id,
+    text)`` in scope and emits CTEs ``f`` … ``v(doc_id, verdict)`` —
+    the sorted-adjacency folds become per-doc GROUP BYs (duplicate
+    line/paragraph char fractions), the top-2/3/4-gram masses a
+    count+rank per n, and the duplicate-5..10-gram coverages an
+    interval-union DISTINCT per n — same signals, same first-fail CASE
+    order as the operator.  Thresholds parameterized where the repo's
+    two callers differ (`text_quality_funnel`, `pretrain_pipeline`);
+    the paper-constant ones stay literal."""
     tg = "".join(
         f"""
     tg{n} AS (
@@ -5072,12 +5087,7 @@ def _funnel_oracle_sql() -> str:
     dg_joins = "".join(f"\n      LEFT JOIN dgc{n} dg{n} USING (doc_id)" for n in range(5, 11))
     tg_cols = ", ".join(f"coalesce(tg{n}.mass, 0) AS t{n}m" for n in (2, 3, 4))
     dg_cols = ", ".join(f"coalesce(dg{n}.cov, 0) AS d{n}c" for n in range(5, 11))
-    return rf"""
-    WITH u AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      {unions}),
-    f AS (
+    return rf"""f AS (
       SELECT doc_id,
              length(coalesce(text, ''))::BIGINT AS n_chars,
              (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
@@ -5122,10 +5132,11 @@ def _funnel_oracle_sql() -> str:
       LEFT JOIN pdup USING (doc_id){tg_joins}{dg_joins}),
     v AS (
       SELECT doc_id, CASE
-        WHEN n_tokens < 25 THEN 'too_short'
-        WHEN n_tokens > 90 THEN 'too_long'
-        WHEN n_chars::DOUBLE / greatest(n_tokens, 1) < 3.0
-          OR n_chars::DOUBLE / greatest(n_tokens, 1) > 6.0 THEN 'word_len'
+        WHEN n_tokens < {min_tokens} THEN 'too_short'
+        WHEN n_tokens > {max_tokens} THEN 'too_long'
+        WHEN n_chars::DOUBLE / greatest(n_tokens, 1) < {wl_lo}
+          OR n_chars::DOUBLE / greatest(n_tokens, 1) > {wl_hi}
+          THEN 'word_len'
         WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.1
           THEN 'symbol_heavy'
         WHEN len(lines) > 0 AND len(list_filter(lines,
@@ -5141,8 +5152,8 @@ def _funnel_oracle_sql() -> str:
         WHEN n_stop < 2 THEN 'low_stopword'
         WHEN len(lines) > 0 AND
              (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
-             > 0.5 THEN 'dup_lines'
-        WHEN l_tot > 0 AND l_dup::DOUBLE / l_tot > 0.42
+             > {line_frac} THEN 'dup_lines'
+        WHEN l_tot > 0 AND l_dup::DOUBLE / l_tot > {line_char_frac}
           THEN 'dup_line_chars'
         WHEN len(paras) > 0 AND
              (len(paras) - len(list_distinct(paras)))::DOUBLE / len(paras)
@@ -5152,7 +5163,23 @@ def _funnel_oracle_sql() -> str:
         WHEN {top_cond} THEN 'top_ngram'
         WHEN {dup_cond} THEN 'dup_ngram'
         ELSE 'keep' END AS verdict
-      FROM sig)
+      FROM sig)"""
+
+
+def _funnel_oracle_sql() -> str:
+    """`text_quality_funnel`'s oracle: the shared verdict CTE block over
+    the raw corpus ∪ the nine ``_FUNNEL_VARIANTS`` literals, then the
+    per-verdict rollup."""
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id + {off}, '{txt}' FROM documents WHERE doc_id % {mod} = 0"
+        for off, mod, txt in _FUNNEL_VARIANTS
+    )
+    return f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {unions}),
+    {_funnel_verdict_ctes()}
     SELECT verdict, count(*) AS n,
            round(count(*) / (sum(count(*)) OVER ()), 6) AS share
     FROM v GROUP BY verdict
@@ -5273,38 +5300,9 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pretrain_pipeline",
     oracle=f"""
-    WITH feat AS (
-      SELECT doc_id,
-             length(coalesce(text, ''))::bigint AS n_chars,
-             (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                   ELSE len(string_split_regex(trim(coalesce(text, '')),
-                            '\\s+')) END)::bigint AS n_tokens,
-             len(list_filter(string_split_regex(lower(coalesce(text, '')),
-                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in',
-                 'is', 'that', 'it', 'was', 'for')))::bigint
-                 AS n_stop,
-             len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]'))::bigint
-                 AS n_punct,
-             list_filter(list_transform(string_split(coalesce(text, ''),
-                 chr(10)), x -> trim(x)), x -> x <> '') AS lines
-      FROM documents),
-    v AS (
-      SELECT doc_id,
-             CASE
-               WHEN n_tokens < 25 THEN 'too_short'
-               WHEN n_chars::double / greatest(n_tokens, 1) < 3.0
-                 OR n_chars::double / greatest(n_tokens, 1) > 6.0
-                 THEN 'word_len'
-               WHEN n_punct::double / greatest(n_chars, 1) > 0.1
-                 THEN 'symbol_heavy'
-               WHEN n_stop < 2 THEN 'low_stopword'
-               WHEN len(lines) > 0 AND
-                    (len(lines) - len(list_distinct(lines)))::double
-                      / len(lines) > 0.3
-                 THEN 'dup_lines'
-               ELSE 'keep'
-             END AS verdict
-      FROM feat),
+    WITH u AS (SELECT doc_id, text FROM documents),
+    {_funnel_verdict_ctes(min_tokens=25, max_tokens=100000, wl_lo=3.0,
+                          wl_hi=6.0, line_frac=0.3, line_char_frac=0.2)},
     kept AS (
       SELECT d.doc_id, d.lang, d.text
       FROM documents d JOIN v USING (doc_id) WHERE v.verdict = 'keep'),
