@@ -44,7 +44,8 @@ _NEWEST_FIRST = [
     "text_substring_dedup",    # r5: Lee-et-al span removal + rebuild
     "j3_apply_verdicts",       # r5: verdict write-back re-collect leg
     "ann_ivfpq_topk",          # r5: IVFPQ composite, both trained halves oracled
-    "ann_ivfpq_recall",        # r5: composite recall claim (refined, n_probe=8)
+    "ann_ivfpq_recall",        # r5: composite recall claim (n_probe=12, floor 0.4)
+    "text_quality_funnel",     # r5: FULL 14-rule Gopher battery + variants
     "ann_lsh_df_topk",         # r5: DataFrame-native LSH query side
     "ann_ivf_df_topk",         # r5: DataFrame-native IVF query side
     "ann_pq_df_topk",          # r5: in-plan PQ LUT (no driver-built LUT)
