@@ -51,16 +51,9 @@ from mistral_ocr_pipeline_spark.operators.similarity import (
     _empty_topk,
     _kmeans_centroids,
     cosine_expr,
-    fold_dot,
     pq_codebooks_kmeans,
     pq_encode,
 )
-
-
-def _arr(vec) -> F.Column:
-    """float64-exact literal array — the same convention as the SQL
-    oracles' ``VALUES ([...]::DOUBLE[])`` literals."""
-    return F.array(*[F.lit(float(x)) for x in vec])
 
 
 def _dot_lit_sql(vec_sql: str, vals) -> str:
@@ -180,8 +173,12 @@ def lsh_topk_df(
     planes = np.random.RandomState(seed).standard_normal((n_tables, n_planes, d))
     pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
 
-    def projections(vec: F.Column, t: int) -> list[F.Column]:
-        return [fold_dot(vec, _arr(planes[t][p])) for p in range(n_planes)]
+    def projections(vec_sql: str, t: int) -> list[F.Column]:
+        # parsed-SQL literal folds (see `_dot_lit_sql`) — the Column-API
+        # form costs n_tables × n_planes × dim py4j calls to build
+        return [
+            F.expr(_dot_lit_sql(vec_sql, planes[t][p])) for p in range(n_planes)
+        ]
 
     def bucket_of(projs: list[F.Column]) -> F.Column:
         b = F.lit(0)
@@ -196,7 +193,7 @@ def lsh_topk_df(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                bucket_of(projections(F.col("_cv"), t)).alias("bucket"),
+                bucket_of(projections("_cv", t)).alias("bucket"),
             )
             for t in range(n_tables)
         ]
@@ -210,7 +207,7 @@ def lsh_topk_df(
     )
     q_entries = []
     for t in range(n_tables):
-        projs = projections(F.col("_qv"), t)
+        projs = projections("_qv", t)
         bucket = bucket_of(projs)
         order = F.transform(
             F.array_sort(
@@ -565,12 +562,38 @@ def ivfpq_topk(
             sample_size=sample_size,
         )
     )
-    m, ksub, _ = books.shape
-
     enc = ivfpq_encode(
         corpus, cent, books, id_col, vec_col, keep_vec=refine is not None
     )
+    return ivfpq_search(
+        enc, queries, cent, books, k=k, vec_col=vec_col,
+        query_id_col=query_id_col, n_probe=n_probe, refine=refine,
+        exclude_self=exclude_self,
+    )
 
+
+def ivfpq_search(
+    enc: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_probe: int = 4,
+    refine: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a PERSISTED IVFPQ index — the production flow: encode the
+    corpus ONCE (`ivfpq_encode`, written partitioned/bucketed by cell),
+    then every query batch calls this against the stored (vec_id, cell,
+    codes[, embedding]) table; nothing corpus-sized is recomputed
+    (`ivf_build`/`ivf_search_assigned` convention).  ``refine`` requires
+    the index to carry ``embedding`` (``keep_vec=True`` at encode
+    time)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, _ = books.shape
     q0 = queries.select(
         F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
     )

@@ -151,3 +151,21 @@ def test_df_forms_empty_query_relation(spark):
     cb = S.seeded_pq_codebooks(64, m=8, ksub=8)
     assert D.pq_topk_df(emb, none, cb, k=3).count() == 0
     assert D.ivfpq_topk(emb, none, k=3, n_centroids=8, codebooks=cb).count() == 0
+
+
+def test_ivfpq_persisted_index_roundtrip(spark, tmp_path):
+    """The production flow: encode once, WRITE the (cell, codes) index,
+    read it back, search with `ivfpq_search` — results identical to the
+    inline composite."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    cent = S._kmeans_centroids(emb, "vec_id", "embedding", 16, 8, 2048, 11)
+    cb = S.pq_codebooks_kmeans(emb, m=8, ksub=8, iters=4)
+    path = str(tmp_path / "ivfpq_index")
+    D.ivfpq_encode(emb, cent, cb).write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    got = D.ivfpq_search(stored, q, cent, cb, k=5, n_probe=4)
+    inline = D.ivfpq_topk(
+        emb, q, k=5, n_probe=4, centroids=cent, codebooks=cb
+    )
+    assert _rows(got) == _rows(inline)
