@@ -615,9 +615,14 @@ def pq_codebooks_kmeans(
     iters: int = 8,
     sample_size: int = 2048,
     seed: int = 29,
+    residual_centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Trained PQ codebooks: per-subspace Lloyd k-means (L2) over a
-    deterministic corpus sample — ENGINE-REPLAYABLE with the same
+    deterministic corpus sample.  ``residual_centroids``: train on IVF
+    RESIDUALS instead of raw vectors (v − centroid[argmax-dot cell], the
+    FAISS ``by_residual`` convention) — the assignment uses the exact
+    IVF rule (sequential-fold dots, first-max ties), so the whole
+    residual stream replays in SQL through the same ``cassign`` CTEs — ENGINE-REPLAYABLE with the same
     discipline as `_kmeans_centroids` (the trained-IVF treatment), so a
     SQL oracle can unroll the whole training:
 
@@ -647,6 +652,12 @@ def pq_codebooks_kmeans(
             "pq_codebooks_kmeans: corpus is empty — no vectors to train on"
         )
     smat = np.array([list(r._v) for r in sample], dtype=np.float64)
+    if residual_centroids is not None:
+        cent = np.asarray(residual_centroids, dtype=np.float64)
+        # the IVF assignment rule verbatim: first-max of sequential-fold
+        # dots on the RAW vector (normalization is argmax-invariant)
+        assign = np.argmax(_seq_fold_dot(smat, cent), axis=1)
+        smat = smat - cent[assign]
     dim = smat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -454,13 +454,18 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    by_residual: bool = False,
 ) -> DataFrame:
     """ONE Arrow pass building the IVFPQ index table: (vec_id, cell,
     codes[, embedding]) — IVF cell = argmax centroid dot (first-hit tie
     break; raw vectors — normalization is argmax-invariant), PQ codes =
     per-subspace argmin of the reduced L2 on RAW subvectors
     (``by_residual=False``, so the codebooks are exactly
-    `pq_codebooks_kmeans`'s and the codes match `pq_encode`).  At scale
+    `pq_codebooks_kmeans`'s and the codes match `pq_encode`) — or, with
+    ``by_residual=True``, on the RESIDUAL v − centroid[cell] (the FAISS
+    IndexIVFPQ default: residuals are smaller and better centered, so
+    the same code budget quantizes finer; train the codebooks with
+    ``pq_codebooks_kmeans(residual_centroids=...)``).  At scale
     this table is written once, bucketed/partitioned BY CELL, so a query
     batch's cell equi-join prunes file scans to the probed cells."""
     cent = np.asarray(centroids, dtype=np.float64)
@@ -487,9 +492,10 @@ def ivfpq_encode(
                 continue
             mat = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
             cells = np.argmax(mat @ b_cent.T, axis=1).astype(np.int32)
+            enc_mat = mat - b_cent[cells] if by_residual else mat
             codes = np.empty((len(mat), m), dtype=np.int32)
             for j in range(m):
-                sub = mat[:, j * dsub : (j + 1) * dsub]
+                sub = enc_mat[:, j * dsub : (j + 1) * dsub]
                 dist = c2[j][None, :] - 2.0 * (sub @ b_books[j].T)
                 codes[:, j] = np.argmin(dist, axis=1)
             out = {
@@ -528,6 +534,7 @@ def ivfpq_topk(
     codebooks: np.ndarray | None = None,
     refine: int | None = None,
     exclude_self: bool = True,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVFPQ composite ANN — the FAISS IndexIVFPQ shape
     (``by_residual=False``), DataFrame-native on the query side:
@@ -560,15 +567,17 @@ def ivfpq_topk(
         else pq_codebooks_kmeans(
             corpus, id_col, vec_col, m=m, ksub=ksub, iters=pq_iters,
             sample_size=sample_size,
+            residual_centroids=cent if by_residual else None,
         )
     )
     enc = ivfpq_encode(
-        corpus, cent, books, id_col, vec_col, keep_vec=refine is not None
+        corpus, cent, books, id_col, vec_col, keep_vec=refine is not None,
+        by_residual=by_residual,
     )
     return ivfpq_search(
         enc, queries, cent, books, k=k, vec_col=vec_col,
         query_id_col=query_id_col, n_probe=n_probe, refine=refine,
-        exclude_self=exclude_self,
+        exclude_self=exclude_self, by_residual=by_residual,
     )
 
 
@@ -583,6 +592,7 @@ def ivfpq_search(
     n_probe: int = 4,
     refine: int | None = None,
     exclude_self: bool = True,
+    by_residual: bool = False,
 ) -> DataFrame:
     """Search a PERSISTED IVFPQ index — the production flow: encode the
     corpus ONCE (`ivfpq_encode`, written partitioned/bucketed by cell),
@@ -597,23 +607,38 @@ def ivfpq_search(
     q0 = queries.select(
         F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
     )
-    lut, qq = _lut_cols("_qv", books)
     q1 = q0.select(
-        "query_id", "_qv", lut.alias("_lut"), qq.alias("_qq"),
-        _cell_dots("_qv", cent).alias("_dots"),
+        "query_id", "_qv", _cell_dots("_qv", cent).alias("_dots")
     )
     qd = q1.select(
-        "query_id", "_qv", "_lut", "_qq",
-        F.posexplode("_dots").alias("cell", "_d"),
+        "query_id", "_qv", F.posexplode("_dots").alias("cell", "_d")
     )
     wp = W.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell").asc())
-    probes = (
-        qd.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= n_probe)
-        .select(
-            "query_id", "_lut", "_qq", "cell",
-            *(["_qv"] if refine is not None else []),
+    probed = qd.withColumn("_rn", F.row_number().over(wp)).filter(
+        F.col("_rn") <= n_probe
+    )
+    if by_residual:
+        # per-(query, cell) LUT over the residual q − centroid[cell]:
+        # the centroid rides as an element_at over one literal
+        # array-of-arrays (parsed SQL, no driver-built relation)
+        cent_lit = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
+                for cv in cent
+            )
+            + ")"
         )
+        probed = probed.withColumn(
+            "_cv", F.element_at(F.expr(cent_lit), F.col("cell") + 1)
+        )
+        res_sql = "zip_with(_qv, _cv, (x, y) -> x - y)"
+        lut, qq = _lut_cols(res_sql, books)
+    else:
+        lut, qq = _lut_cols("_qv", books)
+    probes = probed.select(
+        "query_id", lut.alias("_lut"), qq.alias("_qq"), "cell",
+        *(["_qv"] if refine is not None else []),
     )
 
     scored = probes.join(enc, "cell")

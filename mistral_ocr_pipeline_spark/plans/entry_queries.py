@@ -6070,19 +6070,11 @@ def eval_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eval_result(spark, sf_dir)["per_field"]
 
 
-def _pq_training_ctes(
-    m: int = 8, ksub: int = 8, iters: int = 4, sample_size: int = 2048,
-    samp: str = "samp",
-) -> str:
-    """CTE block UNROLLING `similarity.pq_codebooks_kmeans` in SQL —
-    per-subspace Lloyd k-means (L2) over the md5-hash-ordered sample,
-    first-k seeding, sequential-fold reduced distances on RAW
-    subvectors, integer micro-unit centroid means — ALL subspaces ride
-    one chain keyed by ``mm``.  MATERIALIZED because ``pc{i}``
-    references ``pc{i-1}`` twice.  Emits text from the sample CTE
-    (named ``samp`` — pass another name when composing with a chain
-    that already has one) through ``cb(mm, kk, cv)``."""
-    dsub = 64 // m
+def _pq_lloyd_ctes(iters: int) -> str:
+    """The per-subspace Lloyd iteration chain ``pa1 … pc{iters}`` —
+    expects ``pu(vec_id, rn, mm, x, u)`` and ``pc0(mm, kk, cv)`` in
+    scope; shared by the raw-vector and residual PQ training oracles.
+    MATERIALIZED because ``pc{i}`` references ``pc{i-1}`` twice."""
     it = [
         f"""
     pa{i} AS MATERIALIZED (
@@ -6112,6 +6104,21 @@ def _pq_training_ctes(
                         WHERE q.mm = p.mm AND q.kk = p.kk))"""
         for i in range(1, iters + 1)
     ]
+    return ",".join(it)
+
+
+def _pq_training_ctes(
+    m: int = 8, ksub: int = 8, iters: int = 4, sample_size: int = 2048,
+    samp: str = "samp",
+) -> str:
+    """CTE block UNROLLING `similarity.pq_codebooks_kmeans` in SQL —
+    per-subspace Lloyd k-means (L2) over the md5-hash-ordered sample,
+    first-k seeding, sequential-fold reduced distances on RAW
+    subvectors, integer micro-unit centroid means — ALL subspaces ride
+    one chain keyed by ``mm`` (`_pq_lloyd_ctes`).  Emits text from the
+    sample CTE (named ``samp`` — pass another name when composing with
+    a chain that already has one) through ``cb(mm, kk, cv)``."""
+    dsub = 64 // m
     return f"""{samp} AS MATERIALIZED (
       SELECT vec_id, v, rn FROM (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -6131,7 +6138,7 @@ def _pq_training_ctes(
       SELECT mm, (rn - 1)::INT AS kk,
              list_transform(u, s -> s::DOUBLE / 1000000.0) AS cv
       FROM pu WHERE rn <= {ksub}),
-    {",".join(it)},
+    {_pq_lloyd_ctes(iters)},
     cb AS (SELECT mm, kk, cv FROM pc{iters})"""
 
 
@@ -6147,6 +6154,111 @@ def _pq_trained_oracle_sql(
     WITH {_pq_training_ctes(m, ksub, iters, sample_size)},"""
         + _pq_search_body(64 // m)
     )
+
+
+def _ivfpq_residual_oracle_sql(
+    n_centroids: int = 16,
+    ivf_iters: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    pq_iters: int = 4,
+    sample_size: int = 2048,
+    k: int = 5,
+) -> str:
+    """Full value oracle for RESIDUAL-encoding IVFPQ (the FAISS
+    ``by_residual`` default): the IVF chain trains the coarse cells,
+    then the PQ chain trains on the SAMPLE'S RESIDUALS — each sample row
+    joins its ``cassign`` cell and subtracts the trained centroid
+    elementwise before the per-subspace Lloyd (`_pq_lloyd_ctes`) — and
+    the search replays residual codes (corpus residuals vs cb), a
+    per-(query, probed-cell) LUT over q − centroid[cell], and the
+    cell-local ADC sum ‖q−c‖² + Σ lut — exactly
+    `similarity_df.ivfpq_topk(by_residual=True)`."""
+    dsub = 64 // m
+    last = f"c{ivf_iters}"
+    return f"""
+    WITH {_ivf_training_ctes(n_centroids, ivf_iters, sample_size)},
+    corp AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+    {_ivf_assign_ctes(last, n_probe)},
+    cents AS (SELECT c, cv FROM {last}),
+    psamp AS MATERIALIZED (
+      SELECT vec_id, v, rn FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               row_number() OVER (
+                   ORDER BY substring(md5('pq:' || vec_id::varchar), 1, 8),
+                            vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= {sample_size}),
+    pres AS MATERIALIZED (
+      SELECT p.vec_id, p.rn,
+             list_transform(generate_series(1, len(p.v)),
+                            i -> p.v[i] - ce.cv[i]) AS v
+      FROM psamp p
+      JOIN cassign ca ON ca.vec_id = p.vec_id
+      JOIN cents ce ON ce.c = ca.c),
+    pu AS MATERIALIZED (
+      SELECT vec_id, rn, mm,
+             list_slice(v, mm * {dsub} + 1, mm * {dsub} + {dsub}) AS x,
+             list_transform(
+                 list_slice(v, mm * {dsub} + 1, mm * {dsub} + {dsub}),
+                 e -> round(e * 1000000.0)::BIGINT) AS u
+      FROM pres CROSS JOIN (SELECT unnest(range({m}))::INT AS mm) t),
+    pc0 AS MATERIALIZED (
+      SELECT mm, (rn - 1)::INT AS kk,
+             list_transform(u, s -> s::DOUBLE / 1000000.0) AS cv
+      FROM pu WHERE rn <= {ksub}),
+    {_pq_lloyd_ctes(pq_iters)},
+    cb AS (SELECT mm, kk, cv FROM pc{pq_iters}),
+    cres AS MATERIALIZED (
+      SELECT corp.vec_id,
+             list_transform(generate_series(1, len(corp.v)),
+                            i -> corp.v[i] - ce.cv[i]) AS rv
+      FROM corp JOIN cassign ca ON ca.vec_id = corp.vec_id
+      JOIN cents ce ON ce.c = ca.c),
+    codes AS (
+      SELECT vec_id, mm, kk AS code FROM (
+        SELECT cr.vec_id, cb.mm, cb.kk,
+               row_number() OVER (PARTITION BY cr.vec_id, cb.mm ORDER BY
+                 list_dot_product(cb.cv, cb.cv)
+                 - 2 * list_dot_product(
+                     list_slice(cr.rv, cb.mm * {dsub} + 1,
+                                cb.mm * {dsub} + {dsub}), cb.cv),
+                 cb.kk) AS rn
+        FROM cres cr CROSS JOIN cb)
+      WHERE rn = 1),
+    qres AS (
+      SELECT qp.qid, qp.c,
+             list_transform(generate_series(1, len(q.qv)),
+                            i -> q.qv[i] - ce.cv[i]) AS rv
+      FROM qprobe qp JOIN q ON q.qid = qp.qid JOIN cents ce ON ce.c = qp.c),
+    lut AS (
+      SELECT qr.qid, qr.c, cb.mm, cb.kk,
+             round((list_dot_product(cb.cv, cb.cv)
+             - 2 * list_dot_product(
+                 list_slice(qr.rv, cb.mm * {dsub} + 1,
+                            cb.mm * {dsub} + {dsub}), cb.cv))
+                   * 1000000.0)::BIGINT AS micro
+      FROM qres qr CROSS JOIN cb),
+    qq AS (SELECT qid, c,
+                  round(list_dot_product(rv, rv) * 1000000.0)::BIGINT AS qq
+           FROM qres),
+    adc AS (
+      SELECT l.qid, cd.vec_id,
+             round((any_value(qq.qq) + sum(l.micro)) / 1000000.0, 6)
+               AS adc_dist
+      FROM codes cd
+      JOIN cassign ca ON ca.vec_id = cd.vec_id
+      JOIN lut l ON l.c = ca.c AND l.mm = cd.mm AND l.kk = cd.code
+      JOIN qq ON qq.qid = l.qid AND qq.c = l.c
+      WHERE cd.vec_id != l.qid
+      GROUP BY l.qid, cd.vec_id),
+    adcr AS (SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank FROM adc)
+    SELECT qid AS query_id, vec_id, adc_dist, rank FROM adcr WHERE rank <= {k}
+    """
 
 
 def _ivfpq_trained_oracle_sql(
@@ -6262,6 +6374,25 @@ def ann_pq_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_topk_df(emb, emb.filter(F.col("vec_id") < 8), _pq_seeded_codebooks(), k=5)
+
+
+@register("ann_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle_sql())
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoding IVFPQ (`similarity_df.ivfpq_topk(
+    by_residual=True)`) — the FAISS IndexIVFPQ default: PQ codebooks
+    train on, and codes quantize, v − centroid[cell] (smaller, better-
+    centered residuals buy finer quantization from the same code
+    budget), so the LUT becomes per-(query, probed-cell) over
+    q − centroid[cell] — computed in-plan from one parsed centroid
+    literal, still no driver-side query residency.  BOTH trained halves
+    AND the residual stream replay in SQL (`_ivfpq_residual_oracle_sql`
+    chains the sample through the trained ``cassign``)."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=4, by_residual=True
+    )
 
 
 @register("ann_ivfpq_topk", oracle=_ivfpq_trained_oracle_sql())

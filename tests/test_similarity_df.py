@@ -169,3 +169,35 @@ def test_ivfpq_persisted_index_roundtrip(spark, tmp_path):
         emb, q, k=5, n_probe=4, centroids=cent, codebooks=cb
     )
     assert _rows(got) == _rows(inline)
+
+
+def test_ivfpq_residual_differs_and_prunes(spark):
+    """by_residual=True quantizes v − centroid[cell]: codes must differ
+    from the raw-vector encoding (the codebooks live in residual space),
+    while cell assignment — which residuals don't touch — is identical."""
+    emb = _emb(spark)
+    cent = S._kmeans_centroids(emb, "vec_id", "embedding", 16, 8, 2048, 11)
+    cb_raw = S.pq_codebooks_kmeans(emb, m=8, ksub=8, iters=2)
+    cb_res = S.pq_codebooks_kmeans(
+        emb, m=8, ksub=8, iters=2, residual_centroids=cent
+    )
+    raw = {r.vec_id: (r.cell, tuple(r.codes))
+           for r in D.ivfpq_encode(emb, cent, cb_raw).collect()}
+    res = {r.vec_id: (r.cell, tuple(r.codes))
+           for r in D.ivfpq_encode(emb, cent, cb_res, by_residual=True).collect()}
+    assert all(raw[k][0] == res[k][0] for k in raw)  # same cells
+    assert any(raw[k][1] != res[k][1] for k in raw)  # different codes
+    q = emb.filter(F.col("vec_id") < 4)
+    out = D.ivfpq_topk(
+        emb, q, k=50, n_probe=1, centroids=cent, codebooks=cb_res,
+        by_residual=True,
+    ).collect()
+    cells = {k: v[0] for k, v in res.items()}
+    qcell = {
+        r.vec_id: int(np.argmax(
+            S._seq_fold_dot(np.array([list(r.embedding)], float), cent)))
+        for r in q.select("vec_id", "embedding").collect()
+    }
+    assert out
+    for r in out:  # pruning guarantee holds under residual encoding too
+        assert cells[r.vec_id] == qcell[r.query_id]
