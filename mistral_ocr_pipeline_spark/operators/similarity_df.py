@@ -29,11 +29,12 @@ left in the ANN stack is the INDEX build (`_kmeans_centroids` /
 `pq_codebooks_kmeans` train on a bounded, hash-ordered sample — a
 deliberate, documented bounded collect).
 
-``ivfpq_topk`` is the FAISS-shaped composite (IndexIVFPQ with
-``by_residual=False``): IVF coarse cells prune the corpus to the probed
-cells, PQ asymmetric-distance scoring ranks inside them reading only
-the m-byte code table, and an optional exact-cosine refinement touches
-float vectors for the top-R candidates alone.  At 100 TB the encode
+``ivfpq_topk`` is the FAISS-shaped composite (IndexIVFPQ; both the
+raw-vector form and the FAISS-default ``by_residual=True`` residual
+encoding): IVF coarse cells prune the corpus to the probed cells, PQ
+asymmetric-distance scoring ranks inside them reading only the m-byte
+code table, and an optional exact-cosine refinement touches float
+vectors for the top-R candidates alone.  At 100 TB the encode
 pass is written once as a (cell, codes) table bucketed by cell; each
 query batch equi-joins its probed cells and folds over a LUT it
 computed in-plan.
