@@ -37,3 +37,39 @@ def test_curation_job_cli(tmp_path):
         "curated", "curation_rollup", "pack_assignment", "pack_stats",
         "unimax_plan", "unimax_stream",
     }
+
+
+def test_ann_index_job_cli(tmp_path):
+    """build → search round-trip through the spark-submit surface: the
+    index + model publish atomically; search reads them back and its
+    top-k agrees with the in-process composite (residual mode, refined)."""
+    wh = str(tmp_path / "wh_ann")
+    out = str(tmp_path / "topk")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    common = dict(cwd="/root/repo", env=env, capture_output=True, text=True,
+                  timeout=400)
+    corpus = "/root/testdata/sf0.001/embeddings.parquet"
+    b = subprocess.run(
+        [sys.executable, "spark_jobs/ann_index_job.py", "build",
+         "--corpus", corpus, "--warehouse", wh,
+         "--n-centroids", "8", "--m", "8", "--ksub", "8",
+         "--pq-iters", "2", "--by-residual", "--keep-vec"],
+        **common,
+    )
+    assert b.returncode == 0, b.stderr[-2000:]
+    stats = json.loads(b.stdout.strip().splitlines()[-1])
+    assert stats["indexed"] == 500 and stats["by_residual"]
+    s = subprocess.run(
+        [sys.executable, "spark_jobs/ann_index_job.py", "search",
+         "--queries", corpus, "--warehouse", wh,
+         "--k", "3", "--n-probe", "2", "--refine", "16", "--output", out],
+        **common,
+    )
+    assert s.returncode == 0, s.stderr[-2000:]
+    n = json.loads(s.stdout.strip().splitlines()[-1])["results"]
+    assert 1400 <= n <= 1500  # ~k per query; a sparse probed cell may trim
+    manifest = json.load(
+        open(os.path.join(wh, "_manifests",
+                          open(os.path.join(wh, "_HEAD")).read().strip()))
+    )
+    assert set(manifest["tables"]) == {"ivfpq_index", "ivfpq_model"}
