@@ -14,8 +14,14 @@ Composition of verified pieces (nothing re-derived):
   sum), hash-identical to rebuilding over the raw union, so after N
   batches the index IS ``build_substring_index`` of every raw batch
   seen — which is what makes the per-batch guarantee inductive: batch i
-  is deduped against raw batches 0..i in arrival order (keep-first
-  across time, the same rule the one-shot applies within one corpus);
+  is deduped against raw batches 0..i.  Canonicality is the GLOBAL min
+  (id, pos) — identical to keep-first-in-arrival-order when doc ids are
+  monotone with arrival (the ingest norm); a later batch carrying a
+  SMALLER id than a historical occurrence keeps its span (it is the
+  one-shot canonical) while the already-published historical doc is
+  immutable, so per-batch outputs stay exactly one-shot-equivalent but
+  corpus-level span uniqueness then needs a compaction pass — the same
+  already-published caveat every streaming dedup carries;
 * durability: cleaned-corpus append, index rewrite, and lineage row
   publish in ONE atomic catalog commit, idempotent on
   (stream_id, batch_id) — at-least-once ``foreachBatch`` replays become
