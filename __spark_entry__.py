@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "pack_emit_text",          # r5: packed context windows materialized byte-exact
     "ann_ivfpq_residual_topk", # r5: FAISS-default residual encoding, full oracle
     "text_substring_incremental", # r5: batch span removal vs digest index
     "substring_index_append",     # r5: lattice-merge index maintenance

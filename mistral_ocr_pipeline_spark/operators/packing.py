@@ -103,6 +103,62 @@ def chunk_text_tokens(
     )
 
 
+def pack_emit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str,
+    budget: int = 2048,
+    n_shards: int = 8,
+    doc_sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize the packed CONTEXT WINDOWS themselves — the step the
+    trainer actually consumes: `pack_token_budget` assigns each doc a
+    (shard, pack_id), then one groupBy(shard, pack_id) rebuilds every
+    pack as its documents concatenated IN OFFSET ORDER (id rides inside
+    the sorted struct — collect_list alone has no order guarantee, the
+    `line_dedup` rebuild discipline), separated by ``doc_sep`` (the
+    EOS/document-boundary stand-in).  Returns (shard, pack_id, n_docs,
+    total_tokens, doc_ids, text) with ``doc_ids`` a comma-joined string
+    (scalar output contract).
+
+    Scale shape: the ONLY wide ops are the per-shard offset window the
+    assignment already pays and one groupBy on (shard, pack_id) whose
+    groups are budget-bounded (≈budget tokens of text each) — emission
+    adds no skew a pack doesn't already have."""
+    packed = pack_token_budget(
+        df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("tok")),
+        "id", "tok", budget=budget, n_shards=n_shards,
+    )
+    joined = packed.join(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
+        "id",
+    )
+    docs_sorted = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("_text").alias("t")))
+    )
+    return (
+        joined.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("total_tokens"),
+            docs_sorted.alias("_d"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            "n_docs",
+            "total_tokens",
+            F.array_join(
+                F.transform(F.col("_d"), lambda s: s["id"].cast("string")), ","
+            ).alias("doc_ids"),
+            F.array_join(
+                F.transform(F.col("_d"), lambda s: s["t"]), doc_sep
+            ).alias("text"),
+        )
+    )
+
+
 def pack_rollup(packed: DataFrame, budget: int = 2048) -> DataFrame:
     """Per-pack fill statistics: (shard, pack_id, n_docs, total_tokens,
     fill_ratio).  ``fill_ratio`` > 1 marks the overflow pack head (the one

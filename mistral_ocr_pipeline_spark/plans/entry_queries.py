@@ -3449,6 +3449,37 @@ def pack_token_budget_bpe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_emit_text",
+    oracle=f"""{_PACK_OFF},
+    asg AS (SELECT id, shard, tokens,
+                   (start_offset // 512)::bigint AS pack_id
+            FROM off)
+    SELECT a.shard, a.pack_id,
+           count(*) AS n_docs,
+           sum(a.tokens)::bigint AS total_tokens,
+           string_agg(a.id::varchar, ',' ORDER BY a.id) AS doc_ids,
+           string_agg(d.text, chr(10) || chr(10) ORDER BY a.id) AS text
+    FROM asg a JOIN documents d ON d.doc_id = a.id
+    GROUP BY a.shard, a.pack_id
+    """,
+)
+def pack_emit_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed context windows MATERIALIZED (`packing.pack_emit`) —
+    each 512-token pack emitted as its documents concatenated in offset
+    order with the blank-line document separator, plus the doc-id
+    manifest.  The oracle replays assignment + ordered string_agg, so
+    the hash match pins byte-exact window contents, not just the
+    assignment."""
+    from mistral_ocr_pipeline_spark.operators.packing import pack_emit
+    from mistral_ocr_pipeline_spark.operators.text_analysis import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", ws_token_count(F.col("text")).alias("tokens")
+    )
+    return pack_emit(docs, "doc_id", "text", "tokens", budget=512, n_shards=8)
+
+
+@register(
     "pack_rollup",
     oracle=f"""{_PACK_OFF}
     SELECT shard, (start_offset // 512)::bigint AS pack_id,
