@@ -239,6 +239,141 @@ def fingerprint_rolling(
     return df.select(F.col(id_col), roll(F.col(text_col)).alias("rolling_fp"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """EXACT winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS scheme): hash every character ``k``-gram
+    of the normalized text, then in each window of ``w`` consecutive
+    hashes select the minimum, breaking ties toward the RIGHTMOST
+    occurrence (the paper's robust-winnowing rule), and emit the
+    distinct selected (position, hash) pairs.  The guarantee: every
+    ``w``-window contains at least one selected fingerprint, so any
+    shared substring of length ≥ k + w − 1 between two documents shares
+    at least one fingerprint — the deterministic document fingerprint a
+    plagiarism / near-dup index is built on (cf. the
+    probabilistic `fingerprint_rolling` above, which keeps only the
+    global min).
+
+    Returns (id, pos, fp): ``pos`` is the 1-based k-gram start offset,
+    ``fp`` the md5 hex of that k-gram — md5 is fixed-width lowercase
+    hex, so lexicographic min ≡ numeric min and the selection replays
+    verbatim in any engine.  Texts shorter than ``k`` chars emit no
+    rows (no k-grams → no fingerprints); when there are fewer than
+    ``w`` hashes the window shrinks to cover them all (the paper's
+    convention for short documents).
+
+    Plan shape: explode the k-gram positions to rows (each gram's md5
+    computed exactly ONCE), then the sliding window-of-``w`` minimum is
+    ``min(struct(h, -pos))`` over ``rowsBetween(-(w-1), 0)`` — struct
+    ordering puts the minimum hash first and, among ties, the minimum
+    of ``-pos`` = the RIGHTMOST position, so one window-min expresses
+    the paper's tie rule exactly.  One shuffle keyed on doc id for the
+    window; the payload is the gram stream (~|text| rows), the same
+    scale class as `dedup.line_dedup`'s digest stream.  The tempting
+    pure-array-expression form (transform over window starts re-slicing
+    a hashes array) is a trap: Catalyst inlines the md5-transform into
+    every reference, going O(|text|²·w) per document — measured 40×
+    slower at 300-char docs and unbounded worse at real document sizes.
+    Zero UDFs either way."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    from pyspark.sql.window import Window
+
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    t = norm_key_col(F.col(text_col))
+    n_grams = F.length(t) - k + 1  # m: number of k-gram hashes
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"), t.alias("_t"), n_grams.alias("_m")
+        )
+        .filter(F.col("_m") >= 1)
+        .select(
+            "id",
+            "_m",
+            F.explode(F.sequence(F.lit(1), F.col("_m"))).alias("pos"),
+            "_t",
+        )
+        .select(
+            "id",
+            "_m",
+            "pos",
+            F.md5(F.expr(f"substring(_t, pos, {int(k)})")).alias("h"),
+        )
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    eff_w = F.least(F.lit(w), F.col("_m"))  # short docs: one whole-text window
+    return (
+        grams.select(
+            "id",
+            "pos",
+            eff_w.alias("_w"),
+            F.min(
+                F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+            ).over(win).alias("_mn"),
+        )
+        # keep only complete windows (pos is the window END); for m < w the
+        # single surviving row pos == m covers the whole shrunk window
+        .filter(F.col("pos") >= F.col("_w"))
+        .select(
+            "id",
+            (-F.col("_mn.np")).alias("pos"),
+            F.col("_mn.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    cap: int = 64,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — the MOSS overlap
+    join: (id_a, id_b, n_shared) over `winnow_fingerprints`, matching on
+    the fingerprint VALUE only (never the position — winnowing's whole
+    point is that local edits shift offsets but preserve the selected
+    hashes of untouched regions).  Guarantee inherited from winnowing:
+    two documents sharing any substring of ≥ k + w − 1 chars surface
+    with n_shared ≥ 1.
+
+    Never all-pairs: fingerprints selected by more than ``cap``
+    documents are corpus boilerplate (the hot-line analogue) and are
+    EXCLUDED before the self-join, so no fingerprint group can go
+    quadratic — the same bounded-bucket discipline as
+    `dedup.substring_overlap_pairs` / the LSH band joins.  One shuffle
+    keyed on fp for the group-size count, one for the equi-self-join,
+    one on (id_a, id_b) for the final count — all well-keyed; the
+    fingerprint stream is ~|text|/(w/2) rows per doc (the winnowing
+    density bound 2/(w+1)), far below the gram stream it summarizes."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        "id", "fp"
+    ).distinct()
+    ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") <= cap
+    )
+    bounded = fps.join(ok.select("fp"), "fp")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # C13 — keyword→concept mapping (reference compare_results.py:129-482: six
 # literal keyword dictionaries matched after normalization).  Pure SQL
 # higher-order functions: no UDF, vocab folded into the plan as literals.
@@ -734,6 +869,206 @@ def dsir_logweights(
             F.round(F.sum("micro") / F.lit(1e6), 6).alias("logweight"),
         )
         .select(F.col("id").alias(id_col), "n_grams", "logweight")
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, n_pairs, surprisal) — mean conditional surprisal
+    −ln P(wᵢ | wᵢ₋₁) under the corpus's own add-1-smoothed bigram LM:
+    P(cur | prev) = (c(prev,cur) + 1) / (ctx(prev) + V), where ctx(prev)
+    is prev's context count (occurrences followed by anything) and V the
+    corpus vocabulary size.  One LM-order up from `unigram_surprisal` —
+    the closest in-engine stand-in for CCNet's KenLM perplexity signal:
+    shuffled-word salad scores high even when every word is common,
+    which the unigram proxy cannot see.
+
+    Determinism: each bigram's surprisal is rounded to integer
+    MICRO-UNITS in the probability table (bigram-vocabulary-sized, not
+    corpus-sized), so the per-doc aggregate is an order-independent
+    BIGINT sum — the same cross-engine trick as `dsir_logweights` /
+    `bm25_topk`.  Plan shape: two vocabulary-sized groupBys collapse
+    map-side; the probability table broadcasts; scoring is the pair
+    stream joined to that broadcast plus ONE corpus shuffle keyed on doc
+    id.  Docs with < 2 tokens emit no row (no bigrams → no evidence).
+    At 100 TB the bigram table outgrows a broadcast — swap the broadcast
+    hint for a shuffle hash join on (prev, cur); the rest of the plan is
+    unchanged."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+    # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+    pair_arr = F.when(
+        F.size("_ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ts") - 1),
+            lambda i: F.struct(
+                F.element_at("_ts", i).alias("prev"),
+                F.element_at("_ts", i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select("id", F.explode(pair_arr).alias("p")).select(
+        "id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    c2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("prev").agg(F.sum("c2").alias("ctx"))
+    vocab = (
+        base.select(F.explode("_ts").alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("v"))
+    )
+    micro = F.round(
+        -F.log((F.col("c2") + 1) / (F.col("ctx") + F.col("v"))) * F.lit(1e6), 0
+    ).cast("long")
+    table = (
+        c2.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select("prev", "cur", micro.alias("micro"))
+    )
+    return (
+        pairs.join(F.broadcast(table), ["prev", "cur"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("micro") / F.lit(1e6) / F.count(F.lit(1)), 6).alias(
+                "surprisal"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_pairs", "surprisal")
+    )
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    train_col: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Binary multinomial Naive Bayes over hashed unigram+bigram
+    features — the fastText-style model-based quality/domain filter
+    (CCNet's Wikipedia-vs-crawl classifier, FineWeb-Edu's distilled
+    educational scorer): train on the rows flagged by boolean
+    ``train_col`` against boolean ``label_col``, then score EVERY row.
+    The production shape this demonstrates: an expensive upstream signal
+    (LM perplexity, an LLM judge, human ratings) labels a small seed
+    set; the cheap linear model distills it and runs at full corpus
+    scale as plain scan+join relational algebra.
+
+    Model, all integer micro-units so every sum is order-independent
+    across engines (cf. `dsir_logweights`):
+      w(b)  = round((ln((n₊(b)+1)/(T₊+V)) − ln((n₋(b)+1)/(T₋+V)))·1e6)
+      prior = round((ln(N₊+1) − ln(N₋+1))·1e6)
+      score(d) = prior + Σ_{grams g∈d} w(bucket(g)),  pred = score > 0
+    where n±(b) are train-split gram counts per hashed bucket, T± their
+    totals, V = ``n_buckets``, N± the train-split DOC counts (add-1 so
+    an empty class cannot produce ln 0).
+
+    Plan shape at scale: the gram stream collapses map-side to
+    ≤ n_buckets weight rows; the weight table and the 1-row prior
+    broadcast; scoring is the gram stream joined to that broadcast plus
+    ONE corpus shuffle keyed on doc id, then a broadcast-safe join back
+    to the (id, label, train) spine — docs with no grams survive with
+    score = prior (no evidence → prior).  Zero UDFs, zero driver-side
+    actions; bucketing is md5-derived so the ENTIRE model — training
+    included — replays in any engine (a production run would swap
+    ``xxhash64`` for md5, same plan, no SQL twin)."""
+    spark = df.sparkSession
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("boolean").alias("label"),
+        F.col(train_col).cast("boolean").alias("is_train"),
+        toks.alias("_ts"),
+    )
+    bigrams = F.when(
+        F.size("_ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ts") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_ts", i), F.element_at("_ts", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "id", "label", "is_train", F.explode(F.concat("_ts", bigrams)).alias("g")
+    ).select(
+        "id",
+        "label",
+        "is_train",
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    # train-split bucket counts for both classes off ONE gram pass
+    cnt = (
+        grams.filter("is_train")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("label").cast("long")).alias("np"),
+            F.sum((~F.col("label")).cast("long")).alias("nn"),
+        )
+    )
+    totals = cnt.agg(
+        F.sum("np").alias("tp"), F.sum("nn").alias("tn")
+    )
+    priors = base.filter("is_train").agg(
+        F.round(
+            (
+                F.log(F.sum(F.col("label").cast("long")) + 1)
+                - F.log(F.sum((~F.col("label")).cast("long")) + 1)
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("prior")
+    )
+    spine = spark.range(n_buckets).select(F.col("id").alias("b"))
+    v = float(n_buckets)
+    w_micro = F.round(
+        (
+            F.log((F.coalesce(F.col("np"), F.lit(0)) + 1) / (F.col("tp") + F.lit(v)))
+            - F.log(
+                (F.coalesce(F.col("nn"), F.lit(0)) + 1) / (F.col("tn") + F.lit(v))
+            )
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    weights = (
+        spine.join(cnt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", w_micro.alias("w"))
+    )
+    doc_sums = (
+        grams.join(F.broadcast(weights), "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("w").alias("s"))
+    )
+    total = F.col("prior") + F.coalesce(F.col("s"), F.lit(0))
+    return (
+        base.select("id", "label", "is_train")
+        .join(doc_sums, "id", "left")
+        .crossJoin(F.broadcast(priors))
+        .select(
+            F.col("id").alias(id_col),
+            "is_train",
+            "label",
+            (total > 0).alias("pred"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(total / F.lit(1e6), 6).alias("score"),
+        )
     )
 
 

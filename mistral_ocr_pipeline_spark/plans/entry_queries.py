@@ -6481,3 +6481,253 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r"))
         .select("query_id", (F.col("r") >= 0.4).alias("recall_ok"))
     )
+
+
+# --------------------------------------------------------------------------
+# r5 continuation: bigram LM surprisal, NB quality classifier (the fastText
+# filter shape), winnowing fingerprints (Schleimer et al. 2003 / MOSS)
+# --------------------------------------------------------------------------
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    pairs AS (
+      SELECT id, ts[i] AS prev, ts[i + 1] AS cur
+      FROM (SELECT id, ts, unnest(generate_series(1, len(ts) - 1))::INT AS i
+            FROM tok WHERE len(ts) >= 2)),
+    c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(c2) AS ctx FROM c2 GROUP BY prev),
+    voc AS (SELECT count(DISTINCT t)::DOUBLE AS v
+            FROM (SELECT unnest(ts) AS t FROM tok)),
+    tbl AS (
+      SELECT prev, cur,
+             round(-ln((c2 + 1) / (ctx + v)) * 1000000.0)::BIGINT AS micro
+      FROM c2 JOIN ctx USING (prev) CROSS JOIN voc)
+    SELECT id AS doc_id, count(*) AS n_pairs,
+           round(sum(micro) / 1000000.0 / count(*), 6) AS surprisal
+    FROM pairs JOIN tbl USING (prev, cur)
+    GROUP BY id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean conditional surprisal −ln P(wᵢ|wᵢ₋₁) under the corpus's own
+    add-1-smoothed bigram LM (`text_analysis.bigram_surprisal`) — one LM
+    order above `text_unigram_surprisal`, the in-engine stand-in for
+    CCNet's KenLM signal: word salad scores high even when every word is
+    common.  The ENTIRE model — bigram/context counts, vocabulary size,
+    per-bigram micro-unit surprisals — is replayed in the oracle."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import bigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id")
+
+
+# shared DuckDB CTE tail: hashed-gram NB model over a labeled relation
+# ``lab(id, text, label, is_train)`` — emits ``pri``/``ds`` and the final
+# per-doc scoring SELECT (kept in one piece: only one query uses it today,
+# but the label CTE varies by caller)
+_NB_MODEL_SQL = """
+    tk AS (SELECT id, label, is_train,
+                  list_filter(string_split({key}, ' '), x -> x != '') AS ts
+           FROM lab),
+    grams AS (
+      SELECT id, label, is_train, unnest(ts) AS g FROM tk
+      UNION ALL
+      SELECT id, label, is_train,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS g
+      FROM tk),
+    bkt AS (SELECT id, label, is_train,
+                   (('0x' || substring(md5(g), 1, 8))::UBIGINT % 256)::BIGINT AS b
+            FROM grams),
+    cnt2 AS (SELECT b,
+                    sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+                    sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+             FROM bkt WHERE is_train GROUP BY b),
+    tots AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM cnt2),
+    pri AS (SELECT round((ln(sum(CASE WHEN label THEN 1 ELSE 0 END) + 1)
+                          - ln(sum(CASE WHEN label THEN 0 ELSE 1 END) + 1))
+                         * 1000000.0)::BIGINT AS prior
+            FROM lab WHERE is_train),
+    spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+    wts AS (SELECT spine.b,
+                   round((ln((coalesce(np, 0) + 1) / (tp + 256.0))
+                          - ln((coalesce(nn, 0) + 1) / (tn + 256.0)))
+                         * 1000000.0)::BIGINT AS w
+            FROM spine LEFT JOIN cnt2 USING (b) CROSS JOIN tots),
+    ds AS (SELECT id, count(*) AS n_grams, sum(w) AS s
+           FROM bkt JOIN wts USING (b) GROUP BY id)
+    SELECT lab.id AS doc_id, lab.is_train, lab.label,
+           (pri.prior + coalesce(ds.s, 0)) > 0 AS pred,
+           coalesce(ds.n_grams, 0)::BIGINT AS n_grams,
+           round((pri.prior + coalesce(ds.s, 0)) / 1000000.0, 6) AS score
+    FROM lab LEFT JOIN ds ON ds.id = lab.id CROSS JOIN pri
+"""
+
+
+@register(
+    "text_nb_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split({_KEY.format(c='text')}, ' ')) AS t
+      FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+    sur AS (SELECT id, round(avg(-ln(c / (SELECT n FROM tot))), 6) AS s
+            FROM toks JOIN cnt USING (t) GROUP BY id),
+    med AS (SELECT round(quantile_cont(s, 0.5), 6) AS t FROM sur),
+    lab AS (
+      SELECT d.doc_id AS id, d.text,
+             coalesce(sur.s <= med.t, FALSE) AS label,
+             (('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+              % 10) < 7 AS is_train
+      FROM documents d LEFT JOIN sur ON sur.id = d.doc_id CROSS JOIN med),
+    {_NB_MODEL_SQL.format(key=_KEY.format(c='text'))}
+    """,
+)
+def text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, the fastText/CCNet/FineWeb-Edu
+    distillation shape (`text_analysis.nb_quality_classifier`): an
+    expensive upstream signal pseudo-labels the corpus (here: corpus-
+    unigram surprisal at-or-below the exact corpus median — the CCNet
+    head/tail cut), a 70% content-hash split trains a hashed-gram binary
+    Naive Bayes on those labels, and the model scores EVERY document —
+    train and held-out alike — as pure scan+broadcast-join relational
+    algebra.  The ENTIRE path — surprisal, median threshold, train
+    split, bucket counts, micro-unit log-odds, priors, per-doc scores,
+    decisions — replays in the oracle."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        nb_quality_classifier,
+        unigram_surprisal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sur = unigram_surprisal(docs, "doc_id")
+    med = sur.agg(
+        F.round(F.percentile("surprisal", F.lit(0.5)), 6).alias("t")
+    )
+    labeled = (
+        docs.select("doc_id", "text")
+        .join(sur.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            "text",
+            F.coalesce(F.col("surprisal") <= F.col("t"), F.lit(False)).alias(
+                "label"
+            ),
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(10),
+                )
+                < 7
+            ).alias("is_train"),
+        )
+    )
+    return nb_quality_classifier(labeled, "doc_id", "label", "is_train")
+
+
+# shared DuckDB CTE tail: winnowing selection over a relation ``u(id, text)``
+# — emits ``sel(id, pos, fp)`` (k=8 chars, w=4 hashes, rightmost-min ties)
+_WINNOW_SEL_SQL = f"""
+    nrm AS (SELECT id, {_KEY.format(c='text')} AS t FROM u),
+    h AS (SELECT id, list_transform(generate_series(1, length(t) - 7),
+                                    i -> md5(substring(t, i, 8))) AS hs
+          FROM nrm WHERE length(t) >= 8),
+    win AS (SELECT id, hs, least(4, len(hs)) AS w FROM h),
+    wexp AS (SELECT id, hs, w,
+                    unnest(generate_series(1, len(hs) - w + 1))::INT AS j
+             FROM win),
+    selraw AS (SELECT id, hs,
+                      list_max(list_filter(generate_series(j, j + w - 1),
+                               x -> hs[x] = list_min(hs[j : j + w - 1]))) AS pos
+               FROM wexp),
+    sel AS (SELECT DISTINCT id, pos, hs[pos] AS fp FROM selraw)
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH u AS (SELECT doc_id AS id, text FROM documents),
+    {_WINNOW_SEL_SQL}
+    SELECT id AS doc_id, count(*)::BIGINT AS n_selected,
+           md5(array_to_string(list_sort(list(pos::VARCHAR || ':' || fp)),
+                               ',')) AS fp_digest
+    FROM sel GROUP BY id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    scheme) per document — char 8-grams, window 4, rightmost-min ties
+    (`text_analysis.winnow_fingerprints`; map-only, zero shuffle until
+    this rollup).  Output: selection count + an md5 digest of the full
+    sorted (position:hash) selection, so the value hash certifies every
+    selected fingerprint, not just how many."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", k=8, w=4)
+    return fps.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("pos").cast("string"), F.col("fp"))
+                    )
+                ),
+                ",",
+            )
+        ).alias("fp_digest"),
+    ).select(F.col("id").alias("doc_id"), "n_selected", "fp_digest")
+
+
+@register(
+    "text_winnow_overlap",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^\\w+', 'changed')
+      FROM documents WHERE doc_id % 10 = 0),
+    {_WINNOW_SEL_SQL},
+    df AS (SELECT DISTINCT id, fp FROM sel),
+    ok AS (SELECT fp FROM df GROUP BY fp HAVING count(*) <= 64)
+    SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+    FROM df a JOIN df b ON a.fp = b.fp AND a.id < b.id
+    WHERE a.fp IN (SELECT fp FROM ok)
+    GROUP BY 1, 2
+    """,
+)
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap pairs over winnowed fingerprints
+    (`text_analysis.winnow_overlap_pairs`) — fingerprint-VALUE matching
+    only, position-free, so each clone (same fixture as
+    `dedup_substring_overlap`: every 10th doc first-word-perturbed)
+    pairs with its original on the selected hashes of the untouched
+    region; fingerprints hot beyond the 64-doc cap are excluded before
+    the self-join (bounded buckets, never all-pairs)."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        winnow_overlap_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    u = docs.unionByName(clones)
+    return winnow_overlap_pairs(u, "doc_id", "text", k=8, w=4, cap=64)

@@ -3383,3 +3383,203 @@ class TestSubstringIncremental:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, rebuilt.collect())
         )
+
+
+class TestWinnowing:
+    """Schleimer et al. 2003 winnowing — Spark selection vs a pure-Python
+    reference model, the paper's guarantees, and the overlap join."""
+
+    @staticmethod
+    def _py_winnow(text: str, k: int = 8, w: int = 4):
+        import hashlib
+        import re
+
+        t = re.sub(r"\s+", " ", re.sub(r"[^\w\s/\-]", "", text.lower())).strip()
+        m = len(t) - k + 1
+        if m < 1:
+            return set()
+        hs = [hashlib.md5(t[i : i + k].encode()).hexdigest() for i in range(m)]
+        eff_w = min(w, m)
+        out = set()
+        for j in range(m - eff_w + 1):  # window hs[j .. j+eff_w-1]
+            win = hs[j : j + eff_w]
+            mn = min(win)
+            pos = j + max(i for i, h in enumerate(win) if h == mn)
+            out.add((pos + 1, hs[pos]))  # 1-based
+        return out
+
+    def _spark_winnow(self, spark, rows, k=8, w=4):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = winnow_fingerprints(df, "id", k=k, w=w).collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r.id, set()).add((r.pos, r.fp))
+        return by_id
+
+    def test_matches_python_model(self, spark):
+        rows = [
+            (1, "The quick brown fox jumps over the lazy dog."),
+            (2, "aaaaaaaaaaaa"),  # all-equal hashes: rightmost-tie rule fires
+            (3, "short"),  # < k chars: no fingerprints
+            (4, None),  # NULL text: no fingerprints
+            (5, "exactly08"),  # m=2 < w: one shrunk whole-text window
+            (6, "abcabcabcabcabcabc"),  # periodic: repeated hash values
+        ]
+        by_id = self._spark_winnow(spark, rows)
+        for i, text in rows:
+            want = self._py_winnow(text) if text else set()
+            assert by_id.get(i, set()) == want, f"id={i}"
+
+    def test_paper_guarantees(self, spark):
+        # every w-window has a selection => density; shared substring of
+        # length >= k+w-1 => shared fingerprint VALUE (position-free)
+        shared = "this exact shared run of characters survives winnowing"
+        rows = [
+            (1, "left padding words " + shared + " trailing alpha"),
+            (2, "completely different opening " + shared + " other end"),
+        ]
+        by_id = self._spark_winnow(spark, rows)
+        fps1 = {fp for _, fp in by_id[1]}
+        fps2 = {fp for _, fp in by_id[2]}
+        assert fps1 & fps2, "k+w-1 shared substring must share a fingerprint"
+        # winnowing guarantee: in any w consecutive window-ends, >=1 selection
+        positions = sorted(p for p, _ in by_id[1])
+        gaps = [b - a for a, b in zip(positions, positions[1:])]
+        assert max(gaps) <= 4  # adjacent selections at most w apart
+
+    def test_overlap_pairs_cap_and_match(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            winnow_overlap_pairs,
+        )
+
+        shared = "an uncommon duplicated sentence that is long enough here"
+        rows = [
+            (1, "doc one begins " + shared + " and then diverges fully"),
+            (2, "doc two starts differently " + shared + " before ending"),
+            (3, "unrelated text with no duplication in it at all okay"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        pairs = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in winnow_overlap_pairs(df, "id", "text", cap=64).collect()
+        }
+        assert pairs.get((1, 2), 0) >= 1
+        # cap=0 excludes every fingerprint group -> no pairs at all
+        assert (
+            winnow_overlap_pairs(df, "id", "text", cap=0).count() == 0
+        )
+
+
+class TestBigramSurprisal:
+    def test_matches_python_model(self, spark):
+        import math
+
+        rows = [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the the the"),
+            (4, "cat"),  # 1 token: no bigrams, no output row
+            (5, None),  # NULL: no output row
+        ]
+        toks = {i: (t or "").lower().split() for i, t in rows}
+        pairs = {
+            i: list(zip(ts, ts[1:])) for i, ts in toks.items() if len(ts) >= 2
+        }
+        c2: dict = {}
+        for ps in pairs.values():
+            for p in ps:
+                c2[p] = c2.get(p, 0) + 1
+        ctx: dict = {}
+        for (a, _), c in c2.items():
+            ctx[a] = ctx.get(a, 0) + c
+        vocab = len({t for ts in toks.values() for t in ts})
+        micro = {
+            p: round(-math.log((c + 1) / (ctx[p[0]] + vocab)) * 1e6)
+            for p, c in c2.items()
+        }
+        want = {
+            i: (len(ps), round(sum(micro[p] for p in ps) / 1e6 / len(ps), 6))
+            for i, ps in pairs.items()
+        }
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            bigram_surprisal,
+        )
+
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r.id: (r.n_pairs, r.surprisal)
+            for r in bigram_surprisal(df, "id").collect()
+        }
+        assert got == want
+        # word salad scores strictly above natural-order text built from
+        # the same common words
+        assert 3 not in got or True  # (3 has bigrams; ordering check below)
+
+    def test_salad_scores_above_fluent(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            bigram_surprisal,
+        )
+
+        fluent = "the quick brown fox jumps over the lazy dog"
+        rows = [(i, fluent) for i in range(1, 9)] + [
+            (9, "dog the over quick lazy fox brown jumps the")
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r.id: r.surprisal for r in bigram_surprisal(df, "id").collect()}
+        assert got[9] > got[1]
+
+
+class TestNBQualityClassifier:
+    def test_separable_corpus_and_prior_fallback(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            nb_quality_classifier,
+        )
+
+        good = "careful measured prose with varied structure and clarity"
+        bad = "buy now click here free offer winner cash prize deal"
+        rows = (
+            [(i, good + f" variant {i}", True, True) for i in range(8)]
+            + [(i + 8, bad + f" spam {i}", False, True) for i in range(8)]
+            # held-out rows: never trained on, still scored
+            + [(100, good + " unseen", True, False), (101, bad + " unseen", False, False)]
+            # evidence-free doc: survives with score == prior
+            + [(102, "", None, False)]
+        )
+        df = spark.createDataFrame(
+            rows, "id long, text string, label boolean, is_train boolean"
+        )
+        out = {
+            r.id: r
+            for r in nb_quality_classifier(df, "id", "label", "is_train").collect()
+        }
+        assert len(out) == 19
+        for i in range(8):
+            assert out[i].pred is True and out[i + 8].pred is False
+        assert out[100].pred is True and out[101].pred is False
+        # balanced train split -> prior == 0 -> empty doc predicts False
+        assert out[102].n_grams == 0 and out[102].score == 0.0
+        assert out[102].pred is False
+
+    def test_prior_only_when_one_class_dominates(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            nb_quality_classifier,
+        )
+
+        rows = [(i, f"tok{i} filler words", True, True) for i in range(9)] + [
+            (9, "negative example text", False, True),
+            (10, "", None, False),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, text string, label boolean, is_train boolean"
+        )
+        out = {
+            r.id: r
+            for r in nb_quality_classifier(df, "id", "label", "is_train").collect()
+        }
+        # prior = ln(10) - ln(2) > 0 -> evidence-free doc predicts True
+        assert out[10].pred is True and out[10].score > 0
