@@ -38,6 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "sketch_countmin",         # r5: count-min point frequencies, cells replayed
+    "text_winnow_fingerprint", # r5: exact MOSS winnowing selection, digest-oracled
+    "text_winnow_overlap",     # r5: winnowed-fp overlap pairs, capped buckets
+    "text_bigram_surprisal",   # r5: bigram-LM conditional surprisal, micro-units
+    "text_nb_quality",         # r5: hashed-gram NB quality filter, end-to-end oracle
     "pack_emit_text",          # r5: packed context windows materialized byte-exact
     "ann_ivfpq_residual_topk", # r5: FAISS-default residual encoding, full oracle
     "text_substring_incremental", # r5: batch span removal vs digest index

@@ -233,3 +233,87 @@ def heavy_hitters_rollup(
             "max_count"
         ),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    w: int = 1 << 12,
+    d: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as DATA:
+    (row_idx, col_idx, c) cells where each key occurrence increments one
+    cell per hash row — the frequency twin of `bloom_build`'s
+    membership filter, completing the mergeable-summary family (HLL =
+    distinct, Bloom = membership, CMS = point frequency, SpaceSaving =
+    top-k).  Merge two sketches = union the rows and SUM per cell (the
+    counters are linear), so per-shard/per-day sketches roll up exactly
+    like the HLL rollup.
+
+    Guarantees: estimates NEVER undercount; overcount ≤ e·N/w with
+    probability 1 − e^(−d) (N = total stream weight).  Size: ≤ w·d cells
+    regardless of key cardinality.
+
+    Plan shape: the occurrence stream fans out ×``d`` (flatMap) and
+    collapses map-side into ≤ w·d groups — one tiny shuffle, no
+    vocabulary-sized state anywhere.  Positions are md5-derived with
+    ``w`` a power of two (same scheme as `_bloom_positions`) so the
+    whole sketch — build and probe — is SQL-replayable."""
+    from mistral_ocr_pipeline_spark.operators.dedup import _md5_be_long
+
+    assert w & (w - 1) == 0, "w must be a power of two"
+    wt = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    cells = df.select(
+        wt.alias("_wt"),
+        F.posexplode(
+            F.array(
+                *[
+                    _md5_be_long(
+                        F.concat(F.col(key_col), F.lit(f":{i}"))
+                    ).bitwiseAND(F.lit(w - 1))
+                    for i in range(d)
+                ]
+            )
+        ).alias("row_idx", "col_idx"),
+    )
+    return cells.groupBy("row_idx", "col_idx").agg(F.sum("_wt").alias("c"))
+
+
+def cms_estimate(
+    df: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    w: int = 1 << 12,
+    d: int = 4,
+) -> DataFrame:
+    """Point-frequency estimate from a `cms_build` summary: each probe
+    key's ``d`` cells are looked up through a broadcast join on
+    (row_idx, col_idx) and the estimate is their MIN (a missing cell is
+    an exact 0 → the key certainly never occurred).  Adds ``est_count``;
+    never drops rows.  The sketch is ≤ w·d rows, so the join side always
+    broadcasts; the probe stream shuffles once on the key for the min."""
+    from mistral_ocr_pipeline_spark.operators.dedup import _md5_be_long
+
+    assert w & (w - 1) == 0, "w must be a power of two"
+    probe = df.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[
+                    _md5_be_long(
+                        F.concat(F.col(key_col), F.lit(f":{i}"))
+                    ).bitwiseAND(F.lit(w - 1))
+                    for i in range(d)
+                ]
+            )
+        ).alias("row_idx", "col_idx"),
+    )
+    per_key = (
+        probe.join(F.broadcast(cms), ["row_idx", "col_idx"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+    return df.join(per_key, key_col, "left")

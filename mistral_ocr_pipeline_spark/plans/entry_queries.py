@@ -6731,3 +6731,68 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = docs.unionByName(clones)
     return winnow_overlap_pairs(u, "doc_id", "text", k=8, w=4, cap=64)
+
+
+@register(
+    "sketch_countmin",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split({_KEY.format(c='text')}, ' '),
+                                t -> t != '')) AS tok
+      FROM documents),
+    pos AS (
+      SELECT tok, r.i AS row_idx,
+             (('0x' || substring(md5(tok || ':' || r.i::varchar), 1, 16))::UBIGINT
+              % 16)::BIGINT AS col_idx
+      FROM tok CROSS JOIN range(4) r(i)),
+    cells AS (SELECT row_idx, col_idx, count(*)::BIGINT AS c
+              FROM pos GROUP BY 1, 2),
+    tru AS (SELECT tok, count(*)::BIGINT AS true_cnt FROM tok GROUP BY tok),
+    qpos AS (
+      SELECT tok, r.i AS row_idx,
+             (('0x' || substring(md5(tok || ':' || r.i::varchar), 1, 16))::UBIGINT
+              % 16)::BIGINT AS col_idx
+      FROM tru CROSS JOIN range(4) r(i)),
+    est AS (SELECT tok, min(coalesce(c, 0)) AS est_count
+            FROM qpos LEFT JOIN cells USING (row_idx, col_idx)
+            GROUP BY tok)
+    SELECT tru.tok AS token, tru.true_cnt, est.est_count,
+           est.est_count >= tru.true_cnt AS never_under
+    FROM tru JOIN est USING (tok)
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates
+    (`sketches.cms_build`/`cms_estimate`): the corpus token stream is
+    summarized into a 4 × 16 counter grid — deliberately tiny so the
+    fixture vocabulary COLLIDES and real overcounts appear, then EVERY distinct token's frequency is estimated
+    from the summary alone and compared to its exact count.
+    ``never_under`` certifies the structural one-sided guarantee
+    row-by-row; overcounts, where the grid collides, are reported
+    honestly.  Both engines compute identical md5-derived cells, so the
+    whole sketch — build and probe — is value-replayed in SQL.  The
+    missing mergeability leg (union sketches = sum cells) is pinned in
+    test_ops."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(norm_key_col(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("tok")
+    )
+    cms = cms_build(toks, "tok", w=16, d=4)
+    tru = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(tru, "tok", cms, w=16, d=4)
+    return est.select(
+        F.col("tok").alias("token"),
+        "true_cnt",
+        "est_count",
+        (F.col("est_count") >= F.col("true_cnt")).alias("never_under"),
+    )

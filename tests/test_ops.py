@@ -3583,3 +3583,55 @@ class TestNBQualityClassifier:
         }
         # prior = ln(10) - ln(2) > 0 -> evidence-free doc predicts True
         assert out[10].pred is True and out[10].score > 0
+
+
+class TestCountMinSketch:
+    def test_union_is_sum_of_cells_and_never_under(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        a = spark.createDataFrame(
+            [(t,) for t in "x x x y z z".split()], "k string"
+        )
+        b = spark.createDataFrame(
+            [(t,) for t in "x y y w w w w".split()], "k string"
+        )
+        merged = (
+            cms_build(a, "k", w=16, d=3)
+            .unionByName(cms_build(b, "k", w=16, d=3))
+            .groupBy("row_idx", "col_idx")
+            .agg(F.sum("c").alias("c"))
+        )
+        rebuilt = cms_build(a.unionByName(b), "k", w=16, d=3)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+        keys = spark.createDataFrame(
+            [("x",), ("y",), ("z",), ("w",), ("absent",)], "k string"
+        )
+        est = {
+            r.k: r.est_count
+            for r in cms_estimate(keys, "k", rebuilt, w=16, d=3).collect()
+        }
+        true = {"x": 4, "y": 3, "z": 2, "w": 4, "absent": 0}
+        for k, t in true.items():
+            assert est[k] >= t, k
+
+    def test_weighted_build(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 2), ("b", 1)], "k string, n long"
+        )
+        cms = cms_build(df, "k", w=64, d=4, weight_col="n")
+        keys = spark.createDataFrame([("a",), ("b",)], "k string")
+        est = {
+            r.k: r.est_count
+            for r in cms_estimate(keys, "k", cms, w=64, d=4).collect()
+        }
+        assert est["a"] >= 7 and est["b"] >= 1
