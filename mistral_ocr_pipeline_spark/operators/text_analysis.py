@@ -977,7 +977,13 @@ def nb_quality_classifier(
     score = prior (no evidence → prior).  Zero UDFs, zero driver-side
     actions; bucketing is md5-derived so the ENTIRE model — training
     included — replays in any engine (a production run would swap
-    ``xxhash64`` for md5, same plan, no SQL twin)."""
+    ``xxhash64`` for md5, same plan, no SQL twin).
+
+    Input contract: ``df`` is read in FOUR passes (train-split gram
+    counts, priors, scoring, final spine join) — persist or materialize
+    it when its lineage is expensive, or Catalyst re-derives that
+    lineage per reference (see the `text_nb_quality` query, which
+    persists its surprisal-labeled spine for exactly this reason)."""
     spark = df.sparkSession
     from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
 

@@ -6600,7 +6600,15 @@ def text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     train and held-out alike — as pure scan+broadcast-join relational
     algebra.  The ENTIRE path — surprisal, median threshold, train
     split, bucket counts, micro-unit log-odds, priors, per-doc scores,
-    decisions — replays in the oracle."""
+    decisions — replays in the oracle.
+
+    The labeled spine is PERSISTED before training: the classifier reads
+    its input in four passes (gram counts, priors, scoring, final spine
+    join), and each un-persisted reference would re-derive the whole
+    surprisal labeling — measured 32 scans / 49 shuffles vs 4 cached
+    passes.  At 100 TB the persist is a materialized table write (the
+    snapshot catalog), same two-phase train-then-score shape either
+    way."""
     from mistral_ocr_pipeline_spark.operators.text_analysis import (
         nb_quality_classifier,
         unigram_surprisal,
@@ -6633,7 +6641,7 @@ def text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < 7
             ).alias("is_train"),
         )
-    )
+    ).persist()
     return nb_quality_classifier(labeled, "doc_id", "label", "is_train")
 
 
