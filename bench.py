@@ -150,6 +150,9 @@ def main() -> None:
         "ann_pq_topk",
         "ann_ivfpq_topk",
         "text_substring_dedup",
+        "text_nb_quality",
+        "text_winnow_fingerprint",
+        "sketch_countmin",
         "j2_fuzzy_best_match",
         "pricing_summary",
         "w6_stable_turn_ordering",
