@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_char_entropy",       # r5: per-doc char-distribution entropy, micro-units
+    "corpus_zipf_fit",         # r5: Zipf OLS fit, exact integer moments
     "sketch_countmin",         # r5: count-min point frequencies, cells replayed
     "text_winnow_fingerprint", # r5: exact MOSS winnowing selection, digest-oracled
     "text_winnow_overlap",     # r5: winnowed-fp overlap pairs, capped buckets

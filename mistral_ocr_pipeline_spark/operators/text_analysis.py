@@ -1339,3 +1339,116 @@ def quality_funnel(
         .otherwise("keep")
     )
     return df.select(F.col(id_col).alias("id"), verdict.alias("verdict"))
+
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, entropy) — Shannon entropy (nats) of the per-document
+    CHARACTER distribution, the classic gibberish/keyboard-mash signal: a
+    natural-language doc sits near the language's ~2.8-3.2 nat band,
+    `aaaa...` collapses toward 0, and uniform random base64 pushes past 4.
+    Complements the word-level battery (`quality_funnel` sees repeated
+    TOKENS, entropy sees degenerate CHARACTER streams inside tokens).
+
+    Determinism: each character's contribution (cnt/n)·ln(n/cnt) depends
+    only on the two integers (cnt, n), is rounded to integer micro-units,
+    and the per-doc total is a BIGINT sum — order-independent across
+    partitionings and engines, the same trick as `dsir_logweights`.
+
+    Plan shape: explode to a (id, char) stream, ONE map-side-combinable
+    shuffle keyed on (id, char), then a second tiny per-id rollup — both
+    keyed on the doc id, no corpus-wide state.  Empty/NULL texts emit
+    (id, 0, 0.0): no evidence, zero entropy, never dropped."""
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").over(W.partitionBy("id"))
+    term = F.round(
+        (F.col("cnt") / n) * F.log(n / F.col("cnt")) * F.lit(1e6), 0
+    ).cast("long")
+    ent = (
+        per_char.select("id", n.alias("n"), term.alias("t"))
+        .groupBy("id")
+        .agg(
+            F.first("n").alias("n_chars"),
+            F.round(F.sum("t") / F.lit(1e6), 6).alias("entropy"),
+        )
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(ent, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+            F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus-health report: OLS fit of ln(frequency) against
+    ln(rank) over the token rank-frequency table — Zipf's law says
+    natural-language corpora sit near slope −1; a synthetic, templated,
+    or boilerplate-flooded corpus bends the slope visibly.  Returns
+    (vocab_size, total_tokens, zipf_slope, zipf_intercept).
+
+    Determinism: rank is total-ordered by (freq DESC, token) so ties are
+    stable; ln(rank)/ln(freq) are rounded to integer micro-units and the
+    closed-form OLS moments (Σx, Σy, Σxy, Σx²) are summed as
+    DECIMAL(38,0) — exact integer arithmetic in BOTH engines (a plain
+    BIGINT Σxy overflows near ~10⁵ vocab; decimal keeps the slope exact
+    at any corpus size).  Plan shape: one map-side-combined shuffle to
+    the vocabulary-sized frequency table, a vocab-sized window for the
+    rank, then a single 1-row aggregate — nothing corpus-sized moves
+    after the first combine."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    rank = F.row_number().over(W.orderBy(F.col("f").desc(), F.col("tok")))
+    xy = freq.select(
+        "f",
+        F.round(F.log(rank.cast("double")) * F.lit(1e6), 0)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * F.lit(1e6), 0)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("f").alias("tot"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    # numerator/denominator stay EXACT integers (decimal(38,0)); only the
+    # final division runs in IEEE double — the one operation both engines
+    # implement bit-identically (decimal division scales differ; DuckDB
+    # int128 division truncates)
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope = num / den
+    intercept = (
+        sy.cast("double") / n.cast("double")
+        - slope * (sx.cast("double") / n.cast("double"))
+    ) / F.lit(1e6)
+    return mom.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.col("tot").cast("long").alias("total_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )

@@ -6815,3 +6815,79 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         (F.col("est_count") >= F.col("true_cnt")).alias("never_under"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id AS id, unnest(string_split(coalesce(text, ''), '')) AS ch
+      FROM documents),
+    pc AS (SELECT id, ch, count(*) AS cnt
+           FROM ch WHERE ch != '' GROUP BY id, ch),
+    wn AS (SELECT id, cnt, sum(cnt) OVER (PARTITION BY id) AS n FROM pc),
+    ent AS (
+      SELECT id, any_value(n) AS n_chars,
+             round(sum(round((cnt / n) * ln(n / cnt) * 1000000.0)::BIGINT)
+                   / 1000000.0, 6) AS entropy
+      FROM wn GROUP BY id)
+    SELECT d.doc_id, coalesce(ent.n_chars, 0)::BIGINT AS n_chars,
+           coalesce(ent.entropy, 0.0) AS entropy
+    FROM documents d LEFT JOIN ent ON ent.id = d.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (`text_analysis.char_entropy`) — the gibberish / keyboard-mash /
+    base64-blob signal the word-level Gopher battery cannot see.
+    Per-char contributions in integer micro-units (functions of the two
+    integers (cnt, n) only), so the doc total is an order-independent
+    BIGINT sum replayed exactly in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id")
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split({_KEY.format(c='text')}, ' '),
+                                t -> t != '')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+    xy AS (
+      SELECT f,
+             round(ln((row_number() OVER (ORDER BY f DESC, tok))::DOUBLE)
+                   * 1000000.0)::BIGINT AS x,
+             round(ln(f::DOUBLE) * 1000000.0)::BIGINT AS y
+      FROM freq),
+    mom AS (
+      SELECT count(*)::HUGEINT AS n, sum(f) AS tot,
+             sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx
+      FROM xy)
+    SELECT n::BIGINT AS vocab_size, tot::BIGINT AS total_tokens,
+           round(((n * sxy - sx * sy)::DOUBLE) / ((n * sxx - sx * sx)::DOUBLE),
+                 6) AS zipf_slope,
+           round((sy::DOUBLE / n::DOUBLE
+                  - (((n * sxy - sx * sy)::DOUBLE)
+                     / ((n * sxx - sx * sx)::DOUBLE))
+                    * (sx::DOUBLE / n::DOUBLE)) / 1000000.0,
+                 6) AS zipf_intercept
+    FROM mom
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Zipf rank-frequency OLS fit (`text_analysis.zipf_fit`) —
+    natural-language corpora sit near slope −1; templated or
+    boilerplate-flooded corpora bend it.  All four OLS moments are EXACT
+    integers (micro-unit ln's summed as decimal(38,0) / HUGEINT); only
+    the final slope/intercept divisions run in IEEE double, identically
+    in both engines."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs)

@@ -3635,3 +3635,77 @@ class TestCountMinSketch:
             for r in cms_estimate(keys, "k", cms, w=64, d=4).collect()
         }
         assert est["a"] >= 7 and est["b"] >= 1
+
+
+class TestCharEntropyZipf:
+    def test_entropy_matches_model_and_degenerate_cases(self, spark):
+        import math
+        from collections import Counter
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            char_entropy,
+        )
+
+        rows = [
+            (1, "aaaaaaaa"),        # single symbol: entropy 0
+            (2, "abcdefgh"),        # uniform over 8: ln(8)
+            (3, "hello world"),
+            (4, ""),                # empty: (0, 0.0), never dropped
+            (5, None),              # NULL: (0, 0.0), never dropped
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r.id: (r.n_chars, r.entropy)
+            for r in char_entropy(df, "id").collect()
+        }
+
+        def model(t):
+            c = Counter(t)
+            n = len(t)
+            return (
+                n,
+                round(
+                    sum(
+                        round((k / n) * math.log(n / k) * 1e6)
+                        for k in c.values()
+                    )
+                    / 1e6,
+                    6,
+                ),
+            )
+
+        for i, t in rows:
+            want = model(t) if t else (0, 0.0)
+            assert got[i] == want, f"id={i}"
+        assert got[1][1] == 0.0
+        assert abs(got[2][1] - math.log(8)) < 1e-5
+        # gibberish-vs-prose ordering: random-ish spread > single-char mash
+        assert got[2][1] > got[1][1]
+
+    def test_zipf_exact_power_law_and_model(self, spark):
+        import math
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import zipf_fit
+
+        # craft an exact Zipf corpus: token_r appears round(64/r) times
+        words = []
+        freqs = {}
+        for r in range(1, 9):
+            f = round(64 / r)
+            freqs[f"w{r:02d}"] = f
+            words += [f"w{r:02d}"] * f
+        df = spark.createDataFrame([(1, " ".join(words))], "id long, text string")
+        row = zipf_fit(df).collect()[0]
+        assert row.vocab_size == 8 and row.total_tokens == sum(freqs.values())
+        # pure-python OLS twin with identical micro-unit rounding
+        ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            (round(math.log(i + 1) * 1e6), round(math.log(f) * 1e6))
+            for i, (_, f) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert row.zipf_slope == round(slope, 6)
+        assert abs(row.zipf_slope - (-1.0)) < 0.05  # it IS a Zipf corpus
