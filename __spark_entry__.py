@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "ann_sq8_topk",            # r5: 8-bit scalar-quantized ANN, all-Catalyst train
+    "ann_sq8_recall",          # r5: SQ8 recall@5 vs exact, floor 0.6 (both SFs)
     "text_char_entropy",       # r5: per-doc char-distribution entropy, micro-units
     "corpus_zipf_fit",         # r5: Zipf OLS fit, exact integer moments
     "sketch_countmin",         # r5: count-min point frequencies, cells replayed

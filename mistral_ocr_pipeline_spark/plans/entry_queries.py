@@ -6891,3 +6891,116 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return zipf_fit(docs)
+
+
+# shared DuckDB CTE tail for SQ8: train + encode + dequant over embeddings,
+# emits dq(vec_id, dv DOUBLE[]) and q(qid, qv)
+_SQ8_BASE_SQL = """
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    bounds AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM c CROSS JOIN dims GROUP BY i),
+    ba AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+           FROM bounds),
+    enc AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(v)), i ->
+               CASE WHEN hi[i] = lo[i] THEN 0
+                    ELSE round(greatest(0.0, least(255.0,
+                           (v[i] - lo[i]) / (hi[i] - lo[i]) * 255.0)))::INT
+               END) AS codes
+      FROM c CROSS JOIN ba),
+    dq AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(codes)), i ->
+               lo[i] + codes[i] * (hi[i] - lo[i]) / 255.0) AS dv
+      FROM enc CROSS JOIN ba),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8)
+"""
+
+
+@register(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH {_SQ8_BASE_SQL},
+    s AS (
+      SELECT qid, vec_id,
+             round(list_dot_product(qv, dv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv, dv))),
+                   6) AS sq8_cosine
+      FROM q CROSS JOIN dq WHERE vec_id != qid),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY sq8_cosine DESC, vec_id) AS rank FROM s)
+    SELECT qid AS query_id, vec_id, sq8_cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized ANN (`similarity_df.sq8_topk_df`) — the
+    FAISS IndexScalarQuantizer shape: per-dim [min,max] training,
+    clamp-round encode to 1 byte/dim, asymmetric raw-query-vs-dequantized
+    cosine.  The ONE ANN family whose training needs no kernel and no
+    sample — min/max are exact, order-independent aggregates — so the
+    ENTIRE path (train, encode, dequant, score, rank) is pure Catalyst
+    and value-replayed in SQL."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import sq8_topk_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_topk_df(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "ann_sq8_recall",
+    oracle=f"""
+    WITH {_SQ8_BASE_SQL},
+    s AS (
+      SELECT qid, vec_id,
+             round(list_dot_product(qv, dv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv, dv))),
+                   6) AS sq8_cosine
+      FROM q CROSS JOIN dq WHERE vec_id != qid),
+    r AS (SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY sq8_cosine DESC, vec_id) AS rank FROM s),
+    xs AS (
+      SELECT qid, c.vec_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                   6) AS cosine
+      FROM q CROSS JOIN c WHERE c.vec_id != qid),
+    xr AS (SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM xs),
+    hits AS (
+      SELECT xr.qid, sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+      FROM xr LEFT JOIN (SELECT * FROM r WHERE rank <= 5) r
+        ON r.qid = xr.qid AND r.vec_id = xr.vec_id
+      WHERE xr.rank <= 5 GROUP BY xr.qid)
+    SELECT qid AS query_id, round(h / 5.0, 6) AS recall,
+           h / 5.0 >= 0.6 AS recall_ok
+    FROM hits
+    """,
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the SQ8 path against exact cosine top-5 on
+    the same corpus and tie-break order — the honesty row for the
+    quantization: the claim floor (0.6) was verified at BOTH sf0.01 and
+    sf0.1 (recall-claim scale-independence rule).  Entirely SQL-replayed,
+    both rankings included."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        brute_force_topk_df,
+        sq8_topk_df,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    approx = sq8_topk_df(emb, q, k=5).select("query_id", "vec_id")
+    exact = brute_force_topk_df(emb, q, k=5).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("h"))
+    )
+    return hits.select(
+        "query_id",
+        F.round(F.col("h") / F.lit(5.0), 6).alias("recall"),
+        (F.col("h") / F.lit(5.0) >= 0.6).alias("recall_ok"),
+    )

@@ -3709,3 +3709,59 @@ class TestCharEntropyZipf:
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         assert row.zipf_slope == round(slope, 6)
         assert abs(row.zipf_slope - (-1.0)) < 0.05  # it IS a Zipf corpus
+
+
+class TestSQ8:
+    def test_quantization_error_bound_and_degenerate_dim(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            _sq8_dequant,
+            sq8_encode,
+            sq8_train,
+        )
+
+        rows = [
+            (1, [0.0, 5.0, -1.0]),
+            (2, [1.0, 5.0, 0.5]),
+            (3, [0.25, 5.0, 1.0]),  # dim 2 is constant -> degenerate
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        params = sq8_train(df)
+        enc = sq8_encode(df, params)
+        dq = {
+            r.vec_id: r.dv
+            for r in enc.crossJoin(F.broadcast(params))
+            .select(
+                "vec_id",
+                _sq8_dequant(F.col("codes"), F.col("lo"), F.col("hi")).alias("dv"),
+            )
+            .collect()
+        }
+        spans = [1.0, 0.0, 2.0]  # per-dim hi - lo
+        for vid, vec in rows:
+            for d, (orig, approx) in enumerate(zip(vec, dq[vid])):
+                if spans[d] == 0.0:
+                    assert approx == orig  # degenerate dim reconstructs exactly
+                else:
+                    # round-to-nearest on a 255-step grid: error <= step/2
+                    assert abs(orig - approx) <= spans[d] / 255.0 / 2 + 1e-12
+
+    def test_codes_are_bytes_and_saturate(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            sq8_encode,
+            sq8_train,
+        )
+
+        train = spark.createDataFrame(
+            [(1, [0.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+        )
+        params = sq8_train(train)
+        # out-of-range NEW vectors clamp to the trained grid, never overflow
+        newv = spark.createDataFrame(
+            [(3, [-9.0]), (4, [9.0]), (5, [0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        codes = {
+            r.vec_id: r.codes[0]
+            for r in sq8_encode(newv, params).collect()
+        }
+        assert codes[3] == 0 and codes[4] == 255 and codes[5] == 128
