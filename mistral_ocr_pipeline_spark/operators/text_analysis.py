@@ -1452,3 +1452,67 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("zipf_intercept"),
     )
+
+
+def corpus_kl_drift(
+    df_a: DataFrame, df_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus-drift report between two corpora: add-1-smoothed
+    token-distribution KL divergences in BOTH directions plus the vocab/
+    mass counts behind them — the monitor a curation pipeline runs
+    between today's batch and history, or train vs eval, before a silent
+    distribution shift poisons a mix.  Returns (vocab_union, tokens_a,
+    tokens_b, kl_ab, kl_ba) with p_x(t) = (c_x(t)+1)/(N_x+V) over the
+    UNION vocabulary, so both directions are finite by construction.
+
+    Determinism: each token's contribution p_a·ln(p_a/p_b) is a function
+    of the five exact integers (c_a, c_b, N_a, N_b, V), rounded to
+    integer micro-units; the total is a BIGINT sum — order-independent
+    across engines and partitionings, the shared micro-unit discipline.
+
+    Plan shape: each corpus collapses map-side to its vocabulary-sized
+    frequency table; ONE full-outer join on token (vocab-sized); totals
+    are 1-row broadcasts.  Nothing corpus-sized moves after the first
+    combine."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    def freqs(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(norm_key_col(F.col(text_col)), " "),
+                        lambda t: t != "",
+                    )
+                ).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(f"c{side}"))
+        )
+    fa, fb = freqs(df_a, "a"), freqs(df_b, "b")
+    joined = fa.join(fb, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tots = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    t_ab = F.round(pa * F.log(pa / pb) * F.lit(1e6), 0).cast("long")
+    t_ba = F.round(pb * F.log(pb / pa) * F.lit(1e6), 0).cast("long")
+    return (
+        joined.crossJoin(F.broadcast(tots))
+        .select("v", "na", "nb", t_ab.alias("tab"), t_ba.alias("tba"))
+        .groupBy()
+        .agg(
+            F.first("v").cast("long").alias("vocab_union"),
+            F.first("na").alias("tokens_a"),
+            F.first("nb").alias("tokens_b"),
+            F.round(F.sum("tab") / F.lit(1e6), 6).alias("kl_ab"),
+            F.round(F.sum("tba") / F.lit(1e6), 6).alias("kl_ba"),
+        )
+    )

@@ -7004,3 +7004,51 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h") / F.lit(5.0), 6).alias("recall"),
         (F.col("h") / F.lit(5.0) >= 0.6).alias("recall_ok"),
     )
+
+
+@register(
+    "corpus_kl_drift",
+    oracle=f"""
+    WITH ta AS (
+      SELECT unnest(list_filter(string_split({_KEY.format(c='text')}, ' '),
+                                t -> t != '')) AS tok
+      FROM documents WHERE lang = 'en'),
+    tb AS (
+      SELECT unnest(list_filter(string_split({_KEY.format(c='text')}, ' '),
+                                t -> t != '')) AS tok
+      FROM documents WHERE lang != 'en' OR lang IS NULL),
+    fa AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+    fb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+    j AS (SELECT coalesce(fa.tok, fb.tok) AS tok,
+                 coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          FROM fa FULL OUTER JOIN fb ON fa.tok = fb.tok),
+    tots AS (SELECT count(*)::DOUBLE AS v, sum(ca) AS na, sum(cb) AS nb FROM j),
+    terms AS (
+      SELECT round(((ca + 1) / (na + v)) * ln(((ca + 1) / (na + v))
+                   / ((cb + 1) / (nb + v))) * 1000000.0)::BIGINT AS tab,
+             round(((cb + 1) / (nb + v)) * ln(((cb + 1) / (nb + v))
+                   / ((ca + 1) / (na + v))) * 1000000.0)::BIGINT AS tba,
+             v, na, nb
+      FROM j CROSS JOIN tots)
+    SELECT any_value(v)::BIGINT AS vocab_union,
+           any_value(na) AS tokens_a, any_value(nb) AS tokens_b,
+           round(sum(tab) / 1000000.0, 6) AS kl_ab,
+           round(sum(tba) / 1000000.0, 6) AS kl_ba
+    FROM terms
+    """,
+)
+def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus token-distribution drift monitor
+    (`text_analysis.corpus_kl_drift`): add-1-smoothed KL in both
+    directions between the en slice and the rest — the check a curation
+    pipeline runs between batch and history / train and eval before a
+    silent shift poisons a mix.  Per-token micro-unit terms over exact
+    integer counts → the totals replay exactly in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        corpus_kl_drift as _kl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en")
+    b = docs.filter((F.col("lang") != "en") | F.col("lang").isNull())
+    return _kl(a, b)

@@ -3765,3 +3765,41 @@ class TestSQ8:
             for r in sq8_encode(newv, params).collect()
         }
         assert codes[3] == 0 and codes[4] == 255 and codes[5] == 128
+
+
+class TestCorpusKLDrift:
+    def test_identical_zero_and_model_match(self, spark):
+        import math
+        from collections import Counter
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            corpus_kl_drift,
+        )
+
+        a_rows = [(1, "the cat sat on the mat"), (2, "dogs chase the cat")]
+        b_rows = [(3, "stocks fell sharply on monday"), (4, "the market rallied")]
+        a = spark.createDataFrame(a_rows, "id long, text string")
+        b = spark.createDataFrame(b_rows, "id long, text string")
+        # identical corpora: zero drift both ways
+        same = corpus_kl_drift(a, a).collect()[0]
+        assert same.kl_ab == 0.0 and same.kl_ba == 0.0
+        # disjoint-topic corpora: strictly positive, matches the model
+        got = corpus_kl_drift(a, b).collect()[0]
+        ca = Counter(t for _, s in a_rows for t in s.split())
+        cb = Counter(t for _, s in b_rows for t in s.split())
+        vocab = set(ca) | set(cb)
+        v = float(len(vocab))
+        na, nb = sum(ca.values()), sum(cb.values())
+
+        def kl(cx, nx, cy, ny):
+            tot = 0
+            for t in vocab:
+                px = (cx.get(t, 0) + 1) / (nx + v)
+                py = (cy.get(t, 0) + 1) / (ny + v)
+                tot += round(px * math.log(px / py) * 1e6)
+            return round(tot / 1e6, 6)
+
+        assert got.vocab_union == len(vocab)
+        assert (got.tokens_a, got.tokens_b) == (na, nb)
+        assert got.kl_ab == kl(ca, na, cb, nb) > 0
+        assert got.kl_ba == kl(cb, nb, ca, na) > 0
