@@ -623,3 +623,68 @@ def epoch_repeat_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    per_cell_cap: int = 20,
+    kmeans_iters: int = 8,
+    sample_size: int = 2048,
+    salt: str = "bal",
+) -> DataFrame:
+    """Topic-balanced subset selection over an embedding column — the
+    "cluster, then cap per cluster" diversity recipe (the DataComp /
+    cluster-balanced-sampling shape; SemDeDup's sibling: SemDeDup prunes
+    near-identical vectors INSIDE a cell, this bounds how much any one
+    TOPIC contributes to the mix).  A dominant cluster — one crawl
+    template, one boilerplate genre — can no longer swamp the corpus.
+
+    Pipeline: train the deterministic mini-k-means
+    (`similarity._kmeans_centroids`: md5-hash-ordered sample, first-k
+    seeding, micro-unit means — the engine-replayable build every
+    trained ANN oracle unrolls), assign every vector to its
+    argmax-cosine cell in one Arrow pass (`similarity.ivf_build`), score
+    each vector's cosine to its own centroid (prototypicality — the
+    quantity SemDeDup ranks within cells), then keep at most
+    ``per_cell_cap`` rows per cell by content-hash rank
+    (`sample_per_key`'s fate rule, partition/rerun-invariant).
+
+    Returns (vec_id, cell, cos_centroid, sample_rank), sample_rank ≤
+    ``per_cell_cap``.  100 TB shape: the assignment table is the IVF
+    index layout (write once, partitioned by cell); the centroid
+    relation is a ``n_cells``-row broadcast; the cosine is an in-plan
+    zip_with fold (seed 0.0, left-to-right — the fold_dot /
+    list_dot_product IEEE sequence, so the score SQL-replays); the cap
+    is one window per cell, per-task input bounded by the cell (for
+    pathological single-cell skew raise ``n_cells`` — cells are the
+    unit of balance, so skew there is the signal, not an accident)."""
+    from mistral_ocr_pipeline_spark.operators.similarity import ivf_build
+
+    assigned, cent = ivf_build(
+        emb, id_col, vec_col, n_cells, kmeans_iters, sample_size
+    )
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in enumerate(cent)],
+        "cell int, _cv array<double>",
+    )
+    cos = F.expr(
+        "round(aggregate(zip_with(_v, _cv, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v) / greatest(sqrt(aggregate(zip_with(_v, _v,"
+        " (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)), 1e-12D), 6)"
+    )
+    scored = (
+        assigned.select(
+            "vec_id",
+            "cell",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .join(F.broadcast(cdf), "cell")
+        .select("vec_id", "cell", cos.alias("cos_centroid"))
+    )
+    return sample_per_key(scored, "cell", "vec_id", per_cell_cap, salt=salt)

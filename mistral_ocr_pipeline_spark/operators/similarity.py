@@ -552,7 +552,7 @@ def ivf_search_assigned(
     Same output contract as ``ivf_topk`` (query_id, vec_id, cosine, rank)."""
     qids, qmat = _collect_queries(queries, query_id_col, vec_col)
     if qids.size == 0:
-        return _empty_topk(corpus)
+        return _empty_topk(assigned)
     q_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
     probed = sorted({int(c) for row in q_cells for c in row})
     spark = assigned.sparkSession

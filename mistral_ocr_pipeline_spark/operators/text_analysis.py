@@ -1516,3 +1516,60 @@ def corpus_kl_drift(
             F.round(F.sum("tba") / F.lit(1e6), 6).alias("kl_ba"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY score: the fraction of a document's
+    distinct word ``n``-grams that occur in NO other document of the
+    corpus — the memorization-risk / templated-content signal.  A doc
+    assembled entirely from corpus-common spans scores near 0 even when
+    no single partner duplicates it, which is exactly the case MinHash
+    (whole-doc similarity) and substring dedup (needs a concrete shared
+    span ≥ k words) both under-report; conversely high-novelty docs are
+    the ones worth up-weighting in a data mix (the "new information"
+    proxy used alongside DSIR-style importance weights).
+
+    Returns one row per input document: (id, n_grams, n_novel, novelty)
+    where ``n_grams`` counts the doc's DISTINCT grams, ``n_novel`` those
+    with corpus document-frequency 1, and ``novelty = n_novel/n_grams``
+    (one DOUBLE division of two exact BIGINTs — engine-identical).  Docs
+    with < n words survive with n_grams = 0 and novelty NULL.
+
+    Plan shape (100 TB): grams are md5-derived 64-bit digests
+    (`dedup._md5_be_long` — SQL-replayable, unlike xxhash64), so every
+    shuffle moves 8-byte longs, never text: distinct (doc, digest) pairs
+    → document-frequency via ONE map-side-combinable groupBy on the
+    digest (pairs are already distinct per doc, so count(*) IS the doc
+    frequency) → join back on digest → per-doc counts.  No windows, no
+    driver actions; gram-level skew is bounded because a digest's rows
+    fan back out to at most its doc frequency."""
+    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(df, id_col, text_col, n, hashed=True, hash_basis="md5")
+    grams = sets.select("id", F.explode("sh").alias("g"))
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        grams.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
+    n_novel = F.coalesce("n_novel", F.lit(0)).cast("long")
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        n_grams.alias("n_grams"),
+        n_novel.alias("n_novel"),
+        F.when(
+            n_grams > 0,
+            F.round(n_novel.cast("double") / n_grams.cast("double"), 6),
+        ).alias("novelty"),
+    )

@@ -7052,3 +7052,129 @@ def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("lang") == "en")
     b = docs.filter((F.col("lang") != "en") | F.col("lang").isNull())
     return _kl(a, b)
+
+
+# --------------------------------------------------------------------------
+# r5 late additions: n-gram novelty + cluster-balanced diversity sampling
+# --------------------------------------------------------------------------
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 120) || ' ' ||
+             'this boilerplate sentence is shared across every document'
+             || ' ' || substr(text, 121, 60) AS text
+      FROM documents),
+    t AS (SELECT doc_id, string_split({_KEY.format(c='text')}, ' ') AS toks
+          FROM d),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+          FROM t),
+    fr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+    p AS (SELECT doc_id, count(*) AS n_grams,
+                 count(*) FILTER (df = 1) AS n_novel
+          FROM g JOIN fr USING (gram) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_grams, 0)::BIGINT AS n_grams,
+           coalesce(n_novel, 0)::BIGINT AS n_novel,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN round(n_novel::DOUBLE / n_grams::DOUBLE, 6)
+           END AS novelty
+    FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (`text_analysis.ngram_novelty`) over a
+    fixture where every document carries one corpus-universal boilerplate
+    sentence between two unique prose slices: the fraction of a doc's
+    distinct grams with corpus document-frequency 1 — the memorization /
+    templated-content signal MinHash and substring dedup both
+    under-report (no single partner document required).  Digest
+    doc-frequency, join-back, and the BIGINT/BIGINT ratio all
+    SQL-replayed."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ml = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.substring("text", 1, 120),
+            F.lit(
+                "this boilerplate sentence is shared across every document"
+            ),
+            F.substring("text", 121, 60),
+        ).alias("text"),
+    )
+    return (
+        ngram_novelty(ml, "doc_id", "text", n=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_balanced_oracle_sql(
+    n_cells: int = 16,
+    kmeans_iters: int = 8,
+    sample_size: int = 2048,
+    cap: int = 20,
+    salt: str = "bal",
+) -> str:
+    """Full value oracle for `sampling.cluster_balanced_sample`: the
+    trained-k-means CTE chain (`_ivf_training_ctes` — the same unrolled
+    Lloyd machinery every trained ANN oracle uses), the argmax-cosine
+    cell assignment, the cosine-to-own-centroid score (identical
+    greatest-guarded fold both engines), and the per-cell content-hash
+    cap (`sample_per_key`'s md5 fate rule)."""
+    last = f"c{kmeans_iters}"
+    return f"""
+    WITH {_ivf_training_ctes(n_cells, kmeans_iters, sample_size)},
+    corp AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cassign AS (
+      SELECT vec_id, c, cv, v FROM (
+        SELECT cd.vec_id, cd.c, cd.cv, cd.v,
+               row_number() OVER (PARTITION BY cd.vec_id
+                                  ORDER BY cd.d DESC, cd.c) AS rn
+        FROM (SELECT corp.vec_id, corp.v, cc.c, cc.cv,
+                     list_dot_product(corp.v, cc.cv) AS d
+              FROM corp CROSS JOIN {last} cc) cd)
+      WHERE rn = 1),
+    scored AS (
+      SELECT vec_id, c AS cell,
+             round(list_dot_product(v, cv) /
+                   greatest(sqrt(list_dot_product(v, v)), 1e-12), 6)
+               AS cos_centroid
+      FROM cassign),
+    r AS (SELECT vec_id, cell, cos_centroid,
+                 row_number() OVER (PARTITION BY cell
+                     ORDER BY substring(md5('{salt}' || vec_id::varchar),
+                                        1, 8),
+                              vec_id) AS sample_rank
+          FROM scored)
+    SELECT vec_id, cell, cos_centroid, sample_rank
+    FROM r WHERE sample_rank <= {cap}
+    ORDER BY cell, sample_rank
+    """
+
+
+@register("sample_cluster_balanced", oracle=_cluster_balanced_oracle_sql())
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (`sampling.cluster_balanced_sample`): trained mini-k-means cells →
+    argmax-cosine assignment → cosine-to-own-centroid prototypicality →
+    ≤20 rows per cell by content-hash rank, so no topic cluster swamps
+    the mix.  BOTH the training (unrolled Lloyd CTEs) and the selection
+    (md5 fate rule) replay in SQL — the whole recipe is value-oracled."""
+    from mistral_ocr_pipeline_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, n_cells=16, per_cell_cap=20).orderBy(
+        "cell", "sample_rank"
+    )

@@ -807,6 +807,25 @@ class TestIvf:
             map(tuple, inline.collect())
         )
 
+    def test_assigned_search_empty_query_batch(self, spark, emb):
+        """Empty query relation → empty top-k frame with the standard
+        contract schema (regression: this path raised NameError — the
+        guard returned `_empty_topk(corpus)` but the parameter is
+        `assigned`)."""
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            ivf_build,
+            ivf_search_assigned,
+        )
+
+        assigned, cent = ivf_build(emb, n_centroids=8)
+        out = ivf_search_assigned(
+            assigned, cent, emb.filter(F.col("vec_id") < 0), k=5, n_probe=3
+        )
+        assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+        assert out.count() == 0
+
 
 class TestConnectedComponents:
     def test_chains_merge_and_singletons_stay(self, spark):
@@ -3803,3 +3822,121 @@ class TestCorpusKLDrift:
         assert (got.tokens_a, got.tokens_b) == (na, nb)
         assert got.kl_ab == kl(ca, na, cb, nb) > 0
         assert got.kl_ba == kl(cb, nb, ca, na) > 0
+
+
+class TestNgramNovelty:
+    def test_unique_shared_and_short_docs(self, spark):
+        """All-unique doc → novelty 1.0; two verbatim copies → both score
+        0.0 (every gram has df ≥ 2); a doc shorter than n words and a
+        NULL-text doc both SURVIVE with n_grams = 0 / novelty NULL."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            ngram_novelty,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+                (3, "one two three four five six seven"),
+                (4, "too short"),
+                (5, None),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in ngram_novelty(df, "id", "text", n=3).collect()}
+        assert set(out) == {1, 2, 3, 4, 5}
+        assert out[1].novelty == 1.0 and out[1].n_grams == 4
+        assert out[2].novelty == 0.0 and out[3].novelty == 0.0
+        assert out[2].n_grams == 5 and out[2].n_novel == 0
+        for i in (4, 5):
+            assert out[i].n_grams == 0 and out[i].n_novel == 0
+            assert out[i].novelty is None
+
+    def test_mixed_doc_ratio_and_partition_invariance(self, spark):
+        """A doc sharing exactly its first 3-gram with another doc scores
+        (n_grams-1)/n_grams; results identical across partitionings."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            ngram_novelty,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "shared prefix words then entirely unique tail one"),
+                (2, "shared prefix words but different continuation here"),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in ngram_novelty(df, "id", "text", n=3).collect()}
+        # both docs have 6 grams; exactly "shared prefix words" is common
+        assert out[1].n_grams == 6 and out[1].n_novel == 5
+        assert out[1].novelty == round(5 / 6, 6)
+        base = sorted(map(tuple, ngram_novelty(df, "id", "text", n=3).collect()))
+        for layout in (df.repartition(7), df.coalesce(1)):
+            got = sorted(
+                map(tuple, ngram_novelty(layout, "id", "text", n=3).collect())
+            )
+            assert got == base
+
+
+class TestClusterBalancedSample:
+    def test_cap_determinism_and_score_range(self, spark, emb):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+
+        out = cluster_balanced_sample(emb, n_cells=8, per_cell_cap=10)
+        rows = out.collect()
+        assert rows, "selection must be non-empty"
+        per_cell = {}
+        for r in rows:
+            per_cell.setdefault(r.cell, []).append(r.sample_rank)
+            assert -1.0 <= r.cos_centroid <= 1.0
+        for cell, ranks in per_cell.items():
+            assert len(ranks) <= 10
+            # ranks are dense 1..len within each cell
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        # partition/rerun invariance: same selection from any layout
+        base = sorted(map(tuple, rows))
+        for layout in (emb.repartition(13), emb.coalesce(1)):
+            got = sorted(
+                map(
+                    tuple,
+                    cluster_balanced_sample(
+                        layout, n_cells=8, per_cell_cap=10
+                    ).collect(),
+                )
+            )
+            assert got == base
+
+    def test_balance_bounds_dominant_cluster(self, spark):
+        """A corpus where one tight cluster holds 80% of the vectors: the
+        capped selection cannot give that cluster more than per_cell_cap
+        rows, while small clusters keep all theirs."""
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+
+        rows = []
+        # 80 near-identical vectors (dominant topic), 2 small distinct ones
+        for i in range(80):
+            rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+        for i in range(10):
+            rows.append((100 + i, [0.0, 1.0, 0.01 * i, 0.0]))
+        for i in range(10):
+            rows.append((200 + i, [0.0, 0.0, 1.0, 0.02 * i]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = cluster_balanced_sample(
+            df, n_cells=3, per_cell_cap=8, sample_size=100
+        ).collect()
+        by_cell = {}
+        for r in out:
+            by_cell.setdefault(r.cell, set()).add(r.vec_id)
+        assert all(len(v) <= 8 for v in by_cell.values())
+        # the dominant block contributes at most 8 of its 80 vectors
+        dominant = {r.vec_id for r in out if r.vec_id < 100}
+        assert len(dominant) <= 8
+        # total kept ≤ cells × cap, and the small topics are represented
+        assert any(r.vec_id >= 200 for r in out)
+        assert any(100 <= r.vec_id < 200 for r in out)
