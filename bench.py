@@ -153,6 +153,8 @@ def main() -> None:
         "text_nb_quality",
         "text_winnow_fingerprint",
         "sketch_countmin",
+        "text_ngram_novelty",
+        "sample_cluster_balanced",
         "j2_fuzzy_best_match",
         "pricing_summary",
         "w6_stable_turn_ordering",
