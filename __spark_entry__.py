@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_ngram_novelty",      # r5: corpus-unique-gram novelty ratio, digest-keyed
+    "sample_cluster_balanced", # r5: k-means cells + per-cell hash cap, fully oracled
     "corpus_kl_drift",         # r5: bidirectional smoothed KL drift monitor
     "ann_sq8_topk",            # r5: 8-bit scalar-quantized ANN, all-Catalyst train
     "ann_sq8_recall",          # r5: SQ8 recall@5 vs exact, floor 0.6 (both SFs)
