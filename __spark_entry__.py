@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "ann_jl_refine_topk",      # r5: orthonormal JL prefilter + exact refine
+    "ann_jl_recall",           # r5: JL recall claim, floor 0.6 (min 0.8 both SFs)
     "text_ngram_novelty",      # r5: corpus-unique-gram novelty ratio, digest-keyed
     "sample_cluster_balanced", # r5: k-means cells + per-cell hash cap, fully oracled
     "corpus_kl_drift",         # r5: bidirectional smoothed KL drift monitor

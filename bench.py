@@ -149,6 +149,7 @@ def main() -> None:
         "text_dsir_weights",
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        "ann_jl_refine_topk",
         "text_substring_dedup",
         "text_nb_quality",
         "text_winnow_fingerprint",

