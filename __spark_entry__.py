@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "quality_mix_pipeline",    # r5: NB-gated temperature mix, one plan, full oracle
     "ann_jl_refine_topk",      # r5: orthonormal JL prefilter + exact refine
     "ann_jl_recall",           # r5: JL recall claim, floor 0.6 (min 0.8 both SFs)
     "text_ngram_novelty",      # r5: corpus-unique-gram novelty ratio, digest-keyed

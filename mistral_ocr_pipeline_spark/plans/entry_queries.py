@@ -6537,10 +6537,10 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id")
 
 
-# shared DuckDB CTE tail: hashed-gram NB model over a labeled relation
-# ``lab(id, text, label, is_train)`` — emits ``pri``/``ds`` and the final
-# per-doc scoring SELECT (kept in one piece: only one query uses it today,
-# but the label CTE varies by caller)
+# shared DuckDB CTE block: hashed-gram NB model over a labeled relation
+# ``lab(id, text, label, is_train)`` — emits ``nbscored(doc_id, is_train,
+# label, pred, n_grams, score)`` for the caller's tail (text_nb_quality
+# reads it directly; quality_mix_pipeline chains the selection + mix)
 _NB_MODEL_SQL = """
     tk AS (SELECT id, label, is_train,
                   list_filter(string_split({key}, ' '), x -> x != '') AS ts
@@ -6571,19 +6571,60 @@ _NB_MODEL_SQL = """
                          * 1000000.0)::BIGINT AS w
             FROM spine LEFT JOIN cnt2 USING (b) CROSS JOIN tots),
     ds AS (SELECT id, count(*) AS n_grams, sum(w) AS s
-           FROM bkt JOIN wts USING (b) GROUP BY id)
-    SELECT lab.id AS doc_id, lab.is_train, lab.label,
-           (pri.prior + coalesce(ds.s, 0)) > 0 AS pred,
-           coalesce(ds.n_grams, 0)::BIGINT AS n_grams,
-           round((pri.prior + coalesce(ds.s, 0)) / 1000000.0, 6) AS score
-    FROM lab LEFT JOIN ds ON ds.id = lab.id CROSS JOIN pri
+           FROM bkt JOIN wts USING (b) GROUP BY id),
+    nbscored AS (
+      SELECT lab.id AS doc_id, lab.is_train, lab.label,
+             (pri.prior + coalesce(ds.s, 0)) > 0 AS pred,
+             coalesce(ds.n_grams, 0)::BIGINT AS n_grams,
+             round((pri.prior + coalesce(ds.s, 0)) / 1000000.0, 6) AS score
+      FROM lab LEFT JOIN ds ON ds.id = lab.id CROSS JOIN pri)
 """
 
 
-@register(
-    "text_nb_quality",
-    oracle=f"""
-    WITH toks AS (
+def _nb_labeled(docs: DataFrame) -> DataFrame:
+    """Surprisal-pseudo-labeled spine shared by text_nb_quality and
+    quality_mix_pipeline: corpus-unigram surprisal at-or-below the exact
+    corpus median labels quality, a 70% content-hash split marks the
+    training rows.  PERSISTED — the classifier reads it in four passes
+    (gram counts, priors, scoring, spine join); see text_nb_quality's
+    docstring for the measured re-derivation cost."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        unigram_surprisal,
+    )
+
+    sur = unigram_surprisal(docs, "doc_id")
+    med = sur.agg(
+        F.round(F.percentile("surprisal", F.lit(0.5)), 6).alias("t")
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(sur.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            "text",
+            F.coalesce(F.col("surprisal") <= F.col("t"), F.lit(False)).alias(
+                "label"
+            ),
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(10),
+                )
+                < 7
+            ).alias("is_train"),
+        )
+    ).persist()
+
+
+# pseudo-label CTE chain shared by text_nb_quality and
+# quality_mix_pipeline: corpus-unigram surprisal, exact median cut, 70%
+# content-hash train split — emits ``lab(id, text, label, is_train)``
+_NB_LABEL_SQL = f"""toks AS (
       SELECT doc_id AS id,
              unnest(string_split({_KEY.format(c='text')}, ' ')) AS t
       FROM documents),
@@ -6597,8 +6638,15 @@ _NB_MODEL_SQL = """
              coalesce(sur.s <= med.t, FALSE) AS label,
              (('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
               % 10) < 7 AS is_train
-      FROM documents d LEFT JOIN sur ON sur.id = d.doc_id CROSS JOIN med),
+      FROM documents d LEFT JOIN sur ON sur.id = d.doc_id CROSS JOIN med)"""
+
+
+@register(
+    "text_nb_quality",
+    oracle=f"""
+    WITH {_NB_LABEL_SQL},
     {_NB_MODEL_SQL.format(key=_KEY.format(c='text'))}
+    SELECT doc_id, is_train, label, pred, n_grams, score FROM nbscored
     """,
 )
 def text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6622,38 +6670,12 @@ def text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     way."""
     from mistral_ocr_pipeline_spark.operators.text_analysis import (
         nb_quality_classifier,
-        unigram_surprisal,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sur = unigram_surprisal(docs, "doc_id")
-    med = sur.agg(
-        F.round(F.percentile("surprisal", F.lit(0.5)), 6).alias("t")
+    return nb_quality_classifier(
+        _nb_labeled(docs), "doc_id", "label", "is_train"
     )
-    labeled = (
-        docs.select("doc_id", "text")
-        .join(sur.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .crossJoin(F.broadcast(med))
-        .select(
-            "doc_id",
-            "text",
-            F.coalesce(F.col("surprisal") <= F.col("t"), F.lit(False)).alias(
-                "label"
-            ),
-            (
-                F.pmod(
-                    F.conv(
-                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                        16,
-                        10,
-                    ).cast("long"),
-                    F.lit(10),
-                )
-                < 7
-            ).alias("is_train"),
-        )
-    ).persist()
-    return nb_quality_classifier(labeled, "doc_id", "label", "is_train")
 
 
 # shared DuckDB CTE tail: winnowing selection over a relation ``u(id, text)``
@@ -7303,4 +7325,117 @@ def ann_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.round(F.col("h") / F.lit(5.0), 6).alias("recall"),
         (F.col("h") / F.lit(5.0) >= 0.6).alias("recall_ok"),
+    )
+
+
+@register(
+    "quality_mix_pipeline",
+    oracle=f"""
+    WITH {{label_ctes}},
+    {{model_ctes}},
+    qkept AS (SELECT doc_id FROM nbscored WHERE pred),
+    kd AS (SELECT d.doc_id, d.lang, {{tok}} AS tok
+           FROM documents d JOIN qkept USING (doc_id)),
+    s2 AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                  sum(tok)::BIGINT AS n_tokens
+           FROM kd GROUP BY lang),
+    sc2 AS (SELECT *, round(sqrt(n_tokens::DOUBLE) * 1000000.0)::BIGINT
+                          AS scaled_micro
+            FROM s2),
+    t2 AS (SELECT sum(scaled_micro)::BIGINT AS total FROM sc2),
+    al AS (SELECT lang, n_tokens,
+                  round(5000.0 * (scaled_micro::DOUBLE / total::DOUBLE))
+                      ::BIGINT AS budget_tokens
+           FROM sc2 CROSS JOIN t2),
+    al2 AS (SELECT *, least(1000000,
+                round(budget_tokens::DOUBLE / n_tokens::DOUBLE
+                      * 1000000.0)::BIGINT) AS rate_micro
+            FROM al),
+    sel AS (SELECT kd.lang, kd.tok, al2.budget_tokens, al2.rate_micro,
+                   (('0x' || substring(md5('qmix:' || kd.doc_id::VARCHAR),
+                                       1, 8))::UBIGINT::BIGINT * 1000000
+                    < al2.rate_micro * 4294967296) AS keep
+            FROM kd JOIN al2 USING (lang))
+    SELECT lang,
+           count(*)::BIGINT AS n_quality,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+           sum(CASE WHEN keep THEN tok ELSE 0 END)::BIGINT AS sel_tokens,
+           any_value(budget_tokens) AS budget_tokens,
+           any_value(rate_micro) AS rate_micro
+    FROM sel GROUP BY lang ORDER BY lang
+    """.format(
+        label_ctes=_NB_LABEL_SQL,
+        model_ctes=_NB_MODEL_SQL.format(key=_KEY.format(c="text")),
+        tok=_TOK,
+    ),
+)
+def quality_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-Edu-shaped composite — classifier-gated selection feeding
+    a temperature-balanced mix, ONE plan end to end: the hashed-gram NB
+    quality model (same pseudo-label fixture as `text_nb_quality`)
+    scores every document, classifier-positive docs enter a temperature
+    allocation over language (shares ∝ n^0.5, 5k-token budget,
+    `sampling.temperature_allocation`), each language's budget becomes a
+    per-lang keep rate (capped at 1), and each doc's fate is the
+    division-free BIGINT rule ``u32·10⁶ < rate_micro·2³²`` (unimax_mix's
+    fate rule — partition/rerun-invariant, zero corpus shuffle for the
+    selection itself).  Per-language rollup: quality-pass counts,
+    selected counts/tokens, budget, rate.  The ENTIRE composition —
+    surprisal labels, NB training, decisions, allocation, fate rule —
+    replays in one SQL oracle."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        nb_quality_classifier,
+        ws_token_count,
+    )
+    from mistral_ocr_pipeline_spark.operators.sampling import (
+        temperature_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nb = nb_quality_classifier(
+        _nb_labeled(docs), "doc_id", "label", "is_train"
+    )
+    kept = nb.filter(F.col("pred")).select("doc_id")
+    kd = docs.join(kept, "doc_id").select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("tok")
+    )
+    alloc = temperature_allocation(
+        kd, "lang", "tok", token_budget=5000, alpha=0.5
+    ).select(
+        "lang",
+        "budget_tokens",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.round(
+                F.col("budget_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+                * F.lit(1000000.0)
+            ).cast("long"),
+        ).alias("rate_micro"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qmix:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = (u32 * F.lit(1000000).cast("long")) < (
+        F.col("rate_micro") * F.lit(4294967296).cast("long")
+    )
+    sel = kd.join(F.broadcast(alloc), "lang").withColumn("_keep", keep)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_quality"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_selected"),
+            F.sum(F.when(F.col("_keep"), F.col("tok")).otherwise(F.lit(0))).alias(
+                "sel_tokens"
+            ),
+            F.first("budget_tokens").alias("budget_tokens"),
+            F.first("rate_micro").alias("rate_micro"),
+        )
+        .orderBy("lang")
     )

@@ -4009,3 +4009,27 @@ class TestJLRefine:
         out = jl_refine_topk(empty, empty, k=5)
         assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
         assert out.count() == 0
+
+
+class TestQualityMixPipeline:
+    def test_rollup_invariants(self, spark):
+        """Composite sanity on sf0.001: selection never exceeds the
+        quality-pass pool, a rate of exactly 1.0 keeps every quality doc,
+        and a sub-1.0 rate actually thins (the fate rule is not a
+        constant)."""
+        from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+        rows = QUERIES["quality_mix_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows, "rollup must be non-empty"
+        thinned = 0
+        for r in rows:
+            assert 0 <= r.n_selected <= r.n_quality
+            assert 0 <= r.rate_micro <= 1_000_000
+            if r.rate_micro == 1_000_000:
+                assert r.n_selected == r.n_quality
+            elif r.n_selected < r.n_quality:
+                thinned += 1
+        # the 20k budget is far below the corpus: some language must thin
+        assert thinned >= 1
