@@ -557,3 +557,53 @@ class TestRoundFivePlans:
         # one map-side-combined shuffle into <= w*d cells
         assert plan.count("Exchange hashpartitioning") == 1
         assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+class TestSessionAdditionsPlans:
+    """Plan-shape guards for the late-r5 additions: novelty, cluster
+    balance, JL, and the classifier-gated mix composite."""
+
+    def test_ngram_novelty_digest_shuffles_no_python(self, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            ngram_novelty,
+        )
+
+        plan = _plan(ngram_novelty(docs, "doc_id", "text", n=3))
+        # gram digests are built scan-side; no Arrow/Python node anywhere
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+        # the doc-frequency aggregation combines map-side before its shuffle
+        assert "partial_count" in plan or "partial_sum" in plan, plan
+
+    def test_cluster_balanced_centroids_broadcast(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        plan = _plan(cluster_balanced_sample(emb, n_cells=8, per_cell_cap=5))
+        # the n_cells-row centroid relation rides a broadcast; the only
+        # Arrow node is the ivf_build assignment kernel (exactly one)
+        assert "BroadcastExchange" in plan
+        assert plan.count("MapInPandas") == 1, plan
+
+    def test_jl_refine_all_catalyst_queries_broadcast(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            jl_refine_topk,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        plan = _plan(jl_refine_topk(emb, emb.filter(F.col("vec_id") < 4), k=3))
+        # training-free: zero Python anywhere; the query relation and the
+        # refine join-back ride broadcasts
+        assert "ArrowEval" not in plan and "mapinpandas" not in plan.lower()
+        assert "BroadcastExchange" in plan
+
+    def test_quality_mix_selection_is_broadcast_case(self, spark):
+        from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+        df = QUERIES["quality_mix_pipeline"](spark, SF_DIR)
+        plan = _plan(df)
+        # the allocation table is a 5-row broadcast onto the kept-corpus
+        # scan; the fate rule adds no corpus shuffle of its own
+        assert "BroadcastExchange" in plan
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
