@@ -133,8 +133,12 @@ def _observe_caps(buckets: DataFrame, observation: Observation | None) -> DataFr
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per input id: its content-hash group, group size, and whether
     it is the canonical survivor (min id).  DuckDB-oracle-friendly:
-    md5(norm_key(text)) is replayable in SQL."""
-    key = F.md5(norm_key_col(F.col(text_col))).alias("content_key")
+    md5(norm_key(text)) is replayable in SQL.  NULL text coalesces to ''
+    (one group with the empty docs) so NULL-text rows survive the
+    join-back instead of silently vanishing on a NULL key."""
+    key = F.md5(
+        norm_key_col(F.coalesce(F.col(text_col), F.lit("")))
+    ).alias("content_key")
     with_key = df.select(F.col(id_col).alias("id"), key)
     groups = with_key.groupBy("content_key").agg(
         F.count(F.lit(1)).alias("dup_count"), F.min("id").alias("canonical_id")
@@ -144,6 +148,52 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "content_key",
         "dup_count",
         (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Quality-aware canonical selection: within each exact-duplicate
+    group keep the HIGHEST-``score_col`` copy (ties break to the lowest
+    id) instead of `exact_dedup`'s min-id convention — the curation
+    choice when duplicates differ in upstream quality (cleaner
+    extraction, later crawl, higher classifier score): dedup should not
+    discard the best copy just because it arrived with a bigger id.
+
+    Same scale shape as `exact_dedup`: the canonical is ONE map-side-
+    combinable ``max(struct(score, -id))`` per group — a million-way dup
+    group costs one struct per partition, never a row_number window.
+    Output: (id, content_key, dup_count, is_canonical, canonical_id,
+    canonical_score).  NULL text coalesces to '' like `exact_dedup`."""
+    key = F.md5(
+        norm_key_col(F.coalesce(F.col(text_col), F.lit("")))
+    ).alias("content_key")
+    with_key = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_s"), key
+    )
+    groups = (
+        with_key.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.max(
+                F.struct(F.col("_s").alias("s"), (-F.col("id")).alias("ni"))
+            ).alias("b"),
+        )
+        .select(
+            "content_key",
+            "dup_count",
+            (-F.col("b.ni")).cast("long").alias("canonical_id"),
+            F.col("b.s").alias("canonical_score"),
+        )
+    )
+    return with_key.join(groups, "content_key").select(
+        "id",
+        "content_key",
+        "dup_count",
+        (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+        "canonical_id",
+        "canonical_score",
     )
 
 

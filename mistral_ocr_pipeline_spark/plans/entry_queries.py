@@ -984,7 +984,8 @@ def j3_apply_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
-    k AS (SELECT id, md5({_KEY.format(c='text')}) AS content_key FROM u),
+    k AS (SELECT id, md5({_KEY.format(c="coalesce(text, '')")}) AS content_key
+          FROM u),
     g AS (SELECT content_key, count(*) AS dup_count, min(id) AS canonical_id
           FROM k GROUP BY content_key)
     SELECT k.id, k.content_key, g.dup_count, k.id = g.canonical_id AS is_canonical
@@ -7439,3 +7440,71 @@ def quality_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text, 10::BIGINT AS score FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lower(text), 5 FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, upper(text), 20 FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text, 10 FROM documents
+      WHERE doc_id % 5 = 0),
+    k AS (SELECT id, score,
+                 md5({_KEY.format(c="coalesce(text, '')")}) AS content_key
+          FROM u),
+    g AS (SELECT content_key, count(*)::BIGINT AS dup_count,
+                 max({{'s': score, 'ni': -id}}) AS b
+          FROM k GROUP BY content_key),
+    g2 AS (SELECT content_key, dup_count,
+                  (-(b.ni))::BIGINT AS canonical_id,
+                  b.s AS canonical_score
+           FROM g)
+    SELECT k.id, k.content_key, g2.dup_count,
+           k.id = g2.canonical_id AS is_canonical,
+           g2.canonical_id, g2.canonical_score
+    FROM k JOIN g2 USING (content_key) ORDER BY k.id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (`dedup.exact_dedup_keep_best`) over a
+    fixture of 2-to-4-way case-variant duplicate groups with differing
+    quality scores: the canonical is the argmax-score copy (score-20
+    re-crawl where present, else the original), with score TIES breaking
+    to the lowest id (the score-10 twin never displaces the original).
+    The max(struct) fold and join-back replay in SQL."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        exact_dedup_keep_best,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        docs.select("doc_id", "text", F.lit(10).cast("long").alias("score"))
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lower("text").alias("text"),
+                F.lit(5).cast("long").alias("score"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.upper("text").alias("text"),
+                F.lit(20).cast("long").alias("score"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.col("text"),
+                F.lit(10).cast("long").alias("score"),
+            )
+        )
+    )
+    return exact_dedup_keep_best(u, "doc_id", "text", "score").orderBy("id")

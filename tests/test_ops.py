@@ -30,6 +30,54 @@ class TestExactDedup:
         assert out[1] == (2, True) and out[2] == (2, False)
         assert out[3] == (2, True) and out[4] == (2, False)
 
+    def test_keep_best(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            exact_dedup_keep_best,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # group A: max score wins regardless of id order
+                (1, "Hello  World", 10),
+                (2, "hello world", 30),
+                (3, "HELLO WORLD", 20),
+                # group B: score tie -> lowest id wins
+                (4, "other text", 7),
+                (5, "Other Text", 7),
+                # singleton
+                (6, "unique", 1),
+            ],
+            "id long, text string, score long",
+        )
+        rows = exact_dedup_keep_best(df, "id", "text", "score").collect()
+        out = {r.id: r for r in rows}
+        assert out[2].is_canonical and not out[1].is_canonical
+        assert out[1].canonical_id == 2 and out[1].canonical_score == 30
+        assert out[1].dup_count == 3
+        assert out[4].is_canonical and not out[5].is_canonical
+        assert out[5].canonical_id == 4 and out[5].canonical_score == 7
+        assert out[6].is_canonical and out[6].dup_count == 1
+
+    def test_null_text_survives(self, spark):
+        # NULL text coalesces to '' — the row must not vanish on a NULL
+        # join key (the line_dedup defect class from the r4 advice).
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            exact_dedup,
+            exact_dedup_keep_best,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, 5), (2, "", 3)], "id long, text string, score long"
+        )
+        ex = {r.id: r for r in exact_dedup(df.drop("score"), "id", "text").collect()}
+        assert set(ex) == {1, 2} and ex[1].dup_count == 2
+        kb = {
+            r.id: r
+            for r in exact_dedup_keep_best(df, "id", "text", "score").collect()
+        }
+        assert set(kb) == {1, 2}
+        assert kb[1].is_canonical and kb[2].canonical_score == 5
+
 
 class TestMinhashSimhash:
     @pytest.fixture(scope="class")
