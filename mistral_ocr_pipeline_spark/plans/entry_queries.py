@@ -7508,3 +7508,220 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact_dedup_keep_best(u, "doc_id", "text", "score").orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# URL-level curation (operators/urls.py)
+# --------------------------------------------------------------------------
+# one structural regex — groups: 1=scheme 2=host[:port] 3=path 4=query
+_URLRE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+# deterministic messy-URL fixture: scheme-case / www / default-port /
+# trailing-slash / tracking-param / fragment variants all collapse to a
+# canonical key that is a pure function of doc_id % 40 (and % 5 for host),
+# plus an explicit junk row ('not a url') and a NULL row per 13/17 strides.
+_URL_FIXTURE_SQL = """
+    u AS (
+      SELECT doc_id AS id, text,
+        CASE WHEN doc_id % 13 = 0 THEN 'not a url'
+             WHEN doc_id % 17 = 0 THEN NULL
+             ELSE (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'Http' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN 'WWW.' || upper('site' || (doc_id % 5)::VARCHAR
+                                             || '.Example.com')
+                        WHEN doc_id % 3 = 1
+                        THEN 'site' || (doc_id % 5)::VARCHAR || '.Example.com'
+                             || (CASE WHEN doc_id % 2 = 0
+                                      THEN ':443' ELSE ':80' END)
+                        ELSE 'site' || (doc_id % 5)::VARCHAR
+                             || '.Example.com' END)
+               || '/docs/' || (doc_id % 40)::VARCHAR
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&b=2&a=1'
+                        WHEN doc_id % 6 = 1 THEN '?a=1&b=2'
+                        WHEN doc_id % 6 = 2 THEN '?b=2&a=1&fbclid=zz'
+                        WHEN doc_id % 6 = 3 THEN '?ref=home'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+        END AS url
+      FROM documents)
+"""
+
+
+def _url_canon_ctes(src: str) -> str:
+    """CTE chain replaying `operators.urls.canonicalize_url` over
+    ``src(…, url)`` → ``{src}_c`` = src columns + ``canon_url``.  Shared by
+    every URL oracle so the canonicalization has exactly ONE SQL twin."""
+    return rf"""
+    {src}_p AS (
+      SELECT *,
+        lower(regexp_extract(trim(coalesce(url, '')), '{_URLRE}', 1)) AS _sch,
+        lower(regexp_extract(trim(coalesce(url, '')), '{_URLRE}', 2)) AS _rh,
+        regexp_extract(trim(coalesce(url, '')), '{_URLRE}', 3) AS _rp,
+        regexp_extract(trim(coalesce(url, '')), '{_URLRE}', 4) AS _rq
+      FROM {src}),
+    {src}_q AS (
+      SELECT *,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(_rq, '&'),
+          p -> p <> '' AND NOT starts_with(p, 'utm_')
+               AND split_part(p, '=', 1) NOT IN
+                   ('fbclid','gclid','msclkid','mc_eid','igshid','ref'))),
+          '&'), '') AS _q
+      FROM {src}_p),
+    {src}_c AS (
+      SELECT * EXCLUDE (_sch, _rh, _rp, _rq, _q),
+        CASE WHEN _sch = '' THEN '' ELSE
+          _sch || '://' ||
+          regexp_replace(
+            CASE WHEN _sch = 'http'  THEN regexp_replace(_rh, ':80$', '')
+                 WHEN _sch = 'https' THEN regexp_replace(_rh, ':443$', '')
+                 ELSE _rh END, '^www\.', '') ||
+          regexp_replace(_rp, '/+$', '') ||
+          CASE WHEN _q <> '' THEN '?' || _q ELSE '' END
+        END AS canon_url
+      FROM {src}_q)
+"""
+
+
+def _url_fixture(docs: DataFrame) -> DataFrame:
+    """Spark twin of `_URL_FIXTURE_SQL` (same arithmetic, same literals)."""
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 5).cast("string"), F.lit(".Example.com"))
+    hostvar = (
+        F.when(d % 3 == 0, F.concat(F.lit("WWW."), F.upper(host)))
+        .when(
+            d % 3 == 1,
+            F.concat(
+                host, F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+            ),
+        )
+        .otherwise(host)
+    )
+    url = (
+        F.when(d % 13 == 0, F.lit("not a url"))
+        .when(d % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("Http")),
+                F.lit("://"),
+                hostvar,
+                F.lit("/docs/"),
+                (d % 40).cast("string"),
+                F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+                F.when(d % 6 == 0, F.lit("?utm_source=x&b=2&a=1"))
+                .when(d % 6 == 1, F.lit("?a=1&b=2"))
+                .when(d % 6 == 2, F.lit("?b=2&a=1&fbclid=zz"))
+                .when(d % 6 == 3, F.lit("?ref=home"))
+                .otherwise(F.lit("")),
+                F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+            )
+        )
+    )
+    return docs.select(d.alias("id"), "text", url.alias("url"))
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL},
+    {_url_canon_ctes('u')}
+    SELECT id, url, canon_url,
+           regexp_extract(canon_url, '{_URLRE}', 2) AS host
+    FROM u_c ORDER BY id
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only URL canonicalization (`urls.canonicalize_url` +
+    `urls.url_host`) over the deterministic messy-URL fixture: tracking
+    params dropped, surviving query params sorted, scheme/host lowercased,
+    www + scheme-default ports stripped, trailing slash + fragment removed;
+    junk and NULL URLs → '' (never NULL — rows survive downstream joins)."""
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        canonicalize_url,
+        url_host,
+    )
+
+    u = _url_fixture(_t(spark, sf_dir, "documents"))
+    return u.select(
+        "id",
+        "url",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        url_host(F.col("url")).alias("host"),
+    ).orderBy("id")
+
+
+@register(
+    "url_dedup_latest",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL},
+    {_url_canon_ctes('u')},
+    k AS (SELECT id, ((id * 37) % 101)::BIGINT AS ts, canon_url FROM u_c),
+    g AS (SELECT canon_url, count(*)::BIGINT AS crawl_count,
+                 max({{'t': ts, 'ni': -id}}) AS b
+          FROM k GROUP BY canon_url),
+    g2 AS (SELECT canon_url, crawl_count, (-(b.ni))::BIGINT AS canonical_id
+           FROM g)
+    SELECT k.id, k.canon_url, g2.crawl_count,
+           k.id = g2.canonical_id AS is_canonical, g2.canonical_id
+    FROM k JOIN g2 USING (canon_url) ORDER BY k.id
+    """,
+)
+def url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level recrawl dedup (`urls.url_dedup`): every scheme-case /
+    www / port / tracking-param / slash / fragment variant of the same page
+    lands in one canonical-URL group; the kept copy is the LATEST synthetic
+    crawl timestamp ((id*37) % 101), ties to the lowest id.  The max(struct)
+    fold and join-back replay in SQL; junk + NULL URLs group under '' and
+    survive (NULL-key rule)."""
+    from mistral_ocr_pipeline_spark.operators.urls import url_dedup
+
+    u = _url_fixture(_t(spark, sf_dir, "documents")).select(
+        "id", "url", ((F.col("id") * 37) % 101).cast("long").alias("ts")
+    )
+    return url_dedup(u, "id", "url", "ts").orderBy("id")
+
+
+@register(
+    "url_domain_stats",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL},
+    {_url_canon_ctes('u')},
+    k AS (SELECT id, length(coalesce(text, '')) AS len, canon_url,
+                 regexp_extract(canon_url, '{_URLRE}', 2) AS host
+          FROM u_c),
+    s AS (SELECT host, count(*)::BIGINT AS n_docs,
+                 count(DISTINCT canon_url)::BIGINT AS n_pages,
+                 sum(len)::BIGINT AS len_sum
+          FROM k GROUP BY host)
+    SELECT host, n_docs, n_pages,
+           ((n_docs - n_pages) * 1000000 // n_docs)::BIGINT
+             AS recrawl_ratio_micro,
+           (len_sum * 1000000 // n_docs)::BIGINT AS mean_len_micro,
+           (n_docs >= 3 AND
+            ((n_docs - n_pages) * 1000000 // n_docs) <= 950000) AS kept
+    FROM s ORDER BY host
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus health (`urls.domain_stats`) + the blocklist
+    verdict a RefinedWeb-style pipeline derives from it: hosts need ≥3 docs
+    and a recrawl ratio ≤ 0.95 to stay.  ONE map-side-combined groupBy on
+    host; ratios in BIGINT micro-units via true integer division (exact,
+    order-independent at any corpus size)."""
+    from mistral_ocr_pipeline_spark.operators.urls import domain_stats
+
+    u = _url_fixture(_t(spark, sf_dir, "documents"))
+    s = domain_stats(u, "id", "url", "text")
+    return s.select(
+        "host",
+        "n_docs",
+        "n_pages",
+        "recrawl_ratio_micro",
+        "mean_len_micro",
+        (
+            (F.col("n_docs") >= 3)
+            & (F.col("recrawl_ratio_micro") <= 950000)
+        ).alias("kept"),
+    ).orderBy("host")
