@@ -1573,3 +1573,67 @@ def ngram_novelty(
             F.round(n_novel.cast("double") / n_grams.cast("double"), 6),
         ).alias("novelty"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """SoftDeDup-style per-document REWEIGHTING (Xue et al., ACL 2024):
+    instead of *removing* near-duplicate content, down-weight documents by
+    their **data commonness** — the mean corpus document-frequency of the
+    doc's distinct word ``n``-grams — so repeated content contributes
+    roughly one copy's worth of sampling mass while its unique remainder
+    is preserved.  The removal-free alternative to `dedup.exact_dedup` /
+    `minhash_lsh_pairs` when the dedup decision should be a *sampling
+    weight*, not a drop.
+
+    Integer-exact formulation (order-independent under any shuffle):
+    ``commonness_micro = Σ df(g) * 1e6 div n_grams`` (≥ 1e6; an all-unique
+    doc scores exactly 1e6) and ``weight_micro = 1e12 div
+    commonness_micro`` (≤ 1e6; a doc duplicated k times scores ≈ 1e6/k).
+    Docs with < n words get commonness 1e6 / weight 1e6 (nothing common
+    about them).
+
+    Returns (id, n_grams, commonness_micro, weight_micro) — one row per
+    input document, NULL-text docs included.
+
+    Plan shape (100 TB): identical to `ngram_novelty` — distinct
+    (doc, md5-digest) gram pairs, ONE map-side-combinable doc-frequency
+    groupBy on the 8-byte digest, join back, per-doc fold.  No windows,
+    no driver actions, no text on any shuffle."""
+    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(df, id_col, text_col, n, hashed=True, hash_basis="md5")
+    grams = sets.select("id", F.explode("sh").alias("g"))
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        grams.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum("_df").alias("_df_sum"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_ng", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("_df_sum", F.lit(0)).cast("long").alias("_df_sum"),
+        )
+        .withColumn(
+            "commonness_micro",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("_df_sum * 1000000L div n_grams"),
+            ).otherwise(F.lit(1000000).cast("long")),
+        )
+        .withColumn(
+            "weight_micro", F.expr("1000000000000L div commonness_micro")
+        )
+        .drop("_df_sum")
+    )

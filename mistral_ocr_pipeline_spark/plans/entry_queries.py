@@ -7725,3 +7725,50 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("recrawl_ratio_micro") <= 950000)
         ).alias("kept"),
     ).orderBy("host")
+
+
+@register(
+    "text_soft_dedup_weights",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0),
+    t AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks
+          FROM u),
+    g AS (SELECT id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+          FROM t),
+    fr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+    p AS (SELECT id, count(*) AS n_grams, sum(df) AS df_sum
+          FROM g JOIN fr USING (gram) GROUP BY id),
+    w AS (SELECT u.id,
+            coalesce(n_grams, 0)::BIGINT AS n_grams,
+            (CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN df_sum * 1000000 // n_grams
+                  ELSE 1000000 END)::BIGINT AS commonness_micro
+          FROM u LEFT JOIN p USING (id))
+    SELECT id, n_grams, commonness_micro,
+           (1000000000000 // commonness_micro)::BIGINT AS weight_micro
+    FROM w ORDER BY id
+    """,
+)
+def text_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting (`text_analysis.soft_dedup_weights`) over a
+    fixture with exact clones (doc_id % 9): removal-free dedup — each
+    doc's sampling weight is 1e12 div its mean-gram-document-frequency in
+    micro-units, so a k-way-cloned doc carries ~1/k mass while partially
+    common docs land in between.  Digest doc-frequency, join-back, and
+    both integer divisions replay in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        soft_dedup_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"), "text"
+        )
+    )
+    return soft_dedup_weights(u, "id", "text", n=3).orderBy("id")

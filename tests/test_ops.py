@@ -4081,3 +4081,34 @@ class TestQualityMixPipeline:
                 thinned += 1
         # the 20k budget is far below the corpus: some language must thin
         assert thinned >= 1
+
+
+class TestSoftDedupWeights:
+    def test_hand_computed(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            soft_dedup_weights,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),   # grams: "a b c", "b c d" — cloned by 2
+                (2, "a b c d"),
+                (3, "x y z"),     # 1 unique gram
+                (4, "a b"),       # < n words -> 0 grams
+                (5, None),        # NULL text survives
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in soft_dedup_weights(df, "id", "text").collect()}
+        assert set(out) == {1, 2, 3, 4, 5}
+        # clones: every gram df=2 -> commonness 2e6, weight 5e5
+        for i in (1, 2):
+            assert out[i].n_grams == 2
+            assert out[i].commonness_micro == 2_000_000
+            assert out[i].weight_micro == 500_000
+        # all-unique doc: exactly 1e6 / 1e6
+        assert out[3].commonness_micro == 1_000_000
+        assert out[3].weight_micro == 1_000_000
+        # gramless docs: nothing common about them
+        for i in (4, 5):
+            assert out[i].n_grams == 0 and out[i].weight_micro == 1_000_000
