@@ -1789,3 +1789,51 @@ def intra_line_dedup(
         F.size("_l").cast("long").alias("n_lines"),
         (F.size("_l") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def cluster_keep_best(
+    comp: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "comp",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware keep-one-per-NEAR-dup-cluster: given a component
+    labelling (`connected_components` output) and a per-doc quality score,
+    keep the argmax-``score_col`` member of every cluster (ties → lowest
+    id) — the cluster-level generalization of `exact_dedup_keep_best`.
+    The min-id rule (`neardup_curation`) discards whichever copies happen
+    to carry larger ids; a curation pass should keep the cleanest copy.
+
+    Same 100 TB shape as every canonical-selection op here: ONE
+    map-side-combinable ``max(struct(score, -id))`` per cluster, then a
+    join back — never a row_number window over an unbounded dup cluster.
+
+    Output: (id, cluster, score, is_kept, kept_id, kept_score)."""
+    members = comp.select(
+        F.col(id_col).alias("id"), F.col(comp_col).alias("cluster")
+    ).join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    best = (
+        members.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(F.col("score").alias("s"), (-F.col("id")).alias("ni"))
+            ).alias("b")
+        )
+        .select(
+            "cluster",
+            (-F.col("b.ni")).cast("long").alias("kept_id"),
+            F.col("b.s").alias("kept_score"),
+        )
+    )
+    return members.join(best, "cluster").select(
+        "id",
+        "cluster",
+        "score",
+        (F.col("id") == F.col("kept_id")).alias("is_kept"),
+        "kept_id",
+        "kept_score",
+    )

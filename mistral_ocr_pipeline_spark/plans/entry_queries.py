@@ -7772,3 +7772,76 @@ def text_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return soft_dedup_weights(u, "id", "text", n=3).orderBy("id")
+
+
+@register(
+    "neardup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^\\w+', 'changed')
+      FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT id, string_split({_KEY.format(c='text')}, ' ') AS toks FROM u),
+    g AS (SELECT id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, greatest(len(toks) - 1, 1))])
+                     AS grams
+          FROM t),
+    sz AS (SELECT id, len(grams) AS n FROM g),
+    e AS (SELECT id, unnest(grams) AS gram FROM g),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT id AS node, id AS lbl FROM u
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+    comp AS (SELECT node AS id, min(lbl) AS cluster FROM reach GROUP BY node),
+    m AS (SELECT comp.id, comp.cluster, length(u.text)::BIGINT AS score
+          FROM comp JOIN u USING (id)),
+    b AS (SELECT cluster, max({{'s': score, 'ni': -id}}) AS bb
+          FROM m GROUP BY cluster),
+    b2 AS (SELECT cluster, (-(bb.ni))::BIGINT AS kept_id, bb.s AS kept_score
+           FROM b)
+    SELECT m.id, m.cluster, m.score, m.id = b2.kept_id AS is_kept,
+           b2.kept_id, b2.kept_score
+    FROM m JOIN b2 USING (cluster) ORDER BY m.id
+    """,
+)
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup curation: the `neardup_curation` chain
+    (LSH pairs → exact-Jaccard verify ≥0.5 → connected components) but
+    the kept copy per cluster is the argmax text LENGTH (ties → lowest
+    id) via `dedup.cluster_keep_best` — prefix-mutated clones that grew
+    longer than their original DISPLACE it as canonical, which the min-id
+    rule can never do.  All four stages (pairs, closure, argmax fold,
+    join-back) replay in one recursive SQL oracle."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        cluster_keep_best,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    u = docs.select("doc_id", "text").unionAll(clones)
+    pairs = minhash_lsh_pairs(
+        u, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    nodes = u.select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, pairs)
+    scores = u.select(
+        F.col("doc_id").alias("id"), F.length("text").cast("long").alias("score")
+    )
+    return cluster_keep_best(comp, scores).orderBy("id")

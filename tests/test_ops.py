@@ -4112,3 +4112,25 @@ class TestSoftDedupWeights:
         # gramless docs: nothing common about them
         for i in (4, 5):
             assert out[i].n_grams == 0 and out[i].weight_micro == 1_000_000
+
+
+class TestClusterKeepBest:
+    def test_argmax_and_tie(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import cluster_keep_best
+
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (9, 9)],
+            "id long, comp long",
+        )
+        scores = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5), (5, 5), (9, 0)],
+            "id long, score long",
+        )
+        out = {r.id: r for r in cluster_keep_best(comp, scores).collect()}
+        # cluster 1: max score 30 shared by 2,3 -> lowest id 2 wins
+        assert out[2].is_kept and not out[3].is_kept and not out[1].is_kept
+        assert out[1].kept_id == 2 and out[1].kept_score == 30
+        # cluster 4: tie -> id 4
+        assert out[4].is_kept and out[5].kept_id == 4
+        # singleton keeps itself
+        assert out[9].is_kept and out[9].kept_score == 0
