@@ -1637,3 +1637,50 @@ def soft_dedup_weights(
         )
         .drop("_df_sum")
     )
+
+
+# License-marker battery (The Stack / Common-Pile-style license filtering).
+# Patterns live in the Java∩RE2-identical subset (no lookarounds) and are
+# matched on lowercased text, so the booleans are honest SUBSTRING
+# detections — 'cc-by-nc' also trips the cc_by pattern; the priority order
+# in `license_tags` resolves the label (most-restrictive first).
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("cc_by_nc", r"cc[- ]by[- ]nc|noncommercial"),
+    ("all_rights_reserved", r"all rights reserved"),
+    ("gpl", r"gnu general public license|\bgpl\b"),
+    ("cc_by_sa", r"cc[- ]by[- ]sa|sharealike"),
+    ("cc_by", r"cc[- ]by\b"),
+    ("cc0", r"creative commons zero|\bcc0\b|public domain"),
+    ("mit", r"\bmit license\b"),
+    ("apache", r"apache license"),
+]
+
+# labels whose docs a permissive-only training corpus must drop
+RESTRICTIVE_LICENSES = ("cc_by_nc", "all_rights_reserved")
+
+
+def license_tags(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per-document license-marker detection + the keep verdict a
+    permissive-only corpus build applies (The Stack §2.2's license gate,
+    generalized to prose): one boolean per marker family, a single
+    ``license`` label resolved most-restrictive-first, and
+    ``keep_for_training`` = the label is not NC / all-rights-reserved
+    (unmarked docs keep — the policy knob lives in the caller).
+
+    Pure scan-level Catalyst regexps (map-only, zero shuffle, zero UDF) —
+    the 100 TB cost is one pass over the text column; every pattern is in
+    the Java∩RE2 subset so the DuckDB oracle replays byte-identically.
+
+    Output: (id, has_<tag>... , license, keep_for_training)."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    out = df.select(F.col(id_col).alias("id"), low.alias("_low"))
+    for tag, pat in LICENSE_PATTERNS:
+        out = out.withColumn(f"has_{tag}", F.col("_low").rlike(pat))
+    # right-fold builds the priority CASE: the FIRST (most-restrictive)
+    # matching pattern supplies the label
+    label = F.lit("none")
+    for tag, _ in reversed(LICENSE_PATTERNS):
+        label = F.when(F.col(f"has_{tag}"), F.lit(tag)).otherwise(label)
+    return out.drop("_low").withColumn("license", label).withColumn(
+        "keep_for_training", ~label.isin(*RESTRICTIVE_LICENSES)
+    )

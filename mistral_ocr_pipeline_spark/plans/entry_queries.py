@@ -7845,3 +7845,80 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.length("text").cast("long").alias("score")
     )
     return cluster_keep_best(comp, scores).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# license filtering (operators/text_analysis.license_tags)
+# --------------------------------------------------------------------------
+from mistral_ocr_pipeline_spark.operators.text_analysis import (  # noqa: E402
+    LICENSE_PATTERNS as _LIC_PATS,
+    RESTRICTIVE_LICENSES as _LIC_RESTRICT,
+)
+
+# one pattern source for BOTH engines: the SQL fragments are generated
+# from the same constants the Spark operator compiles
+_LIC_BOOLS_SQL = ",\n             ".join(
+    f"regexp_matches(low, '{p}') AS has_{t}" for t, p in _LIC_PATS
+)
+_LIC_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN has_{t} THEN '{t}'" for t, _ in _LIC_PATS)
+    + " ELSE 'none' END"
+)
+_LIC_RESTRICT_SQL = ", ".join(f"'{t}'" for t in _LIC_RESTRICT)
+
+_LIC_FIXTURE_SQL = """
+    u AS (
+      SELECT doc_id AS id,
+             text || CASE doc_id % 9
+               WHEN 0 THEN ' Licensed under CC-BY 4.0.'
+               WHEN 1 THEN ' licensed cc-by-sa 3.0'
+               WHEN 2 THEN ' CC-BY-NC restricted use'
+               WHEN 3 THEN ' This work is in the public domain.'
+               WHEN 4 THEN ' Released under the MIT License.'
+               WHEN 5 THEN ' Apache License, Version 2.0'
+               WHEN 6 THEN ' GNU General Public License v3'
+               WHEN 7 THEN ' All Rights Reserved.'
+               ELSE '' END AS text
+      FROM documents)
+"""
+
+
+@register(
+    "text_license_tags",
+    oracle=f"""
+    WITH {_LIC_FIXTURE_SQL},
+    l AS (SELECT id, lower(coalesce(text, '')) AS low FROM u),
+    f AS (SELECT id,
+             {_LIC_BOOLS_SQL}
+          FROM l),
+    lab AS (SELECT *, {_LIC_CASE_SQL} AS license FROM f)
+    SELECT *, license NOT IN ({_LIC_RESTRICT_SQL}) AS keep_for_training
+    FROM lab ORDER BY id
+    """,
+)
+def text_license_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-marker detection + permissive-only keep verdict
+    (`text_analysis.license_tags`, The Stack-style license gate) over a
+    fixture appending one marker sentence per doc_id % 9 class: honest
+    substring booleans per family, a most-restrictive-first label, and
+    keep = not NC / all-rights-reserved.  Scan-level regexps only; the
+    SQL twin is GENERATED from the same pattern constants the operator
+    compiles, so the two engines cannot drift."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import license_tags
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    marker = (
+        F.when(d % 9 == 0, F.lit(" Licensed under CC-BY 4.0."))
+        .when(d % 9 == 1, F.lit(" licensed cc-by-sa 3.0"))
+        .when(d % 9 == 2, F.lit(" CC-BY-NC restricted use"))
+        .when(d % 9 == 3, F.lit(" This work is in the public domain."))
+        .when(d % 9 == 4, F.lit(" Released under the MIT License."))
+        .when(d % 9 == 5, F.lit(" Apache License, Version 2.0"))
+        .when(d % 9 == 6, F.lit(" GNU General Public License v3"))
+        .when(d % 9 == 7, F.lit(" All Rights Reserved."))
+        .otherwise(F.lit(""))
+    )
+    u = docs.select(d.alias("id"), F.concat("text", marker).alias("text"))
+    return license_tags(u, "id", "text").orderBy("id")

@@ -4134,3 +4134,33 @@ class TestClusterKeepBest:
         assert out[4].is_kept and out[5].kept_id == 4
         # singleton keeps itself
         assert out[9].is_kept and out[9].kept_score == 0
+
+
+class TestLicenseTags:
+    def test_priority_and_keep(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import license_tags
+
+        df = spark.createDataFrame(
+            [
+                (1, "shared under CC-BY-NC terms"),   # trips cc_by too
+                (2, "shared under CC-BY 4.0"),
+                (3, "this is public domain text"),
+                (4, "plain prose, no markers"),
+                (5, None),
+                (6, "All Rights Reserved. Also CC-BY."),  # restrictive wins
+                (7, "built with gplv3 tooling"),  # \bgpl\b does NOT match
+                (8, "under the GPL license"),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in license_tags(df, "id", "text").collect()}
+        assert out[1].license == "cc_by_nc" and out[1].has_cc_by
+        assert not out[1].keep_for_training
+        assert out[2].license == "cc_by" and out[2].keep_for_training
+        assert out[3].license == "cc0"
+        assert out[4].license == "none" and out[4].keep_for_training
+        assert out[5].license == "none" and out[5].keep_for_training
+        assert out[6].license == "all_rights_reserved"
+        assert not out[6].keep_for_training and out[6].has_cc_by
+        assert out[7].license == "none" and not out[7].has_gpl
+        assert out[8].license == "gpl" and out[8].keep_for_training
