@@ -930,3 +930,83 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 6
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, the classic
+    2-approximation): seed with the lowest id, then repeatedly select the
+    point FARTHEST (squared L2) from the already-selected set — the
+    facility-location-style diversity pass a DataComp-shaped curation
+    pipeline runs to pick maximally-spread exemplars (dedup prototypes,
+    eval probes, balanced fine-tuning seeds).
+
+    Deterministic and engine-replayable by the same conventions as the
+    trained IVF/PQ paths: every dot product is a sequential left-to-right
+    float64 fold (`fold_dot` ≡ DuckDB ``list_dot_product``), squared
+    distance composes as ``(v·v − 2·v·s) + s·s`` in that exact order, and
+    argmax ties break to the lowest id.  The oracle unrolls all k
+    iterations as CTE stages.
+
+    Scale shape: the selected set is k-sized (literal expressions in the
+    plan — `_dot_lit_sql`, one py4j string per iteration), each iteration
+    is ONE corpus scan ending in a 1-row max(struct) aggregate, and the
+    corpus norm column ``vv`` is computed once.  k driver actions total,
+    each collecting ONE row; the corpus never rides the driver.
+
+    Returns (sel_rank, vec_id, radius_r6): the selection order and the
+    point's distance to the prior selected set at selection time (the
+    covering-radius sequence; NULL for the seed)."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        _dot_lit_sql,
+        _dvec,
+    )
+
+    c = (
+        df.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+        .withColumn("vv", fold_dot(F.col("v"), F.col("v")))
+        .persist()
+    )
+    try:
+        seed = c.orderBy("id").limit(1).collect()[0]
+        selected = [(seed.id, list(seed.v), float(seed.vv))]
+        out = [(1, int(seed.id), None)]
+        for i in range(2, k + 1):
+            dists = [
+                F.expr(
+                    f"(vv - 2.0D * {_dot_lit_sql('v', sv)}) + {svv!r}D"
+                )
+                for (_, sv, svv) in selected
+            ]
+            dist = F.least(*dists) if len(dists) > 1 else dists[0]
+            # exclude already-selected ids: when every remaining distance
+            # is 0 (duplicate vectors) the argmax must still pick a NEW
+            # point, not re-pick a selected one
+            sel_ids = [s[0] for s in selected]
+            m = c.filter(~F.col("id").isin(sel_ids)).select(
+                F.max(
+                    F.struct(
+                        dist.alias("d"),
+                        (-F.col("id")).alias("ni"),
+                        F.col("v").alias("vec"),
+                    )
+                ).alias("m")
+            ).collect()[0].m
+            picked_id = -int(m.ni)
+            selected.append((picked_id, list(m.vec), _seq_dot_py(m.vec)))
+            out.append((i, picked_id, round(float(m.d), 6)))
+    finally:
+        c.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "sel_rank int, vec_id long, radius_r6 double"
+    )
+
+
+def _seq_dot_py(v) -> float:
+    """Driver-side v·v as the same sequential fold (`fold_dot` twin)."""
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return acc

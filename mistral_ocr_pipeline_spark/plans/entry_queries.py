@@ -7922,3 +7922,62 @@ def text_license_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = docs.select(d.alias("id"), F.concat("text", marker).alias("text"))
     return license_tags(u, "id", "text").orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# greedy k-center coreset selection (operators/similarity.kcenter_select)
+# --------------------------------------------------------------------------
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolls all k greedy iterations as CTE stages: dist to the selected
+    set via min over a CROSS JOIN, argmax pick ORDER BY dist DESC, id —
+    every float op the same sequential fold the engine runs."""
+    parts = [
+        "c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,"
+        " list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv"
+        " FROM embeddings)",
+        "sel1 AS (SELECT 1 AS r, id, v, vv FROM c ORDER BY id LIMIT 1)",
+    ]
+    union = [
+        "SELECT r AS sel_rank, id AS vec_id, NULL::DOUBLE AS radius_r6"
+        " FROM sel1"
+    ]
+    prev = "sel1"
+    for i in range(2, k + 1):
+        parts.append(
+            f"d{i} AS (SELECT c.id,"
+            " min(c.vv - 2 * list_dot_product(c.v, s.v) + s.vv) AS dist"
+            f" FROM c CROSS JOIN {prev} s GROUP BY c.id)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT d.id, c.v, c.vv, d.dist"
+            f" FROM d{i} d JOIN c USING (id)"
+            f" WHERE d.id NOT IN (SELECT id FROM {prev})"
+            " ORDER BY d.dist DESC, d.id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT * FROM {prev}"
+            f" UNION ALL SELECT {i}, id, v, vv FROM p{i})"
+        )
+        union.append(f"SELECT {i}, id, round(dist, 6) FROM p{i}")
+        prev = f"sel{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + " UNION ALL ".join(union)
+        + " ORDER BY sel_rank"
+    )
+
+
+@register("coreset_kcenter", oracle=_kcenter_oracle_sql(6))
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection (`similarity.kcenter_select`,
+    Gonzalez 2-approx) over the embeddings table, k=6: min-id seed, then
+    argmax-of-min-squared-L2 picks with lowest-id ties, radii reported at
+    selection time.  The oracle unrolls all six iterations as CTE stages
+    with the same sequential-fold float semantics (fold_dot ≡
+    list_dot_product) the trained IVF/PQ oracles rely on."""
+    from mistral_ocr_pipeline_spark.operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, "vec_id", "embedding", k=6).orderBy("sel_rank")

@@ -4164,3 +4164,31 @@ class TestLicenseTags:
         assert not out[6].keep_for_training and out[6].has_cc_by
         assert out[7].license == "none" and not out[7].has_gpl
         assert out[8].license == "gpl" and out[8].keep_for_training
+
+
+class TestKCenter:
+    def test_hand_computed_1d(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import kcenter_select
+
+        # 1-D points at integer coordinates: 0, 1, 10, 5, 9
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [5.0]), (5, [9.0])],
+            "id long, vec array<double>",
+        )
+        out = [(r.sel_rank, r.vec_id, r.radius_r6)
+               for r in kcenter_select(df, "id", "vec", k=4).collect()]
+        # seed=min id (1 at 0); farthest=3 (d=100); then 4 (min(25,25)=25);
+        # then ids 2 and 5 tie at min-dist 1.0 -> lowest id 2
+        assert out == [(1, 1, None), (2, 3, 100.0), (3, 4, 25.0), (4, 2, 1.0)]
+
+    def test_duplicate_vectors_never_block(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [0.0]), (3, [2.0])],
+            "id long, vec array<double>",
+        )
+        out = [(r.sel_rank, r.vec_id) for r in
+               kcenter_select(df, "id", "vec", k=3).collect()]
+        # after {1,3} every remaining dist is 0 -> lowest id picks (id 2)
+        assert out == [(1, 1), (2, 3), (3, 2)]
