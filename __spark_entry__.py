@@ -38,6 +38,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "sketch_kmv_overlap",      # r5: KMV corpus-overlap estimate, value-oracled
+    "sketch_kmv_distinct",     # r5: bottom-k distinct sketch, estimate oracled
+    "dedup_ngram_containment", # r5: asymmetric short-in-long containment pairs
+    "coreset_kcenter",         # r5: greedy k-center coreset, engine-replayed
+    "text_license_tags",       # r5: license-marker detect + permissive keep gate
+    "neardup_keep_best",       # r5: argmax-quality canonical per near-dup cluster
+    "text_soft_dedup_weights", # r5: SoftDeDup commonness reweighting
+    "url_dedup_latest",        # r5: recrawl dedup, latest-fetch canonical
+    "url_canonicalize",        # r5: URL canonicalization, pure expressions
+    "url_domain_stats",        # r5: per-domain health rollup
+    "dedup_keep_best",         # r5: quality-aware exact dedup canonical
     "quality_mix_pipeline",    # r5: NB-gated temperature mix, one plan, full oracle
     "ann_jl_refine_topk",      # r5: orthonormal JL prefilter + exact refine
     "ann_jl_recall",           # r5: JL recall claim, floor 0.6 (min 0.8 both SFs)

@@ -156,6 +156,11 @@ def main() -> None:
         "sketch_countmin",
         "text_ngram_novelty",
         "sample_cluster_balanced",
+        "url_dedup_latest",
+        "text_soft_dedup_weights",
+        "coreset_kcenter",
+        "sketch_kmv_overlap",
+        "dedup_ngram_containment",
         "j2_fuzzy_best_match",
         "pricing_summary",
         "w6_stable_turn_ordering",

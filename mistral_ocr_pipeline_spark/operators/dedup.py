@@ -501,6 +501,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs: (id_a, id_b, shared, containment_a,
+    containment_b) for every pair sharing ≥1 n-gram where
+    max(containment) ≥ ``threshold``, with containment_x =
+    |grams(A)∩grams(B)| / |grams(X)|.
+
+    Jaccard misses the short-inside-long case — a tweet quoted verbatim
+    inside a long article scores near-zero Jaccard but containment 1.0
+    on the short side.  That directional signal is what quote/boilerplate
+    curation needs (Broder 1997's "containment" resemblance twin).
+
+    Shape: identical skeleton to ``substring_overlap_pairs`` — gram-hash
+    bounded-bucket blocking (a million-way boilerplate gram caps at
+    ``max_bucket``, surfaced via ``bucket_truncated``), pair fan-out
+    within buckets, then exact set math on two fresh shingle branches.
+    The ratios are size-joined divisions, so a 100 TB corpus never moves
+    gram text — only 8-byte hashes and id pairs."""
+    sets = shingle_sets(df, id_col, text_col, n)
+    grams = sets.select("id", F.explode("sh").alias("g"))
+    buckets = _bounded_bucket_collect(
+        grams, ["g"], F.col("id"), F.col("id"), max_bucket, "ids"
+    )
+    buckets = _observe_caps(buckets, observation).filter(F.size("ids") > 1)
+    pairs = (
+        buckets.select(
+            F.explode(_pairs_from_sorted("ids")).alias("p"), "bucket_truncated"
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
+    )
+    vsets = shingle_sets(df, id_col, text_col, n)
+    a, b = vsets.alias("a"), vsets.alias("b")
+    shared = F.size(F.array_intersect("a.sh", "b.sh")).cast("long")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("a.id"))
+        .join(b, pairs["id_b"] == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            shared.alias("shared"),
+            (shared / F.greatest(F.size("a.sh"), F.lit(1))).alias(
+                "containment_a"
+            ),
+            (shared / F.greatest(F.size("b.sh"), F.lit(1))).alias(
+                "containment_b"
+            ),
+            "bucket_truncated",
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -317,3 +317,115 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
     return df.join(per_key, key_col, "left")
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / theta) distinct sketch — mergeable, cross-engine exact
+# --------------------------------------------------------------------------
+_KMV_SCALE = float(1 << 52)  # hash space size; 52-bit md5 prefix
+
+
+def _kmv_hash(key: F.Column, salt: str) -> F.Column:
+    """52-bit big-endian md5 prefix of ``salt || ':' || key`` as a long —
+    exact DuckDB twin: ``('0x' || substring(md5(s), 1, 13))::UBIGINT``.
+    52 bits keep the value exactly representable in a double, so the
+    (k-1)/theta estimate is bit-identical across engines."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """Bottom-k (KMV / theta) distinct sketch: the ``k`` smallest distinct
+    52-bit hashes of ``key_col`` as rows ``(h: long)``.
+
+    The 100 TB shape: the distinct collapses map-side (partial hash
+    aggregate over 8-byte digests, never the raw values), and the ordered
+    ``limit(k)`` is a TakeOrdered — each task forwards at most ``k``
+    longs, so the driver merge is O(partitions · k), independent of
+    corpus size.  Sketches are MERGEABLE by construction (bottom-k of a
+    union of bottom-k sets == bottom-k of the union), so per-shard
+    sketches stored in a stats table answer "distinct across any shard
+    subset" without rescanning data — see ``kmv_merge`` and the
+    union/intersection estimators below.  Unlike HLL the sketch content
+    is deterministic and engine-portable (pure md5), so estimates —
+    not just error-envelope claims — value-oracle across engines."""
+    return (
+        df.select(_kmv_hash(F.col(key_col), salt).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two KMV sketches (union of hash sets → bottom-k).  Exactly
+    the sketch of the concatenated inputs — the mergeability law pinned
+    by tests/test_ops.py."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """1-row ``(n_sketch, kth_hash, est_distinct)`` from a KMV sketch.
+
+    If the sketch holds fewer than ``k`` hashes it IS the distinct set
+    (estimate exact); otherwise D ≈ (k-1)/theta with theta =
+    kth_smallest / 2^52 — the classic KMV unbiased estimator (Bar-Yossef
+    et al. 2002), relative error ~1/sqrt(k-2)."""
+    return sketch.agg(
+        F.count("h").alias("n_sketch"), F.max("h").alias("kth_hash")
+    ).select(
+        "n_sketch",
+        "kth_hash",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / F.col("kth_hash")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_intersection(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """1-row union/intersection/Jaccard estimate from two KMV sketches —
+    corpus-overlap measurement (train-vs-eval contamination rate,
+    crawl-vs-crawl novelty) WITHOUT ever joining the corpora: only two
+    k-row sketches meet.
+
+    K = bottom-k of the union of the two hash sets; |A∪B| est from K's
+    kth hash; ρ = fraction of K present in BOTH sketches estimates
+    Jaccard; |A∩B| ≈ ρ · |A∪B| (Beyer et al. 2007).  All driver-free:
+    the sketches broadcast, the memberships are two tiny joins."""
+    union = kmv_merge(a, b, k)
+    in_both = (
+        union.join(a.select(F.col("h").alias("h")), "h")
+        .join(b.select(F.col("h").alias("h")), "h")
+        .agg(F.count("h").alias("in_both"))
+    )
+    stats = union.agg(
+        F.count("h").alias("n_union_sketch"), F.max("h").alias("kth_hash")
+    )
+    uest = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / F.col("kth_hash"))
+    return (
+        stats.crossJoin(F.broadcast(in_both))
+        .select(
+            "n_union_sketch",
+            "kth_hash",
+            "in_both",
+            uest.alias("union_est"),
+            (F.col("in_both") * uest / F.col("n_union_sketch")).alias(
+                "inter_est"
+            ),
+            (
+                F.col("in_both").cast("double") / F.col("n_union_sketch")
+            ).alias("jaccard_est"),
+        )
+    )

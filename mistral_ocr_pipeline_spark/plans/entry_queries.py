@@ -7981,3 +7981,229 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kcenter_select(emb, "vec_id", "embedding", k=6).orderBy("sel_rank")
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k sketch family (operators/sketches.kmv_*)
+# --------------------------------------------------------------------------
+_KMV_HASH_SQL = "('0x' || substring(md5('kmv:' || gram), 1, 13))::UBIGINT::BIGINT"
+_KMV_GRAMS_SQL = (
+    "w AS (SELECT string_split(" + _KEY.format(c="text") + ", ' ') AS ws"
+    " FROM documents {where}),\n"
+    "    g AS (SELECT DISTINCT unnest(list_transform("
+    " generate_series(1, len(ws) - 2),"
+    " i -> array_to_string(ws[i:i+2], ' '))) AS gram"
+    " FROM w WHERE len(ws) >= 3)"
+)
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH {_KMV_GRAMS_SQL.format(where="")},
+    h AS (SELECT DISTINCT {_KMV_HASH_SQL} AS h FROM g),
+    sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    st AS (SELECT count(*)::BIGINT AS n_sketch, max(h) AS kth_hash FROM sk),
+    ex AS (SELECT count(*)::BIGINT AS exact_distinct FROM h),
+    est AS (
+      SELECT n_sketch, kth_hash, exact_distinct,
+             CASE WHEN n_sketch < 256 THEN n_sketch::DOUBLE
+                  ELSE 1148417904979476480.0::DOUBLE / kth_hash END AS e
+      FROM st CROSS JOIN ex)
+    SELECT 256 AS k, n_sketch, kth_hash,
+           round(e, 6) AS est_distinct_r6,
+           exact_distinct,
+           round(abs(e - exact_distinct) / exact_distinct, 6) AS rel_err_r6
+    FROM est
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (`sketches.kmv_sketch`) over the
+    corpus's distinct normalized 3-gram strings, k=256: the estimate
+    itself — not just an error-envelope claim — value-oracles, because
+    the sketch content is deterministic md5 (unlike HLL).  The exact
+    distinct count rides along so the relative error is a hash-matched
+    fact.  Scale shape: distinct collapses map-side over 8-byte digests;
+    the TakeOrdered(k) moves ≤k longs per task."""
+    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # the distinct-gram set feeds both the sketch and the exact witness —
+    # persist the boundary so the shingle+distinct runs once
+    g = (
+        shingle_sets(docs, "doc_id", "text", 3, hashed=False)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+        .persist()
+    )
+    est = kmv_estimate(kmv_sketch(g, "gram", k=256, salt="kmv"), k=256)
+    exact = g.agg(F.count("gram").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(256).alias("k"),
+        "n_sketch",
+        "kth_hash",
+        F.round("est_distinct", 6).alias("est_distinct_r6"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err_r6"),
+    )
+
+
+@register(
+    "sketch_kmv_overlap",
+    oracle=f"""
+    WITH {_KMV_GRAMS_SQL.format(where="WHERE doc_id % 2 = 0")},
+    {_KMV_GRAMS_SQL.format(where="WHERE doc_id % 2 = 1").replace("w AS", "w2 AS").replace("g AS", "g2 AS").replace("FROM w WHERE", "FROM w2 WHERE")},
+    ha AS (SELECT DISTINCT {_KMV_HASH_SQL} AS h FROM g),
+    hb AS (SELECT DISTINCT {_KMV_HASH_SQL} AS h FROM g2),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    un AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+           ORDER BY h LIMIT 256),
+    st AS (SELECT count(*)::BIGINT AS n_union_sketch, max(h) AS kth_hash
+           FROM un),
+    ib AS (SELECT count(*)::BIGINT AS in_both
+           FROM un JOIN ska USING (h) JOIN skb USING (h)),
+    ex AS (
+      SELECT (SELECT count(*) FROM ha)::BIGINT AS na,
+             (SELECT count(*) FROM hb)::BIGINT AS nb,
+             (SELECT count(*) FROM ha JOIN hb USING (h))::BIGINT AS ni),
+    est AS (
+      SELECT n_union_sketch, kth_hash, in_both, na, nb, ni,
+             CASE WHEN n_union_sketch < 256 THEN n_union_sketch::DOUBLE
+                  ELSE 1148417904979476480.0::DOUBLE / kth_hash END AS ue
+      FROM st CROSS JOIN ib CROSS JOIN ex)
+    SELECT 256 AS k, n_union_sketch, in_both,
+           round(ue, 6) AS union_est_r6,
+           round(in_both * ue / n_union_sketch, 6) AS inter_est_r6,
+           round(in_both::DOUBLE / n_union_sketch, 6) AS jaccard_est_r6,
+           round(ni::DOUBLE / (na + nb - ni), 6) AS exact_jaccard_r6
+    FROM est
+    """,
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation from two KMV sketches
+    (`sketches.kmv_intersection`): even-doc_id vs odd-doc_id halves of
+    the corpus as stand-in train/eval corpora, 3-gram basis, k=256.
+    Union/intersection/Jaccard estimates meet ONLY at two 256-row
+    sketches — the corpora themselves are never joined — and the exact
+    Jaccard rides along as the hash-matched accuracy witness.  The
+    train-vs-eval contamination-RATE monitor that complements exact
+    per-doc decontam (`decontam_pipeline`): this one costs O(k) per
+    corpus snapshot and is incrementally mergeable."""
+    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.sketches import (
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def grams(pred):
+        return shingle_sets(
+            docs.filter(pred), "doc_id", "text", 3, hashed=False
+        ).select(F.explode("sh").alias("gram"))
+
+    # each half's distinct-gram set feeds THREE consumers (its sketch, its
+    # exact count, the exact intersection) — persist the stage boundary so
+    # the shingle+distinct runs once per half, not per consumer; feeding
+    # the sketch from the distinct set is value-identical (kmv_sketch
+    # distincts the hashes anyway)
+    na = grams(F.col("doc_id") % 2 == 0).distinct().persist()
+    nb = grams(F.col("doc_id") % 2 == 1).distinct().persist()
+    ska = kmv_sketch(na, "gram", k=256, salt="kmv")
+    skb = kmv_sketch(nb, "gram", k=256, salt="kmv")
+    est = kmv_intersection(ska, skb, k=256)
+    exact = (
+        na.agg(F.count("gram").alias("na"))
+        .crossJoin(nb.agg(F.count("gram").alias("nb")))
+        .crossJoin(
+            na.join(nb, "gram").agg(F.count("gram").alias("ni"))
+        )
+        .select(
+            F.round(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6
+            ).alias("exact_jaccard_r6")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(256).alias("k"),
+        "n_union_sketch",
+        "in_both",
+        F.round("union_est", 6).alias("union_est_r6"),
+        F.round("inter_est", 6).alias("inter_est_r6"),
+        F.round("jaccard_est", 6).alias("jaccard_est_r6"),
+        "exact_jaccard_r6",
+    )
+
+
+# --------------------------------------------------------------------------
+# asymmetric n-gram containment (operators/dedup.ngram_containment_pairs)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string((string_split({_KEY.format(c="text")}, ' '))[1:12], ' ')
+      FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT id, string_split({_KEY.format(c="text")}, ' ') AS ws FROM u),
+    g AS (
+      SELECT id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i:i+2], ' ')))) AS gram
+      FROM t WHERE len(ws) >= 3),
+    sizes AS (SELECT id, count(*)::BIGINT AS n FROM g GROUP BY id),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, shared,
+           round(shared::DOUBLE / sa.n, 6) AS containment_a_r6,
+           round(shared::DOUBLE / sb.n, 6) AS containment_b_r6,
+           FALSE AS bucket_truncated
+    FROM p JOIN sizes sa ON sa.id = p.id_a
+           JOIN sizes sb ON sb.id = p.id_b
+    WHERE greatest(shared::DOUBLE / sa.n, shared::DOUBLE / sb.n) >= 0.8
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (`dedup.ngram_containment_pairs`):
+    every 10th doc gets a 12-word-prefix excerpt clone — near-zero
+    Jaccard against its source (short ∩ long over a big union) but
+    containment ≈1.0 on the excerpt side, the exact case Jaccard-only
+    dedup ships to training twice.  Threshold 0.8 on max(containment);
+    the oracle replays blocking-free exact set math (buckets are far
+    below the cap on this corpus, so truncation is provably FALSE)."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpt = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(norm_key_col(F.col("text")), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    u = docs.unionByName(excerpt)
+    out = ngram_containment_pairs(u, "doc_id", "text", n=3, threshold=0.8)
+    return out.select(
+        "id_a",
+        "id_b",
+        "shared",
+        F.round("containment_a", 6).alias("containment_a_r6"),
+        F.round("containment_b", 6).alias("containment_b_r6"),
+        "bucket_truncated",
+    )

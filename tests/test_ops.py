@@ -4192,3 +4192,124 @@ class TestKCenter:
                kcenter_select(df, "id", "vec", k=3).collect()]
         # after {1,3} every remaining dist is 0 -> lowest id picks (id 2)
         assert out == [(1, 1), (2, 3), (3, 2)]
+
+
+class TestKMVSketch:
+    def _df(self, spark, keys):
+        return spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def test_small_set_is_exact(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        df = self._df(spark, [f"x{i}" for i in range(10)] * 3)  # dups collapse
+        est = kmv_estimate(kmv_sketch(df, "key", k=64), k=64).collect()[0]
+        assert est.n_sketch == 10
+        assert est.est_distinct == 10.0  # sketch below k -> exact
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        a = self._df(spark, [f"a{i}" for i in range(200)])
+        b = self._df(spark, [f"b{i}" for i in range(150)] + ["a0", "a1"])
+        u = a.unionByName(b)
+        k = 32
+        merged = sorted(r.h for r in
+                        kmv_merge(kmv_sketch(a, "key", k=k),
+                                  kmv_sketch(b, "key", k=k), k=k).collect())
+        direct = sorted(r.h for r in kmv_sketch(u, "key", k=k).collect())
+        assert merged == direct  # mergeability law: bottom-k is a lattice
+
+    def test_estimate_within_kmv_error_bound(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        n, k = 5000, 256
+        df = self._df(spark, [f"key-{i}" for i in range(n)])
+        est = kmv_estimate(kmv_sketch(df, "key", k=k), k=k).collect()[0]
+        # 5-sigma envelope of the (k-1)/theta estimator's ~1/sqrt(k-2) rse
+        assert abs(est.est_distinct - n) / n < 5 / (k - 2) ** 0.5
+
+    def test_intersection_estimates_jaccard(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import (
+            kmv_intersection,
+            kmv_sketch,
+        )
+
+        shared = [f"s{i}" for i in range(1000)]
+        a = self._df(spark, shared + [f"a{i}" for i in range(1000)])
+        b = self._df(spark, shared + [f"b{i}" for i in range(1000)])
+        k = 256
+        out = kmv_intersection(
+            kmv_sketch(a, "key", k=k), kmv_sketch(b, "key", k=k), k=k
+        ).collect()[0]
+        # true union 3000, intersection 1000, jaccard 1/3
+        assert abs(out.union_est - 3000) / 3000 < 0.35
+        assert abs(out.jaccard_est - 1 / 3) < 0.15
+        assert abs(out.inter_est - 1000) / 1000 < 0.5
+
+    def test_null_keys_ignored(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sketches import kmv_sketch
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "key string"
+        )
+        assert kmv_sketch(df, "key", k=8).count() == 2
+
+
+class TestNgramContainment:
+    def test_excerpt_inside_long_doc(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        long_text = " ".join(f"word{i}" for i in range(60))
+        excerpt = " ".join(f"word{i}" for i in range(10))  # strict prefix
+        other = " ".join(f"zzz{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, long_text), (2, excerpt), (3, other)], "id long, text string"
+        )
+        rows = ngram_containment_pairs(
+            df, "id", "text", n=3, threshold=0.8
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.id_a, r.id_b) == (1, 2)
+        # excerpt: 10 words -> 8 trigrams, all inside the long doc
+        assert r.shared == 8
+        assert r.containment_b == 1.0
+        assert r.containment_a == 8 / 58  # jaccard would be ~0.14: invisible
+        assert not r.bucket_truncated
+
+    def test_threshold_filters_weak_overlap(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        a = " ".join(f"w{i}" for i in range(20))
+        b = " ".join(f"w{i}" for i in range(5)) + " " + " ".join(
+            f"q{i}" for i in range(30)
+        )
+        df = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+        # shared trigrams = 3 of (a:18, b:33) -> max containment 1/6 < 0.5
+        assert (
+            ngram_containment_pairs(df, "id", "text", n=3, threshold=0.5).count()
+            == 0
+        )
+
+    def test_direction_is_reported_both_ways(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        t = " ".join(f"tok{i}" for i in range(12))
+        df = spark.createDataFrame([(7, t), (9, t)], "id long, text string")
+        r = ngram_containment_pairs(df, "id", "text", n=3, threshold=0.9).collect()[0]
+        assert r.containment_a == 1.0 and r.containment_b == 1.0
