@@ -1551,7 +1551,12 @@ def ngram_novelty(
     from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
 
     sets = shingle_sets(df, id_col, text_col, n, hashed=True, hash_basis="md5")
-    grams = sets.select("id", F.explode("sh").alias("g"))
+    # the gram stream feeds TWO shuffles (doc-frequency groupBy and the
+    # join-back) whose exchanges don't canonicalize to one (different
+    # column sets), so without a boundary the md5 shingle of every
+    # document runs twice; persist the (id, digest) rows once — the same
+    # multi-read-stage rule the DSIR/NB composites follow
+    grams = sets.select("id", F.explode("sh").alias("g")).persist()
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         grams.join(dfreq, "g")
@@ -1607,7 +1612,12 @@ def soft_dedup_weights(
     from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
 
     sets = shingle_sets(df, id_col, text_col, n, hashed=True, hash_basis="md5")
-    grams = sets.select("id", F.explode("sh").alias("g"))
+    # the gram stream feeds TWO shuffles (doc-frequency groupBy and the
+    # join-back) whose exchanges don't canonicalize to one (different
+    # column sets), so without a boundary the md5 shingle of every
+    # document runs twice; persist the (id, digest) rows once — the same
+    # multi-read-stage rule the DSIR/NB composites follow
+    grams = sets.select("id", F.explode("sh").alias("g")).persist()
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         grams.join(dfreq, "g")
