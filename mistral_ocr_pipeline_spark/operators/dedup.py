@@ -506,28 +506,39 @@ def ngram_containment_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
+    block_n: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 64,
     observation: Observation | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment pairs: (id_a, id_b, shared, containment_a,
-    containment_b) for every pair sharing ≥1 n-gram where
-    max(containment) ≥ ``threshold``, with containment_x =
-    |grams(A)∩grams(B)| / |grams(X)|.
+    containment_b) for every candidate pair where max(containment) ≥
+    ``threshold``, with containment_x = |grams(A)∩grams(B)| / |grams(X)|
+    over word ``n``-grams.
 
     Jaccard misses the short-inside-long case — a tweet quoted verbatim
     inside a long article scores near-zero Jaccard but containment 1.0
     on the short side.  That directional signal is what quote/boilerplate
     curation needs (Broder 1997's "containment" resemblance twin).
 
-    Shape: identical skeleton to ``substring_overlap_pairs`` — gram-hash
-    bounded-bucket blocking (a million-way boilerplate gram caps at
+    Candidates are pairs sharing ≥1 ``block_n``-word span (default 8 —
+    the verbatim-reuse criterion containment exists for), NOT ≥1
+    ``n``-gram: blocking on trigrams floods the bucket fan-out with
+    every pair of docs that reuse one common phrase (measured 13× the
+    runtime at sf0.1 for identical confirmed pairs), while an 8-word
+    block key is rare by construction.  A containment pair with high
+    scattered-trigram overlap but NO shared ``block_n`` span is out of
+    scope by design — that shape is MinHash/Jaccard territory
+    (``minhash_lsh_pairs``).
+
+    Shape: identical skeleton to ``substring_overlap_pairs`` — span-hash
+    bounded-bucket blocking (a million-way boilerplate span caps at
     ``max_bucket``, surfaced via ``bucket_truncated``), pair fan-out
-    within buckets, then exact set math on two fresh shingle branches.
-    The ratios are size-joined divisions, so a 100 TB corpus never moves
-    gram text — only 8-byte hashes and id pairs."""
-    sets = shingle_sets(df, id_col, text_col, n)
-    grams = sets.select("id", F.explode("sh").alias("g"))
+    within buckets, then exact ``n``-gram set math on two fresh shingle
+    branches.  The ratios are size-joined divisions, so a 100 TB corpus
+    never moves gram text — only 8-byte hashes and id pairs."""
+    blocks = shingle_sets(df, id_col, text_col, block_n)
+    grams = blocks.select("id", F.explode("sh").alias("g"))
     buckets = _bounded_bucket_collect(
         grams, ["g"], F.col("id"), F.col("id"), max_bucket, "ids"
     )

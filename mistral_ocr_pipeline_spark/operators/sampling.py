@@ -688,3 +688,31 @@ def cluster_balanced_sample(
         .select("vec_id", "cell", cos.alias("cos_centroid"))
     )
     return sample_per_key(scored, "cell", "vec_id", per_cell_cap, salt=salt)
+
+
+def reservoir_sample(
+    df: DataFrame, id_col: str, k: int, salt: str = "rsv"
+) -> DataFrame:
+    """EXACT-k uniform sample without replacement — the distributed
+    reservoir: rank every row by md5(salt‖id) and keep the k smallest.
+
+    Equivalent in distribution to Vitter's Algorithm R for any fixed
+    salt-independent id set, but deterministic, rerun/partition-invariant,
+    and mergeable (the bottom-k lattice law again — per-shard reservoirs
+    union + re-cut to k EXACTLY reproduce the global reservoir, so daily
+    shards keep k-row summaries and any union of shards re-samples
+    without touching data).  `hash_sample` keeps a FRACTION (binomial
+    count); this keeps an exact count — the eval-set / human-review
+    budget shape ("exactly 10k docs for annotation").
+
+    Plan shape: TakeOrdered — each task forwards its local bottom-k
+    (id, hash) pairs, the driver merges p·k tiny rows; no global sort,
+    no window, no shuffle of the corpus."""
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ).alias("_rsv")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .orderBy("_rsv", "id")
+        .limit(k)
+    )

@@ -1010,3 +1010,60 @@ def _seq_dot_py(v) -> float:
     for x in v:
         acc += x * x
     return acc
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Chunk→document embedding aggregation: element-wise MEAN of each
+    key's chunk vectors, the standard late-chunking / passage-pooling
+    step before doc-level ANN or clustering (chunk with
+    `packing.chunk_text_tokens`, embed per chunk, pool here).
+
+    Returns (key, n_chunks, pooled: array<double>) — pooled[i] =
+    halfup(Σ_chunks round(v_i·1e6) / n) / 1e6, the half-away-from-zero
+    integer-micro-unit mean.
+
+    Determinism at any parallelism: each component is micro-unit rounded
+    BEFORE the cross-chunk sum (the IVF-centroid trick), so the sum is
+    an ORDER-INDEPENDENT integer under every shuffle/partitioning —
+    stronger than a sequential fold, which would need a chunk-ordering
+    guarantee the operator would then have to enforce with a window.
+
+    Plan shape (100 TB): posexplode → map-side-combinable integer SUM
+    per (key, dim) → one shuffle keyed (key, dim) → per-key array
+    rebuild.  No windows, no collects; dim fan-out is a scan-side map;
+    a million-chunk doc costs one long per dim per partition."""
+    ex = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).select(
+        "key",
+        "i",
+        F.round(F.col("x") * F.lit(1000000.0), 0).cast("long").alias("xm"),
+    )
+    per_dim = ex.groupBy("key", "i").agg(
+        F.sum("xm").alias("sm"), F.count(F.lit(1)).alias("n")
+    )
+    # Half-away-from-zero mean in EXACT integer micro-units, then one
+    # identical int->double division: round(sm/n/1e6, 6) on doubles is
+    # engine-divergent at exact halves (Spark rounds the shortest
+    # decimal repr via BigDecimal.valueOf, DuckDB the raw binary), so
+    # the halfway case -0.0009895 splits.  Integer math never does.
+    m = F.expr(
+        "(CASE WHEN sm < 0 THEN -1 ELSE 1 END)"
+        " * ((abs(sm) * 2 + n) div (2 * n))"
+    )
+    val = m.cast("double") / F.lit(1000000.0)
+    return (
+        per_dim.select("key", "n", F.struct("i", val.alias("v")).alias("p"))
+        .groupBy("key")
+        .agg(
+            F.max("n").alias("n_chunks"),
+            F.transform(
+                F.sort_array(F.collect_list("p")), lambda s: s.getField("v")
+            ).alias("pooled"),
+        )
+    )

@@ -1694,3 +1694,58 @@ def license_tags(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
     return out.drop("_low").withColumn("license", label).withColumn(
         "keep_for_training", ~label.isin(*RESTRICTIVE_LICENSES)
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability gate a
+    kid-safe / textbook-style quality mix filters on (FineWeb-Edu-adjacent
+    signal that needs no model): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words).
+
+    Syllables use the standard vowel-group heuristic: count of [aeiouy]+
+    runs in the lowercased text, with consonant-only tokens (digits,
+    acronyms) counting 1 — computed as regexp_count + a list_filter
+    length, both pure Catalyst array/regex expressions (no explode: the
+    per-word minimum folds into ONE filtered-size term).  Sentences =
+    [.!?]+ runs, floored at 1.  Zero-word docs (empty/NULL text) survive
+    with NULL score.
+
+    Map-only — zero shuffles at any scale; all three counts come from
+    the same materialized token array, and the final score is a fixed
+    dyadic-rational affine of two exact-integer ratios rounded to 6 dp
+    (engine-identical)."""
+    lo = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(
+        F.split(F.trim(lo), r"\s+"), lambda t: t != F.lit("")
+    )
+    out = df.select(
+        F.col(id_col).alias("id"), lo.alias("_lo"), toks.alias("_toks")
+    )
+    words = F.size("_toks")
+    sentences = F.greatest(
+        F.regexp_count(F.col("_lo"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    vowel_groups = F.regexp_count(F.col("_lo"), F.lit(r"[aeiouy]+"))
+    no_vowel = F.size(
+        F.filter(F.col("_toks"), lambda t: ~t.rlike("[aeiouy]"))
+    )
+    syllables = vowel_groups + no_vowel
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return out.select(
+        "id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when(words > 0, F.round(score, 6)).alias("flesch_r6"),
+        F.when(words == 0, F.lit("empty"))
+        .when(score >= 70, F.lit("easy"))
+        .when(score >= 50, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    )

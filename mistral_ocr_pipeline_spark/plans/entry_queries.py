@@ -8157,6 +8157,15 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string((string_split({_KEY.format(c="text")}, ' '))[1:12], ' ')
       FROM documents WHERE doc_id % 10 = 0),
     t AS (SELECT id, string_split({_KEY.format(c="text")}, ' ') AS ws FROM u),
+    b AS (
+      SELECT id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 7),
+                 i -> array_to_string(ws[i:i+7], ' ')))) AS span
+      FROM t WHERE len(ws) >= 8),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM b a JOIN b b2 ON a.span = b2.span AND a.id < b2.id),
     g AS (
       SELECT id,
              unnest(list_distinct(list_transform(
@@ -8165,8 +8174,10 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t WHERE len(ws) >= 3),
     sizes AS (SELECT id, count(*)::BIGINT AS n FROM g GROUP BY id),
     p AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
-      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+      SELECT c.id_a, c.id_b, count(*)::BIGINT AS shared
+      FROM cand c
+      JOIN g ga ON ga.id = c.id_a
+      JOIN g gb ON gb.id = c.id_b AND gb.gram = ga.gram
       GROUP BY 1, 2)
     SELECT id_a, id_b, shared,
            round(shared::DOUBLE / sa.n, 6) AS containment_a_r6,
@@ -8183,8 +8194,10 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard against its source (short ∩ long over a big union) but
     containment ≈1.0 on the excerpt side, the exact case Jaccard-only
     dedup ships to training twice.  Threshold 0.8 on max(containment);
-    the oracle replays blocking-free exact set math (buckets are far
-    below the cap on this corpus, so truncation is provably FALSE)."""
+    candidates are pairs sharing an 8-word span (the operator's rare
+    block key — trigram blocking floods the fan-out at scale), and the
+    oracle replays the span blocking AND the trigram set math exactly
+    (buckets far below the cap here, so truncation is provably FALSE)."""
     from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
     from mistral_ocr_pipeline_spark.operators.dedup import (
         ngram_containment_pairs,
@@ -8207,3 +8220,121 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment_b", 6).alias("containment_b_r6"),
         "bucket_truncated",
     )
+
+
+# --------------------------------------------------------------------------
+# chunk->doc embedding mean-pooling (operators/similarity.mean_pool_embeddings)
+# --------------------------------------------------------------------------
+@register(
+    "embed_mean_pool",
+    oracle="""
+    WITH c AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    e AS (SELECT doc_id, i - 1 AS i,
+                 round(v[i] * 1000000.0)::BIGINT AS xm
+          FROM c, unnest(generate_series(1, len(v))) AS t(i)),
+    pd AS (SELECT doc_id, i, sum(xm)::BIGINT AS sm, count(*)::BIGINT AS n
+           FROM e GROUP BY 1, 2)
+    SELECT doc_id, n AS n_chunks, i,
+           ((CASE WHEN sm < 0 THEN -1 ELSE 1 END)
+            * ((abs(sm) * 2 + n) // (2 * n)))::DOUBLE / 1000000.0
+               AS pooled_r6
+    FROM pd
+    """,
+)
+def embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding mean-pooling
+    (`similarity.mean_pool_embeddings`): the embeddings table read as 4
+    chunk vectors per document (doc_id = vec_id div 4), pooled to one
+    doc vector each.  Per-component micro-unit rounding BEFORE the
+    cross-chunk sum makes the mean an order-independent integer fact
+    (the IVF-centroid trick), so the pooled values hash-match under any
+    partitioning.  Driver contract: the pooled array is flattened to
+    (doc_id, n_chunks, i, pooled_r6) scalar rows."""
+    from mistral_ocr_pipeline_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 4").alias("doc_id"), "embedding"
+    )
+    pooled = mean_pool_embeddings(emb, "doc_id", "embedding")
+    return pooled.select(
+        F.col("key").alias("doc_id"),
+        "n_chunks",
+        F.posexplode("pooled").alias("i", "pooled_r6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flesch readability (operators/text_analysis.readability_scores)
+# --------------------------------------------------------------------------
+@register(
+    "text_readability",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS lo
+               FROM documents),
+    tk AS (SELECT doc_id, lo,
+                  list_filter(string_split_regex(trim(lo), '\s+'),
+                              x -> x <> '') AS toks
+           FROM t),
+    m AS (SELECT doc_id,
+                 len(toks)::BIGINT AS w,
+                 greatest(len(regexp_extract_all(lo, '[.!?]+')), 1)::BIGINT
+                     AS s,
+                 (len(regexp_extract_all(lo, '[aeiouy]+'))
+                  + len(list_filter(toks,
+                        x -> NOT regexp_matches(x, '[aeiouy]'))))::BIGINT
+                     AS syl
+          FROM tk),
+    sc AS (SELECT doc_id, w, s, syl,
+                  206.835::DOUBLE - 1.015::DOUBLE * (w::DOUBLE / s::DOUBLE)
+                      - 84.6::DOUBLE * (syl::DOUBLE / w::DOUBLE) AS score
+           FROM m)
+    SELECT doc_id AS id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+           CASE WHEN w > 0 THEN round(score, 6) END AS flesch_r6,
+           CASE WHEN w = 0 THEN 'empty'
+                WHEN score >= 70 THEN 'easy'
+                WHEN score >= 50 THEN 'standard'
+                ELSE 'difficult' END AS band
+    FROM sc
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the documents table
+    (`text_analysis.readability_scores`): vowel-group syllable heuristic
+    with consonant-only tokens counting 1, [.!?]+ sentence runs floored
+    at 1, banding on the unrounded score.  Map-only, zero shuffles; the
+    oracle replays tokenization, all three counts, and the affine score
+    to 6 dp."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        readability_scores,
+    )
+
+    return readability_scores(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# exact-k reservoir sample (operators/sampling.reservoir_sample)
+# --------------------------------------------------------------------------
+@register(
+    "sample_reservoir",
+    oracle="""
+    SELECT o_orderkey AS id,
+           md5('rsv:' || o_orderkey::varchar) AS rank_hash
+    FROM orders
+    ORDER BY rank_hash, id
+    LIMIT 100
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic reservoir (`sampling.reservoir_sample`):
+    exactly 100 orders keyed by md5 rank — the annotation-budget shape
+    (`hash_sample` keeps a binomial fraction; this keeps an exact
+    count).  TakeOrdered plan: each task forwards its local bottom-k,
+    no corpus shuffle; per-shard reservoirs re-cut to the identical
+    global sample (lattice law, pinned in test_ops)."""
+    from mistral_ocr_pipeline_spark.operators.sampling import reservoir_sample
+
+    out = reservoir_sample(_t(spark, sf_dir, "orders"), "o_orderkey", k=100)
+    return out.select("id", F.col("_rsv").alias("rank_hash"))

@@ -4313,3 +4313,134 @@ class TestNgramContainment:
         df = spark.createDataFrame([(7, t), (9, t)], "id long, text string")
         r = ngram_containment_pairs(df, "id", "text", n=3, threshold=0.9).collect()[0]
         assert r.containment_a == 1.0 and r.containment_b == 1.0
+
+
+class TestReservoirSample:
+    def test_exact_k_and_deterministic(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            reservoir_sample,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a = reservoir_sample(df, "id", k=50).collect()
+        b = reservoir_sample(df, "id", k=50).collect()
+        assert len(a) == 50
+        assert sorted(r.id for r in a) == sorted(r.id for r in b)
+
+    def test_shard_reservoirs_recut_to_global(self, spark):
+        # The mergeability claim sample_reservoir's docstring pins:
+        # per-shard bottom-k unioned then re-cut == global bottom-k.
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            reservoir_sample,
+        )
+
+        full = spark.createDataFrame([(i,) for i in range(400)], "id long")
+        s1 = spark.createDataFrame([(i,) for i in range(0, 200)], "id long")
+        s2 = spark.createDataFrame([(i,) for i in range(200, 400)], "id long")
+        glob = sorted(r.id for r in reservoir_sample(full, "id", 30).collect())
+        merged = reservoir_sample(s1, "id", 30).unionByName(
+            reservoir_sample(s2, "id", 30)
+        )
+        recut = sorted(
+            r.id for r in merged.orderBy("_rsv", "id").limit(30).collect()
+        )
+        assert glob == recut
+
+    def test_salt_changes_sample(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            reservoir_sample,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a = {r.id for r in reservoir_sample(df, "id", 50, salt="x").collect()}
+        b = {r.id for r in reservoir_sample(df, "id", 50, salt="y").collect()}
+        assert a != b
+
+
+class TestMeanPoolEmbeddings:
+    def test_hand_computed(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            mean_pool_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (1, [3.0, 5.0]), (2, [0.5, -0.5])],
+            "key long, v array<double>",
+        )
+        rows = {
+            r.key: r for r in mean_pool_embeddings(df, "key", "v").collect()
+        }
+        assert rows[1].n_chunks == 2
+        assert rows[1].pooled == [2.0, 3.5]
+        assert rows[2].n_chunks == 1
+        assert rows[2].pooled == [0.5, -0.5]
+
+    def test_halfway_rounds_away_from_zero(self, spark):
+        # The exact case that split Spark/DuckDB when the mean was
+        # rounded on doubles: micro-sum -1979 over n=2 -> -989.5 micro,
+        # half-away-from-zero -> -990 -> -0.00099.
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            mean_pool_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [-0.000989]), (1, [-0.00099])], "key long, v array<double>"
+        )
+        r = mean_pool_embeddings(df, "key", "v").collect()[0]
+        assert r.pooled == [-0.00099]
+
+    def test_order_invariant_under_repartition(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            mean_pool_embeddings,
+        )
+
+        data = [(1, [0.1 * i, 0.3 * i + 0.05]) for i in range(1, 30)]
+        df = spark.createDataFrame(data, "key long, v array<double>")
+        a = mean_pool_embeddings(df, "key", "v").collect()[0]
+        b = mean_pool_embeddings(df.repartition(7), "key", "v").collect()[0]
+        assert a.pooled == b.pooled
+
+
+class TestReadabilityScores:
+    def test_hand_computed(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            readability_scores,
+        )
+
+        # "the cat sat. it ran!" -> 5 words, 2 sentences,
+        # vowel groups: e,a,a,i,a -> 5 syllables
+        df = spark.createDataFrame(
+            [(1, "the cat sat. it ran!")], "doc_id long, text string"
+        )
+        r = readability_scores(df, "doc_id").collect()[0]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+        expect = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+        assert abs(r.flesch_r6 - round(expect, 6)) < 1e-9
+        assert r.band == "easy"
+
+    def test_consonant_only_tokens_count_one_syllable(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            readability_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "xyz 123 ok")], "doc_id long, text string"
+        )
+        r = readability_scores(df, "doc_id").collect()[0]
+        # vowel groups: "o" in ok -> 1; consonant-only: xyz, 123 -> 2
+        assert r.n_syllables == 3
+        assert r.n_words == 3
+
+    def test_empty_and_null_survive(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            readability_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "a b")], "doc_id long, text string"
+        )
+        rows = {r.id: r for r in readability_scores(df, "doc_id").collect()}
+        assert len(rows) == 3
+        assert rows[1].flesch_r6 is None and rows[1].band == "empty"
+        assert rows[2].flesch_r6 is None and rows[2].band == "empty"
+        assert rows[3].band is not None
