@@ -38,6 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "embed_knn_classify",      # r5: kNN label propagation from a broadcast seed
+    "embed_outlier_centroid",  # r5: cos-to-centroid bottom-q outlier gate
+    "embed_mean_pool",         # r5: chunk->doc integer-micro-unit mean pooling
+    "text_readability",        # r5: Flesch reading-ease gate, map-only
+    "sample_reservoir",        # r5: exact-k deterministic reservoir (bottom-k)
     "sketch_kmv_overlap",      # r5: KMV corpus-overlap estimate, value-oracled
     "sketch_kmv_distinct",     # r5: bottom-k distinct sketch, estimate oracled
     "dedup_ngram_containment", # r5: asymmetric short-in-long containment pairs

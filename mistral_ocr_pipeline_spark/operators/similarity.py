@@ -1067,3 +1067,57 @@ def mean_pool_embeddings(
             ).alias("pooled"),
         )
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Embedding-space outlier flags: cosine of every vector to the
+    GLOBAL corpus centroid, bottom-``q`` quantile flagged — the cheap
+    embedding-sanity gate that catches encoder failures, empty-input
+    embeddings, and off-manifold noise before they poison clustering /
+    ANN / SemDeDup downstream.
+
+    Returns (id, cos_centroid_r6, thr_r6, is_outlier) with is_outlier =
+    cos ≤ the exact interpolated ``q``-quantile.
+
+    The centroid is `mean_pool_embeddings` under a constant key — the
+    half-away-from-zero integer-micro-unit mean, so its components (and
+    therefore every cosine) are engine-exact facts.  Threshold parity:
+    Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation rule (the a11 convention).
+
+    Plan shape: one (key,dim)-combinable integer aggregate for the
+    centroid + one 1-row quantile aggregate, both broadcast back — zero
+    driver actions, corpus scanned twice, never shuffled.  The exact
+    quantile gathers the cosine column on one reducer; at 100 TB swap
+    `F.percentile` for `F.percentile_approx` (t-digest, mergeable
+    partials) and keep everything else."""
+    centroid = (
+        mean_pool_embeddings(
+            df.select(F.lit(1).alias("_k"), F.col(vec_col)), "_k", vec_col
+        )
+        .select(F.col("pooled").alias("_c"))
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroid))
+        .select(
+            "id",
+            cosine_expr(
+                F.transform("_v", lambda x: x.cast("double")), F.col("_c")
+            ).alias("cos_centroid_r6"),
+        )
+    )
+    thr = scored.agg(
+        F.percentile(F.col("cos_centroid_r6"), F.lit(float(q))).alias("_thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "id",
+        "cos_centroid_r6",
+        F.round("_thr", 6).alias("thr_r6"),
+        (F.col("cos_centroid_r6") <= F.col("_thr")).alias("is_outlier"),
+    )

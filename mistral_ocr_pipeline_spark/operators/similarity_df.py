@@ -879,3 +879,122 @@ def jl_refine_topk(
         )
     )
     return _rank_topk(exact, k, "cosine", descending=True)
+
+
+def knn_classify(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised kNN label propagation from a small annotated seed
+    — the FineWeb-Edu-style classifier bootstrap: a few thousand human/
+    LLM-labeled documents assign labels to the whole corpus by cosine
+    kNN vote over embeddings.
+
+    Returns (id, pred_label, vote_r6, n_voters, k_used): top-``k``
+    labeled neighbours by 6-dp cosine (ties → lower neighbour id), label
+    weights summed in exact integer micro-units, argmax label (weight
+    ties → lexicographically smallest label).  Zero-norm vectors on
+    either side never vote; a row whose every candidate is filtered
+    predicts NULL with k_used 0.
+
+    Plan shape (100 TB): the seed rides the scan as ONE broadcast
+    array-of-structs row — score/sort/slice/vote are all per-row array
+    expressions, so there is NO pair materialization and NO shuffle at
+    any corpus size (contrast `brute_force_topk_df`, whose per-query
+    window shuffles |corpus|·|queries| pair rows).  Work per row is the
+    inherent |seed| dots + a |seed| sort + k² vote folds.  The seed is
+    bounded by the annotation budget, exactly what makes it
+    broadcastable."""
+    seed_row = labeled.select(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("long").alias("nid"),
+                F.col(label_col).cast("string").alias("lab"),
+                _dvec(F.col(vec_col)).alias("v"),
+            )
+        ).alias("_s0")
+    ).select(
+        F.transform(
+            "_s0",
+            lambda s: F.struct(
+                s["nid"].alias("nid"),
+                s["lab"].alias("lab"),
+                s["v"].alias("v"),
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(s["v"], s["v"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("sn"),
+            ),
+        ).alias("_seed")
+    )
+    unl = unlabeled.select(
+        F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("_v")
+    ).withColumn(
+        "_qn",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("_v", "_v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    scored = F.filter(
+        F.transform(
+            "_seed",
+            lambda s: F.struct(
+                F.when(
+                    (F.col("_qn") > 0) & (s["sn"] > 0),
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with(F.col("_v"), s["v"], lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("_qn") * s["sn"]),
+                        6,
+                    ),
+                ).alias("negc"),
+                s["nid"].alias("nid"),
+                s["lab"].alias("lab"),
+            ),
+        ),
+        lambda s: s["negc"].isNotNull(),
+    )
+    top = unl.crossJoin(F.broadcast(seed_row)).select(
+        "id", F.slice(F.array_sort(scored), 1, k).alias("_top")
+    )
+    wm = lambda t: F.round(-t["negc"] * F.lit(1000000.0), 0).cast("long")
+    voted = F.transform(
+        F.col("_top"),
+        lambda s: F.struct(
+            (
+                -F.aggregate(
+                    F.col("_top"),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc
+                    + F.when(t["lab"] == s["lab"], wm(t)).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                )
+            ).alias("negw"),
+            s["lab"].alias("lab"),
+        ),
+    )
+    best = F.array_min(voted)
+    return top.select(
+        "id",
+        best["lab"].alias("pred_label"),
+        ((-best["negw"]).cast("double") / F.lit(1000000.0)).alias("vote_r6"),
+        F.size(
+            F.filter(F.col("_top"), lambda t: t["lab"] == best["lab"])
+        ).alias("n_voters"),
+        F.size("_top").alias("k_used"),
+    )

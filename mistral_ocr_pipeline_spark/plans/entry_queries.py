@@ -8338,3 +8338,109 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = reservoir_sample(_t(spark, sf_dir, "orders"), "o_orderkey", k=100)
     return out.select("id", F.col("_rsv").alias("rank_hash"))
+
+
+# --------------------------------------------------------------------------
+# kNN label propagation from a small seed (similarity_df.knn_classify)
+# --------------------------------------------------------------------------
+@register(
+    "embed_knn_classify",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        label::VARCHAR AS lab
+                 FROM embeddings),
+    seed AS (SELECT vec_id AS nid, lab, v,
+                    sqrt(list_dot_product(v, v)) AS sn
+             FROM emb WHERE vec_id % 7 = 0),
+    unl AS (SELECT vec_id AS id, v, lab AS true_label,
+                   sqrt(list_dot_product(v, v)) AS qn
+            FROM emb WHERE vec_id % 7 <> 0),
+    p AS (SELECT u.id, u.true_label, s.nid, s.lab,
+                 round(list_dot_product(u.v, s.v) / (u.qn * s.sn), 6) AS c
+          FROM unl u CROSS JOIN seed s
+          WHERE u.qn > 0 AND s.sn > 0),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY id ORDER BY c DESC, nid) AS rk FROM p),
+    t AS (SELECT * FROM r WHERE rk <= 5),
+    w AS (SELECT id, true_label, lab,
+                 sum(CAST(round(c * 1000000.0) AS BIGINT)) AS wm,
+                 count(*)::BIGINT AS nv
+          FROM t GROUP BY 1, 2, 3),
+    b AS (SELECT *, row_number() OVER (
+              PARTITION BY id ORDER BY wm DESC, lab) AS brk FROM w)
+    SELECT id AS vec_id, lab AS pred_label, true_label,
+           (lab = true_label) AS agree,
+           wm::DOUBLE / 1000000.0 AS vote_r6, nv AS n_voters
+    FROM b WHERE brk = 1
+    """,
+)
+def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN label propagation
+    (`similarity_df.knn_classify`): a 1-in-7 labeled seed (the
+    annotation budget) assigns labels to the other six sevenths of the
+    embeddings table by cosine-5NN micro-unit-weighted vote; output
+    joins the held-out true label so per-row agreement is visible.  The
+    seed rides the scan as ONE broadcast array row — zero shuffles, no
+    pair materialization at any corpus size.  The oracle replays
+    pairing, 6-dp cosines, (c DESC, nid) top-5, integer micro votes,
+    and the (weight DESC, label ASC) argmax exactly."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 7 == 0)
+    unl = emb.filter(F.col("vec_id") % 7 != 0)
+    preds = knn_classify(unl, seed, k=5)
+    truth = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").cast("string").alias("true_label")
+    )
+    return preds.join(F.broadcast(truth), "id").select(
+        F.col("id").alias("vec_id"),
+        "pred_label",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("agree"),
+        "vote_r6",
+        "n_voters",
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-space outlier flags (similarity.centroid_outliers)
+# --------------------------------------------------------------------------
+@register(
+    "embed_outlier_centroid",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, i - 1 AS i,
+                 round(v[i] * 1000000.0)::BIGINT AS xm
+          FROM c, unnest(generate_series(1, len(v))) AS t(i)),
+    pd AS (SELECT i, sum(xm)::BIGINT AS sm, count(*)::BIGINT AS n
+           FROM e GROUP BY 1),
+    cen AS (SELECT i, ((CASE WHEN sm < 0 THEN -1 ELSE 1 END)
+                * ((abs(sm) * 2 + n) // (2 * n)))::DOUBLE / 1000000.0 AS cv
+            FROM pd),
+    ca AS (SELECT list(cv ORDER BY i) AS carr FROM cen),
+    s AS (SELECT vec_id,
+                 round(list_dot_product(v, carr) /
+                       (sqrt(list_dot_product(v, v)) *
+                        sqrt(list_dot_product(carr, carr))), 6) AS cosr
+          FROM c CROSS JOIN ca),
+    th AS (SELECT quantile_cont(cosr, 0.05) AS thr FROM s)
+    SELECT vec_id AS id, cosr AS cos_centroid_r6,
+           round(thr, 6) AS thr_r6, (cosr <= thr) AS is_outlier
+    FROM s CROSS JOIN th
+    """,
+)
+def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier gate (`similarity.centroid_outliers`):
+    cosine to the integer-micro-unit global centroid
+    (`mean_pool_embeddings` under a constant key), bottom-5% flagged by
+    the exact interpolated percentile (the a11 Spark-percentile ↔
+    DuckDB-quantile_cont parity).  Catches encoder failures / off-
+    manifold noise before clustering, ANN, or SemDeDup sees them.  The
+    oracle replays the centroid integer math, the sequential-fold
+    cosines, and the quantile threshold."""
+    from mistral_ocr_pipeline_spark.operators.similarity import centroid_outliers
+
+    return centroid_outliers(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", q=0.05
+    )

@@ -4444,3 +4444,101 @@ class TestReadabilityScores:
         assert rows[1].flesch_r6 is None and rows[1].band == "empty"
         assert rows[2].flesch_r6 is None and rows[2].band == "empty"
         assert rows[3].band is not None
+
+
+class TestKnnClassify:
+    def test_hand_computed_vote(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            knn_classify,
+        )
+
+        seed = spark.createDataFrame(
+            [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b"), (3, [0.8, 0.6], "a")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        unl = spark.createDataFrame(
+            [(10, [0.9, 0.1])], "vec_id long, embedding array<double>"
+        )
+        r = knn_classify(unl, seed, k=2).collect()[0]
+        # top-2 by cosine: id 1 (0.993884, 'a'), id 3 (0.861366, 'a')
+        assert r.pred_label == "a"
+        assert r.n_voters == 2 and r.k_used == 2
+        assert abs(r.vote_r6 - (0.993884 + 0.861366)) < 1e-9
+
+    def test_weight_tie_breaks_to_smaller_label(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            knn_classify,
+        )
+
+        # two seeds symmetric around the query -> identical cosines,
+        # different labels: tie must go to the lexicographically smaller
+        seed = spark.createDataFrame(
+            [(1, [1.0, 0.0], "z"), (2, [0.0, 1.0], "a")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        unl = spark.createDataFrame(
+            [(10, [1.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        r = knn_classify(unl, seed, k=2).collect()[0]
+        assert r.pred_label == "a"
+
+    def test_zero_norm_never_votes(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            knn_classify,
+        )
+
+        seed = spark.createDataFrame(
+            [(1, [0.0, 0.0], "junk"), (2, [0.0, 1.0], "b")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        unl = spark.createDataFrame(
+            [(10, [0.5, 0.5]), (11, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r.id: r for r in knn_classify(unl, seed, k=5).collect()}
+        assert rows[10].pred_label == "b" and rows[10].k_used == 1
+        # zero-norm query: every candidate filtered, NULL prediction
+        assert rows[11].pred_label is None and rows[11].k_used == 0
+
+    def test_corpus_never_shuffles(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            knn_classify,
+        )
+
+        seed = spark.createDataFrame(
+            [(i, [float(i), 1.0], str(i % 3)) for i in range(1, 9)],
+            "vec_id long, embedding array<double>, label string",
+        )
+        unl = spark.createDataFrame(
+            [(100 + i, [1.0, float(i)]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        ).repartition(5)
+        plan = knn_classify(unl, seed, k=3)._jdf.queryExecution().executedPlan().toString()
+        # seed agg is a SinglePartition gather of the tiny labeled side;
+        # the corpus path must never hash-shuffle (the whole point of the
+        # broadcast array-row form vs a per-query window)
+        assert "hashpartitioning" not in plan, plan
+
+
+class TestCentroidOutliers:
+    def test_flags_the_off_manifold_vector(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            centroid_outliers,
+        )
+
+        rows = [(i, [1.0, 0.01 * i]) for i in range(19)] + [(99, [-1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.id: r for r in centroid_outliers(df, "vec_id", "embedding", q=0.05).collect()}
+        assert out[99].is_outlier
+        assert sum(r.is_outlier for r in out.values()) == 1
+
+    def test_partition_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity import (
+            centroid_outliers,
+        )
+
+        rows = [(i, [0.3 * (i % 7) + 0.1, 1.0 - 0.05 * (i % 11)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(map(tuple, centroid_outliers(df, "vec_id", "embedding").collect()))
+        b = sorted(map(tuple, centroid_outliers(df.repartition(13), "vec_id", "embedding").collect()))
+        assert a == b
