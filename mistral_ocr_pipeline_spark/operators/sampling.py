@@ -716,3 +716,95 @@ def reservoir_sample(
         .orderBy("_rsv", "id")
         .limit(k)
     )
+
+
+def doremi_weights(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta: float = 1.0,
+    eps: float = 0.1,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    one exponentiated-gradient step from the uniform mixture, driven by
+    per-domain EXCESS LOSS — how much worse the proxy loss is on a
+    domain than the reference.  Domains whose text the proxy finds
+    hardest (relative to the corpus baseline) get upweighted; domains
+    already well-modeled fall back toward the uniform floor.
+
+    This sandbox has no trained proxy/reference LM pair, so the proxy
+    loss is the corpus-unigram surprisal (`text_analysis.
+    unigram_surprisal` — the same external-LM-free perplexity proxy the
+    quality filters use) and the reference loss is the corpus-wide mean
+    of the same quantity; excess_d = max(0, L_d − L_corpus).  The
+    update is the paper's step restricted to one round from uniform
+    weights: w_d ∝ exp(η·excess_d), then smoothed with the uniform
+    mixture, w ← (1−ε)·ŵ + ε·u  (paper's ε-smoothing, eq. 2).
+
+    Determinism: per-doc surprisal is 6-dp rounded, converted to
+    integer micro-units BEFORE any cross-doc aggregation, and both the
+    per-domain and corpus means are half-up INTEGER divisions — so the
+    only float ops after the per-doc round are one exp() and two final
+    6-dp rounds (the ln/exp sub-ulp cross-engine drift the oracle
+    convention already absorbs).
+
+    Plan shape (100 TB): unigram_surprisal's two corpus passes
+    (vocabulary groupBy, broadcast join-back + per-doc groupBy); after
+    that everything is domain-sized — one groupBy over (domain), two
+    1-row broadcast totals.  No windows, no collects.
+
+    Returns (source, n_docs, loss_r6, ref_r6, excess_r6, weight_r6).
+    """
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        unigram_surprisal,
+    )
+
+    per_doc = unigram_surprisal(docs, id_col, text_col)
+    dom = docs.select(
+        F.col(id_col).alias("id"), F.col(domain_col).alias("source")
+    )
+    micro = per_doc.join(dom, "id").select(
+        "source",
+        F.round(F.col("surprisal") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("sm"),
+    )
+    per_dom = micro.groupBy("source").agg(
+        F.sum("sm").alias("s"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # half-up integer mean in micro-units (surprisal ≥ 0, so no sign leg)
+    dom_mean = per_dom.withColumn(
+        "lm", F.expr("(s * 2 + n_docs) div (2 * n_docs)")
+    )
+    ref = micro.agg(
+        F.expr("(sum(sm) * 2 + count(*)) div (2 * count(*))").alias("ref")
+    )
+    e = dom_mean.crossJoin(F.broadcast(ref)).withColumn(
+        "ex", F.greatest(F.col("lm") - F.col("ref"), F.lit(0).cast("long"))
+    )
+    b = e.withColumn(
+        "bm",
+        F.round(
+            F.exp(F.lit(eta) * F.col("ex") / F.lit(1000000.0))
+            * F.lit(1000000.0),
+            0,
+        ).cast("long"),
+    )
+    tot = b.agg(
+        F.sum("bm").cast("double").alias("tb"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    return b.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("lm").cast("double") / 1e6).alias("loss_r6"),
+        (F.col("ref").cast("double") / 1e6).alias("ref_r6"),
+        (F.col("ex").cast("double") / 1e6).alias("excess_r6"),
+        F.round(
+            F.lit(1.0 - eps) * F.col("bm") / F.col("tb")
+            + F.lit(eps) / F.col("k"),
+            6,
+        ).alias("weight_r6"),
+    )

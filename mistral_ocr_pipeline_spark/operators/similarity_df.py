@@ -998,3 +998,162 @@ def knn_classify(
         ).alias("n_voters"),
         F.size("_top").alias("k_used"),
     )
+
+
+def mmr_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    pool: int = 8,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select k results per query maximizing
+    λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — relevance traded against
+    redundancy with the already-selected set, the standard RAG /
+    retrieval-augmentation de-redundancy pass (near-duplicate passages
+    waste context tokens; MMR spends them on coverage).
+
+    Two-stage shape, both stages DataFrame-native end to end:
+
+    1. CANDIDATE POOL — exact cosine top-``pool`` per query
+       (`brute_force_topk_df` convention: 6-dp cosine, (score DESC, id)
+       ties); swap in `lsh_topk_df`/`ivf_topk_df` for the pool at ANN
+       scale — the greedy stage only ever sees queries×pool rows.
+    2. GREEDY — ``k−1`` engine-side rounds over the (queries×pool)-
+       sized relations only: pairwise candidate cosines are ONE
+       self-equi-join on qid (pool² rows per query), each round is a
+       tiny join + groupBy(max) + row_number window, and the selected
+       set accumulates by union.  No collect at any query count — a
+       corpus-sized query relation just makes the small side of every
+       round bigger; the corpus itself is touched exactly twice (pool
+       scoring + vector fetch).
+
+    Determinism/oracle: λ is the RATIONAL lam_num/lam_den, scores are
+    the INTEGER lam_num·rel_m − (lam_den−lam_num)·maxsim_m over
+    micro-unit cosines (exact in any engine), argmax ties break to the
+    lowest id, the seed pick (empty S) takes maxsim = 0.  The SQL twin
+    unrolls the k rounds as CTE stages.
+
+    Returns (query_id, vec_id, sel_rank, rel_r6, maxsim_r6, mmr_m) —
+    mmr_m is the exact integer score in lam_den-scaled micro-units.
+    """
+    if not 0 < lam_num <= lam_den:
+        raise ValueError("need 0 < lam_num <= lam_den")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        "_cv",
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    pool_df = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= pool)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("cosine") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("rel_m"),
+            "_cv",
+        )
+        .persist()
+    )
+    a = pool_df.select(
+        F.col("query_id"), F.col("vec_id").alias("ai"), F.col("_cv").alias("_av")
+    )
+    bb = pool_df.select(
+        F.col("query_id"), F.col("vec_id").alias("bi"), F.col("_cv").alias("_bv")
+    )
+    pairs = (
+        a.join(bb, "query_id")
+        .filter(F.col("ai") != F.col("bi"))
+        .select(
+            "query_id",
+            "ai",
+            "bi",
+            F.round(
+                cosine_expr(F.col("_av"), F.col("_bv")) * F.lit(1000000.0), 0
+            )
+            .cast("long")
+            .alias("sim_m"),
+        )
+        .persist()
+    )
+    mu = lam_num
+    nu = lam_den - lam_num
+    cand = pool_df.select("query_id", "vec_id", "rel_m")
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("rel_m").desc(), F.col("vec_id").asc()
+    )
+    sel = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            "rel_m",
+            F.lit(0).cast("long").alias("maxsim_m"),
+            (F.lit(mu) * F.col("rel_m")).alias("mmr_m"),
+            F.lit(1).alias("sel_rank"),
+        )
+    )
+    for i in range(2, k + 1):
+        picked = sel.select("query_id", F.col("vec_id").alias("bi"))
+        ms = (
+            pairs.join(picked, ["query_id", "bi"])
+            .groupBy("query_id", "ai")
+            .agg(F.max("sim_m").alias("maxsim_m"))
+            .withColumnRenamed("ai", "vec_id")
+        )
+        remaining = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        stage = (
+            remaining.join(ms, ["query_id", "vec_id"], "left")
+            .withColumn("maxsim_m", F.coalesce(F.col("maxsim_m"), F.lit(0).cast("long")))
+            .withColumn(
+                "mmr_m", F.lit(mu) * F.col("rel_m") - F.lit(nu) * F.col("maxsim_m")
+            )
+        )
+        wi = W.partitionBy("query_id").orderBy(
+            F.col("mmr_m").desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            stage.withColumn("rk", F.row_number().over(wi))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "rel_m",
+                "maxsim_m",
+                "mmr_m",
+                F.lit(i).alias("sel_rank"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id",
+        "vec_id",
+        "sel_rank",
+        (F.col("rel_m").cast("double") / 1e6).alias("rel_r6"),
+        (F.col("maxsim_m").cast("double") / 1e6).alias("maxsim_r6"),
+        F.col("mmr_m").cast("long").alias("mmr_m"),
+    )

@@ -8444,3 +8444,137 @@ def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", q=0.05
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval (similarity_df.mmr_topk_df)
+# --------------------------------------------------------------------------
+def _mmr_oracle_sql(
+    k: int = 4, pool: int = 8, mu: int = 7, nu: int = 3, qmod: int = 23
+) -> str:
+    """Unrolled greedy-MMR CTE twin (the kcenter/Lloyd unroll trick):
+    stage i joins the pairwise sims to the union of stages 1..i-1."""
+    stages = []
+    union = "SELECT * FROM s1"
+    for i in range(2, k + 1):
+        stages.append(f"""
+    u{i - 1} AS ({union}),
+    m{i} AS (SELECT p.qid, p.ai AS id, max(p.sim_m) AS maxsim_m
+             FROM p JOIN u{i - 1} s ON p.qid = s.qid AND p.bi = s.id
+             GROUP BY 1, 2),
+    c{i} AS (SELECT pl.qid, pl.id, pl.rel_m,
+                    coalesce(m.maxsim_m, 0)::BIGINT AS maxsim_m
+             FROM pool pl LEFT JOIN m{i} m
+                  ON pl.qid = m.qid AND pl.id = m.id
+             WHERE NOT EXISTS (SELECT 1 FROM u{i - 1} s
+                               WHERE s.qid = pl.qid AND s.id = pl.id)),
+    s{i} AS (SELECT qid, id, rel_m, maxsim_m,
+                    ({mu} * rel_m - {nu} * maxsim_m)::BIGINT AS mmr_m,
+                    {i} AS sel_rank
+             FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY ({mu} * rel_m - {nu} * maxsim_m) DESC, id)
+                       AS rk
+                   FROM c{i}) WHERE rk = 1)""")
+        union += f" UNION ALL SELECT * FROM s{i}"
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM emb
+          WHERE vec_id % {qmod} = 0),
+    rel AS (SELECT q.qid, e.vec_id AS id,
+                   round(round(list_dot_product(q.qv, e.v)
+                               / (q.qn * e.nrm), 6) * 1000000.0)::BIGINT
+                       AS rel_m
+            FROM q CROSS JOIN emb e WHERE e.vec_id <> q.qid),
+    pool AS (SELECT qid, id, rel_m FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel_m DESC, id) AS rk FROM rel)
+             WHERE rk <= {pool}),
+    p AS (SELECT a.qid, a.id AS ai, b.id AS bi,
+                 round(round(list_dot_product(ea.v, eb.v)
+                             / (ea.nrm * eb.nrm), 6) * 1000000.0)::BIGINT
+                     AS sim_m
+          FROM pool a JOIN pool b ON a.qid = b.qid AND a.id <> b.id
+          JOIN emb ea ON ea.vec_id = a.id
+          JOIN emb eb ON eb.vec_id = b.id),
+    s1 AS (SELECT qid, id, rel_m, 0::BIGINT AS maxsim_m,
+                  ({mu} * rel_m)::BIGINT AS mmr_m, 1 AS sel_rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY rel_m DESC, id) AS rk FROM pool)
+           WHERE rk = 1),{",".join(stages)}
+    SELECT qid AS query_id, id AS vec_id, sel_rank,
+           rel_m::DOUBLE / 1000000.0 AS rel_r6,
+           maxsim_m::DOUBLE / 1000000.0 AS maxsim_r6,
+           mmr_m
+    FROM ({union})
+    """
+
+
+@register("retrieval_mmr_topk", oracle=_mmr_oracle_sql())
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (`similarity_df.mmr_topk_df`,
+    Carbonell & Goldstein 1998): exact-cosine top-8 candidate pool per
+    query (every 23rd embedding is a query), then λ=0.7 greedy
+    re-ranking to 4 diversified picks — integer
+    7·rel_m − 3·maxsim_m scoring over micro-unit cosines, ties to the
+    lowest id, seed pick at maxsim = 0.  The greedy rounds run entirely
+    in-engine over queries×pool-sized relations (no collect at any
+    query count); the oracle unrolls the 4 rounds as CTE stages."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import mmr_topk_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_topk_df(
+        emb, emb.filter(F.col("vec_id") % 23 == 0), k=4, pool=8
+    )
+
+
+# --------------------------------------------------------------------------
+# DoReMi one-step domain reweighting (sampling.doremi_weights)
+# --------------------------------------------------------------------------
+@register(
+    "mix_doremi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, source,
+             unnest(string_split({_KEY.format(c='text')}, ' ')) AS t
+      FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+    pd AS (SELECT id, source,
+                  round(round(avg(-ln(c / (SELECT n FROM tot))), 6)
+                        * 1000000.0)::BIGINT AS sm
+           FROM toks JOIN cnt USING (t)
+           GROUP BY id, source),
+    dm AS (SELECT source, sum(sm)::BIGINT AS s, count(*)::BIGINT AS n_docs
+           FROM pd GROUP BY source),
+    d2 AS (SELECT source, n_docs,
+                  (s * 2 + n_docs) // (2 * n_docs) AS lm
+           FROM dm),
+    r AS (SELECT (sum(sm) * 2 + count(*)) // (2 * count(*)) AS ref FROM pd),
+    e AS (SELECT source, n_docs, lm, ref,
+                 greatest(lm - ref, 0)::BIGINT AS ex
+          FROM d2 CROSS JOIN r),
+    b AS (SELECT *, round(exp(1.0 * ex / 1000000.0)
+                          * 1000000.0)::BIGINT AS bm FROM e),
+    t2 AS (SELECT sum(bm)::DOUBLE AS tb, count(*)::DOUBLE AS k FROM b)
+    SELECT source, n_docs,
+           lm::DOUBLE / 1000000.0 AS loss_r6,
+           ref::DOUBLE / 1000000.0 AS ref_r6,
+           ex::DOUBLE / 1000000.0 AS excess_r6,
+           round(0.9 * bm / tb + 0.1 / k, 6) AS weight_r6
+    FROM b CROSS JOIN t2
+    """,
+)
+def mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi one-step domain reweighting (`sampling.doremi_weights`,
+    Xie et al. 2023): per-domain excess unigram-surprisal over the
+    corpus baseline drives an exponentiated-gradient update from
+    uniform, ε=0.1-smoothed.  Per-doc losses are micro-unit rounded
+    before any cross-doc aggregation and both means are half-up integer
+    divisions, so the only post-round float ops are one exp and two
+    6-dp rounds (the accepted ln/exp sub-ulp convention)."""
+    from mistral_ocr_pipeline_spark.operators.sampling import doremi_weights
+
+    return doremi_weights(_t(spark, sf_dir, "documents"))

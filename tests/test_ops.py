@@ -4542,3 +4542,51 @@ class TestCentroidOutliers:
         a = sorted(map(tuple, centroid_outliers(df, "vec_id", "embedding").collect()))
         b = sorted(map(tuple, centroid_outliers(df.repartition(13), "vec_id", "embedding").collect()))
         assert a == b
+
+
+class TestDoremiWeights:
+    def _docs(self, spark):
+        # domain 'hard': every doc is unique rare gibberish (high
+        # surprisal under the corpus unigram LM); domain 'easy': the
+        # same common sentence repeated (low surprisal)
+        rows = [(i, f"zq{i}x wv{i}j kp{i}m", "hard") for i in range(8)] + [
+            (100 + i, "the cat sat on the mat", "easy") for i in range(8)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_excess_drives_weight_above_uniform_floor(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import doremi_weights
+
+        out = {r.source: r for r in doremi_weights(self._docs(spark)).collect()}
+        assert set(out) == {"hard", "easy"}
+        h, e = out["hard"], out["easy"]
+        assert h.loss_r6 > e.loss_r6
+        # easy domain is below the corpus mean -> clipped excess 0 ->
+        # it gets exactly the smoothed share of a unit boost
+        assert e.excess_r6 == 0.0
+        assert h.excess_r6 > 0.0
+        assert h.weight_r6 > e.weight_r6
+        # weights form a distribution (up to the two 6-dp rounds)
+        assert abs(h.weight_r6 + e.weight_r6 - 1.0) < 1e-5
+        # uniform floor: nothing falls below eps/K
+        for r in out.values():
+            assert r.weight_r6 >= 0.1 / 2 - 1e-9
+
+    def test_uniform_corpus_gives_uniform_weights(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import doremi_weights
+
+        rows = [(i, "alpha beta gamma", f"s{i % 4}") for i in range(16)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = doremi_weights(docs).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.excess_r6 == 0.0
+            assert abs(r.weight_r6 - 0.25) < 1e-9
+
+    def test_partition_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import doremi_weights
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, doremi_weights(docs).collect()))
+        b = sorted(map(tuple, doremi_weights(docs.repartition(7)).collect()))
+        assert a == b

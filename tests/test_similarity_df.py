@@ -201,3 +201,60 @@ def test_ivfpq_residual_differs_and_prunes(spark):
     assert out
     for r in out:  # pruning guarantee holds under residual encoding too
         assert cells[r.vec_id] == qcell[r.query_id]
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k
+# ---------------------------------------------------------------------------
+def _mmr_fixture(spark):
+    """One query at the origin direction; two near-duplicate highly-
+    relevant vectors (ids 1, 2), one moderately relevant orthogonal-ish
+    vector (id 3), one filler (id 4)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0]),        # rel ~.990, near-dup of 2
+        (2, [0.99, 0.141, 0.001]),     # rel ~.990
+        (3, [0.7, -0.7, 0.1]),         # rel ~.70, diverse
+        (4, [0.5, 0.5, 0.7]),          # rel ~.50
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_mmr_prefers_diverse_second_pick(spark):
+    emb = _mmr_fixture(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = {
+        r.sel_rank: r
+        for r in D.mmr_topk_df(emb, q, k=3, pool=4, lam_num=5).collect()
+    }
+    # pure relevance order is 1, 2, 3 — at λ=0.5 MMR must skip the
+    # near-dup 2 (its maxsim≈1 wipes out its relevance edge)
+    assert out[1].vec_id == 1 and out[1].maxsim_r6 == 0.0
+    assert out[2].vec_id == 3, "second pick must be the diverse vector"
+    assert out[3].vec_id == 2
+    # integer score identity: mmr_m == 5*rel_m - 5*maxsim_m exactly
+    for r in out.values():
+        assert r.mmr_m == round(r.rel_r6 * 1e6) * 5 - round(r.maxsim_r6 * 1e6) * 5
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    emb = _mmr_fixture(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = D.mmr_topk_df(emb, q, k=3, pool=4, lam_num=10, lam_den=10)
+    assert [r.vec_id for r in out.orderBy("sel_rank").collect()] == [1, 2, 3]
+
+
+def test_mmr_pool_smaller_than_k_and_multi_query(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 37 == 0)
+    out = D.mmr_topk_df(emb, q, k=6, pool=6).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_q.items():
+        ranks = sorted(x.sel_rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len({x.vec_id for x in rs}) == len(rs), "no repeats"
