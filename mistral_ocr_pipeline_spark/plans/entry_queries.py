@@ -8578,3 +8578,102 @@ def mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistral_ocr_pipeline_spark.operators.sampling import doremi_weights
 
     return doremi_weights(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# transcript-level QC (operators/transcript_qc) — the north-rule payload
+# --------------------------------------------------------------------------
+@register(
+    "transcript_integrity",
+    oracle="""
+    WITH t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ts
+      FROM documents WHERE doc_id % 7 <> 0),
+    s AS (SELECT conv_id, turn_idx,
+                 lag(role) OVER w = role AS rep,
+                 lag(ts) OVER w > ts AS inv
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role))
+    SELECT conv_id,
+           count(*)::BIGINT AS n_turns,
+           count(DISTINCT turn_idx)::BIGINT AS n_idx,
+           (count(*) - count(DISTINCT turn_idx))::BIGINT AS dup_turns,
+           (max(turn_idx) - min(turn_idx) + 1
+                <> count(DISTINCT turn_idx)) AS has_gaps,
+           (min(turn_idx) = 0) AS starts_at_zero,
+           sum(CASE WHEN rep THEN 1 ELSE 0 END)::BIGINT AS role_repeats,
+           sum(CASE WHEN inv THEN 1 ELSE 0 END)::BIGINT AS ts_inversions
+    FROM s GROUP BY conv_id
+    """,
+)
+def transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation integrity audit (`transcript_qc.transcript_integrity`)
+    over the derived transcripts with every 7th source row dropped — the
+    dropped-turn corruption class: gaps, missing turn 0, and the
+    role-alternation repeats the drops expose (adjacent survivors two
+    indices apart share a role under the fixture's period-2 rotation).
+    One conv_id-keyed exchange serves both the lag window and the
+    rollup."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_integrity as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
+    return op(transcripts_from_documents(docs))
+
+
+@register(
+    "transcript_dedup_exact",
+    oracle=f"""
+    WITH base AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx, text
+      FROM documents),
+    clones AS (
+      SELECT 'clone-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx, text
+      FROM documents WHERE doc_id % 10 = 3),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+    k AS (SELECT conv_id, turn_idx,
+                 coalesce({_KEY.format(c='text')}, '') AS t
+          FROM u),
+    fp AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+                  md5(string_agg(t, chr(31) ORDER BY turn_idx, t))
+                      AS fingerprint
+           FROM k GROUP BY conv_id)
+    SELECT conv_id, fingerprint, n_turns,
+           count(*) OVER (PARTITION BY fingerprint)::BIGINT AS group_size,
+           (conv_id = min(conv_id) OVER (PARTITION BY fingerprint))
+               AS is_canonical
+    FROM fp
+    """,
+)
+def transcript_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup
+    (`transcript_qc.transcript_dedup_exact`): the transcripts plus a
+    re-ingested clone of every conv whose id ends in 3 — the duplicate
+    class per-document dedup can't see (the clone's rows differ in
+    conv_id, not content).  Fingerprint = md5 over normalized turn
+    texts in stable (turn_idx, text) order; canonical = lexicographic
+    min conv_id per group."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_dedup_exact as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = transcripts_from_documents(docs).select("conv_id", "turn_idx", "text")
+    clones = (
+        transcripts_from_documents(docs.filter(F.col("doc_id") % 10 == 3))
+        .select(
+            F.concat(F.lit("clone-"), F.expr("substr(conv_id, 6)")).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            "text",
+        )
+    )
+    return op(base.unionByName(clones))

@@ -4590,3 +4590,71 @@ class TestDoremiWeights:
         a = sorted(map(tuple, doremi_weights(docs).collect()))
         b = sorted(map(tuple, doremi_weights(docs.repartition(7)).collect()))
         assert a == b
+
+
+class TestTranscriptQC:
+    def _t(self, spark):
+        from datetime import datetime as dt
+
+        rows = [
+            # clean conv: 0..2, alternating roles, monotone ts
+            ("a", 0, "user", "hi", dt(2024, 1, 1, 0, 0, 0)),
+            ("a", 1, "assistant", "hello", dt(2024, 1, 1, 0, 0, 1)),
+            ("a", 2, "user", "bye", dt(2024, 1, 1, 0, 0, 2)),
+            # dirty conv: dup turn_idx, gap (no 1), role repeat, ts inversion
+            ("b", 0, "user", "x", dt(2024, 1, 1, 0, 0, 5)),
+            ("b", 0, "user", "x retry", dt(2024, 1, 1, 0, 0, 6)),
+            ("b", 2, "assistant", "y", dt(2024, 1, 1, 0, 0, 4)),
+            # conv starting late
+            ("c", 3, "tool", "z", dt(2024, 1, 1, 0, 1, 0)),
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        )
+
+    def test_integrity_flags_each_corruption_class(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_integrity,
+        )
+
+        out = {r.conv_id: r for r in transcript_integrity(self._t(spark)).collect()}
+        a, b, c = out["a"], out["b"], out["c"]
+        assert (a.n_turns, a.dup_turns, a.has_gaps, a.starts_at_zero) == (3, 0, False, True)
+        assert a.role_repeats == 0 and a.ts_inversions == 0
+        assert b.dup_turns == 1 and b.has_gaps and b.starts_at_zero
+        assert b.role_repeats == 1, "user,user retry pair"
+        assert b.ts_inversions == 1, "ts goes 6 -> 4 between turn 0 and 2"
+        assert not c.starts_at_zero and c.n_turns == 1
+
+    def test_dedup_groups_normalized_clones(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_dedup_exact,
+        )
+
+        rows = [
+            ("a", 0, "Hello, World!"),
+            ("a", 1, "How are you?"),
+            ("z-clone", 0, "hello world"),  # normalizes equal to a
+            ("z-clone", 1, "how are you"),
+            ("c", 0, "different"),
+            ("d", 0, None),  # NULL folds to '' ...
+            ("e", 0, ""),    # ... and groups with the empty string
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        out = {r.conv_id: r for r in transcript_dedup_exact(df).collect()}
+        assert out["a"].fingerprint == out["z-clone"].fingerprint
+        assert out["a"].group_size == 2 and out["a"].is_canonical
+        assert not out["z-clone"].is_canonical
+        assert out["c"].group_size == 1 and out["c"].is_canonical
+        assert out["d"].fingerprint == out["e"].fingerprint
+
+    def test_dedup_partition_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_dedup_exact,
+        )
+
+        rows = [(f"c{i % 5}", i // 5, f"t{i % 35}") for i in range(70)]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        a = sorted(map(tuple, transcript_dedup_exact(df).collect()))
+        b = sorted(map(tuple, transcript_dedup_exact(df.repartition(9)).collect()))
+        assert a == b
