@@ -1749,3 +1749,93 @@ def readability_scores(
         .otherwise(F.lit("difficult"))
         .alias("band"),
     )
+
+
+def bigram_surprisal_heldout(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_pairs, oov_pairs, surprisal) — mean conditional surprisal
+    of ``score`` docs under an add-1-smoothed bigram LM trained ONLY on
+    ``train``: the actual CCNet shape (Wenzek et al. 2020 train KenLM on
+    Wikipedia and score CommonCrawl with it), where `bigram_surprisal`
+    is the self-trained proxy.  Because the LM never sees the scored
+    text, unseen events must score instead of vanishing:
+
+    * unseen (prev, cur) with a known prev → the add-1 floor
+      −ln(1 / (ctx(prev) + V));
+    * unseen prev entirely (ctx = 0)      → −ln(1 / V);
+    * V is the TRAIN vocabulary size.
+
+    ``oov_pairs`` counts bigrams absent from the train LM — the
+    out-of-domain signal on its own (a doc can have low surprisal yet be
+    pure OOV boilerplate).
+
+    Determinism: each pair's surprisal is a pure per-row function of
+    (c2, ctx, V) rounded to integer micro-units BEFORE the per-doc sum,
+    so the aggregate is an order-independent BIGINT sum.  Plan shape:
+    the two count relations are train-vocabulary-sized and broadcast
+    (swap for shuffle hash joins once the bigram table outgrows a
+    broadcast); the score-side pair stream shuffles ONCE, keyed on doc
+    id.  Score docs with < 2 tokens emit no row."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+        )
+        base = df.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+        pair_arr = F.when(
+            F.size("_ts") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("_ts", i).alias("prev"),
+                    F.element_at("_ts", i + 1).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        return base.select("id", F.explode(pair_arr).alias("p")).select(
+            "id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+        )
+
+    tr = _pairs(train)
+    c2 = tr.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("prev").agg(F.sum("c2").alias("ctx"))
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    vocab = (
+        train.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("v"))
+    )
+    sc = (
+        _pairs(score)
+        .join(F.broadcast(c2), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    micro = F.round(
+        -F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("ctx"), F.lit(0)) + F.col("v"))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    return (
+        sc.select("id", micro.alias("micro"), F.col("c2").isNull().alias("_oov"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("_oov"), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_pairs"),
+            F.round(F.sum("micro") / F.lit(1e6) / F.count(F.lit(1)), 6).alias(
+                "surprisal"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_pairs", "oov_pairs", "surprisal")
+    )

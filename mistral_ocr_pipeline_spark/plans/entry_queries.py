@@ -8677,3 +8677,62 @@ def transcript_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return op(base.unionByName(clones))
+
+
+# --------------------------------------------------------------------------
+# held-out bigram LM scoring (text_analysis.bigram_surprisal_heldout)
+# --------------------------------------------------------------------------
+@register(
+    "text_heldout_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, doc_id % 5 = 0 AS is_train,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    pairs AS (
+      SELECT id, is_train, ts[i] AS prev, ts[i + 1] AS cur
+      FROM (SELECT id, is_train, ts,
+                   unnest(generate_series(1, len(ts) - 1))::INT AS i
+            FROM tok WHERE len(ts) >= 2)),
+    c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs
+           WHERE is_train GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(c2) AS ctx FROM c2 GROUP BY prev),
+    voc AS (SELECT count(DISTINCT t)::DOUBLE AS v
+            FROM (SELECT unnest(ts) AS t FROM tok WHERE is_train)),
+    sc AS (
+      SELECT p.id,
+             round(-ln((coalesce(c.c2, 0) + 1)
+                       / (coalesce(x.ctx, 0) + v)) * 1000000.0)::BIGINT
+                 AS micro,
+             (c.c2 IS NULL) AS oov
+      FROM pairs p
+      LEFT JOIN c2 c ON p.prev = c.prev AND p.cur = c.cur
+      LEFT JOIN ctx x ON p.prev = x.prev
+      CROSS JOIN voc
+      WHERE NOT p.is_train)
+    SELECT id AS doc_id, count(*) AS n_pairs,
+           sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS oov_pairs,
+           round(sum(micro) / 1000000.0 / count(*), 6) AS surprisal
+    FROM sc GROUP BY id
+    """,
+)
+def text_heldout_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped held-out LM scoring
+    (`text_analysis.bigram_surprisal_heldout`): the add-1 bigram LM
+    trains on the 1-in-5 'clean reference' slice and scores the other
+    four fifths, with the add-1 floors for unseen bigrams/contexts and
+    the train-vocabulary V — unlike `text_bigram_surprisal`, the model
+    never sees the scored text, so OOV mass is real (and surfaced as
+    ``oov_pairs``).  The whole model — counts, floors, vocabulary —
+    is replayed in the oracle."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        bigram_surprisal_heldout,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprisal_heldout(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+    )

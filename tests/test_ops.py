@@ -4658,3 +4658,52 @@ class TestTranscriptQC:
         a = sorted(map(tuple, transcript_dedup_exact(df).collect()))
         b = sorted(map(tuple, transcript_dedup_exact(df.repartition(9)).collect()))
         assert a == b
+
+
+class TestHeldoutSurprisal:
+    def test_oov_floors_and_train_separation(self, spark):
+        import math
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            bigram_surprisal_heldout,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame(
+            [
+                (10, "the cat sat"),   # every bigram seen
+                (11, "zq wv kp"),      # fully OOV: prev unseen -> -ln(1/V)
+                (12, "x"),             # < 2 tokens -> no row
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in bigram_surprisal_heldout(train, score, "doc_id").collect()}
+        assert set(out) == {10, 11}
+        assert out[10].oov_pairs == 0
+        assert out[11].oov_pairs == out[11].n_pairs == 2
+        # train vocab V = {the, cat, sat, ran} = 4; unseen prev floor is
+        # exactly ln(4) per pair (micro-rounded)
+        assert abs(out[11].surprisal - round(math.log(4), 6)) < 2e-6
+        # in-domain text must score strictly lower than the OOV floor
+        assert out[10].surprisal < out[11].surprisal
+
+    def test_partition_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            bigram_surprisal_heldout,
+        )
+
+        rows = [(i, f"w{i % 9} w{(i + 3) % 9} w{(i + 5) % 9}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tr, sc = df.filter("doc_id % 4 = 0"), df.filter("doc_id % 4 != 0")
+        a = sorted(map(tuple, bigram_surprisal_heldout(tr, sc, "doc_id").collect()))
+        b = sorted(
+            map(
+                tuple,
+                bigram_surprisal_heldout(
+                    tr.repartition(5), sc.repartition(7), "doc_id"
+                ).collect(),
+            )
+        )
+        assert a == b
