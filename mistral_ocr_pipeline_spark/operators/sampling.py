@@ -808,3 +808,66 @@ def doremi_weights(
             6,
         ).alias("weight_r6"),
     )
+
+
+def doremi_resample(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta: float = 1.0,
+    eps: float = 0.1,
+    salt: str = "dmx",
+) -> DataFrame:
+    """DoReMi end-to-end: domain weights (`doremi_weights`) realized as
+    an actual subsampled corpus.  A target mixture w over current
+    domain masses n_d is realizable by DROPPING alone iff the rates are
+    ≤ 1, so rates are r_d = (w_d / n_d) / max_e(w_e / n_e) — the most
+    over-weighted domain keeps everything and every other domain is cut
+    proportionally (the standard subsample-only mixture realization;
+    upsampling is an epoch decision, cf. `epoch_repeat_mix`).
+
+    Each doc's fate is the content-hash rule of `hash_sample`, but with
+    the PER-DOMAIN rate computed in-plan: frac(md5(salt‖id)) < rate_d,
+    where frac is the first 32 hash bits over 2³². frac is an exactly-
+    representable dyadic rational and rate_d is 6-dp rounded from
+    integer-derived inputs, so the decision replays bit-identically in
+    any engine with md5.
+
+    Plan shape: the weight/rate relation is domain-sized and broadcasts
+    onto ONE corpus scan — beyond `doremi_weights`' own passes the
+    resample adds no shuffle at all.
+
+    Returns the kept rows: (doc_id, source, rate_r6)."""
+    w = doremi_weights(
+        docs, domain_col=domain_col, id_col=id_col, text_col=text_col,
+        eta=eta, eps=eps,
+    )
+    rr = w.select(
+        "source",
+        (F.col("weight_r6") / F.col("n_docs")).alias("r_raw"),
+    )
+    mx = rr.agg(F.max("r_raw").alias("m"))
+    rates = rr.crossJoin(F.broadcast(mx)).select(
+        "source", F.round(F.col("r_raw") / F.col("m"), 6).alias("rate_r6")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(domain_col).alias("source"))
+        .join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate_r6"))
+        .select("doc_id", "source", "rate_r6")
+    )

@@ -1548,7 +1548,10 @@ def ngram_novelty(
     frequency) → join back on digest → per-doc counts.  No windows, no
     driver actions; gram-level skew is bounded because a digest's rows
     fan back out to at most its doc frequency."""
-    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        explode_grams,
+        shingle_sets,
+    )
 
     sets = shingle_sets(df, id_col, text_col, n, hashed=True, hash_basis="md5")
     # the gram stream feeds TWO shuffles (doc-frequency groupBy and the
@@ -1556,7 +1559,7 @@ def ngram_novelty(
     # column sets), so without a boundary the md5 shingle of every
     # document runs twice; persist the (id, digest) rows once — the same
     # multi-read-stage rule the DSIR/NB composites follow
-    grams = sets.select("id", F.explode("sh").alias("g")).persist()
+    grams = explode_grams(sets, "id").persist()
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         grams.join(dfreq, "g")
@@ -1609,7 +1612,10 @@ def soft_dedup_weights(
     (doc, md5-digest) gram pairs, ONE map-side-combinable doc-frequency
     groupBy on the 8-byte digest, join back, per-doc fold.  No windows,
     no driver actions, no text on any shuffle."""
-    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        explode_grams,
+        shingle_sets,
+    )
 
     sets = shingle_sets(df, id_col, text_col, n, hashed=True, hash_basis="md5")
     # the gram stream feeds TWO shuffles (doc-frequency groupBy and the
@@ -1617,7 +1623,7 @@ def soft_dedup_weights(
     # column sets), so without a boundary the md5 shingle of every
     # document runs twice; persist the (id, digest) rows once — the same
     # multi-read-stage rule the DSIR/NB composites follow
-    grams = sets.select("id", F.explode("sh").alias("g")).persist()
+    grams = explode_grams(sets, "id").persist()
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         grams.join(dfreq, "g")

@@ -4550,7 +4550,10 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_bloom_grams`` ≥ ``n_exact_grams`` always (``no_false_negative``
     certifies it per row; the gap IS the observed false-positive rate),
     and ``contaminated`` matches dedup_contamination's exact semantics."""
-    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        explode_grams,
+        shingle_sets,
+    )
     from mistral_ocr_pipeline_spark.operators.sketches import (
         bloom_build,
         bloom_might_contain_expr,
@@ -4561,14 +4564,12 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ev = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
-    eval_grams = (
+    eval_grams = explode_grams(
         shingle_sets(ev, "doc_id", "text", 4, hashed=False)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
+    ).distinct()
     words = bloom_words_dense(bloom_build(eval_grams, "g", m=m, k=k), m)
-    corpus_grams = shingle_sets(corpus, "doc_id", "text", 4, hashed=False).select(
-        "id", F.explode("sh").alias("g")
+    corpus_grams = explode_grams(
+        shingle_sets(corpus, "doc_id", "text", 4, hashed=False), "id"
     )
     cand = corpus_grams.withColumn(
         "bh", bloom_might_contain_expr(F.col("g"), words, m, k)
@@ -8025,7 +8026,10 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count rides along so the relative error is a hash-matched
     fact.  Scale shape: distinct collapses map-side over 8-byte digests;
     the TakeOrdered(k) moves ≤k longs per task."""
-    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        explode_grams,
+        shingle_sets,
+    )
     from mistral_ocr_pipeline_spark.operators.sketches import (
         kmv_estimate,
         kmv_sketch,
@@ -8035,8 +8039,10 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct-gram set feeds both the sketch and the exact witness —
     # persist the boundary so the shingle+distinct runs once
     g = (
-        shingle_sets(docs, "doc_id", "text", 3, hashed=False)
-        .select(F.explode("sh").alias("gram"))
+        explode_grams(
+            shingle_sets(docs, "doc_id", "text", 3, hashed=False),
+            alias="gram",
+        )
         .distinct()
         .persist()
     )
@@ -8098,7 +8104,10 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-vs-eval contamination-RATE monitor that complements exact
     per-doc decontam (`decontam_pipeline`): this one costs O(k) per
     corpus snapshot and is incrementally mergeable."""
-    from mistral_ocr_pipeline_spark.operators.dedup import shingle_sets
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        explode_grams,
+        shingle_sets,
+    )
     from mistral_ocr_pipeline_spark.operators.sketches import (
         kmv_intersection,
         kmv_sketch,
@@ -8107,9 +8116,10 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
 
     def grams(pred):
-        return shingle_sets(
-            docs.filter(pred), "doc_id", "text", 3, hashed=False
-        ).select(F.explode("sh").alias("gram"))
+        return explode_grams(
+            shingle_sets(docs.filter(pred), "doc_id", "text", 3, hashed=False),
+            alias="gram",
+        )
 
     # each half's distinct-gram set feeds THREE consumers (its sketch, its
     # exact count, the exact intersection) — persist the stage boundary so
@@ -8533,10 +8543,10 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
-@register(
-    "mix_doremi",
-    oracle=f"""
-    WITH toks AS (
+# shared CTE block ending in relations b (per-domain boost) and t2
+# (totals) — mix_doremi reads them directly, mix_doremi_resample chains
+# the rate computation and the per-doc hash gate on top
+_DOREMI_CTES = f"""toks AS (
       SELECT doc_id AS id, source,
              unnest(string_split({_KEY.format(c='text')}, ' ')) AS t
       FROM documents),
@@ -8558,7 +8568,13 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM d2 CROSS JOIN r),
     b AS (SELECT *, round(exp(1.0 * ex / 1000000.0)
                           * 1000000.0)::BIGINT AS bm FROM e),
-    t2 AS (SELECT sum(bm)::DOUBLE AS tb, count(*)::DOUBLE AS k FROM b)
+    t2 AS (SELECT sum(bm)::DOUBLE AS tb, count(*)::DOUBLE AS k FROM b)"""
+
+
+@register(
+    "mix_doremi",
+    oracle=f"""
+    WITH {_DOREMI_CTES}
     SELECT source, n_docs,
            lm::DOUBLE / 1000000.0 AS loss_r6,
            ref::DOUBLE / 1000000.0 AS ref_r6,
@@ -8736,3 +8752,32 @@ def text_heldout_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 != 0),
         "doc_id",
     )
+
+
+@register(
+    "mix_doremi_resample",
+    oracle=f"""
+    WITH {_DOREMI_CTES},
+    wts AS (SELECT source, n_docs,
+                   round(0.9 * bm / tb + 0.1 / k, 6) AS weight_r6
+            FROM b CROSS JOIN t2),
+    rr AS (SELECT source, weight_r6 / n_docs AS r_raw FROM wts),
+    mx AS (SELECT max(r_raw) AS m FROM rr),
+    rt AS (SELECT source, round(r_raw / m, 6) AS rate_r6
+           FROM rr CROSS JOIN mx)
+    SELECT d.doc_id, d.source, rt.rate_r6
+    FROM documents d JOIN rt USING (source)
+    WHERE ('0x' || substr(md5('dmx:' || d.doc_id::varchar), 1, 8))::UBIGINT
+              / 4294967296.0 < rt.rate_r6
+    """,
+)
+def mix_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi realized as a corpus (`sampling.doremi_resample`): the
+    one-step weights become per-domain subsample rates
+    (r_d ∝ w_d / n_d, max-normalized so the most over-weighted domain
+    keeps everything), gated per doc by the exact dyadic md5 fraction —
+    the whole weights→rates→keep decision is replayed in the oracle,
+    including every kept/dropped doc id."""
+    from mistral_ocr_pipeline_spark.operators.sampling import doremi_resample
+
+    return doremi_resample(_t(spark, sf_dir, "documents"))

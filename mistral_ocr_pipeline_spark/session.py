@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InferFiltersFromGenerate synthesizes size(arr)>0 && isnotnull(arr)
+        # above every explode and pushdown then INLINES the whole array
+        # expression into the scan filter — for computed gram/shingle
+        # arrays the lambda-bound token indexing re-tokenizes the document
+        # once per element per position (measured 96.7 s -> 0.8 s on the
+        # sf0.1 containment gram stream).  The rule only helps when arrays
+        # come cheap from storage; this engine always computes them, so it
+        # is pure harm here.  Operator-level explode_outer guards cover
+        # the proven-pathological sites even under a foreign session.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

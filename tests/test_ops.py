@@ -4707,3 +4707,42 @@ class TestHeldoutSurprisal:
             )
         )
         assert a == b
+
+
+class TestDoremiResample:
+    def test_rates_and_hash_gate(self, spark):
+        import hashlib
+
+        from mistral_ocr_pipeline_spark.operators.sampling import (
+            doremi_resample,
+            doremi_weights,
+        )
+
+        rows = [(i, f"zq{i}x wv{i}j kp{i}m", "hard") for i in range(30)] + [
+            (100 + i, "the cat sat on the mat", "easy") for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        w = {r.source: r for r in doremi_weights(docs).collect()}
+        kept = doremi_resample(docs).collect()
+        rates = {r.source: r.rate_r6 for r in kept}
+        # equal doc counts -> the higher-weight domain is the max-ratio
+        # one and keeps everything
+        assert rates["hard"] == 1.0
+        assert 0.0 < rates["easy"] < 1.0
+        assert abs(rates["easy"] - round(
+            (w["easy"].weight_r6 / 30) / (w["hard"].weight_r6 / 30), 6
+        )) < 1e-9
+        # per-doc fate replays the md5 rule exactly
+        kept_ids = {r.doc_id for r in kept}
+        for i, _, src in [(r[0], r[1], r[2]) for r in rows]:
+            frac = int(hashlib.md5(f"dmx:{i}".encode()).hexdigest()[:8], 16) / 2**32
+            assert (i in kept_ids) == (frac < rates[src])
+
+    def test_partition_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import doremi_resample
+
+        rows = [(i, f"t{i % 13} u{i % 7} v{i % 5}", f"s{i % 3}") for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = sorted(map(tuple, doremi_resample(docs).collect()))
+        b = sorted(map(tuple, doremi_resample(docs.repartition(11)).collect()))
+        assert a == b
