@@ -38,6 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "transcript_prefix_dedup",  # r5: retry-branch dedup, longest-branch canonical
+    "transcript_neardup",       # r5: conversation-level MinHash near-dup
+    "transcript_loss_mask",     # r5: SFT trainable-token accounting
+    "transcript_context_windows",  # r5: turn-aligned budget cut
+    "transcript_tool_stats",    # r5: tool volume/errors/longest run
+    "transcript_quality_gate",  # r5: refusal/empty-completion gate
+    "transcript_role_transitions",  # r5: role-transition matrix
+    "mix_doremi_resample",      # r5: DoReMi weights realized as a corpus
     "embed_knn_classify",      # r5: kNN label propagation from a broadcast seed
     "embed_outlier_centroid",  # r5: cos-to-centroid bottom-q outlier gate
     "embed_mean_pool",         # r5: chunk->doc integer-micro-unit mean pooling

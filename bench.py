@@ -164,6 +164,9 @@ def main() -> None:
         "j2_fuzzy_best_match",
         "pricing_summary",
         "w6_stable_turn_ordering",
+        "transcript_prefix_dedup",
+        "transcript_neardup",
+        "transcript_context_windows",
     ]
     # Best-of-N with adaptive extension: this box shows periodic
     # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query

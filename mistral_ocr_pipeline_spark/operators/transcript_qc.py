@@ -118,3 +118,289 @@ def transcript_dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).over(w).alias("group_size"),
         (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_canonical"),
     )
+
+def transcript_prefix_dedup(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Retry/regeneration BRANCH dedup: conversations sharing the same
+    first-``k``-turn prefix are one branch family (an agent warehouse
+    accumulates these when a session is regenerated from turn k onward —
+    identical opening, divergent tail — which whole-conversation
+    fingerprints can never group).  Canonical = the LONGEST branch
+    (max n_turns, tie → lexicographic min conv_id): keep the most
+    complete trajectory, drop the abandoned retries.
+
+    Grouping key = md5 over the normalized texts of the first
+    min(k, n_turns) turns in stable (turn_idx, text) order — a
+    shorter-than-k conversation is its own class (its prefix is all of
+    it), so a 2-turn stub never absorbs a 10-turn session; run
+    `transcript_dedup_exact` first if exact clones should collapse
+    before branching is judged.
+
+    Plan: ONE conv_id-keyed groupBy builds (prefix_fp, n_turns) per
+    conversation, then two same-partition windows over the
+    CONVERSATION-sized relation (group_size/max, then the conditional
+    min over the longest members) — a single prefix-keyed exchange,
+    never turn-sized.
+
+    Returns (conv_id, prefix_fp, n_turns, group_size, is_canonical)."""
+    txt = F.coalesce(norm_key_col(F.col(text_col)), F.lit(""))
+    per = df.select(
+        "conv_id", F.struct(F.col("turn_idx"), txt.alias("t")).alias("e")
+    )
+    fp = per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("e")), 1, k),
+                    lambda s: s["t"],
+                ),
+                "\x1f",
+            )
+        ).alias("prefix_fp"),
+    )
+    w = W.partitionBy("prefix_fp")
+    sized = fp.select(
+        "conv_id",
+        "prefix_fp",
+        "n_turns",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.max("n_turns").over(w).alias("_mx"),
+    )
+    return sized.select(
+        "conv_id",
+        "prefix_fp",
+        "n_turns",
+        "group_size",
+        (
+            F.col("conv_id")
+            == F.min(
+                F.when(F.col("n_turns") == F.col("_mx"), F.col("conv_id"))
+            ).over(w)
+        ).alias("is_canonical"),
+    )
+
+
+def transcript_loss_mask(
+    df: DataFrame,
+    trainable_roles: tuple[str, ...] = ("assistant",),
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT loss-mask accounting: per conversation, how many tokens would
+    actually train.  A turn is TRAINABLE iff its role is in
+    ``trainable_roles`` (assistant turns train; user/system/tool turns
+    are context) — the standard instruction-tuning mask.  Conversations
+    with a near-zero trainable ratio are context-heavy tool logs that
+    cost sequence length without teaching anything; gate on the ratio
+    before packing.
+
+    Whitespace token basis (`text_analysis.ws_token_count` semantics) so
+    the numbers replay in SQL; swap in the trained-BPE kernel for
+    trainer-exact budgets.  One map-side-combinable conv_id groupBy —
+    no windows, no text on the shuffle (counts only).
+
+    Returns (conv_id, n_turns, n_trainable_turns, tokens_total,
+    tokens_trainable, trainable_ratio_r6)."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    trainable = F.col("role").isin(*trainable_roles)
+    per = df.select(
+        "conv_id",
+        toks.alias("_tok"),
+        F.when(trainable, toks).otherwise(F.lit(0)).alias("_tok_tr"),
+        F.when(trainable, 1).otherwise(0).alias("_is_tr"),
+    )
+    return per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_is_tr").cast("long").alias("n_trainable_turns"),
+        F.sum("_tok").cast("long").alias("tokens_total"),
+        F.sum("_tok_tr").cast("long").alias("tokens_trainable"),
+        F.round(
+            F.sum("_tok_tr")
+            / F.greatest(F.sum("_tok"), F.lit(1)).cast("double"),
+            6,
+        ).alias("trainable_ratio_r6"),
+    )
+
+
+def transcript_context_windows(
+    df: DataFrame, budget: int = 512, text_col: str = "text"
+) -> DataFrame:
+    """Turn-aligned context-window split of long conversations: lay the
+    turns out in stable turn order, cut at ``budget``-token boundaries
+    WITHOUT splitting a turn (the conversation analog of
+    `packing.pack_token_budget`'s document-preserving cut — a window can
+    overflow by at most one turn).  Each (conv_id, win_id) group is one
+    training sequence; downstream packing/emit reuses the pack_emit
+    rebuild discipline.
+
+    Whitespace token basis for SQL replay.  ONE conv_id-keyed window
+    (sort + running cumsum); per-task state is bounded by a single
+    conversation's turn count, so a 10¹²-turn table splits exactly as
+    wide as its conv_id cardinality.
+
+    Returns (conv_id, turn_idx, role, turn_tokens, start_offset,
+    win_id)."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    run = w.rowsBetween(W.unboundedPreceding, -1)
+    return (
+        df.select("conv_id", "turn_idx", "role", toks.alias("turn_tokens"))
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("turn_tokens").over(run), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "win_id",
+            F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+        )
+    )
+
+
+def transcript_role_transitions(df: DataFrame) -> DataFrame:
+    """Corpus-level role-transition matrix: (from_role, to_role, n) over
+    adjacent turns in stable (turn_idx, ts, role) order — the structural
+    health dashboard of an agent-transcript warehouse (user→assistant
+    should dominate; heavy assistant→assistant means retry double-writes;
+    a fat tool→tool diagonal means unbounded tool loops).
+
+    One conv_id-keyed window exchange, then the matrix rollup collapses
+    map-side to ≤|roles|² rows — nothing corpus-sized moves twice."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
+    stepped = df.select(
+        "conv_id", F.lag("role").over(w).alias("from_role"), F.col("role").alias("to_role")
+    ).filter(F.col("from_role").isNotNull())
+    return stepped.groupBy("from_role", "to_role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def transcript_tool_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation agent-trace analytics over the ``tool`` column:
+
+    * ``n_tool_turns`` / ``n_distinct_tools`` — tool-call volume;
+    * ``n_tool_errors`` — tool turns whose text carries an error marker
+      (case-insensitive 'error' — swap for the warehouse's real status
+      field when one exists);
+    * ``max_tool_run`` — the longest CONSECUTIVE run of tool turns in
+      stable turn order (0 when the conversation never calls a tool):
+      the unbounded-tool-loop smell, quantified via gaps-and-islands
+      (global row_number minus tool-only row_number is constant within
+      a run).
+
+    Two same-key windows + one groupBy — a single conv_id exchange; the
+    island rollup is conversation-bounded."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
+    is_tool = F.col("tool").isNotNull()
+    stepped = df.select(
+        "conv_id",
+        "tool",
+        is_tool.alias("_it"),
+        F.when(
+            is_tool & F.lower(F.coalesce(F.col("text"), F.lit(""))).contains(
+                "error"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_err"),
+        F.row_number().over(w).alias("_rn"),
+        F.when(is_tool, F.row_number().over(
+            W.partitionBy("conv_id", is_tool).orderBy("turn_idx", "ts", "role")
+        )).alias("_rt"),
+    )
+    runs = (
+        stepped.filter("_it")
+        .groupBy("conv_id", (F.col("_rn") - F.col("_rt")).alias("_island"))
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy("conv_id")
+        .agg(F.max("_run").alias("max_tool_run"))
+    )
+    base = stepped.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("_it"), 1).otherwise(0)).cast("long").alias(
+            "n_tool_turns"
+        ),
+        F.countDistinct("tool").alias("n_distinct_tools"),
+        F.sum("_err").cast("long").alias("n_tool_errors"),
+    )
+    return base.join(runs, "conv_id", "left").select(
+        "conv_id",
+        "n_tool_turns",
+        "n_distinct_tools",
+        "n_tool_errors",
+        F.coalesce(F.col("max_tool_run"), F.lit(0)).cast("long").alias(
+            "max_tool_run"
+        ),
+    )
+
+
+def transcript_refusal_flags(df: DataFrame) -> DataFrame:
+    """Assistant-turn degeneracy gate — the SFT-data quality filter for
+    refusals and empty completions: per conversation,
+
+    * ``n_assistant`` — assistant turns;
+    * ``n_refusals`` — assistant turns opening-matching a refusal marker
+      ('i cannot', 'i can''t', 'i'm sorry', 'as an ai' — the standard
+      published refusal heuristics, case-insensitive substring);
+    * ``n_empty_assistant`` — assistant turns whose text is NULL/blank;
+    * ``keep`` — no refusals AND no empty completions AND at least one
+      assistant turn (a conversation with nothing to train on fails).
+
+    Scan-level CASE expressions + one map-side-combinable conv_id
+    groupBy — zero windows, counts-only shuffle."""
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    is_asst = F.col("role") == "assistant"
+    refusal = (
+        low.contains("i cannot")
+        | low.contains("i can't")
+        | low.contains("i'm sorry")
+        | low.contains("as an ai")
+    )
+    per = df.select(
+        "conv_id",
+        F.when(is_asst, 1).otherwise(0).alias("_a"),
+        F.when(is_asst & refusal, 1).otherwise(0).alias("_r"),
+        F.when(is_asst & (F.trim(F.coalesce(F.col("text"), F.lit(""))) == ""), 1)
+        .otherwise(0)
+        .alias("_e"),
+    )
+    return per.groupBy("conv_id").agg(
+        F.sum("_a").cast("long").alias("n_assistant"),
+        F.sum("_r").cast("long").alias("n_refusals"),
+        F.sum("_e").cast("long").alias("n_empty_assistant"),
+        (
+            (F.sum("_r") == 0) & (F.sum("_e") == 0) & (F.sum("_a") > 0)
+        ).alias("keep"),
+    )
+
+
+def conversation_texts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(conv_id, conv_text): each conversation's raw turn texts joined
+    with a single space in stable (turn_idx, text) order — the
+    conversation-granularity DOCUMENT for near-dup/embedding passes
+    (feed to `dedup.minhash_lsh_pairs` for conversation near-dup; the
+    shingler normalizes downstream, so no key-normalization here).
+    Same ordered-struct rebuild discipline as `transcript_fingerprint`;
+    one conv_id exchange."""
+    per = df.select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx"), F.coalesce(F.col(text_col), F.lit("")).alias("t")
+        ).alias("e"),
+    )
+    return per.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("e")), lambda s: s["t"]),
+            " ",
+        ).alias("conv_text")
+    )

@@ -8781,3 +8781,368 @@ def mix_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistral_ocr_pipeline_spark.operators.sampling import doremi_resample
 
     return doremi_resample(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# transcript curation battery (operators/transcript_qc, round 5 cont.)
+# --------------------------------------------------------------------------
+# fixture CTE with the ts column (matches transcripts_from_documents)
+_TRANSCRIPTS_TS_SQL = """
+    SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+           (doc_id // 50)::int AS turn_idx,
+           (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+           text,
+           CAST(NULL AS varchar) AS tool,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + doc_id * INTERVAL 1 SECOND AS ts
+    FROM documents
+"""
+
+
+@register(
+    "transcript_prefix_dedup",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    branches AS (
+      SELECT 'branch-' || substr(conv_id, 6) AS conv_id, turn_idx,
+             CASE WHEN turn_idx >= 3 THEN 'regenerated ' || text
+                  ELSE text END AS text
+      FROM t
+      WHERE (substr(conv_id, 6))::INT % 5 = 0 AND turn_idx < 6),
+    u AS (SELECT conv_id, turn_idx, text FROM t
+          UNION ALL SELECT * FROM branches),
+    k AS (SELECT conv_id, turn_idx,
+                 coalesce({_KEY.format(c='text')}, '') AS t
+          FROM u),
+    fp AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+                  md5(array_to_string(
+                      list(t ORDER BY turn_idx, t)[1:3], chr(31)))
+                      AS prefix_fp
+           FROM k GROUP BY conv_id),
+    sized AS (SELECT conv_id, prefix_fp, n_turns,
+                     count(*) OVER (PARTITION BY prefix_fp)::BIGINT
+                         AS group_size,
+                     max(n_turns) OVER (PARTITION BY prefix_fp) AS mx
+              FROM fp)
+    SELECT conv_id, prefix_fp, n_turns, group_size,
+           conv_id = min(CASE WHEN n_turns = mx THEN conv_id END)
+               OVER (PARTITION BY prefix_fp) AS is_canonical
+    FROM sized
+    """,
+)
+def transcript_prefix_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-branch dedup (`transcript_qc.transcript_prefix_dedup`): the
+    transcripts plus a truncated REGENERATED branch of every 5th
+    conversation — identical first 3 turns, divergent tail from turn 3,
+    cut at 6 turns.  Whole-conversation fingerprints can't group these;
+    the 3-turn prefix fingerprint does, and the longest branch (the
+    original) is kept as canonical."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_prefix_dedup as op,
+    )
+
+    t = transcripts_from_documents(_t(spark, sf_dir, "documents")).select(
+        "conv_id", "turn_idx", "text"
+    )
+    branches = (
+        t.filter(
+            (F.substring("conv_id", 6, 6).cast("int") % 5 == 0)
+            & (F.col("turn_idx") < 6)
+        )
+        .select(
+            F.concat(F.lit("branch-"), F.expr("substr(conv_id, 6)")).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            F.when(
+                F.col("turn_idx") >= 3, F.concat(F.lit("regenerated "), "text")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return op(t.unionByName(branches), k=3)
+
+
+@register(
+    "transcript_loss_mask",
+    oracle=rf"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    p AS (SELECT conv_id, role,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS tok
+          FROM t)
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+           sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+               AS n_trainable_turns,
+           sum(tok)::BIGINT AS tokens_total,
+           sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END)::BIGINT
+               AS tokens_trainable,
+           round(sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END)::DOUBLE
+                 / greatest(sum(tok), 1), 6) AS trainable_ratio_r6
+    FROM p GROUP BY conv_id
+    """,
+)
+def transcript_loss_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask accounting (`transcript_qc.transcript_loss_mask`):
+    per-conversation trainable-token budget under the standard
+    assistant-turns-train mask, whitespace basis for exact SQL replay."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_loss_mask as op,
+    )
+
+    return op(transcripts_from_documents(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "transcript_context_windows",
+    oracle=rf"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    p AS (SELECT conv_id, turn_idx, role,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS turn_tokens
+          FROM t),
+    o AS (SELECT conv_id, turn_idx, role, turn_tokens::BIGINT AS turn_tokens,
+                 coalesce(sum(turn_tokens) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS start_offset
+          FROM p)
+    SELECT conv_id, turn_idx, role, turn_tokens, start_offset,
+           (start_offset // 256)::BIGINT AS win_id
+    FROM o
+    """,
+)
+def transcript_context_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-aligned context-window split
+    (`transcript_qc.transcript_context_windows`): 256-token
+    turn-preserving boundary cut per conversation, the conversation
+    analog of `pack_token_budget`'s document-preserving packing."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_context_windows as op,
+    )
+
+    return op(
+        transcripts_from_documents(_t(spark, sf_dir, "documents")), budget=256
+    )
+
+
+@register(
+    "transcript_role_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ts
+      FROM documents WHERE doc_id % 7 <> 0),
+    s AS (SELECT conv_id, lag(role) OVER w AS from_role, role AS to_role
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role))
+    SELECT from_role, to_role, count(*)::BIGINT AS n
+    FROM s WHERE from_role IS NOT NULL
+    GROUP BY from_role, to_role
+    """,
+)
+def transcript_role_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition matrix
+    (`transcript_qc.transcript_role_transitions`) over the
+    dropped-turns fixture (every 7th source row gone) — the dashboard
+    that surfaces broken alternation: the drops create same-role
+    adjacencies the clean rotation never has."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_role_transitions as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
+    return op(transcripts_from_documents(docs))
+
+
+@register(
+    "transcript_tool_stats",
+    oracle="""
+    WITH t0 AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text,
+             TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ts
+      FROM documents WHERE doc_id % 7 <> 0),
+    t AS (SELECT *, CASE WHEN role = 'tool'
+                         THEN 'tool-' || (turn_idx % 3)::varchar END AS tool
+          FROM t0),
+    s AS (SELECT conv_id, tool, tool IS NOT NULL AS it,
+                 CASE WHEN tool IS NOT NULL
+                       AND contains(lower(coalesce(text, '')), 'error')
+                      THEN 1 ELSE 0 END AS err,
+                 row_number() OVER (
+                     PARTITION BY conv_id
+                     ORDER BY turn_idx, ts, role) AS rn,
+                 CASE WHEN tool IS NOT NULL THEN row_number() OVER (
+                     PARTITION BY conv_id, (tool IS NOT NULL)
+                     ORDER BY turn_idx, ts, role) END AS rt
+          FROM t),
+    runs AS (SELECT conv_id, max(c) AS max_run FROM (
+               SELECT conv_id, rn - rt AS island, count(*) AS c
+               FROM s WHERE it GROUP BY conv_id, rn - rt)
+             GROUP BY conv_id),
+    base AS (SELECT conv_id,
+                    sum(CASE WHEN it THEN 1 ELSE 0 END)::BIGINT
+                        AS n_tool_turns,
+                    count(DISTINCT tool)::BIGINT AS n_distinct_tools,
+                    sum(err)::BIGINT AS n_tool_errors
+             FROM s GROUP BY conv_id)
+    SELECT b.conv_id, n_tool_turns, n_distinct_tools, n_tool_errors,
+           coalesce(max_run, 0)::BIGINT AS max_tool_run
+    FROM base b LEFT JOIN runs USING (conv_id)
+    """,
+)
+def transcript_tool_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trace tool analytics (`transcript_qc.transcript_tool_stats`)
+    over the dropped-turns fixture with a synthesized tool column
+    (role='tool' turns invoke 'tool-{turn_idx%3}'): call volume,
+    distinct tools, error-marker turns, and the longest consecutive
+    tool run (the drops fuse adjacent tool turns into real runs)."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_tool_stats as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
+    t = transcripts_from_documents(docs).withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "tool",
+            F.concat(F.lit("tool-"), (F.col("turn_idx") % 3).cast("string")),
+        ),
+    )
+    return op(t)
+
+
+@register(
+    "transcript_quality_gate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN ''
+                  WHEN doc_id % 9 = 0 THEN 'I cannot help with that. ' || text
+                  ELSE text END AS text
+      FROM documents),
+    t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text
+      FROM d),
+    p AS (SELECT conv_id,
+                 CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,
+                 CASE WHEN role = 'assistant' AND (
+                        contains(lower(coalesce(text, '')), 'i cannot')
+                        OR contains(lower(coalesce(text, '')), 'i can''t')
+                        OR contains(lower(coalesce(text, '')), 'i''m sorry')
+                        OR contains(lower(coalesce(text, '')), 'as an ai'))
+                      THEN 1 ELSE 0 END AS r,
+                 CASE WHEN role = 'assistant'
+                       AND trim(coalesce(text, '')) = ''
+                      THEN 1 ELSE 0 END AS e
+          FROM t)
+    SELECT conv_id, sum(a)::BIGINT AS n_assistant,
+           sum(r)::BIGINT AS n_refusals,
+           sum(e)::BIGINT AS n_empty_assistant,
+           (sum(r) = 0 AND sum(e) = 0 AND sum(a) > 0) AS keep
+    FROM p GROUP BY conv_id
+    """,
+)
+def transcript_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-turn degeneracy gate
+    (`transcript_qc.transcript_refusal_flags`) over a corrupted fixture:
+    every 13th source text blanked (empty completions), every 9th
+    prefixed with a refusal opener — the SFT-data filter for
+    conversations with nothing trainable or refusal-shaped answers."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_refusal_flags as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit("I cannot help with that. "), F.col("text")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return op(transcripts_from_documents(docs))
+
+
+@register(
+    "transcript_neardup",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    conv AS (SELECT conv_id,
+                    string_agg(coalesce(text, ''), ' '
+                               ORDER BY turn_idx, coalesce(text, ''))
+                        AS conv_text
+             FROM t GROUP BY conv_id),
+    u AS (SELECT conv_id, conv_text FROM conv
+          UNION ALL
+          SELECT 'clone-' || substr(conv_id, 6),
+                 regexp_replace(conv_text, '^\\w+', 'changed')
+          FROM conv WHERE (substr(conv_id, 6))::INT % 5 = 0),
+    tk AS (SELECT conv_id AS id,
+                  string_split({_KEY.format(c='conv_text')}, ' ') AS toks
+           FROM u),
+    g AS (SELECT id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, greatest(len(toks) - 1, 1))])
+                     AS grams
+          FROM tk),
+    sz AS (SELECT id, len(grams) AS n FROM g),
+    e AS (SELECT id, unnest(grams) AS gram FROM g),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           i::DOUBLE / (sa.n + sb.n - i) AS jaccard,
+           FALSE AS bucket_truncated
+    FROM inter
+    JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def transcript_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level NEAR-dup (`transcript_qc.conversation_texts` →
+    `dedup.minhash_lsh_pairs`): each conversation's stable-ordered turn
+    texts joined into one conversation document, MinHash-LSH'd against a
+    one-word-perturbed clone of every 5th conversation — the re-ingested
+    almost-identical session class that exact conversation fingerprints
+    miss.  Value-oracle = exact all-pairs 3-gram Jaccard ≥ 0.5 (the
+    dedup_minhash_lsh recall-check discipline at conversation
+    granularity)."""
+    from mistral_ocr_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        conversation_texts,
+    )
+
+    # the minhash path consumes its input from several branches (signature,
+    # fresh-shingle verify, both bucket sides) — without a boundary each
+    # branch re-runs the conversation-assembly groupBy over the full turn
+    # table (measured 43.7 s → ~5 s at sf0.1); the conv relation is
+    # conv-cardinality-sized (tiny), so persist it once
+    conv = conversation_texts(
+        transcripts_from_documents(_t(spark, sf_dir, "documents"))
+    ).persist()
+    clones = conv.filter(
+        F.substring("conv_id", 6, 6).cast("int") % 5 == 0
+    ).select(
+        F.concat(F.lit("clone-"), F.expr("substr(conv_id, 6)")).alias(
+            "conv_id"
+        ),
+        F.regexp_replace("conv_text", r"^\w+", "changed").alias("conv_text"),
+    )
+    u = conv.unionByName(clones)
+    return minhash_lsh_pairs(
+        u, "conv_id", "conv_text", n=3, num_perm=64, bands=16, threshold=0.5
+    )

@@ -1,0 +1,181 @@
+"""Transcript-curation operator semantics (operators/transcript_qc):
+edge cases the sf-fixture oracles can't exercise — empty/NULL turns,
+short conversations, tie-breaks, run shapes, partition invariance."""
+
+from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+    conversation_texts,
+    transcript_context_windows,
+    transcript_loss_mask,
+    transcript_prefix_dedup,
+    transcript_refusal_flags,
+    transcript_role_transitions,
+    transcript_tool_stats,
+)
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+class TestPrefixDedup:
+    def test_longest_branch_canonical(self, spark):
+        rows = []
+        # full session: 6 turns
+        for i in range(6):
+            rows.append(("a", i, "user", f"turn {i}", None, None))
+        # retry branch: same first 3 turns, divergent turn 3, truncated
+        for i in range(4):
+            t = f"turn {i}" if i < 3 else "regenerated"
+            rows.append(("b", i, "user", t, None, None))
+        out = {r.conv_id: r for r in transcript_prefix_dedup(_df(spark, rows), k=3).collect()}
+        assert out["a"].prefix_fp == out["b"].prefix_fp
+        assert out["a"].group_size == 2 and out["b"].group_size == 2
+        assert out["a"].is_canonical and not out["b"].is_canonical
+
+    def test_tie_breaks_to_min_conv_id(self, spark):
+        rows = [
+            (c, i, "user", f"turn {i}", None, None)
+            for c in ("x", "y")
+            for i in range(5)
+        ]
+        out = {r.conv_id: r for r in transcript_prefix_dedup(_df(spark, rows), k=3).collect()}
+        assert out["x"].is_canonical and not out["y"].is_canonical
+
+    def test_short_conv_is_own_class(self, spark):
+        rows = [("long", i, "user", f"turn {i}", None, None) for i in range(5)]
+        rows += [("stub", i, "user", f"turn {i}", None, None) for i in range(2)]
+        out = {r.conv_id: r for r in transcript_prefix_dedup(_df(spark, rows), k=3).collect()}
+        # the 2-turn stub's prefix is all of it — it never merges with
+        # the 5-turn session whose 3-turn prefix is longer
+        assert out["long"].prefix_fp != out["stub"].prefix_fp
+        assert out["long"].is_canonical and out["stub"].is_canonical
+
+    def test_null_text_and_partition_invariance(self, spark):
+        rows = [
+            ("a", 0, "user", None, None, None),
+            ("a", 1, "user", "x", None, None),
+            ("b", 0, "user", "", None, None),
+            ("b", 1, "user", "x", None, None),
+        ]
+        d = _df(spark, rows)
+        a = sorted(map(tuple, transcript_prefix_dedup(d, k=3).collect()))
+        b = sorted(map(tuple, transcript_prefix_dedup(d.repartition(7), k=3).collect()))
+        assert a == b
+        # NULL and '' normalize to the same key → the two convs merge
+        fps = {t[1] for t in a}
+        assert len(fps) == 1
+
+
+class TestLossMask:
+    def test_counts(self, spark):
+        rows = [
+            ("c", 0, "user", "one two three", None, None),
+            ("c", 1, "assistant", "four five", None, None),
+            ("c", 2, "tool", "ignored output", None, None),
+            ("c", 3, "assistant", "", None, None),
+            ("c", 4, "assistant", None, None, None),
+        ]
+        r = transcript_loss_mask(_df(spark, rows)).collect()[0]
+        assert r.n_turns == 5
+        assert r.n_trainable_turns == 3
+        assert r.tokens_total == 7
+        assert r.tokens_trainable == 2
+        assert abs(r.trainable_ratio_r6 - round(2 / 7, 6)) < 1e-9
+
+    def test_all_empty_conv_ratio_zero(self, spark):
+        rows = [("c", 0, "user", "", None, None), ("c", 1, "assistant", "", None, None)]
+        r = transcript_loss_mask(_df(spark, rows)).collect()[0]
+        assert r.tokens_total == 0 and r.trainable_ratio_r6 == 0.0
+
+
+class TestContextWindows:
+    def test_turn_preserving_cut(self, spark):
+        rows = [
+            ("c", i, "user", " ".join(["w"] * 3), None, None) for i in range(5)
+        ]
+        out = {r.turn_idx: r for r in transcript_context_windows(_df(spark, rows), budget=5).collect()}
+        # offsets 0,3,6,9,12 → windows 0,0,1,1,2
+        assert [out[i].start_offset for i in range(5)] == [0, 3, 6, 9, 12]
+        assert [out[i].win_id for i in range(5)] == [0, 0, 1, 1, 2]
+
+    def test_single_turn_overflow_allowed(self, spark):
+        rows = [("c", 0, "user", " ".join(["w"] * 99), None, None)]
+        r = transcript_context_windows(_df(spark, rows), budget=5).collect()[0]
+        assert r.win_id == 0 and r.turn_tokens == 99
+
+
+class TestRoleTransitions:
+    def test_matrix(self, spark):
+        rows = [
+            ("c", 0, "user", "a", None, None),
+            ("c", 1, "assistant", "b", None, None),
+            ("c", 2, "user", "c", None, None),
+            ("d", 0, "user", "e", None, None),
+            ("d", 1, "user", "f", None, None),
+        ]
+        m = {
+            (r.from_role, r.to_role): r.n
+            for r in transcript_role_transitions(_df(spark, rows)).collect()
+        }
+        assert m == {
+            ("user", "assistant"): 1,
+            ("assistant", "user"): 1,
+            ("user", "user"): 1,
+        }
+
+
+class TestToolStats:
+    def test_runs_and_errors(self, spark):
+        rows = [
+            ("c", 0, "user", "q", None, None),
+            ("c", 1, "tool", "ok", "search", None),
+            ("c", 2, "tool", "ERROR: timeout", "search", None),
+            ("c", 3, "tool", "ok", "fetch", None),
+            ("c", 4, "assistant", "a", None, None),
+            ("c", 5, "tool", "ok", "fetch", None),
+            ("d", 0, "user", "no tools here", None, None),
+        ]
+        out = {r.conv_id: r for r in transcript_tool_stats(_df(spark, rows)).collect()}
+        c = out["c"]
+        assert c.n_tool_turns == 4
+        assert c.n_distinct_tools == 2
+        assert c.n_tool_errors == 1
+        assert c.max_tool_run == 3
+        d = out["d"]
+        assert (d.n_tool_turns, d.n_distinct_tools, d.max_tool_run) == (0, 0, 0)
+
+
+class TestRefusalFlags:
+    def test_gate(self, spark):
+        rows = [
+            ("good", 0, "user", "hi", None, None),
+            ("good", 1, "assistant", "Sure, here is the answer.", None, None),
+            ("refuse", 0, "user", "hi", None, None),
+            ("refuse", 1, "assistant", "I'm sorry, I CANNOT do that.", None, None),
+            ("empty", 0, "user", "hi", None, None),
+            ("empty", 1, "assistant", "   ", None, None),
+            ("noasst", 0, "user", "hi", None, None),
+        ]
+        out = {r.conv_id: r for r in transcript_refusal_flags(_df(spark, rows)).collect()}
+        assert out["good"].keep
+        assert not out["refuse"].keep and out["refuse"].n_refusals == 1
+        assert not out["empty"].keep and out["empty"].n_empty_assistant == 1
+        assert not out["noasst"].keep and out["noasst"].n_assistant == 0
+
+
+class TestConversationTexts:
+    def test_stable_order_and_null(self, spark):
+        rows = [
+            ("c", 1, "assistant", "world", None, None),
+            ("c", 0, "user", "hello", None, None),
+            ("c", 2, "user", None, None, None),
+        ]
+        r = conversation_texts(_df(spark, rows)).collect()[0]
+        assert r.conv_text == "hello world "
+        d = _df(spark, rows)
+        assert (
+            conversation_texts(d.repartition(5)).collect()[0].conv_text
+            == r.conv_text
+        )
