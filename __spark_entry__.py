@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "transcript_preference_pairs",  # r5: DPO pairs from retry branches
+    "transcript_latency_stats",  # r5: assistant response-latency rollup
     "transcript_prefix_dedup",  # r5: retry-branch dedup, longest-branch canonical
     "transcript_neardup",       # r5: conversation-level MinHash near-dup
     "transcript_loss_mask",     # r5: SFT trainable-token accounting

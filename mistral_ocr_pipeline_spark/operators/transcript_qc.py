@@ -404,3 +404,110 @@ def conversation_texts(df: DataFrame, text_col: str = "text") -> DataFrame:
             " ",
         ).alias("conv_text")
     )
+
+def transcript_preference_pairs(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Preference-pair (DPO-shape) extraction from retry branches: when a
+    warehouse holds several regenerations of the same conversation
+    (identical first ``k`` turns, divergent continuations —
+    `transcript_prefix_dedup`'s branch families), the turn-``k``
+    completions form natural (prompt, chosen, rejected) training pairs:
+    chosen = the canonical (longest, i.e. the branch the user kept
+    going with) branch's turn ``k``; rejected = every other branch's
+    turn ``k`` whose normalized text actually differs.
+
+    The 'longest branch won' preference signal is a heuristic — swap
+    ``is_canonical`` for an explicit rating join when one exists; the
+    pairing/plumbing is the same.
+
+    Plan: the family relation is CONVERSATION-sized, so the turn-k join
+    and the chosen×rejected pairing move branch counts, not turns; the
+    prompt rebuild is one groupBy over the canonical branches' first
+    ``k`` turns (ordered-struct rebuild, `line_dedup` discipline).
+    Families whose canonical branch has no turn ``k`` (the family IS
+    k turns long) produce no pairs.
+
+    Returns (prefix_fp, chosen_conv, rejected_conv, prompt_text,
+    chosen_text, rejected_text)."""
+    fam = transcript_prefix_dedup(df, k=k, text_col=text_col).filter(
+        F.col("group_size") >= 2
+    )
+    at_k = df.filter(F.col("turn_idx") == k).select(
+        "conv_id", F.coalesce(F.col(text_col), F.lit("")).alias("_tk")
+    )
+    j = fam.join(at_k, "conv_id")
+    chosen = j.filter("is_canonical").select(
+        "prefix_fp",
+        F.col("conv_id").alias("chosen_conv"),
+        F.col("_tk").alias("chosen_text"),
+    )
+    rejected = j.filter(~F.col("is_canonical")).select(
+        "prefix_fp",
+        F.col("conv_id").alias("rejected_conv"),
+        F.col("_tk").alias("rejected_text"),
+    )
+    prompt = (
+        fam.filter("is_canonical")
+        .select("prefix_fp", F.col("conv_id").alias("chosen_conv"))
+        .join(
+            df.filter(F.col("turn_idx") < k).select(
+                F.col("conv_id").alias("chosen_conv"),
+                F.struct(
+                    F.col("turn_idx"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+                ).alias("e"),
+            ),
+            "chosen_conv",
+        )
+        .groupBy("prefix_fp")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["t"]),
+                "\n",
+            ).alias("prompt_text")
+        )
+    )
+    return (
+        chosen.join(rejected, "prefix_fp")
+        .filter(
+            norm_key_col(F.col("chosen_text"))
+            != norm_key_col(F.col("rejected_text"))
+        )
+        .join(prompt, "prefix_fp")
+        .select(
+            "prefix_fp",
+            "chosen_conv",
+            "rejected_conv",
+            "prompt_text",
+            "chosen_text",
+            "rejected_text",
+        )
+    )
+
+
+def transcript_latency_stats(df: DataFrame) -> DataFrame:
+    """Assistant response-latency rollup — the agent-warehouse SLO
+    metric: per conversation, the seconds between each assistant turn
+    and the turn before it (stable turn order; pairs with a NULL ts on
+    either side don't count).
+
+    Returns (conv_id, n_replies, mean_latency_r6, max_latency_s).
+    One conv_id-keyed window exchange shared with the rollup."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
+    prev_ts = F.lag("ts").over(w)
+    lat = F.when(
+        (F.col("role") == "assistant")
+        & prev_ts.isNotNull()
+        & F.col("ts").isNotNull(),
+        F.col("ts").cast("double") - prev_ts.cast("double"),
+    )
+    return (
+        df.select("conv_id", lat.alias("_lat"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("_lat").alias("n_replies"),
+            F.round(F.avg("_lat"), 6).alias("mean_latency_r6"),
+            F.max("_lat").alias("max_latency_s"),
+        )
+    )

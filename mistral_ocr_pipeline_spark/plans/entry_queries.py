@@ -9146,3 +9146,124 @@ def transcript_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         u, "conv_id", "conv_text", n=3, num_perm=64, bands=16, threshold=0.5
     )
+
+
+@register(
+    "transcript_preference_pairs",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    branches AS (
+      SELECT 'branch-' || substr(conv_id, 6) AS conv_id, turn_idx,
+             CASE WHEN turn_idx >= 3 THEN 'regenerated ' || text
+                  ELSE text END AS text
+      FROM t
+      WHERE (substr(conv_id, 6))::INT % 5 = 0 AND turn_idx < 6),
+    u AS (SELECT conv_id, turn_idx, text FROM t
+          UNION ALL SELECT * FROM branches),
+    kk AS (SELECT conv_id, turn_idx,
+                  coalesce({_KEY.format(c='text')}, '') AS t
+           FROM u),
+    fp AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+                  md5(array_to_string(
+                      list(t ORDER BY turn_idx, t)[1:3], chr(31)))
+                      AS prefix_fp
+           FROM kk GROUP BY conv_id),
+    sized AS (SELECT conv_id, prefix_fp, n_turns,
+                     count(*) OVER (PARTITION BY prefix_fp) AS gs,
+                     max(n_turns) OVER (PARTITION BY prefix_fp) AS mx
+              FROM fp),
+    canon AS (SELECT conv_id, prefix_fp, gs,
+                     conv_id = min(CASE WHEN n_turns = mx
+                                        THEN conv_id END)
+                         OVER (PARTITION BY prefix_fp) AS is_c
+              FROM sized),
+    fam AS (SELECT * FROM canon WHERE gs >= 2),
+    atk AS (SELECT conv_id, coalesce(text, '') AS tk
+            FROM u WHERE turn_idx = 3),
+    chosen AS (SELECT prefix_fp, f.conv_id AS chosen_conv,
+                      tk AS chosen_text
+               FROM fam f JOIN atk USING (conv_id) WHERE is_c),
+    rejected AS (SELECT prefix_fp, f.conv_id AS rejected_conv,
+                        tk AS rejected_text
+                 FROM fam f JOIN atk USING (conv_id) WHERE NOT is_c),
+    prompt AS (SELECT prefix_fp,
+                      string_agg(coalesce(text, ''), chr(10)
+                                 ORDER BY turn_idx, coalesce(text, ''))
+                          AS prompt_text
+               FROM fam f JOIN u USING (conv_id)
+               WHERE is_c AND turn_idx < 3 GROUP BY prefix_fp)
+    SELECT c.prefix_fp, chosen_conv, rejected_conv, prompt_text,
+           chosen_text, rejected_text
+    FROM chosen c JOIN rejected r USING (prefix_fp)
+    JOIN prompt USING (prefix_fp)
+    WHERE {_KEY.format(c='chosen_text')} <> {_KEY.format(c='rejected_text')}
+    """,
+)
+def transcript_preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-shape preference pairs
+    (`transcript_qc.transcript_preference_pairs`) from the retry-branch
+    fixture: every 5th conversation has a truncated regeneration
+    diverging at turn 3, so each family yields (prompt = shared first 3
+    turns, chosen = kept branch's turn 3, rejected = the retry's
+    'regenerated' turn 3)."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_preference_pairs as op,
+    )
+
+    t = transcripts_from_documents(_t(spark, sf_dir, "documents")).select(
+        "conv_id", "turn_idx", "text"
+    )
+    branches = (
+        t.filter(
+            (F.substring("conv_id", 6, 6).cast("int") % 5 == 0)
+            & (F.col("turn_idx") < 6)
+        )
+        .select(
+            F.concat(F.lit("branch-"), F.expr("substr(conv_id, 6)")).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            F.when(
+                F.col("turn_idx") >= 3, F.concat(F.lit("regenerated "), "text")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return op(t.unionByName(branches), k=3)
+
+
+@register(
+    "transcript_latency_stats",
+    oracle="""
+    WITH t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ts
+      FROM documents WHERE doc_id % 7 <> 0),
+    s AS (SELECT conv_id,
+                 CASE WHEN role = 'assistant' THEN
+                   (epoch_ms(ts) - epoch_ms(lag(ts) OVER w)) / 1000.0
+                 END AS lat
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role))
+    SELECT conv_id, count(lat)::BIGINT AS n_replies,
+           round(avg(lat), 6) AS mean_latency_r6,
+           max(lat) AS max_latency_s
+    FROM s GROUP BY conv_id
+    """,
+)
+def transcript_latency_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response-latency rollup
+    (`transcript_qc.transcript_latency_stats`) over the dropped-turns
+    fixture — the drops double the inter-turn gap ahead of some
+    assistant turns, so mean and max genuinely differ per
+    conversation."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_latency_stats as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
+    return op(transcripts_from_documents(docs))

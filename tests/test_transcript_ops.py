@@ -179,3 +179,65 @@ class TestConversationTexts:
             conversation_texts(d.repartition(5)).collect()[0].conv_text
             == r.conv_text
         )
+
+
+class TestPreferencePairs:
+    def test_pairs_from_branches(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_preference_pairs,
+        )
+
+        rows = []
+        for i in range(6):
+            rows.append(("a", i, "user", f"turn {i}", None, None))
+        for i in range(5):
+            t = f"turn {i}" if i < 3 else f"retry {i}"
+            rows.append(("b", i, "user", t, None, None))
+        # a second retry whose turn 3 matches the canonical -> filtered
+        for i in range(4):
+            t = f"turn {i}" if i != 4 else "x"
+            rows.append(("c", i, "user", t, None, None))
+        out = transcript_preference_pairs(_df(spark, rows), k=3).collect()
+        assert len(out) == 1
+        p = out[0]
+        assert p.chosen_conv == "a" and p.rejected_conv == "b"
+        assert p.prompt_text == "turn 0\nturn 1\nturn 2"
+        assert p.chosen_text == "turn 3" and p.rejected_text == "retry 3"
+
+    def test_no_pair_when_family_is_prefix_only(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_preference_pairs,
+        )
+
+        rows = [
+            (c, i, "user", f"turn {i}", None, None)
+            for c in ("a", "b")
+            for i in range(3)
+        ]
+        assert transcript_preference_pairs(_df(spark, rows), k=3).count() == 0
+
+
+class TestLatencyStats:
+    def test_latency(self, spark):
+        import datetime as dt
+
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_latency_stats,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("c", 0, "user", "q", None, t0),
+            ("c", 1, "assistant", "a", None, t0 + dt.timedelta(seconds=4)),
+            ("c", 2, "user", "q2", None, t0 + dt.timedelta(seconds=10)),
+            ("c", 3, "assistant", "a2", None, t0 + dt.timedelta(seconds=20)),
+            ("d", 0, "assistant", "opener", None, t0),
+        ]
+        out = {r.conv_id: r for r in transcript_latency_stats(_df(spark, rows)).collect()}
+        c = out["c"]
+        assert c.n_replies == 2
+        assert abs(c.mean_latency_r6 - 7.0) < 1e-9
+        assert c.max_latency_s == 10.0
+        # a conversation-opening assistant turn has no predecessor
+        d = out["d"]
+        assert d.n_replies == 0 and d.mean_latency_r6 is None
