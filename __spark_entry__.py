@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "transcript_sft_pipeline",  # r5: fused-facts SFT curation composite, one plan
     "transcript_preference_pairs",  # r5: DPO pairs from retry branches
     "transcript_latency_stats",  # r5: assistant response-latency rollup
     "transcript_prefix_dedup",  # r5: retry-branch dedup, longest-branch canonical

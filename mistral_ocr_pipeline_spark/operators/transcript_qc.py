@@ -511,3 +511,86 @@ def transcript_latency_stats(df: DataFrame) -> DataFrame:
             F.max("_lat").alias("max_latency_s"),
         )
     )
+
+def transcript_conv_facts(
+    df: DataFrame,
+    trainable_roles: tuple[str, ...] = ("assistant",),
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-exchange fusion of the per-conversation fact passes —
+    `transcript_integrity` + `transcript_refusal_flags` +
+    `transcript_loss_mask` + `transcript_fingerprint` computed together:
+    the à-la-carte operators each shuffle the TURN table on conv_id, so
+    a pipeline that gates on all four would pay four corpus exchanges;
+    this fused form pays one (the lag window and the groupBy share the
+    conv_id exchange), which is the difference that matters at 10¹²
+    turns.  Column semantics are exactly the individual operators'.
+
+    Returns one row per conv_id: n_turns, dup_turns, has_gaps,
+    starts_at_zero, role_repeats, ts_inversions, n_assistant,
+    n_refusals, n_empty_assistant, tokens_total, tokens_trainable,
+    trainable_ratio_r6, fingerprint."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(raw)
+    trimmed = F.trim(raw)
+    toks = (
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    is_tr = F.col("role").isin(*trainable_roles)
+    refusal = (
+        low.contains("i cannot")
+        | low.contains("i can't")
+        | low.contains("i'm sorry")
+        | low.contains("as an ai")
+    )
+    stepped = df.select(
+        "conv_id",
+        "turn_idx",
+        (F.lag("role").over(w) == F.col("role")).alias("_rep"),
+        (F.lag("ts").over(w) > F.col("ts")).alias("_inv"),
+        F.when(is_tr, 1).otherwise(0).alias("_a"),
+        F.when(is_tr & refusal, 1).otherwise(0).alias("_r"),
+        F.when(is_tr & (trimmed == ""), 1).otherwise(0).alias("_e"),
+        toks.alias("_tok"),
+        F.when(is_tr, toks).otherwise(F.lit(0)).alias("_tok_tr"),
+        F.struct(
+            F.col("turn_idx"),
+            F.coalesce(norm_key_col(F.col(text_col)), F.lit("")).alias("t"),
+        ).alias("_fe"),
+    )
+    return stepped.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.count(F.lit(1)) - F.countDistinct("turn_idx")).alias("dup_turns"),
+        (
+            (F.max("turn_idx") - F.min("turn_idx") + 1)
+            != F.countDistinct("turn_idx")
+        ).alias("has_gaps"),
+        (F.min("turn_idx") == F.lit(0)).alias("starts_at_zero"),
+        F.sum(F.when(F.col("_rep"), 1).otherwise(0))
+        .cast("long")
+        .alias("role_repeats"),
+        F.sum(F.when(F.col("_inv"), 1).otherwise(0))
+        .cast("long")
+        .alias("ts_inversions"),
+        F.sum("_a").cast("long").alias("n_assistant"),
+        F.sum("_r").cast("long").alias("n_refusals"),
+        F.sum("_e").cast("long").alias("n_empty_assistant"),
+        F.sum("_tok").cast("long").alias("tokens_total"),
+        F.sum("_tok_tr").cast("long").alias("tokens_trainable"),
+        F.round(
+            F.sum("_tok_tr")
+            / F.greatest(F.sum("_tok"), F.lit(1)).cast("double"),
+            6,
+        ).alias("trainable_ratio_r6"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_fe")), lambda s: s["t"]
+                ),
+                "\x1f",
+            )
+        ).alias("fingerprint"),
+    )

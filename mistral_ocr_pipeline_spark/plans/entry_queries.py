@@ -9267,3 +9267,160 @@ def transcript_latency_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
     return op(transcripts_from_documents(docs))
+
+
+@register(
+    "transcript_sft_pipeline",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN ''
+                  WHEN doc_id % 9 = 0 THEN 'I cannot help with that. ' || text
+                  ELSE text END AS text
+      FROM documents),
+    base AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text,
+             TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ts
+      FROM d WHERE doc_id % 97 <> 0),
+    u AS (SELECT conv_id, turn_idx, role, text, ts FROM base
+          UNION ALL
+          SELECT 'clone-' || substr(conv_id, 6), turn_idx, role, text, ts
+          FROM base WHERE (substr(conv_id, 6))::INT % 10 = 3),
+    s AS (SELECT conv_id, turn_idx, role, text,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS tok,
+                 coalesce({_KEY.format(c='text')}, '') AS nk
+          FROM u),
+    facts AS (
+      SELECT conv_id,
+             count(*)::BIGINT AS n_turns,
+             (count(*) - count(DISTINCT turn_idx)) AS dup_turns,
+             (max(turn_idx) - min(turn_idx) + 1
+                  <> count(DISTINCT turn_idx)) AS has_gaps,
+             (min(turn_idx) = 0) AS starts_at_zero,
+             sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                 AS n_assistant,
+             sum(CASE WHEN role = 'assistant' AND (
+                    contains(lower(coalesce(text, '')), 'i cannot')
+                    OR contains(lower(coalesce(text, '')), 'i can''t')
+                    OR contains(lower(coalesce(text, '')), 'i''m sorry')
+                    OR contains(lower(coalesce(text, '')), 'as an ai'))
+                 THEN 1 ELSE 0 END) AS n_refusals,
+             sum(CASE WHEN role = 'assistant'
+                       AND trim(coalesce(text, '')) = ''
+                 THEN 1 ELSE 0 END) AS n_empty,
+             sum(tok)::BIGINT AS tokens_total,
+             sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END)::BIGINT
+                 AS tokens_trainable,
+             md5(string_agg(nk, chr(31) ORDER BY turn_idx, nk))
+                 AS fingerprint
+      FROM s GROUP BY conv_id),
+    canon AS (SELECT *,
+                     conv_id = min(conv_id)
+                         OVER (PARTITION BY fingerprint) AS is_c
+              FROM facts),
+    keep AS (SELECT conv_id, n_turns, tokens_total, tokens_trainable
+             FROM canon
+             WHERE NOT has_gaps AND dup_turns = 0 AND starts_at_zero
+               AND n_refusals = 0 AND n_empty = 0 AND n_assistant > 0
+               AND tokens_trainable > 0 AND is_c),
+    p AS (SELECT s.conv_id, turn_idx, tok
+          FROM s JOIN keep USING (conv_id)),
+    o AS (SELECT conv_id,
+                 coalesce(sum(tok) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS so
+          FROM p),
+    wn AS (SELECT conv_id, count(DISTINCT so // 256)::BIGINT AS n_windows
+           FROM o GROUP BY conv_id)
+    SELECT k.conv_id, n_turns, tokens_total, tokens_trainable,
+           round(tokens_trainable::DOUBLE / greatest(tokens_total, 1), 6)
+               AS trainable_ratio_r6,
+           n_windows
+    FROM keep k JOIN wn USING (conv_id)
+    """,
+)
+def transcript_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT transcript-curation composite in ONE plan — the north-rule
+    payload end-to-end: corrupted warehouse (blank completions %13,
+    refusal openers %9, dropped rows %97 creating gaps/missing-turn-0,
+    re-ingested clones of every conv ending in 3) → fused
+    per-conversation facts (`transcript_qc.transcript_conv_facts`: ONE
+    conv_id exchange instead of the four the à-la-carte integrity /
+    refusal / loss-mask / fingerprint passes would pay) → keep rule
+    (intact ∧ non-degenerate ∧ trainable ∧ canonical-per-fingerprint) →
+    broadcast-join survivors → turn-aligned 256-token context windows →
+    per-conversation emit with window counts.  Zero driver actions; the
+    corrupted turn relation is persisted once for its two scans (facts +
+    window cut)."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_context_windows,
+        transcript_conv_facts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit("I cannot help with that. "), F.col("text")),
+        )
+        .otherwise(F.col("text")),
+    ).filter(F.col("doc_id") % 97 != 0)
+    base = transcripts_from_documents(docs).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+    clones = base.filter(
+        F.substring("conv_id", 6, 6).cast("int") % 10 == 3
+    ).select(
+        F.concat(F.lit("clone-"), F.expr("substr(conv_id, 6)")).alias(
+            "conv_id"
+        ),
+        "turn_idx",
+        "role",
+        "text",
+        "ts",
+    )
+    u = base.unionByName(clones).persist()
+    facts = transcript_conv_facts(u)
+    wfp = W.partitionBy("fingerprint")
+    keep = (
+        facts.withColumn(
+            "is_c", F.col("conv_id") == F.min("conv_id").over(wfp)
+        )
+        .filter(
+            ~F.col("has_gaps")
+            & (F.col("dup_turns") == 0)
+            & F.col("starts_at_zero")
+            & (F.col("n_refusals") == 0)
+            & (F.col("n_empty_assistant") == 0)
+            & (F.col("n_assistant") > 0)
+            & (F.col("tokens_trainable") > 0)
+            & F.col("is_c")
+        )
+        .select("conv_id", "n_turns", "tokens_total", "tokens_trainable")
+    )
+    surv = u.join(F.broadcast(keep.select("conv_id")), "conv_id")
+    wn = (
+        transcript_context_windows(surv, budget=256)
+        .groupBy("conv_id")
+        .agg(F.countDistinct("win_id").alias("n_windows"))
+    )
+    return keep.join(wn, "conv_id").select(
+        "conv_id",
+        "n_turns",
+        "tokens_total",
+        "tokens_trainable",
+        F.round(
+            F.col("tokens_trainable")
+            / F.greatest(F.col("tokens_total"), F.lit(1)).cast("double"),
+            6,
+        ).alias("trainable_ratio_r6"),
+        "n_windows",
+    )

@@ -241,3 +241,47 @@ class TestLatencyStats:
         # a conversation-opening assistant turn has no predecessor
         d = out["d"]
         assert d.n_replies == 0 and d.mean_latency_r6 is None
+
+
+class TestConvFactsFusion:
+    def test_matches_a_la_carte(self, spark):
+        import datetime as dt
+
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_conv_facts,
+            transcript_fingerprint,
+            transcript_integrity,
+            transcript_loss_mask,
+            transcript_refusal_flags,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", 0, "user", "hello there", None, t0),
+            ("a", 1, "assistant", "I cannot do that", None, t0 + dt.timedelta(seconds=5)),
+            ("a", 1, "assistant", "dup idx", None, t0 + dt.timedelta(seconds=3)),
+            ("a", 3, "user", None, None, t0 + dt.timedelta(seconds=1)),
+            ("b", 0, "assistant", "fine answer", None, t0),
+            ("b", 1, "assistant", "", None, t0),
+        ]
+        d = _df(spark, rows)
+        fused = {r.conv_id: r for r in transcript_conv_facts(d).collect()}
+        integ = {r.conv_id: r for r in transcript_integrity(d).collect()}
+        ref = {r.conv_id: r for r in transcript_refusal_flags(d).collect()}
+        lm = {r.conv_id: r for r in transcript_loss_mask(d).collect()}
+        fp = {r.conv_id: r for r in transcript_fingerprint(d).collect()}
+        for c in ("a", "b"):
+            f = fused[c]
+            i = integ[c]
+            assert (f.n_turns, f.dup_turns, f.has_gaps, f.starts_at_zero,
+                    f.role_repeats, f.ts_inversions) == (
+                i.n_turns, i.dup_turns, i.has_gaps, i.starts_at_zero,
+                i.role_repeats, i.ts_inversions)
+            r = ref[c]
+            assert (f.n_assistant, f.n_refusals, f.n_empty_assistant) == (
+                r.n_assistant, r.n_refusals, r.n_empty_assistant)
+            m = lm[c]
+            assert (f.tokens_total, f.tokens_trainable,
+                    f.trainable_ratio_r6) == (
+                m.tokens_total, m.tokens_trainable, m.trainable_ratio_r6)
+            assert f.fingerprint == fp[c].fingerprint
