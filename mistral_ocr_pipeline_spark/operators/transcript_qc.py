@@ -594,3 +594,62 @@ def transcript_conv_facts(
             )
         ).alias("fingerprint"),
     )
+
+def transcript_template_lint(df: DataFrame) -> DataFrame:
+    """Chat-template conformance lint — the structural contract an SFT
+    trainer's template renderer assumes, checked per conversation:
+
+    * ``first_role``        — role of the first turn (stable order);
+      a conforming conversation opens with ``system`` or ``user``;
+    * ``n_late_system``     — system turns anywhere but position 1
+      (mid-conversation system injections break most templates);
+    * ``n_orphan_tools``    — tool turns not directly preceded by an
+      assistant turn or another tool turn (a tool result with no
+      requesting assistant call);
+    * ``n_alt_violations``  — among user/assistant turns only, adjacent
+      same-role pairs (broken alternation AFTER tool/system turns are
+      excused — stricter than `transcript_integrity`'s raw
+      ``role_repeats``, which counts tool→tool loops too);
+    * ``template_ok``       — opens correctly and all three counts are 0.
+
+    Two windows on the same conv_id exchange (the full-order lag and the
+    user/assistant-subset lag via the (conv_id, is_ua) partition trick —
+    same islands discipline as `transcript_tool_stats`), then one
+    map-side-combinable rollup."""
+    order = ["turn_idx", "ts", "role"]
+    w_all = W.partitionBy("conv_id").orderBy(*order)
+    is_ua = F.col("role").isin("user", "assistant")
+    w_ua = W.partitionBy("conv_id", is_ua).orderBy(*order)
+    stepped = df.select(
+        "conv_id",
+        "role",
+        F.row_number().over(w_all).alias("_rn"),
+        F.lag("role").over(w_all).alias("_prev"),
+        F.when(is_ua, F.lag("role").over(w_ua)).alias("_prev_ua"),
+        is_ua.alias("_ua"),
+    )
+    late_sys = (F.col("role") == "system") & (F.col("_rn") > 1)
+    orphan = (F.col("role") == "tool") & (
+        F.col("_prev").isNull() | ~F.col("_prev").isin("assistant", "tool")
+    )
+    alt_bad = F.col("_ua") & (F.col("_prev_ua") == F.col("role"))
+    return stepped.groupBy("conv_id").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("role"))).alias("first_role"),
+        F.sum(F.when(late_sys, 1).otherwise(0)).cast("long").alias(
+            "n_late_system"
+        ),
+        F.sum(F.when(orphan, 1).otherwise(0)).cast("long").alias(
+            "n_orphan_tools"
+        ),
+        F.sum(F.when(alt_bad, 1).otherwise(0)).cast("long").alias(
+            "n_alt_violations"
+        ),
+        (
+            F.max(F.when(F.col("_rn") == 1, F.col("role"))).isin(
+                "system", "user"
+            )
+            & (F.sum(F.when(late_sys, 1).otherwise(0)) == 0)
+            & (F.sum(F.when(orphan, 1).otherwise(0)) == 0)
+            & (F.sum(F.when(alt_bad, 1).otherwise(0)) == 0)
+        ).alias("template_ok"),
+    )

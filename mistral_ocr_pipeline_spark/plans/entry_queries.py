@@ -9424,3 +9424,149 @@ def transcript_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trainable_ratio_r6"),
         "n_windows",
     )
+
+
+@register(
+    "transcript_template_lint",
+    oracle="""
+    WITH t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS ts
+      FROM documents),
+    s AS (SELECT conv_id, role,
+                 row_number() OVER w AS rn,
+                 lag(role) OVER w AS prev,
+                 CASE WHEN role IN ('user', 'assistant') THEN
+                   lag(role) OVER (
+                     PARTITION BY conv_id, (role IN ('user', 'assistant'))
+                     ORDER BY turn_idx, ts, role)
+                 END AS prev_ua,
+                 role IN ('user', 'assistant') AS ua
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role)),
+    a AS (SELECT conv_id,
+                 max(CASE WHEN rn = 1 THEN role END) AS first_role,
+                 sum(CASE WHEN role = 'system' AND rn > 1
+                     THEN 1 ELSE 0 END)::BIGINT AS n_late_system,
+                 sum(CASE WHEN role = 'tool' AND (prev IS NULL
+                          OR prev NOT IN ('assistant', 'tool'))
+                     THEN 1 ELSE 0 END)::BIGINT AS n_orphan_tools,
+                 sum(CASE WHEN ua AND prev_ua = role
+                     THEN 1 ELSE 0 END)::BIGINT AS n_alt_violations
+          FROM s GROUP BY conv_id)
+    SELECT conv_id, first_role, n_late_system, n_orphan_tools,
+           n_alt_violations,
+           (first_role IN ('system', 'user') AND n_late_system = 0
+            AND n_orphan_tools = 0 AND n_alt_violations = 0)
+               AS template_ok
+    FROM a
+    """,
+)
+def transcript_template_lint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template lint (`transcript_qc.transcript_template_lint`)
+    over the derived transcripts — the fixture's period-2 role rotation
+    gives each conv-id class a distinct violation profile (tool-opening
+    conversations, orphan tool results, assistant-opening sessions,
+    mid-conversation system turns)."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_template_lint as op,
+    )
+
+    return op(transcripts_from_documents(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "transcript_pii_scrub",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || doc_id ||
+                       '@example.com or 555-123-4567' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' ssn 123-45-6789 from 10.0.0.' || (doc_id % 255)
+                  ELSE '' END AS text
+      FROM documents),
+    t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text
+      FROM d),
+    s1 AS (SELECT conv_id, turn_idx, role,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))::bigint
+                 AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS t
+           FROM t),
+    s2 AS (SELECT conv_id, turn_idx, role, n_email,
+             len(regexp_extract_all(t,
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::bigint AS n_ssn,
+             regexp_replace(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}',
+                 '[SSN]', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT conv_id, turn_idx, role, n_email, n_ssn,
+             len(regexp_extract_all(t,
+                 '(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'))::bigint
+                 AS n_phone,
+             regexp_replace(t,
+                 '(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+                 '[PHONE]', 'g') AS t
+           FROM s2)
+    SELECT conv_id, turn_idx, role, n_email, n_ssn, n_phone,
+           len(regexp_extract_all(t,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))::bigint
+               AS n_ip,
+           regexp_replace(t,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+               '[IP]', 'g') AS scrubbed
+    FROM s3
+    """,
+)
+def transcript_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level PII redaction over the north-rule payload
+    (`text_analysis.pii_scrub` keyed by conversation/turn): the same
+    staged JVM regex cascade as `text_pii_scrub`, with PII synthesized
+    onto every 7th/11th source row before the transcript derivation —
+    scrubbed turn STRINGS hash-matched, proving the map-only privacy
+    pass composes with the transcript shape unchanged."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-6789 from 10.0.0."),
+                    (F.col("doc_id") % 255).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t = transcripts_from_documents(docs)
+    return pii_scrub(t, "conv_id", keep_cols=["turn_idx", "role"]).select(
+        F.col("id").alias("conv_id"),
+        "turn_idx",
+        "role",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        "scrubbed",
+    )

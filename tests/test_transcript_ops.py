@@ -285,3 +285,40 @@ class TestConvFactsFusion:
                     f.trainable_ratio_r6) == (
                 m.tokens_total, m.tokens_trainable, m.trainable_ratio_r6)
             assert f.fingerprint == fp[c].fingerprint
+
+
+class TestTemplateLint:
+    def test_rules(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_template_lint,
+        )
+
+        rows = [
+            # conforming: system, user, assistant, tool, tool, user
+            ("ok", 0, "system", "s", None, None),
+            ("ok", 1, "user", "q", None, None),
+            ("ok", 2, "assistant", "a", None, None),
+            ("ok", 3, "tool", "r1", None, None),
+            ("ok", 4, "tool", "r2", None, None),
+            ("ok", 5, "user", "q2", None, None),
+            # orphan tool: tool right after user
+            ("orphan", 0, "user", "q", None, None),
+            ("orphan", 1, "tool", "r", None, None),
+            # late system + broken alternation (user,user)
+            ("bad", 0, "user", "q", None, None),
+            ("bad", 1, "system", "s", None, None),
+            ("bad", 2, "user", "q2", None, None),
+            # opens with assistant
+            ("opener", 0, "assistant", "a", None, None),
+        ]
+        out = {r.conv_id: r for r in transcript_template_lint(_df(spark, rows)).collect()}
+        ok = out["ok"]
+        assert ok.template_ok and ok.first_role == "system"
+        assert (ok.n_late_system, ok.n_orphan_tools, ok.n_alt_violations) == (0, 0, 0)
+        assert out["orphan"].n_orphan_tools == 1 and not out["orphan"].template_ok
+        bad = out["bad"]
+        # user,system,user: system is late; the two user turns are
+        # ua-adjacent (system excused) -> one alternation violation
+        assert bad.n_late_system == 1 and bad.n_alt_violations == 1
+        assert not bad.template_ok
+        assert out["opener"].first_role == "assistant" and not out["opener"].template_ok
