@@ -607,3 +607,72 @@ class TestSessionAdditionsPlans:
         # scan; the fate rule adds no corpus shuffle of its own
         assert "BroadcastExchange" in plan
         assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+class TestTranscriptPlans:
+    """Plan-shape guards for the transcript-curation battery."""
+
+    def _transcripts(self, spark):
+        import datetime as dt
+
+        rows = [
+            (f"c{i % 4}", i // 4, ["user", "assistant"][i % 2], f"text {i}",
+             None, dt.datetime(2024, 1, 1, second=i % 60))
+            for i in range(64)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    def test_conv_facts_single_exchange(self, spark):
+        """The fused facts pass exists to pay ONE conv_id exchange where
+        the a-la-carte operators would pay four — the lag window and the
+        rollup must share the exchange."""
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_conv_facts,
+        )
+
+        plan = _plan(transcript_conv_facts(self._transcripts(spark)))
+        assert plan.count("Exchange") == 1, plan
+
+    def test_loss_mask_map_side_combine(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_loss_mask,
+        )
+
+        plan = _plan(transcript_loss_mask(self._transcripts(spark)))
+        assert plan.count("Exchange") == 1
+        assert "partial" in plan  # counts combine before the shuffle
+
+    def test_context_windows_single_exchange(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_context_windows,
+        )
+
+        plan = _plan(transcript_context_windows(self._transcripts(spark)))
+        assert plan.count("Exchange") == 1
+
+    def test_template_lint_conv_keyed_only(self, spark):
+        """Two windows (full order + ua-subset) + rollup: every exchange
+        is conv-keyed — nothing partitions on a corpus-wide key."""
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_template_lint,
+        )
+
+        plan = _plan(transcript_template_lint(self._transcripts(spark)))
+        assert plan.count("Exchange") <= 3
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "conv_id" in line, line
+
+    def test_role_transitions_matrix_combines_map_side(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_role_transitions,
+        )
+
+        plan = _plan(transcript_role_transitions(self._transcripts(spark)))
+        # window exchange (conv_id) + tiny matrix rollup exchange
+        assert plan.count("Exchange") == 2
+        assert "partial_count" in plan
