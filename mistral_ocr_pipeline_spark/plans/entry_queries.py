@@ -9274,8 +9274,9 @@ def transcript_latency_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH d AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 13 = 0 THEN ''
-                  WHEN doc_id % 9 = 0 THEN 'I cannot help with that. ' || text
+             CASE WHEN (doc_id % 50) % 13 = 5 THEN ''
+                  WHEN (doc_id % 50) % 9 = 3
+                       THEN 'I cannot help with that. ' || text
                   ELSE text END AS text
       FROM documents),
     base AS (
@@ -9285,7 +9286,8 @@ def transcript_latency_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              text,
              TIMESTAMP '2024-01-01 00:00:00'
                  + doc_id * INTERVAL 1 SECOND AS ts
-      FROM d WHERE doc_id % 97 <> 0),
+      FROM d
+      WHERE NOT ((doc_id % 50) % 10 = 7 AND doc_id // 50 = 1)),
     u AS (SELECT conv_id, turn_idx, role, text, ts FROM base
           UNION ALL
           SELECT 'clone-' || substr(conv_id, 6), turn_idx, role, text, ts
@@ -9348,9 +9350,11 @@ def transcript_latency_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def transcript_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT transcript-curation composite in ONE plan — the north-rule
-    payload end-to-end: corrupted warehouse (blank completions %13,
-    refusal openers %9, dropped rows %97 creating gaps/missing-turn-0,
-    re-ingested clones of every conv ending in 3) → fused
+    payload end-to-end: corrupted warehouse (conv-targeted so the
+    survivor count is SCALE-STABLE — per-document corruption rates
+    would kill every 100-turn conversation at sf0.1: convs ≡5 (mod 13)
+    blanked, ≡3 (mod 9) refusal-prefixed, ≡7 (mod 10) lose turn 1
+    creating a gap, ≡3 (mod 10) re-ingested as clones) → fused
     per-conversation facts (`transcript_qc.transcript_conv_facts`: ONE
     conv_id exchange instead of the four the à-la-carte integrity /
     refusal / loss-mask / fingerprint passes would pay) → keep rule
@@ -9364,15 +9368,16 @@ def transcript_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         transcript_conv_facts,
     )
 
+    suffix = F.col("doc_id") % 50
     docs = _t(spark, sf_dir, "documents").withColumn(
         "text",
-        F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+        F.when(suffix % 13 == 5, F.lit(""))
         .when(
-            F.col("doc_id") % 9 == 0,
+            suffix % 9 == 3,
             F.concat(F.lit("I cannot help with that. "), F.col("text")),
         )
         .otherwise(F.col("text")),
-    ).filter(F.col("doc_id") % 97 != 0)
+    ).filter(~((suffix % 10 == 7) & (F.floor(F.col("doc_id") / 50) == 1)))
     base = transcripts_from_documents(docs).select(
         "conv_id", "turn_idx", "role", "text", "ts"
     )
