@@ -73,3 +73,52 @@ def test_ann_index_job_cli(tmp_path):
                           open(os.path.join(wh, "_HEAD")).read().strip()))
     )
     assert set(manifest["tables"]) == {"ivfpq_index", "ivfpq_model"}
+
+
+def test_sft_job_cli(tmp_path):
+    """Transcript SFT curation through the spark-submit surface: fused
+    facts -> keep rule -> PII scrub -> window cut, three tables in one
+    atomic commit; turns in kept conversations all carry a window id."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "transcripts")
+    wh = str(tmp_path / "wh_sft")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    mk = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import sys; sys.path.insert(0, '/root/repo');"
+            "from mistral_ocr_pipeline_spark.session import get_spark;"
+            "from mistral_ocr_pipeline_spark.plans.entry_queries import"
+            " transcripts_from_documents;"
+            "s = get_spark(app_name='mk', cores=2);"
+            "transcripts_from_documents(s.read.parquet("
+            "'/root/testdata/sf0.001/documents.parquet'))"
+            f".write.mode('overwrite').parquet('{src}')",
+        ],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=400,
+    )
+    assert mk.returncode == 0, mk.stderr[-2000:]
+    proc = subprocess.run(
+        [
+            sys.executable, "spark_jobs/sft_job.py",
+            "--input", src, "--warehouse", wh,
+            "--budget", "128", "--scrub-pii",
+        ],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=400,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    head = os.path.join(wh, "_HEAD")
+    manifest = json.load(
+        open(os.path.join(wh, "_manifests", open(head).read().strip()))
+    )
+    assert set(manifest["tables"]) == {"sft_turns", "sft_facts", "sft_rollup"}
+    turns = pq.read_table(
+        os.path.join(wh, manifest["tables"]["sft_turns"])
+    ).to_pylist()
+    facts = pq.read_table(
+        os.path.join(wh, manifest["tables"]["sft_facts"])
+    ).to_pylist()
+    kept = {r["conv_id"] for r in facts if r["keep"]}
+    assert kept and {t["conv_id"] for t in turns} == kept
+    assert all(t["win_id"] >= 0 and t["turn_tokens"] >= 0 for t in turns)
