@@ -9322,15 +9322,18 @@ def transcript_latency_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(string_agg(nk, chr(31) ORDER BY turn_idx, nk))
                  AS fingerprint
       FROM s GROUP BY conv_id),
-    canon AS (SELECT *,
-                     conv_id = min(conv_id)
-                         OVER (PARTITION BY fingerprint) AS is_c
+    based AS (SELECT *,
+                     (NOT has_gaps AND dup_turns = 0 AND starts_at_zero
+                      AND n_refusals = 0 AND n_empty = 0
+                      AND n_assistant > 0 AND tokens_trainable > 0)
+                         AS base_keep
               FROM facts),
+    canon AS (SELECT *,
+                     conv_id = min(CASE WHEN base_keep THEN conv_id END)
+                         OVER (PARTITION BY fingerprint) AS is_c
+              FROM based),
     keep AS (SELECT conv_id, n_turns, tokens_total, tokens_trainable
-             FROM canon
-             WHERE NOT has_gaps AND dup_turns = 0 AND starts_at_zero
-               AND n_refusals = 0 AND n_empty = 0 AND n_assistant > 0
-               AND tokens_trainable > 0 AND is_c),
+             FROM canon WHERE base_keep AND is_c),
     p AS (SELECT s.conv_id, turn_idx, tok
           FROM s JOIN keep USING (conv_id)),
     o AS (SELECT conv_id,
@@ -9395,20 +9398,26 @@ def transcript_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = base.unionByName(clones).persist()
     facts = transcript_conv_facts(u)
     wfp = W.partitionBy("fingerprint")
+    # canonical = min conv_id among the RULE-PASSING members of the
+    # fingerprint group (a corrupted clone with the same surviving texts
+    # must never shadow a clean copy)
+    base_rule = (
+        ~F.col("has_gaps")
+        & (F.col("dup_turns") == 0)
+        & F.col("starts_at_zero")
+        & (F.col("n_refusals") == 0)
+        & (F.col("n_empty_assistant") == 0)
+        & (F.col("n_assistant") > 0)
+        & (F.col("tokens_trainable") > 0)
+    )
     keep = (
-        facts.withColumn(
-            "is_c", F.col("conv_id") == F.min("conv_id").over(wfp)
+        facts.withColumn("_base", base_rule)
+        .withColumn(
+            "is_c",
+            F.col("conv_id")
+            == F.min(F.when(F.col("_base"), F.col("conv_id"))).over(wfp),
         )
-        .filter(
-            ~F.col("has_gaps")
-            & (F.col("dup_turns") == 0)
-            & F.col("starts_at_zero")
-            & (F.col("n_refusals") == 0)
-            & (F.col("n_empty_assistant") == 0)
-            & (F.col("n_assistant") > 0)
-            & (F.col("tokens_trainable") > 0)
-            & F.col("is_c")
-        )
+        .filter(F.col("_base") & F.col("is_c"))
         .select("conv_id", "n_turns", "tokens_total", "tokens_trainable")
     )
     surv = u.join(F.broadcast(keep.select("conv_id")), "conv_id")

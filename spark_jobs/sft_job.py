@@ -73,7 +73,7 @@ def main() -> None:
     ).persist()  # two scans: facts + window cut
 
     wfp = W.partitionBy("fingerprint")
-    keep_rule = (
+    base_rule = (
         (F.col("dup_turns") == 0)
         & F.col("starts_at_zero")
         & (F.col("n_refusals") == 0)
@@ -81,18 +81,26 @@ def main() -> None:
         & (F.col("n_assistant") > 0)
         & (F.col("tokens_trainable") > 0)
         & (F.col("trainable_ratio_r6") >= args.min_trainable_ratio)
-        & F.col("is_canonical")
     )
     if not args.allow_gaps:
-        keep_rule = keep_rule & ~F.col("has_gaps")
+        base_rule = base_rule & ~F.col("has_gaps")
     # the facts relation is conversation-sized; persist it so the audit
-    # write and the survivor broadcast don't recompute the fused pass
+    # write and the survivor broadcast don't recompute the fused pass.
+    # Canonical = min conv_id among the RULE-PASSING members of each
+    # fingerprint group — a corrupted clone must not shadow a clean one.
     facts = (
         transcript_conv_facts(turns, trainable_roles=roles)
+        .withColumn("_base", base_rule)
         .withColumn(
-            "is_canonical", F.col("conv_id") == F.min("conv_id").over(wfp)
+            "is_canonical",
+            F.coalesce(
+                F.col("conv_id")
+                == F.min(F.when(F.col("_base"), F.col("conv_id"))).over(wfp),
+                F.lit(False),
+            ),
         )
-        .withColumn("keep", keep_rule)
+        .withColumn("keep", F.col("_base") & F.col("is_canonical"))
+        .drop("_base")
         .persist()
     )
     surv = turns.join(
