@@ -322,3 +322,101 @@ class TestTemplateLint:
         assert bad.n_late_system == 1 and bad.n_alt_violations == 1
         assert not bad.template_ok
         assert out["opener"].first_role == "assistant" and not out["opener"].template_ok
+
+
+class TestModelBasedInvariants:
+    """Seeded random conversations checked against pure-Python models in
+    ONE Spark job each (the UniMax model-test discipline)."""
+
+    def _random_turns(self):
+        import random
+
+        rng = random.Random(20260819)
+        rows = []
+        for c in range(40):
+            n = rng.randint(1, 12)
+            start = rng.choice([0, 0, 0, 1])
+            for i in range(n):
+                idx = start + i + (rng.random() < 0.1)  # occasional gap
+                words = rng.randint(0, 30)
+                rows.append(
+                    (
+                        f"c{c:03d}",
+                        int(idx),
+                        rng.choice(["user", "assistant", "tool", "system"]),
+                        " ".join(f"w{rng.randint(0, 50)}" for _ in range(words)),
+                        None,
+                        None,
+                    )
+                )
+        return rows
+
+    def test_context_windows_match_python_model(self, spark):
+        rows = self._random_turns()
+        # the operator's cumsum is deterministic only when turn_idx is
+        # unique per conversation — dedupe the fixture like real input
+        seen = set()
+        uniq = []
+        for r in rows:
+            if (r[0], r[1]) not in seen:
+                seen.add((r[0], r[1]))
+                uniq.append(r)
+        budget = 37
+        got = {
+            (r.conv_id, r.turn_idx): (r.start_offset, r.win_id)
+            for r in transcript_context_windows(
+                _df(spark, uniq), budget=budget
+            ).collect()
+        }
+        by_conv = {}
+        for conv, idx, _, text, _, _ in uniq:
+            toks = len(text.split()) if text.strip() else 0
+            by_conv.setdefault(conv, []).append((idx, toks))
+        want = {}
+        for conv, turns in by_conv.items():
+            off = 0
+            for idx, toks in sorted(turns):
+                want[(conv, idx)] = (off, off // budget)
+                off += toks
+        assert got == want
+
+    def test_prefix_dedup_matches_python_model(self, spark):
+        import hashlib
+        import re
+
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_prefix_dedup,
+        )
+
+        rows = self._random_turns()
+        k = 2
+
+        def norm(t):
+            t = re.sub(r"[^\w\s/\-]", "", (t or "").lower())
+            return re.sub(r"\s+", " ", t).strip()
+
+        by_conv = {}
+        for conv, idx, _, text, _, _ in rows:
+            by_conv.setdefault(conv, []).append((idx, norm(text)))
+        fps = {}
+        for conv, turns in by_conv.items():
+            pre = [t for _, t in sorted(turns)[:k]]
+            fps[conv] = hashlib.md5("\x1f".join(pre).encode()).hexdigest()
+        groups = {}
+        for conv, fp in fps.items():
+            groups.setdefault(fp, []).append(conv)
+        want_canon = {}
+        for fp, convs in groups.items():
+            best = min(convs, key=lambda c: (-len(by_conv[c]), c))
+            for c in convs:
+                want_canon[c] = (
+                    fp,
+                    len(by_conv[c]),
+                    len(convs),
+                    c == best,
+                )
+        got = {
+            r.conv_id: (r.prefix_fp, r.n_turns, r.group_size, r.is_canonical)
+            for r in transcript_prefix_dedup(_df(spark, rows), k=k).collect()
+        }
+        assert got == want_canon
