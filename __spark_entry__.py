@@ -39,6 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
     "transcript_sft_pipeline",  # r5: fused-facts SFT curation composite, one plan
+    "transcript_hot_turns",     # r5: cross-conv boilerplate-turn flags
+    "preference_pair_stats",    # r5: DPO length-bias audit, nested oracle
     "transcript_template_lint",  # r5: chat-template conformance lint
     "transcript_pii_scrub",     # r5: turn-level staged PII cascade
     "transcript_preference_pairs",  # r5: DPO pairs from retry branches

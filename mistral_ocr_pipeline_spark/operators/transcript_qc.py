@@ -653,3 +653,80 @@ def transcript_template_lint(df: DataFrame) -> DataFrame:
             & (F.sum(F.when(alt_bad, 1).otherwise(0)) == 0)
         ).alias("template_ok"),
     )
+
+def transcript_hot_turns(
+    df: DataFrame, min_convs: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Cross-conversation boilerplate-turn detection — the C4 hot-line
+    strip at TURN granularity: a turn whose normalized text recurs in
+    ``min_convs``+ distinct conversations is template boilerplate
+    ("How can I help you today?", canned tool banners), which inflates
+    the loss on content a model has seen thousands of times.  Flags,
+    doesn't delete — feed ``is_hot`` to the loss mask (train on the
+    turn's conversation, not the boilerplate) or strip before packing.
+
+    Same digest discipline as `dedup.line_dedup`: the conv-distinct
+    count groups by an 8-byte md5, never the text; empty/NULL turns are
+    never hot (nothing to learn either way).  One map-side-combinable
+    groupBy over digests + one digest-keyed join back — no windows, no
+    text on any shuffle.
+
+    Returns every turn: (conv_id, turn_idx, role, n_convs_sharing,
+    is_hot)."""
+    key = norm_key_col(F.coalesce(F.col(text_col), F.lit("")))
+    keyed = df.select(
+        "conv_id", "turn_idx", "role", F.md5(key).alias("_d"),
+        (F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "").alias("_empty"),
+    )
+    freq = keyed.groupBy("_d").agg(
+        F.countDistinct("conv_id").alias("n_convs_sharing")
+    )
+    return keyed.join(freq, "_d").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "n_convs_sharing",
+        (
+            (F.col("n_convs_sharing") >= min_convs) & ~F.col("_empty")
+        ).alias("is_hot"),
+    )
+
+
+def preference_pair_stats(pairs: DataFrame) -> DataFrame:
+    """Length-bias audit over a preference-pair relation (the
+    `transcript_preference_pairs` output shape): DPO-style training is
+    notoriously length-hacked — if 'chosen' is systematically longer,
+    the model learns verbosity, not preference.  One-row corpus report:
+
+    * ``n_pairs``;
+    * ``mean_len_delta_r6``  — mean(chosen tokens − rejected tokens);
+    * ``frac_chosen_longer_r6`` / ``frac_equal_len_r6``;
+    * ``mean_chosen_tokens_r6`` / ``mean_rejected_tokens_r6``.
+
+    Whitespace token basis; pure map-side aggregation to one row."""
+
+    def toks(c):
+        t = F.trim(F.coalesce(F.col(c), F.lit("")))
+        return (
+            F.when(t == "", F.lit(0))
+            .otherwise(F.size(F.split(t, r"\s+")))
+            .cast("long")
+        )
+
+    per = pairs.select(
+        toks("chosen_text").alias("_c"), toks("rejected_text").alias("_r")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("_c") - F.col("_r")), 6).alias(
+            "mean_len_delta_r6"
+        ),
+        F.round(
+            F.avg(F.when(F.col("_c") > F.col("_r"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_chosen_longer_r6"),
+        F.round(
+            F.avg(F.when(F.col("_c") == F.col("_r"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_equal_len_r6"),
+        F.round(F.avg("_c"), 6).alias("mean_chosen_tokens_r6"),
+        F.round(F.avg("_r"), 6).alias("mean_rejected_tokens_r6"),
+    )

@@ -9584,3 +9584,87 @@ def transcript_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ip",
         "scrubbed",
     )
+
+
+@register(
+    "transcript_hot_turns",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 50 THEN 'How can I help you today?'
+                  WHEN doc_id % 17 = 4 THEN 'Standard tool banner.'
+                  ELSE text END AS text
+      FROM documents),
+    t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text
+      FROM d),
+    k AS (SELECT conv_id, turn_idx, role,
+                 coalesce({_KEY.format(c='text')}, '') AS nk,
+                 trim(coalesce(text, '')) = '' AS empty
+          FROM t),
+    fr AS (SELECT nk, count(DISTINCT conv_id)::BIGINT AS n
+           FROM k GROUP BY nk)
+    SELECT conv_id, turn_idx, role, n AS n_convs_sharing,
+           (n >= 3 AND NOT empty) AS is_hot
+    FROM k JOIN fr USING (nk)
+    """,
+)
+def transcript_hot_turns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate-turn detection
+    (`transcript_qc.transcript_hot_turns`): every conversation's turn 0
+    replaced with the same greeting and every 17th source row with a
+    tool banner — the template-turn class that inflates loss mass;
+    digest-keyed conv-distinct counts, flag-only."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_hot_turns as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") < 50, F.lit("How can I help you today?"))
+        .when(F.col("doc_id") % 17 == 4, F.lit("Standard tool banner."))
+        .otherwise(F.col("text")),
+    )
+    return op(transcripts_from_documents(docs), min_convs=3)
+
+
+_PP_ORACLE = ORACLES["transcript_preference_pairs"]
+
+
+@register(
+    "preference_pair_stats",
+    oracle=rf"""
+    WITH pp AS ({_PP_ORACLE}),
+    tk AS (SELECT
+             CASE WHEN trim(coalesce(chosen_text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(chosen_text), '\s+'))
+             END AS c,
+             CASE WHEN trim(coalesce(rejected_text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(rejected_text), '\s+'))
+             END AS r
+           FROM pp)
+    SELECT count(*)::BIGINT AS n_pairs,
+           round(avg(c - r), 6) AS mean_len_delta_r6,
+           round(avg(CASE WHEN c > r THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_chosen_longer_r6,
+           round(avg(CASE WHEN c = r THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_equal_len_r6,
+           round(avg(c), 6) AS mean_chosen_tokens_r6,
+           round(avg(r), 6) AS mean_rejected_tokens_r6
+    FROM tk
+    """,
+)
+def preference_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO length-bias audit (`transcript_qc.preference_pair_stats`)
+    over the retry-branch preference pairs — the rejected completions
+    carry an extra 'regenerated' token, so the report's deltas are
+    known-signed and the whole pair-construction + audit path replays
+    in one nested SQL oracle."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        preference_pair_stats as op,
+    )
+
+    return op(transcript_preference_pairs_q(spark, sf_dir))

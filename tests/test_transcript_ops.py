@@ -420,3 +420,69 @@ class TestModelBasedInvariants:
             for r in transcript_prefix_dedup(_df(spark, rows), k=k).collect()
         }
         assert got == want_canon
+
+
+class TestHotTurns:
+    def test_flags(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_hot_turns,
+        )
+
+        rows = []
+        for c in range(4):
+            rows.append((f"c{c}", 0, "assistant", "How can I help?", None, None))
+            rows.append((f"c{c}", 1, "user", f"unique question {c}", None, None))
+            rows.append((f"c{c}", 2, "assistant", "", None, None))
+        # same text twice INSIDE one conv only -> 1 distinct conv, not hot
+        rows.append(("c0", 3, "user", "repeat me", None, None))
+        rows.append(("c0", 4, "user", "repeat me", None, None))
+        out = {
+            (r.conv_id, r.turn_idx): r
+            for r in transcript_hot_turns(_df(spark, rows), min_convs=3).collect()
+        }
+        assert all(out[(f"c{c}", 0)].is_hot for c in range(4))
+        assert out[("c0", 0)].n_convs_sharing == 4
+        assert not out[("c0", 1)].is_hot
+        # empty turns share a digest across convs but are never hot
+        assert out[("c1", 2)].n_convs_sharing == 4
+        assert not out[("c1", 2)].is_hot
+        assert not out[("c0", 3)].is_hot and out[("c0", 3)].n_convs_sharing == 1
+
+    def test_normalization_groups(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_hot_turns,
+        )
+
+        rows = [
+            ("a", 0, "user", "Hello, World!", None, None),
+            ("b", 0, "user", "hello   world", None, None),
+            ("c", 0, "user", "HELLO WORLD", None, None),
+        ]
+        out = transcript_hot_turns(_df(spark, rows), min_convs=3).collect()
+        assert all(r.is_hot and r.n_convs_sharing == 3 for r in out)
+
+
+class TestPreferencePairStats:
+    def test_known_deltas(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            preference_pair_stats,
+        )
+
+        pairs = spark.createDataFrame(
+            [
+                ("f1", "a", "b", "p", "one two three", "one"),
+                ("f2", "a", "b", "p", "one", "one two three"),
+                ("f3", "a", "b", "p", "same len", "also len2"),
+                ("f4", "a", "b", "p", "", "x"),
+            ],
+            "prefix_fp string, chosen_conv string, rejected_conv string, "
+            "prompt_text string, chosen_text string, rejected_text string",
+        )
+        r = preference_pair_stats(pairs).collect()[0]
+        assert r.n_pairs == 4
+        # deltas: +2, -2, 0, -1 -> mean -0.25
+        assert abs(r.mean_len_delta_r6 - (-0.25)) < 1e-9
+        assert abs(r.frac_chosen_longer_r6 - 0.25) < 1e-9
+        assert abs(r.frac_equal_len_r6 - 0.25) < 1e-9
+        assert abs(r.mean_chosen_tokens_r6 - 1.5) < 1e-9
+        assert abs(r.mean_rejected_tokens_r6 - 1.75) < 1e-9
