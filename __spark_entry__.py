@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWEST_FIRST = [
     "transcript_sft_pipeline",  # r5: fused-facts SFT curation composite, one plan
     "transcript_hot_turns",     # r5: cross-conv boilerplate-turn flags
+    "transcript_retrieval_topk",  # r5: similar-session retrieval, one plan
     "preference_pair_stats",    # r5: DPO length-bias audit, nested oracle
     "transcript_template_lint",  # r5: chat-template conformance lint
     "transcript_pii_scrub",     # r5: turn-level staged PII cascade

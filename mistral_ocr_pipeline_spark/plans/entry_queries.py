@@ -9668,3 +9668,86 @@ def preference_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return op(transcript_preference_pairs_q(spark, sf_dir))
+
+
+@register(
+    "transcript_retrieval_topk",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    conv AS (SELECT conv_id,
+                    string_agg(coalesce(text, ''), ' '
+                               ORDER BY turn_idx, coalesce(text, ''))
+                        AS conv_text
+             FROM t GROUP BY conv_id),
+    e AS (
+      SELECT conv_id,
+             [('0x' || substring(md5(conv_text || '#' || i::varchar), 1, 8))
+                  ::UBIGINT / 4294967296.0 * 2 - 1
+              for i in range(0, 8)] AS v
+      FROM conv),
+    q AS (SELECT conv_id AS qid, v AS qv FROM e
+          WHERE (substr(conv_id, 6))::INT < 4),
+    s AS (
+      SELECT qid, conv_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM q CROSS JOIN e WHERE conv_id != qid),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid
+              ORDER BY cosine DESC, conv_id) AS rank FROM s)
+    SELECT qid AS query_conv, conv_id, cosine, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def transcript_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-conversation retrieval in ONE plan
+    (`transcript_qc.conversation_texts` → `similarity.hash_embedding_col`
+    → exact cosine top-3): each query conversation (ids 0-3) against the
+    whole conversation corpus, self excluded — the session-level
+    retrieval shape (find prior sessions like this one) with the
+    deterministic hash embedding standing in for a model embedding so
+    the ENTIRE path replays in SQL.  Only the 4-row query block rides
+    the broadcast; ranking is one window per query id — scan →
+    broadcast NLJ → per-qid top-k, no corpus shuffle."""
+    from mistral_ocr_pipeline_spark.operators.similarity import (
+        fold_dot as dot,
+        hash_embedding_col,
+    )
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        conversation_texts,
+    )
+
+    conv = conversation_texts(
+        transcripts_from_documents(_t(spark, sf_dir, "documents"))
+    )
+    emb = conv.select(
+        "conv_id", hash_embedding_col(F.col("conv_text"), 8).alias("v")
+    )
+    q = emb.filter(F.substring("conv_id", 6, 6).cast("int") < 4).select(
+        F.col("conv_id").alias("qid"), F.col("v").alias("qv")
+    )
+    s = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("conv_id") != F.col("qid"))
+        .select(
+            "qid",
+            "conv_id",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "conv_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_conv"), "conv_id", "cosine", "rank"
+        )
+    )
