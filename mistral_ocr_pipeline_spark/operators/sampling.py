@@ -851,11 +851,14 @@ def doremi_resample(
     rates = rr.crossJoin(F.broadcast(mx)).select(
         "source", F.round(F.col("r_raw") / F.col("m"), 6).alias("rate_r6")
     )
+    # frac references the post-alias 'doc_id' — the filter runs on the
+    # renamed projection, so F.col(id_col) would be unresolved for any
+    # non-default id_col
     frac = (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+                    F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
                 ),
                 1,
                 8,

@@ -244,6 +244,12 @@ def transcript_context_windows(
     conversation's turn count, so a 10¹²-turn table splits exactly as
     wide as its conv_id cardinality.
 
+    Cumsum order is (turn_idx, ts, role, md5(text)) — the shared stable
+    convention plus a content tie-break, so retry DOUBLE-WRITES (two
+    rows sharing a turn_idx, the class `transcript_integrity` audits)
+    still get partition-invariant offsets; rows identical in all four
+    keys are byte-identical and interchangeable.
+
     Returns (conv_id, turn_idx, role, turn_tokens, start_offset,
     win_id)."""
     t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
@@ -252,10 +258,13 @@ def transcript_context_windows(
         .otherwise(F.size(F.split(t, r"\s+")))
         .cast("long")
     )
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    order = ["turn_idx"] + (["ts"] if "ts" in df.columns else [])
+    w = W.partitionBy("conv_id").orderBy(
+        *order, "role", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
     run = w.rowsBetween(W.unboundedPreceding, -1)
     return (
-        df.select("conv_id", "turn_idx", "role", toks.alias("turn_tokens"))
+        df.withColumn("turn_tokens", toks)
         .withColumn(
             "start_offset",
             F.coalesce(F.sum("turn_tokens").over(run), F.lit(0)).cast("long"),
@@ -263,6 +272,10 @@ def transcript_context_windows(
         .withColumn(
             "win_id",
             F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+        )
+        .select(
+            "conv_id", "turn_idx", "role", "turn_tokens",
+            "start_offset", "win_id",
         )
     )
 
@@ -411,35 +424,56 @@ def transcript_preference_pairs(
     """Preference-pair (DPO-shape) extraction from retry branches: when a
     warehouse holds several regenerations of the same conversation
     (identical first ``k`` turns, divergent continuations —
-    `transcript_prefix_dedup`'s branch families), the turn-``k``
+    `transcript_prefix_dedup`'s branch families), the POSITION-``k``
     completions form natural (prompt, chosen, rejected) training pairs:
     chosen = the canonical (longest, i.e. the branch the user kept
-    going with) branch's turn ``k``; rejected = every other branch's
-    turn ``k`` whose normalized text actually differs.
+    going with) branch's (k+1)-th turn in stable order; rejected =
+    every other branch's, when the normalized texts actually differ.
+
+    Positional, not index-valued, throughout — the prefix fingerprint
+    groups by the first k turns IN STABLE (turn_idx, text) ORDER, so
+    the completion must be the (k+1)-th turn in that same order;
+    selecting ``turn_idx == k`` instead would silently break on
+    1-based or gapped indices (it would pick a turn inside the shared
+    prefix, making chosen == rejected and dropping the pair).
 
     The 'longest branch won' preference signal is a heuristic — swap
     ``is_canonical`` for an explicit rating join when one exists; the
     pairing/plumbing is the same.
 
-    Plan: the family relation is CONVERSATION-sized, so the turn-k join
-    and the chosen×rejected pairing move branch counts, not turns; the
-    prompt rebuild is one groupBy over the canonical branches' first
-    ``k`` turns (ordered-struct rebuild, `line_dedup` discipline).
-    Families whose canonical branch has no turn ``k`` (the family IS
-    k turns long) produce no pairs.
+    Plan: ONE turn-level conv_id groupBy builds each conversation's
+    ordered (prompt, completion) pair alongside the family relation
+    (both conversation-sized, persisted at the boundary so the three
+    consuming branches don't re-run the corpus aggregation); the
+    chosen×rejected pairing moves branch counts, not turns.  Families
+    whose canonical branch has no (k+1)-th turn produce no pairs.
 
     Returns (prefix_fp, chosen_conv, rejected_conv, prompt_text,
     chosen_text, rejected_text)."""
     fam = transcript_prefix_dedup(df, k=k, text_col=text_col).filter(
         F.col("group_size") >= 2
     )
-    at_k = df.filter(F.col("turn_idx") == k).select(
-        "conv_id", F.coalesce(F.col(text_col), F.lit("")).alias("_tk")
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    per_conv = (
+        df.select(
+            "conv_id",
+            F.struct(F.col("turn_idx"), raw.alias("t")).alias("e"),
+        )
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("_arr"))
+        .select(
+            "conv_id",
+            F.array_join(
+                F.transform(F.slice("_arr", 1, k), lambda s: s["t"]), "\n"
+            ).alias("_prompt"),
+            F.try_element_at("_arr", F.lit(k + 1))["t"].alias("_tk"),
+        )
     )
-    j = fam.join(at_k, "conv_id")
+    j = fam.join(per_conv, "conv_id").filter(F.col("_tk").isNotNull()).persist()
     chosen = j.filter("is_canonical").select(
         "prefix_fp",
         F.col("conv_id").alias("chosen_conv"),
+        F.col("_prompt").alias("prompt_text"),
         F.col("_tk").alias("chosen_text"),
     )
     rejected = j.filter(~F.col("is_canonical")).select(
@@ -447,34 +481,12 @@ def transcript_preference_pairs(
         F.col("conv_id").alias("rejected_conv"),
         F.col("_tk").alias("rejected_text"),
     )
-    prompt = (
-        fam.filter("is_canonical")
-        .select("prefix_fp", F.col("conv_id").alias("chosen_conv"))
-        .join(
-            df.filter(F.col("turn_idx") < k).select(
-                F.col("conv_id").alias("chosen_conv"),
-                F.struct(
-                    F.col("turn_idx"),
-                    F.coalesce(F.col(text_col), F.lit("")).alias("t"),
-                ).alias("e"),
-            ),
-            "chosen_conv",
-        )
-        .groupBy("prefix_fp")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["t"]),
-                "\n",
-            ).alias("prompt_text")
-        )
-    )
     return (
         chosen.join(rejected, "prefix_fp")
         .filter(
             norm_key_col(F.col("chosen_text"))
             != norm_key_col(F.col("rejected_text"))
         )
-        .join(prompt, "prefix_fp")
         .select(
             "prefix_fp",
             "chosen_conv",
@@ -524,7 +536,12 @@ def transcript_conv_facts(
     a pipeline that gates on all four would pay four corpus exchanges;
     this fused form pays one (the lag window and the groupBy share the
     conv_id exchange), which is the difference that matters at 10¹²
-    turns.  Column semantics are exactly the individual operators'.
+    turns.  Column semantics are exactly the individual operators':
+    in particular n_assistant / n_refusals / n_empty_assistant ALWAYS
+    count role='assistant' (`transcript_refusal_flags` parity — the
+    refusal heuristic is assistant-specific and must not drift when
+    ``trainable_roles`` widens, e.g. to ('assistant','tool')); only
+    the token columns follow ``trainable_roles``.
 
     Returns one row per conv_id: n_turns, dup_turns, has_gaps,
     starts_at_zero, role_repeats, ts_inversions, n_assistant,
@@ -540,6 +557,7 @@ def transcript_conv_facts(
         .cast("long")
     )
     is_tr = F.col("role").isin(*trainable_roles)
+    is_asst = F.col("role") == "assistant"
     refusal = (
         low.contains("i cannot")
         | low.contains("i can't")
@@ -551,9 +569,9 @@ def transcript_conv_facts(
         "turn_idx",
         (F.lag("role").over(w) == F.col("role")).alias("_rep"),
         (F.lag("ts").over(w) > F.col("ts")).alias("_inv"),
-        F.when(is_tr, 1).otherwise(0).alias("_a"),
-        F.when(is_tr & refusal, 1).otherwise(0).alias("_r"),
-        F.when(is_tr & (trimmed == ""), 1).otherwise(0).alias("_e"),
+        F.when(is_asst, 1).otherwise(0).alias("_a"),
+        F.when(is_asst & refusal, 1).otherwise(0).alias("_r"),
+        F.when(is_asst & (trimmed == ""), 1).otherwise(0).alias("_e"),
         toks.alias("_tok"),
         F.when(is_tr, toks).otherwise(F.lit(0)).alias("_tok_tr"),
         F.struct(

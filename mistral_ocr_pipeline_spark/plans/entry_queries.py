@@ -8786,19 +8786,6 @@ def mix_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # transcript curation battery (operators/transcript_qc, round 5 cont.)
 # --------------------------------------------------------------------------
-# fixture CTE with the ts column (matches transcripts_from_documents)
-_TRANSCRIPTS_TS_SQL = """
-    SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
-           (doc_id // 50)::int AS turn_idx,
-           (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
-           text,
-           CAST(NULL AS varchar) AS tool,
-           TIMESTAMP '2024-01-01 00:00:00'
-               + doc_id * INTERVAL 1 SECOND AS ts
-    FROM documents
-"""
-
-
 @register(
     "transcript_prefix_dedup",
     oracle=f"""
@@ -9178,24 +9165,25 @@ def transcript_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OVER (PARTITION BY prefix_fp) AS is_c
               FROM sized),
     fam AS (SELECT * FROM canon WHERE gs >= 2),
-    atk AS (SELECT conv_id, coalesce(text, '') AS tk
-            FROM u WHERE turn_idx = 3),
-    chosen AS (SELECT prefix_fp, f.conv_id AS chosen_conv,
+    arr AS (SELECT conv_id,
+                   list(coalesce(text, '')
+                        ORDER BY turn_idx, coalesce(text, '')) AS a
+            FROM u GROUP BY conv_id),
+    pc AS (SELECT conv_id,
+                  array_to_string(a[1:3], chr(10)) AS prompt_text,
+                  a[4] AS tk
+           FROM arr),
+    j AS (SELECT f.conv_id, f.prefix_fp, f.is_c, pc.prompt_text, pc.tk
+          FROM fam f JOIN pc USING (conv_id) WHERE pc.tk IS NOT NULL),
+    chosen AS (SELECT prefix_fp, conv_id AS chosen_conv, prompt_text,
                       tk AS chosen_text
-               FROM fam f JOIN atk USING (conv_id) WHERE is_c),
-    rejected AS (SELECT prefix_fp, f.conv_id AS rejected_conv,
+               FROM j WHERE is_c),
+    rejected AS (SELECT prefix_fp, conv_id AS rejected_conv,
                         tk AS rejected_text
-                 FROM fam f JOIN atk USING (conv_id) WHERE NOT is_c),
-    prompt AS (SELECT prefix_fp,
-                      string_agg(coalesce(text, ''), chr(10)
-                                 ORDER BY turn_idx, coalesce(text, ''))
-                          AS prompt_text
-               FROM fam f JOIN u USING (conv_id)
-               WHERE is_c AND turn_idx < 3 GROUP BY prefix_fp)
+                 FROM j WHERE NOT is_c)
     SELECT c.prefix_fp, chosen_conv, rejected_conv, prompt_text,
            chosen_text, rejected_text
     FROM chosen c JOIN rejected r USING (prefix_fp)
-    JOIN prompt USING (prefix_fp)
     WHERE {_KEY.format(c='chosen_text')} <> {_KEY.format(c='rejected_text')}
     """,
 )

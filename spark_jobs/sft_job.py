@@ -56,7 +56,7 @@ def main() -> None:
     p.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/SSNs/phones/IPs on surviving turns")
     args = p.parse_args()
-    roles = tuple(r for r in args.trainable_roles.split(",") if r)
+    roles = tuple(r.strip() for r in args.trainable_roles.split(",") if r.strip())
 
     spark = SparkSession.builder.appName("sft_curation").getOrCreate()
 

@@ -4746,3 +4746,18 @@ class TestDoremiResample:
         a = sorted(map(tuple, doremi_resample(docs).collect()))
         b = sorted(map(tuple, doremi_resample(docs.repartition(11)).collect()))
         assert a == b
+
+
+class TestDoremiResampleIdCol:
+    def test_non_default_id_col(self, spark):
+        from mistral_ocr_pipeline_spark.operators.sampling import doremi_resample
+
+        rows = [(i, f"t{i % 7} u{i % 5}", f"s{i % 2}") for i in range(40)]
+        docs = spark.createDataFrame(rows, "id long, text string, source string")
+        renamed = doremi_resample(docs, id_col="id")
+        default = doremi_resample(
+            docs.withColumnRenamed("id", "doc_id"), id_col="doc_id"
+        )
+        assert sorted(map(tuple, renamed.collect())) == sorted(
+            map(tuple, default.collect())
+        )

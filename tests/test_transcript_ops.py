@@ -195,8 +195,7 @@ class TestPreferencePairs:
             rows.append(("b", i, "user", t, None, None))
         # a second retry whose turn 3 matches the canonical -> filtered
         for i in range(4):
-            t = f"turn {i}" if i != 4 else "x"
-            rows.append(("c", i, "user", t, None, None))
+            rows.append(("c", i, "user", f"turn {i}", None, None))
         out = transcript_preference_pairs(_df(spark, rows), k=3).collect()
         assert len(out) == 1
         p = out[0]
@@ -486,3 +485,74 @@ class TestPreferencePairStats:
         assert abs(r.frac_equal_len_r6 - 0.25) < 1e-9
         assert abs(r.mean_chosen_tokens_r6 - 1.5) < 1e-9
         assert abs(r.mean_rejected_tokens_r6 - 1.75) < 1e-9
+
+
+class TestReviewRegressions:
+    def test_preference_pairs_one_based_indices(self, spark):
+        """Positional extraction: 1-based turn indices sharing turns 1-3
+        and diverging at the 4th turn still pair correctly (index-valued
+        turn_idx==k selection would pick inside the shared prefix)."""
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_preference_pairs,
+        )
+
+        rows = []
+        for i in range(1, 7):
+            rows.append(("a", i, "user", f"turn {i}" if i != 4 else "orig 4", None, None))
+        for i in range(1, 5):
+            rows.append(("b", i, "user", f"turn {i}" if i != 4 else "retry 4", None, None))
+        out = transcript_preference_pairs(_df(spark, rows), k=3).collect()
+        assert len(out) == 1
+        p = out[0]
+        assert p.chosen_text == "orig 4" and p.rejected_text == "retry 4"
+        assert p.prompt_text == "turn 1\nturn 2\nturn 3"
+
+    def test_context_windows_duplicate_turn_idx_invariant(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_context_windows,
+        )
+
+        rows = [
+            ("c", 0, "user", "a b c", None, None),
+            ("c", 1, "assistant", "d e", None, None),
+            ("c", 1, "assistant", "f g h i", None, None),  # retry double-write
+            ("c", 2, "user", "j", None, None),
+        ]
+        d = _df(spark, rows)
+        a = sorted(map(tuple, transcript_context_windows(d, budget=4).collect()))
+        for parts in (3, 7, 1):
+            b = sorted(
+                map(
+                    tuple,
+                    transcript_context_windows(
+                        d.repartition(parts), budget=4
+                    ).collect(),
+                )
+            )
+            assert a == b
+        # the two same-idx rows order by md5(text): offsets are a fixed
+        # permutation, and the downstream turn (idx 2) sees the full sum
+        by = {(r[0], r[1], r[3]): r[4] for r in a}
+        assert by[("c", 2, 1)] == 9
+
+    def test_conv_facts_assistant_semantics_fixed_roles(self, spark):
+        """Widening trainable_roles must change ONLY the token columns —
+        refusal/empty/assistant counts stay role='assistant'."""
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_conv_facts,
+        )
+
+        rows = [
+            ("c", 0, "user", "hi", None, None),
+            ("c", 1, "assistant", "clean answer", None, None),
+            ("c", 2, "tool", "i cannot connect: socket error", None, None),
+            ("c", 3, "tool", "", None, None),
+        ]
+        d = _df(spark, rows)
+        wide = transcript_conv_facts(
+            d, trainable_roles=("assistant", "tool")
+        ).collect()[0]
+        assert wide.n_assistant == 1
+        assert wide.n_refusals == 0  # the tool error is not a refusal
+        assert wide.n_empty_assistant == 0  # the empty TOOL turn
+        assert wide.tokens_trainable == 2 + 5  # assistant + tool tokens
