@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "transcript_echo",          # r5: assistant regurgitation of earlier user turns
+    "quality_pareto_gate",      # r5: CCNet/LLaMA Pareto-threshold quality sampling
+    "text_fertility",           # r5: tokenizer fertility per language
     "transcript_sft_pipeline",  # r5: fused-facts SFT curation composite, one plan
     "transcript_hot_turns",     # r5: cross-conv boilerplate-turn flags
     "transcript_retrieval_topk",  # r5: similar-session retrieval, one plan

@@ -874,3 +874,56 @@ def doremi_resample(
         .filter(frac < F.col("rate_r6"))
         .select("doc_id", "source", "rate_r6")
     )
+
+
+def pareto_quality_gate(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    alpha: float = 3.0,
+    x_m: float = 0.05,
+    salt: str = "pareto",
+) -> DataFrame:
+    """CCNet / LLaMA-1 style stochastic quality gate: keep a document iff
+    its classifier score exceeds a PARETO-sampled threshold (Wenzek et al.
+    2020 §4.4; Touvron et al. 2023 kept CommonCrawl pages whose
+    is-it-a-Wikipedia-reference score beat a Pareto draw).  Unlike a hard
+    cutoff, low-scoring docs survive with probability P(T < s) — the tail
+    of the quality distribution is sampled, not amputated, which keeps the
+    kept corpus diverse while still biasing hard toward quality.
+
+    Determinism: the "random" draw is u = md5(salt‖id)/2^32 (the same
+    content-hash uniform every sampler in this module uses), so a document's
+    fate is a pure function of its id — identical at local[8] and on 1000
+    executors, across reruns and resumes, and replayable in plain SQL.
+    The threshold is the Pareto quantile  T = x_m · (1−u)^(−1/α)  clamped
+    to 1.0 (scores live in [0,1]); both sides of the keep comparison are
+    rounded to 6 dp so the decision is engine-portable.
+
+    Scan-level projection + filter-ready flag: no shuffle, no UDF.
+
+    Returns (id, <score>_r6, pareto_u, pareto_threshold, keep)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    thresh = F.round(
+        F.least(
+            F.lit(1.0), F.lit(float(x_m)) * F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha))
+        ),
+        6,
+    )
+    score_r6 = F.round(F.col(score_col), 6)
+    return df.select(
+        F.col(id_col),
+        score_r6.alias("score_r6"),
+        F.round(u, 6).alias("pareto_u"),
+        thresh.alias("pareto_threshold"),
+        (score_r6 > thresh).alias("keep"),
+    )

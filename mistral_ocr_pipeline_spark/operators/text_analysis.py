@@ -1845,3 +1845,44 @@ def bigram_surprisal_heldout(
         )
         .select(F.col("id").alias(id_col), "n_pairs", "oov_pairs", "surprisal")
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per word and
+    chars per subword token (Ács 2019's fertility metric; the statistic
+    UniMax/byte-budget mixing needs to convert a language's token budget
+    into a document budget).  High fertility = the tokenizer fragments
+    that language (each word costs more subwords), so an equal-token mix
+    under-represents it in *content*; curation corrects with fertility-
+    aware budgets.
+
+    Corpus-ratio estimator (sum/sum, not mean-of-ratios): matches how a
+    budget is actually spent.  Plan: scan-level features → one partial-agg
+    shuffle on a ≤8-value key — at 100 TB this is a map-side-combined
+    rollup, ~bytes of shuffle per task.
+
+    Returns (lang_id, n_docs, n_words, n_subwords, fertility_r6,
+    chars_per_token_r6)."""
+    t = F.col(text_col)
+    feats = language_id(df.select(F.col(id_col), t.alias("text")), "text").select(
+        "lang_id",
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return (
+        feats.groupBy("lang_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_words"),
+            F.sum("bpe").alias("n_subwords"),
+            F.round(
+                F.sum("bpe") / F.greatest(F.sum("ws"), F.lit(1)), 6
+            ).alias("fertility_r6"),
+            F.round(
+                F.sum("n_chars") / F.greatest(F.sum("bpe"), F.lit(1)), 6
+            ).alias("chars_per_token_r6"),
+        )
+    )

@@ -748,3 +748,76 @@ def preference_pair_stats(pairs: DataFrame) -> DataFrame:
         F.round(F.avg("_c"), 6).alias("mean_chosen_tokens_r6"),
         F.round(F.avg("_r"), 6).alias("mean_rejected_tokens_r6"),
     )
+
+
+def transcript_echo(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    source_roles: tuple[str, ...] = ("user", "tool"),
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Assistant ECHO detection: for every assistant turn, the fraction of
+    its distinct word ``k``-grams that already appeared in an EARLIER
+    ``source_roles`` turn of the same conversation.  An assistant reply
+    that mostly restates the prompt (or regurgitates a tool result
+    verbatim) carries no training signal for SFT — and verbatim
+    regurgitation is itself a behavior to curate against; this is the
+    turn-level twin of the corpus-level substring/containment dedup
+    family.
+
+    Plan shape: grams are md5 digests computed MAP-SIDE over the
+    normalized token array (shuffles move 32-char digests, never text).
+    The earlier-turn check avoids a pair fan-out: source grams first
+    collapse to ``(conv_id, g) -> min(turn_idx)`` (partial-agg combine),
+    then ONE equi-join on (conv_id, g) with ``first_turn < turn_idx``
+    decides "appeared earlier" — per-conversation keys, so conv_id-salted
+    AQE handles long-conversation skew like the rest of the transcript
+    battery.
+
+    Returns one row per assistant turn: (conv_id, turn_idx, n_grams,
+    n_echoed, echo_fraction, is_echo); turns shorter than ``k`` words
+    survive with n_grams = 0."""
+    txt = F.coalesce(norm_key_col(F.col(text_col)), F.lit(""))
+    words = F.filter(F.split(txt, " "), lambda x: x != "")
+    base = df.select("conv_id", "turn_idx", "role", words.alias("w"))
+
+    def gram_rows(frame: DataFrame) -> DataFrame:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("w") - k),
+            lambda p: F.md5(F.array_join(F.slice("w", p + 1, k), " ")),
+        )
+        return frame.filter(F.size("w") >= k).select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.array_distinct(grams)).alias("g"),
+        )
+
+    a_grams = gram_rows(base.filter(F.col("role") == "assistant"))
+    s_first = (
+        gram_rows(base.filter(F.col("role").isin(*source_roles)))
+        .groupBy("conv_id", "g")
+        .agg(F.min("turn_idx").alias("first_turn"))
+    )
+    counts = (
+        a_grams.join(s_first, ["conv_id", "g"], "left")
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_turn") < F.col("turn_idx"), 1).otherwise(0)
+            ).alias("n_echoed"),
+        )
+    )
+    spine = base.filter(F.col("role") == "assistant").select("conv_id", "turn_idx")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_echoed = F.coalesce(F.col("n_echoed"), F.lit(0)).cast("long")
+    frac = n_echoed / F.greatest(n_grams, F.lit(1))
+    return spine.join(counts, ["conv_id", "turn_idx"], "left").select(
+        "conv_id",
+        "turn_idx",
+        n_grams.alias("n_grams"),
+        n_echoed.alias("n_echoed"),
+        F.round(frac, 6).alias("echo_fraction"),
+        ((n_grams > 0) & (frac >= F.lit(float(flag_threshold)))).alias("is_echo"),
+    )

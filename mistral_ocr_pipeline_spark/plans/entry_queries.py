@@ -9739,3 +9739,218 @@ def transcript_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qid").alias("query_conv"), "conv_id", "cosine", "rank"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto-threshold stochastic quality gate (CCNet §4.4 / LLaMA-1 CommonCrawl)
+# --------------------------------------------------------------------------
+@register(
+    "quality_pareto_gate",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::bigint AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint
+                 AS n_tokens,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for')))::bigint AS n_stop,
+             len(regexp_extract_all(text, '[^\w\s]'))::bigint AS n_punct,
+             len(regexp_extract_all(text, '[0-9]'))::bigint AS n_digit
+      FROM documents),
+    sc AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens < 5 THEN 0.0
+                  ELSE round(
+                    least(1.0, (n_stop::double / greatest(n_tokens, 1)) * 2)
+                    * (1.0 - least(1.0, (n_punct::double / greatest(n_chars, 1)) * 4))
+                    * (1.0 - least(1.0, (n_digit::double / greatest(n_chars, 1)) * 4)),
+                    6) END AS s
+      FROM f),
+    g AS (
+      SELECT doc_id, s,
+             ('0x' || substring(md5('pareto' || doc_id::varchar), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM sc)
+    SELECT doc_id,
+           round(s, 6) AS score_r6,
+           round(u, 6) AS pareto_u,
+           round(least(1.0, 0.02 * pow(1.0 - u, -1.0)), 6) AS pareto_threshold,
+           round(s, 6) > round(least(1.0, 0.02 * pow(1.0 - u, -1.0)), 6)
+               AS keep
+    FROM g
+    """,
+)
+def quality_pareto_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/LLaMA-1 stochastic quality gate: keep a document iff its
+    heuristic quality score beats a PARETO-quantile threshold driven by a
+    content-hash uniform (`sampling.pareto_quality_gate`) — low-quality
+    docs survive with probability P(T < s), so the kept corpus keeps its
+    tail diversity instead of a hard cliff at the cutoff.  Every piece —
+    the quality score, the md5 uniform, the Pareto quantile, the rounded
+    keep decision — replays in SQL.  (x_m, α) = (0.02, 1.0) sits inside
+    this synthetic corpus's score range (~0.01–0.15), giving a genuinely
+    mixed keep/drop outcome: P(keep | s) = 1 − x_m/s for s > x_m."""
+    from mistral_ocr_pipeline_spark.operators.sampling import pareto_quality_gate
+    from mistral_ocr_pipeline_spark.operators.text_analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_features(docs.select("doc_id", "text"))
+    return pareto_quality_gate(
+        scored, score_col="q_score", id_col="doc_id", alpha=1.0, x_m=0.02
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer fertility per language (Ács 2019; UniMax budget conversion)
+# --------------------------------------------------------------------------
+@register(
+    "text_fertility",
+    oracle=r"""
+    WITH l AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+             len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS ar,
+             len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS ru,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'))) AS en,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'auf', 'zu'))) AS de,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('le', 'la', 'les', 'et', 'de', 'un', 'une', 'est', 'dans', 'pour'))) AS fr,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9_]+'), x -> x IN ('el', 'la', 'los', 'de', 'que', 'y', 'en', 'un', 'una', 'es'))) AS es,
+             length(text)::bigint AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint
+                 AS ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::bigint AS bpe
+      FROM documents),
+    lid AS (
+      SELECT *,
+             CASE WHEN cjk > 0 THEN 'cjk'
+                  WHEN ar > 0 THEN 'ar'
+                  WHEN ru > 0 THEN 'ru'
+                  WHEN greatest(en, de, fr, es) > 0 AND en = greatest(en, de, fr, es)
+                      THEN 'en'
+                  WHEN greatest(en, de, fr, es) > 0 AND de = greatest(en, de, fr, es)
+                      THEN 'de'
+                  WHEN greatest(en, de, fr, es) > 0 AND fr = greatest(en, de, fr, es)
+                      THEN 'fr'
+                  WHEN greatest(en, de, fr, es) > 0 AND es = greatest(en, de, fr, es)
+                      THEN 'es'
+                  ELSE 'unknown' END AS lang_id
+      FROM l)
+    SELECT lang_id,
+           count(*)::bigint AS n_docs,
+           sum(ws)::bigint AS n_words,
+           sum(bpe)::bigint AS n_subwords,
+           round(sum(bpe) / greatest(sum(ws), 1), 6) AS fertility_r6,
+           round(sum(n_chars) / greatest(sum(bpe), 1), 6) AS chars_per_token_r6
+    FROM lid
+    GROUP BY lang_id
+    """,
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (`text_analysis.tokenizer_fertility`):
+    subword tokens per word and chars per subword token, the statistic that
+    converts a language's TOKEN budget into a CONTENT budget when building
+    a multilingual mix.  Corpus-ratio (sum/sum) estimator; one partial-agg
+    shuffle on a ≤8-value key."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# transcript echo detection (assistant regurgitation of earlier context)
+# --------------------------------------------------------------------------
+@register(
+    "transcript_echo",
+    oracle=rf"""
+    WITH base AS (
+      SELECT 'conv-' || lpad((d.doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (d.doc_id // 50)::int AS turn_idx,
+             CASE WHEN (d.doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END
+                 AS role,
+             d.text || CASE WHEN (d.doc_id // 50) % 2 = 1 AND d.doc_id % 3 = 0
+                                 AND p.text IS NOT NULL
+                            THEN ' ' || p.text ELSE '' END AS text
+      FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 50),
+    tok AS (
+      SELECT conv_id, turn_idx, role,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         x -> x != '') AS w
+      FROM base),
+    gr AS (
+      SELECT conv_id, turn_idx, role,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, len(w) - 4),
+                 i -> md5(array_to_string(w[i : i + 4], ' '))))) AS g
+      FROM tok WHERE len(w) >= 5),
+    src AS (
+      SELECT conv_id, g, min(turn_idx) AS first_turn
+      FROM gr WHERE role = 'user' GROUP BY conv_id, g),
+    ag AS (
+      SELECT a.conv_id, a.turn_idx,
+             count(*) AS n_grams,
+             sum(CASE WHEN s.first_turn < a.turn_idx THEN 1 ELSE 0 END)
+                 AS n_echoed
+      FROM gr a LEFT JOIN src s ON s.conv_id = a.conv_id AND s.g = a.g
+      WHERE a.role = 'assistant' GROUP BY a.conv_id, a.turn_idx)
+    SELECT b.conv_id, b.turn_idx,
+           coalesce(n_grams, 0)::bigint AS n_grams,
+           coalesce(n_echoed, 0)::bigint AS n_echoed,
+           round(coalesce(n_echoed, 0) / greatest(coalesce(n_grams, 0), 1), 6)
+               AS echo_fraction,
+           coalesce(n_grams, 0) > 0
+             AND coalesce(n_echoed, 0) / greatest(coalesce(n_grams, 0), 1) >= 0.5
+               AS is_echo
+    FROM (SELECT conv_id, turn_idx FROM base WHERE role = 'assistant') b
+    LEFT JOIN ag ON ag.conv_id = b.conv_id AND ag.turn_idx = b.turn_idx
+    """,
+)
+def transcript_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant ECHO detection (`transcript_qc.transcript_echo`): the
+    fraction of each assistant turn's distinct word 5-grams that already
+    appeared in an earlier user turn of the same conversation — the
+    SFT-curation signal for replies that merely restate the prompt.
+    Fixture: roles alternate BY TURN PARITY (turn t-1 always has the
+    opposite role of turn t — parity on doc_id would give every turn the
+    same role as its predecessor, since adjacent turns differ by 50);
+    every third assistant turn VERBATIM-appends its conversation's
+    previous user turn, so the corpus carries real echoes with known
+    provenance and known expected fractions.  Gram
+    digests, the min-first-turn collapse, the join, and both the fraction
+    and the ≥0.5 flag all replay in SQL."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_echo as echo_op,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    prior = docs.select(
+        (F.col("doc_id") + 50).alias("doc_id"), F.col("text").alias("ptext")
+    )
+    turn = F.floor(d / 50)
+    base = docs.join(prior, "doc_id", "left").select(
+        F.concat(F.lit("conv-"), F.lpad((d % 50).cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        turn.cast("int").alias("turn_idx"),
+        F.when(turn % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias(
+            "role"
+        ),
+        F.concat(
+            F.col("text"),
+            F.when(
+                (turn % 2 == 1) & (d % 3 == 0) & F.col("ptext").isNotNull(),
+                F.concat(F.lit(" "), F.col("ptext")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return echo_op(base, k=5, source_roles=("user",), flag_threshold=0.5)

@@ -4761,3 +4761,84 @@ class TestDoremiResampleIdCol:
         assert sorted(map(tuple, renamed.collect())) == sorted(
             map(tuple, default.collect())
         )
+
+
+class TestParetoQualityGate:
+    def _gate(self, spark, rows, **kw):
+        from mistral_ocr_pipeline_spark.operators.sampling import pareto_quality_gate
+
+        df = spark.createDataFrame(rows, "doc_id long, q double")
+        return {
+            r.doc_id: r
+            for r in pareto_quality_gate(df, "q", "doc_id", **kw).collect()
+        }
+
+    def test_keep_iff_score_beats_threshold(self, spark):
+        rows = [(i, 0.5) for i in range(200)]
+        out = self._gate(spark, rows, alpha=2.0, x_m=0.2)
+        for r in out.values():
+            assert r.keep == (r.score_r6 > r.pareto_threshold)
+            assert 0.0 <= r.pareto_u < 1.0
+            assert r.pareto_threshold <= 1.0  # clamped
+
+    def test_score_monotonicity_same_id(self, spark):
+        # same id -> same threshold; a higher score can only flip drop->keep
+        low = self._gate(spark, [(i, 0.2) for i in range(100)], alpha=2.0, x_m=0.2)
+        high = self._gate(spark, [(i, 0.9) for i in range(100)], alpha=2.0, x_m=0.2)
+        for i in range(100):
+            assert low[i].pareto_threshold == high[i].pareto_threshold
+            if low[i].keep:
+                assert high[i].keep
+
+    def test_tail_survives_but_quality_biased(self, spark):
+        # stochastic gate: some low-score docs survive (tail diversity),
+        # and the keep RATE rises with score
+        low = self._gate(spark, [(i, 0.25) for i in range(400)], alpha=2.0, x_m=0.2)
+        high = self._gate(spark, [(i, 0.8) for i in range(400)], alpha=2.0, x_m=0.2)
+        n_low = sum(r.keep for r in low.values())
+        n_high = sum(r.keep for r in high.values())
+        assert 0 < n_low < 400  # neither amputated nor all-pass
+        assert n_high > n_low
+        # analytic check: P(keep | s) = P(x_m * (1-u)^(-1/a) < s)
+        #   = 1 - (x_m/s)^a  for s > x_m; s=0.25, x_m=0.2, a=2 -> 0.36
+        assert abs(n_low / 400 - (1 - (0.2 / 0.25) ** 2)) < 0.08
+
+    def test_salt_decorrelates(self, spark):
+        a = self._gate(spark, [(i, 0.5) for i in range(200)], salt="a")
+        b = self._gate(spark, [(i, 0.5) for i in range(200)], salt="b")
+        assert any(a[i].keep != b[i].keep for i in range(200))
+
+
+class TestTokenizerFertility:
+    def test_pinned_counts(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            tokenizer_fertility,
+        )
+
+        rows = [
+            # en: "the cat is on the mat." -> 6 ws tokens; bpe: 6 words + '.'
+            (1, "the cat is on the mat."),
+            # en: "it was the best of times" -> 6 ws, 6 bpe
+            (2, "it was the best of times"),
+            # unknown: no stopword/script hits
+            (3, "zzz qqq"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.lang_id: r for r in tokenizer_fertility(df).collect()}
+        en = out["en"]
+        assert en.n_docs == 2 and en.n_words == 12 and en.n_subwords == 13
+        assert abs(en.fertility_r6 - round(13 / 12, 6)) < 1e-9
+        # chars: len("the cat is on the mat.")=22, len("it was the best of times")=24
+        assert abs(en.chars_per_token_r6 - round(46 / 13, 6)) < 1e-9
+        unk = out["unknown"]
+        assert unk.n_docs == 1 and unk.n_words == 2 and unk.n_subwords == 2
+
+    def test_empty_text_no_division_blowup(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            tokenizer_fertility,
+        )
+
+        df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+        rows = tokenizer_fertility(df).collect()
+        assert len(rows) == 1 and rows[0].lang_id == "unknown"
+        assert rows[0].n_words == 0 and rows[0].fertility_r6 == 0.0

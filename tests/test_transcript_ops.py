@@ -556,3 +556,83 @@ class TestReviewRegressions:
         assert wide.n_refusals == 0  # the tool error is not a refusal
         assert wide.n_empty_assistant == 0  # the empty TOOL turn
         assert wide.tokens_trainable == 2 + 5  # assistant + tool tokens
+
+
+class TestTranscriptEcho:
+    def _out(self, spark, rows, **kw):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import transcript_echo
+
+        return {
+            (r.conv_id, r.turn_idx): r
+            for r in transcript_echo(_df(spark, rows), **kw).collect()
+        }
+
+    def test_verbatim_echo_and_fresh_reply(self, spark):
+        prompt = "please summarize the quarterly revenue report for the board"
+        rows = [
+            ("a", 0, "user", prompt, None, None),
+            # verbatim restatement: every 5-gram comes from the prompt
+            ("a", 1, "assistant", prompt, None, None),
+            # fresh reply: no 5-gram overlap with the prompt
+            ("a", 2, "assistant", "revenue grew nine percent while costs fell sharply", None, None),
+        ]
+        out = self._out(spark, rows)
+        assert out[("a", 1)].echo_fraction == 1.0 and out[("a", 1)].is_echo
+        assert out[("a", 2)].echo_fraction == 0.0 and not out[("a", 2)].is_echo
+        # user turns are not scored
+        assert ("a", 0) not in out
+
+    def test_later_user_turn_does_not_count(self, spark):
+        text = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            ("a", 0, "assistant", text, None, None),  # no earlier source
+            ("a", 1, "user", text, None, None),       # same grams, but LATER
+        ]
+        out = self._out(spark, rows)
+        assert out[("a", 0)].n_grams == 2  # 6 words -> 2 distinct 5-grams
+        assert out[("a", 0)].n_echoed == 0 and not out[("a", 0)].is_echo
+
+    def test_short_turn_survives_with_zero_grams(self, spark):
+        rows = [
+            ("a", 0, "user", "one two three four five six", None, None),
+            ("a", 1, "assistant", "too short", None, None),
+            ("a", 2, "assistant", None, None, None),
+        ]
+        out = self._out(spark, rows)
+        assert out[("a", 1)].n_grams == 0 and out[("a", 1)].echo_fraction == 0.0
+        assert not out[("a", 1)].is_echo
+        assert out[("a", 2)].n_grams == 0  # NULL text survives
+
+    def test_tool_role_counts_as_source_when_configured(self, spark):
+        payload = "result rows forty two with status success and latency low"
+        rows = [
+            ("a", 0, "tool", payload, None, None),
+            ("a", 1, "assistant", payload, None, None),
+        ]
+        with_tool = self._out(spark, rows, source_roles=("user", "tool"))
+        assert with_tool[("a", 1)].echo_fraction == 1.0
+        user_only = self._out(spark, rows, source_roles=("user",))
+        assert user_only[("a", 1)].echo_fraction == 0.0
+
+    def test_cross_conversation_never_matches(self, spark):
+        text = "the same exact sentence appears in two conversations here"
+        rows = [
+            ("a", 0, "user", text, None, None),
+            ("b", 1, "assistant", text, None, None),
+        ]
+        out = self._out(spark, rows)
+        assert out[("b", 1)].n_echoed == 0
+
+    def test_partial_echo_fraction(self, spark):
+        # assistant = 6 fresh words + verbatim copy of the 6-word prompt:
+        # prompt contributes its 2 grams + 5 boundary grams; of the 9
+        # distinct grams, exactly the prompt's own 2 match
+        prompt = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            ("a", 0, "user", prompt, None, None),
+            ("a", 1, "assistant", "one two three four five six " + prompt, None, None),
+        ]
+        out = self._out(spark, rows)
+        r = out[("a", 1)]
+        assert r.n_grams == 8 and r.n_echoed == 2
+        assert abs(r.echo_fraction - 0.25) < 1e-9 and not r.is_echo
