@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "transcript_echo_incremental",  # r5: batch echo vs persisted gram index
+    "echo_index_append",        # r5: echo-index maintenance, append == rebuild
     "transcript_echo",          # r5: assistant regurgitation of earlier user turns
     "quality_pareto_gate",      # r5: CCNet/LLaMA Pareto-threshold quality sampling
     "text_fertility",           # r5: tokenizer fertility per language

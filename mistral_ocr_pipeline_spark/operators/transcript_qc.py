@@ -778,24 +778,10 @@ def transcript_echo(
     Returns one row per assistant turn: (conv_id, turn_idx, n_grams,
     n_echoed, echo_fraction, is_echo); turns shorter than ``k`` words
     survive with n_grams = 0."""
-    txt = F.coalesce(norm_key_col(F.col(text_col)), F.lit(""))
-    words = F.filter(F.split(txt, " "), lambda x: x != "")
-    base = df.select("conv_id", "turn_idx", "role", words.alias("w"))
-
-    def gram_rows(frame: DataFrame) -> DataFrame:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size("w") - k),
-            lambda p: F.md5(F.array_join(F.slice("w", p + 1, k), " ")),
-        )
-        return frame.filter(F.size("w") >= k).select(
-            "conv_id",
-            "turn_idx",
-            F.explode(F.array_distinct(grams)).alias("g"),
-        )
-
-    a_grams = gram_rows(base.filter(F.col("role") == "assistant"))
+    base = _echo_tokens(df, text_col)
+    a_grams = _echo_grams(base.filter(F.col("role") == "assistant"), k)
     s_first = (
-        gram_rows(base.filter(F.col("role").isin(*source_roles)))
+        _echo_grams(base.filter(F.col("role").isin(*source_roles)), k)
         .groupBy("conv_id", "g")
         .agg(F.min("turn_idx").alias("first_turn"))
     )
@@ -810,6 +796,36 @@ def transcript_echo(
         )
     )
     spine = base.filter(F.col("role") == "assistant").select("conv_id", "turn_idx")
+    return _echo_assemble(spine, counts, flag_threshold)
+
+
+def _echo_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """(conv_id, turn_idx, role, w): normalized token array per turn —
+    materialized as a column so the gram lambda indexes it O(1) instead of
+    re-normalizing per gram (the `_ngrams_from_tokens` rule)."""
+    txt = F.coalesce(norm_key_col(F.col(text_col)), F.lit(""))
+    words = F.filter(F.split(txt, " "), lambda x: x != "")
+    return df.select("conv_id", "turn_idx", "role", words.alias("w"))
+
+
+def _echo_grams(frame: DataFrame, k: int) -> DataFrame:
+    """(conv_id, turn_idx, g): DISTINCT md5 word-k-gram digests per turn,
+    computed map-side — downstream shuffles move 32-char digests, never
+    text."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - k),
+        lambda p: F.md5(F.array_join(F.slice("w", p + 1, k), " ")),
+    )
+    return frame.filter(F.size("w") >= k).select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.array_distinct(grams)).alias("g"),
+    )
+
+
+def _echo_assemble(
+    spine: DataFrame, counts: DataFrame, flag_threshold: float
+) -> DataFrame:
     n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
     n_echoed = F.coalesce(F.col("n_echoed"), F.lit(0)).cast("long")
     frac = n_echoed / F.greatest(n_grams, F.lit(1))
@@ -821,3 +837,94 @@ def transcript_echo(
         F.round(frac, 6).alias("echo_fraction"),
         ((n_grams > 0) & (frac >= F.lit(float(flag_threshold)))).alias("is_echo"),
     )
+
+
+def build_echo_index(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    source_roles: tuple[str, ...] = ("user", "tool"),
+) -> DataFrame:
+    """Persisted echo-source index: ``(conv_id, g, first_turn)`` — the
+    earliest ``source_roles`` turn in each conversation containing each
+    distinct word-k-gram digest.  At 10^12 turns new batches score their
+    assistant turns against ALL conversation history through this table
+    WITHOUT re-tokenizing history text (the `build_substring_index`
+    convention applied to the transcript payload).  The one stored fact
+    is a min-lattice (min of mins = global min), which is what makes
+    `echo_index_append` exactly rebuild-equivalent.  Stores a digest and
+    one integer per distinct (conv, gram) — no text."""
+    base = _echo_tokens(df, text_col)
+    return (
+        _echo_grams(base.filter(F.col("role").isin(*source_roles)), k)
+        .groupBy("conv_id", "g")
+        .agg(F.min("turn_idx").alias("first_turn"))
+    )
+
+
+def echo_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    source_roles: tuple[str, ...] = ("user", "tool"),
+) -> DataFrame:
+    """Merge a new batch's source turns into a `build_echo_index` table —
+    EXACT one-shot equivalence (hash-identical to rebuilding over
+    history ∪ batch) because min(first_turn) is a lattice merge.  Only
+    the increment is tokenized; history costs one full-outer shuffle of
+    the digest index, O(index) not O(history text)."""
+    delta = build_echo_index(new_df, text_col, k, source_roles)
+    a = index.withColumnRenamed("first_turn", "_fa")
+    b = delta.withColumnRenamed("first_turn", "_fb")
+    return a.join(b, ["conv_id", "g"], "full").select(
+        "conv_id",
+        "g",
+        F.least(F.col("_fa"), F.col("_fb")).alias("first_turn"),
+    )
+
+
+def transcript_echo_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    source_roles: tuple[str, ...] = ("user", "tool"),
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """`transcript_echo` for a NEW batch of turns against history ∪
+    batch, reading only the persisted echo index for history — never its
+    text.  EXACTLY equivalent, for the batch's assistant turns, to
+    running the one-shot over history ∪ batch: a gram counts as echoed
+    iff the GLOBAL earliest source occurrence (least of the index's
+    first_turn and the batch's own source grams' first_turn — least
+    skips NULLs) precedes the assistant turn, which is the same
+    strictly-earlier rule the one-shot applies.
+
+    Plan: batch grams (map-side digests) → one groupBy for the batch
+    source side → TWO left equi-joins from the assistant gram stream
+    (against the index on (conv_id, g) — the batch side is small, AQE
+    broadcasts it for real corpora — and against the batch source
+    collapse) → per-turn rollup."""
+    base = _echo_tokens(new_df, text_col)
+    a_grams = _echo_grams(base.filter(F.col("role") == "assistant"), k)
+    b_src = (
+        _echo_grams(base.filter(F.col("role").isin(*source_roles)), k)
+        .groupBy("conv_id", "g")
+        .agg(F.min("turn_idx").alias("_fb"))
+    )
+    hist = index.withColumnRenamed("first_turn", "_fa")
+    first = F.least(F.col("_fa"), F.col("_fb"))
+    counts = (
+        a_grams.join(hist, ["conv_id", "g"], "left")
+        .join(b_src, ["conv_id", "g"], "left")
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(first < F.col("turn_idx"), 1).otherwise(0)
+            ).alias("n_echoed"),
+        )
+    )
+    spine = base.filter(F.col("role") == "assistant").select("conv_id", "turn_idx")
+    return _echo_assemble(spine, counts, flag_threshold)

@@ -9869,10 +9869,10 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # transcript echo detection (assistant regurgitation of earlier context)
 # --------------------------------------------------------------------------
-@register(
-    "transcript_echo",
-    oracle=rf"""
-    WITH base AS (
+# shared fixture + gram stream for the echo family: roles alternate by TURN
+# parity; every third assistant turn verbatim-appends its conversation's
+# previous user turn.  Emits ``gr(conv_id, turn_idx, role, g)``.
+_ECHO_GR_SQL = rf"""base AS (
       SELECT 'conv-' || lpad((d.doc_id % 50)::varchar, 6, '0') AS conv_id,
              (d.doc_id // 50)::int AS turn_idx,
              CASE WHEN (d.doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END
@@ -9891,7 +9891,11 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_distinct(list_transform(
                  generate_series(1, len(w) - 4),
                  i -> md5(array_to_string(w[i : i + 4], ' '))))) AS g
-      FROM tok WHERE len(w) >= 5),
+      FROM tok WHERE len(w) >= 5)"""
+
+# one-shot echo rollup over ``gr``, parameterized by an extra predicate on
+# the ASSISTANT side (the incremental query restricts to the batch's turns)
+_ECHO_TAIL_SQL = """
     src AS (
       SELECT conv_id, g, min(turn_idx) AS first_turn
       FROM gr WHERE role = 'user' GROUP BY conv_id, g),
@@ -9901,7 +9905,7 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN s.first_turn < a.turn_idx THEN 1 ELSE 0 END)
                  AS n_echoed
       FROM gr a LEFT JOIN src s ON s.conv_id = a.conv_id AND s.g = a.g
-      WHERE a.role = 'assistant' GROUP BY a.conv_id, a.turn_idx)
+      WHERE a.role = 'assistant' AND {pred} GROUP BY a.conv_id, a.turn_idx)
     SELECT b.conv_id, b.turn_idx,
            coalesce(n_grams, 0)::bigint AS n_grams,
            coalesce(n_echoed, 0)::bigint AS n_echoed,
@@ -9910,8 +9914,17 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(n_grams, 0) > 0
              AND coalesce(n_echoed, 0) / greatest(coalesce(n_grams, 0), 1) >= 0.5
                AS is_echo
-    FROM (SELECT conv_id, turn_idx FROM base WHERE role = 'assistant') b
+    FROM (SELECT conv_id, turn_idx FROM base
+          WHERE role = 'assistant' AND {spine_pred}) b
     LEFT JOIN ag ON ag.conv_id = b.conv_id AND ag.turn_idx = b.turn_idx
+"""
+
+
+@register(
+    "transcript_echo",
+    oracle=f"""
+    WITH {_ECHO_GR_SQL},
+    {_ECHO_TAIL_SQL.format(pred='TRUE', spine_pred='TRUE')}
     """,
 )
 def transcript_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9931,13 +9944,21 @@ def transcript_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
         transcript_echo as echo_op,
     )
 
+    base = _echo_fixture(spark, sf_dir)
+    return echo_op(base, k=5, source_roles=("user",), flag_threshold=0.5)
+
+
+def _echo_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The echo family's shared fixture (engine twin of `_ECHO_GR_SQL`'s
+    ``base`` CTE): roles alternate by turn parity, every third assistant
+    turn verbatim-appends the previous user turn."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     prior = docs.select(
         (F.col("doc_id") + 50).alias("doc_id"), F.col("text").alias("ptext")
     )
     turn = F.floor(d / 50)
-    base = docs.join(prior, "doc_id", "left").select(
+    return docs.join(prior, "doc_id", "left").select(
         F.concat(F.lit("conv-"), F.lpad((d % 50).cast("string"), 6, "0")).alias(
             "conv_id"
         ),
@@ -9953,4 +9974,58 @@ def transcript_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return echo_op(base, k=5, source_roles=("user",), flag_threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# incremental echo vs a persisted gram index (history text never re-read)
+# --------------------------------------------------------------------------
+@register(
+    "transcript_echo_incremental",
+    oracle=f"""
+    WITH {_ECHO_GR_SQL},
+    {_ECHO_TAIL_SQL.format(pred='a.turn_idx >= 7', spine_pred='turn_idx >= 7')}
+    """,
+)
+def transcript_echo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Echo detection for a NEW batch of turns (turn_idx ≥ 7) against all
+    conversation history through a persisted `(conv_id, g, first_turn)`
+    index — history text is never re-tokenized
+    (`transcript_qc.transcript_echo_incremental`).  The oracle is the
+    ONE-SHOT echo over history ∪ batch restricted to the batch's
+    assistant turns: the value-hash match IS the proof that
+    index-mediated incremental scoring ≡ full recompute."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        build_echo_index,
+        transcript_echo_incremental as inc_op,
+    )
+
+    base = _echo_fixture(spark, sf_dir)
+    hist = base.filter(F.col("turn_idx") < 7)
+    batch = base.filter(F.col("turn_idx") >= 7)
+    index = build_echo_index(hist, k=5, source_roles=("user",))
+    return inc_op(batch, index, k=5, source_roles=("user",), flag_threshold=0.5)
+
+
+@register(
+    "echo_index_append",
+    oracle=f"""
+    WITH {_ECHO_GR_SQL}
+    SELECT conv_id, g, min(turn_idx)::int AS first_turn
+    FROM gr WHERE role = 'user' GROUP BY conv_id, g
+    """,
+)
+def echo_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Echo-index maintenance: history index + new batch, merged by the
+    min-lattice (`transcript_qc.echo_index_append`).  The oracle REBUILDS
+    the index over history ∪ batch in one shot — the hash match proves
+    append ≡ rebuild, so daily maintenance never touches history text."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        build_echo_index,
+        echo_index_append as append_op,
+    )
+
+    base = _echo_fixture(spark, sf_dir)
+    hist = base.filter(F.col("turn_idx") < 7)
+    batch = base.filter(F.col("turn_idx") >= 7)
+    index = build_echo_index(hist, k=5, source_roles=("user",))
+    return append_op(index, batch, k=5, source_roles=("user",))

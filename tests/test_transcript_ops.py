@@ -636,3 +636,98 @@ class TestTranscriptEcho:
         r = out[("a", 1)]
         assert r.n_grams == 8 and r.n_echoed == 2
         assert abs(r.echo_fraction - 0.25) < 1e-9 and not r.is_echo
+
+
+class TestEchoIncremental:
+    PROMPT = "please summarize the quarterly revenue report for the board"
+    FRESH = "revenue grew nine percent while costs fell sharply this year"
+
+    def _oneshot(self, spark, rows, **kw):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import transcript_echo
+
+        return {
+            (r.conv_id, r.turn_idx): r
+            for r in transcript_echo(_df(spark, rows), **kw).collect()
+        }
+
+    def _incremental(self, spark, hist, batch, **kw):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            build_echo_index,
+            transcript_echo_incremental,
+        )
+
+        idx = build_echo_index(_df(spark, hist), **kw)
+        return {
+            (r.conv_id, r.turn_idx): r
+            for r in transcript_echo_incremental(
+                _df(spark, batch), idx, **kw
+            ).collect()
+        }
+
+    def test_incremental_equals_oneshot_on_batch_rows(self, spark):
+        hist = [
+            ("a", 0, "user", self.PROMPT, None, None),
+            ("a", 1, "assistant", self.FRESH, None, None),
+            ("b", 0, "user", self.FRESH, None, None),
+        ]
+        batch = [
+            # echoes a HISTORY user turn
+            ("a", 2, "assistant", self.PROMPT, None, None),
+            # echoes a BATCH user turn (index alone can't see it)
+            ("b", 1, "user", self.PROMPT, None, None),
+            ("b", 2, "assistant", self.PROMPT, None, None),
+            # fresh
+            ("a", 4, "assistant", "completely new words without any overlap here", None, None),
+        ]
+        inc = self._incremental(spark, hist, batch)
+        full = self._oneshot(spark, hist + batch)
+        assert set(inc) == {("a", 2), ("b", 2), ("a", 4)}
+        for key, r in inc.items():
+            f = full[key]
+            assert (r.n_grams, r.n_echoed, r.echo_fraction, r.is_echo) == (
+                f.n_grams, f.n_echoed, f.echo_fraction, f.is_echo
+            ), key
+        assert inc[("a", 2)].echo_fraction == 1.0
+        assert inc[("b", 2)].echo_fraction == 1.0
+        assert inc[("a", 4)].echo_fraction == 0.0
+
+    def test_strictly_earlier_rule_survives_the_index(self, spark):
+        # the source gram's first occurrence is the SAME turn index as the
+        # assistant turn in another conversation slot — but within one conv,
+        # a source at the same turn_idx must NOT count
+        hist = [("a", 2, "user", self.PROMPT, None, None)]
+        batch = [("a", 2, "assistant", self.PROMPT, None, None)]
+        inc = self._incremental(spark, hist, batch)
+        assert inc[("a", 2)].n_echoed == 0
+
+    def test_append_equals_rebuild(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            build_echo_index,
+            echo_index_append,
+        )
+
+        hist = [
+            ("a", 0, "user", self.PROMPT, None, None),
+            ("a", 4, "user", self.FRESH, None, None),
+        ]
+        batch = [
+            # same gram as hist turn 0 but LATER -> min stays 0
+            ("a", 6, "user", self.PROMPT, None, None),
+            # same gram as hist turn 4 but EARLIER -> min moves to 2
+            ("a", 2, "user", self.FRESH, None, None),
+            # brand-new conv
+            ("b", 1, "user", "six fresh words make one gram", None, None),
+        ]
+        appended = {
+            (r.conv_id, r.g): r.first_turn
+            for r in echo_index_append(
+                build_echo_index(_df(spark, hist)), _df(spark, batch)
+            ).collect()
+        }
+        rebuilt = {
+            (r.conv_id, r.g): r.first_turn
+            for r in build_echo_index(_df(spark, hist + batch)).collect()
+        }
+        assert appended == rebuilt
+        assert min(appended[k] for k in appended if k[0] == "a") == 0
+        assert any(v == 2 for k, v in appended.items() if k[0] == "a")
