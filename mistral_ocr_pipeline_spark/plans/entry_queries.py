@@ -4493,6 +4493,84 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "transcript_decontam",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    tok AS (
+      SELECT conv_id, turn_idx, string_split({_KEY.format(c='text')}, ' ') AS ws
+      FROM t),
+    grams AS (
+      SELECT conv_id, turn_idx,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(ws) - 3, 0)),
+                 i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      FROM tok),
+    etok AS (
+      SELECT doc_id, string_split({_KEY.format(c='text')}, ' ') AS ws
+      FROM documents WHERE doc_id % 25 = 0),
+    eval_grams AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(ws) - 3, 0)),
+                 i -> array_to_string(ws[i:i+3], ' ')))) AS g
+      FROM etok),
+    hits AS (
+      SELECT conv_id, turn_idx, count(*) AS ng
+      FROM grams JOIN eval_grams USING (g)
+      GROUP BY 1, 2)
+    SELECT t.conv_id,
+           count(*)::BIGINT AS n_turns,
+           sum(CASE WHEN coalesce(h.ng, 0) >= 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_contaminated_turns,
+           sum(coalesce(h.ng, 0))::BIGINT AS n_contaminated_grams,
+           sum(CASE WHEN coalesce(h.ng, 0) >= 1 THEN 1 ELSE 0 END) >= 1
+               AS drop_conv
+    FROM t
+    LEFT JOIN hits h ON h.conv_id = t.conv_id AND h.turn_idx = t.turn_idx
+    GROUP BY 1
+    """,
+)
+def transcript_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION-level benchmark decontamination: a turn is
+    contaminated if it shares a distinct 4-gram with the eval set (every
+    25th document plays the benchmark), and a single contaminated turn
+    condemns the WHOLE conversation — assistant answers conditioned on a
+    leaked benchmark prompt are just as poisoned as the prompt turn
+    itself, so the removal unit must be the conversation, exactly the
+    component-unit rule ``split_leakage_free`` applies to dup clusters.
+
+    Composition, not re-derivation: `dedup.contamination_flags` audits
+    turns (eval grams broadcast, turn stream map-side — the corpus never
+    shuffles before the final agg), keyed by the (conv, turn) composite
+    with conv_id carried via keep_cols, then ONE partial-agg rollup to
+    the per-conversation verdict.  Output: (conv_id, n_turns,
+    n_contaminated_turns, n_contaminated_grams, drop_conv) — the audit
+    table a pretraining-transcripts pipeline joins as an anti-filter."""
+    from mistral_ocr_pipeline_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # eval ids are discarded after the distinct-gram explode; the frame
+    # just needs the same id column name the corpus side is keyed by
+    ev = docs.filter(F.col("doc_id") % 25 == 0).withColumnRenamed(
+        "doc_id", "turn_key"
+    )
+    turns = transcripts_from_documents(_t(spark, sf_dir, "documents")).withColumn(
+        "turn_key",
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+    )
+    audit = contamination_flags(
+        turns, ev, "turn_key", "text", n=4, keep_cols=["conv_id"]
+    )
+    return audit.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated_turns"),
+        F.sum(F.col("n_contaminated_grams").cast("long")).alias(
+            "n_contaminated_grams"
+        ),
+        (F.sum(F.col("contaminated").cast("long")) >= 1).alias("drop_conv"),
+    )
+
+
+@register(
     "decontam_bloom_prefilter",
     oracle=f"""
     WITH tok AS (
