@@ -1211,6 +1211,65 @@ def _dup_gram_cover_chars(words: Column, n: int) -> Column:
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocklist: tuple[str, ...] = (),
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) — the line- and
+    page-level heuristics the original C4 corpus was built with,
+    complementing `quality_funnel` (Gopher's document-statistics gate):
+
+    * keep only lines ending in a terminal punctuation mark
+      (``. ! ? "``) AND containing at least ``min_words`` words;
+    * drop the page if the CLEANED text has fewer than
+      ``min_sentences`` sentences (terminal-punctuation runs);
+    * drop the page if the RAW text contains "lorem ipsum", a curly
+      brace ``{`` (code), or any ``blocklist`` phrase
+      (case-insensitive substring, the paper's bad-words rule).
+
+    Pure array/string expressions, map-only, ZERO shuffle — at 100 TB
+    this is a scan-level filter like the funnel, and the per-rule
+    columns give first-fail-style attribution (which rule cost which
+    page) so the gate is auditable, not just a boolean.
+
+    Output: (id, clean_text, n_lines, n_kept_lines, n_sentences,
+    has_blocklist, has_lorem, has_brace, keep).  NULL text survives as
+    an empty dropped page (coalesce-to-'' like the dedup family)."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(raw, "\n"), lambda x: F.trim(x))
+    n_words = lambda l: F.size(F.filter(F.split(l, " "), lambda x: x != ""))
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$') & (n_words(l) >= min_words),
+    )
+    clean = F.array_join(kept, "\n")
+    low = F.lower(raw)
+    has_block = F.lit(False)
+    for w in blocklist:
+        has_block = has_block | F.contains(low, F.lit(w.lower()))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.regexp_count(clean, F.lit("[.!?]+")).cast("long").alias("n_sentences"),
+        has_block.alias("has_blocklist"),
+        F.contains(low, F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(raw, F.lit("{")).alias("has_brace"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_blocklist")
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
+
+
 TOP_GRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
 DUP_GRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 

@@ -4235,6 +4235,95 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_c4_clean",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 60)
+               || CASE WHEN doc_id % 3 <> 0 THEN '.' ELSE '' END
+               || chr(10) || 'ok' || chr(10)
+               || substr(text, 61, 60) || '.' || chr(10)
+               || 'closing remarks are here today.'
+               || CASE WHEN doc_id % 11 = 0
+                       THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN chr(10) || 'function() { return 0; }'
+                       ELSE '' END
+               || CASE WHEN doc_id % 17 = 0
+                       THEN chr(10) || 'the spammy casino bonus is here.'
+                       ELSE '' END
+               AS text
+      FROM documents),
+    ls AS (SELECT doc_id, text,
+                  list_transform(string_split(text, chr(10)), x -> trim(x))
+                      AS lines
+           FROM d),
+    ks AS (SELECT doc_id, text, lines,
+                  list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+                      AND len(list_filter(string_split(l, ' '),
+                                          x -> x <> '')) >= 5) AS kept
+           FROM ls),
+    f AS (SELECT doc_id,
+                 array_to_string(kept, chr(10)) AS clean_text,
+                 len(lines)::BIGINT AS n_lines,
+                 len(kept)::BIGINT AS n_kept_lines,
+                 len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                        '[.!?]+'))::BIGINT AS n_sentences,
+                 contains(lower(text), 'casino bonus') AS has_blocklist,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{') AS has_brace
+          FROM ks)
+    SELECT doc_id AS id, clean_text, n_lines, n_kept_lines, n_sentences,
+           has_blocklist, has_lorem, has_brace,
+           (n_sentences >= 3 AND NOT has_blocklist AND NOT has_lorem
+            AND NOT has_brace) AS keep
+    FROM f ORDER BY id
+    """,
+)
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over synthesized
+    pages: per doc, a prose line that ends in a period only for
+    doc_id % 3 ≠ 0 (exercises the terminal-punctuation rule AND the
+    3-sentence page minimum — without it only 2 sentences survive), a
+    2-word line (always filtered by the 5-word minimum), two clean
+    sentences, plus rotating page-poison lines — "lorem ipsum"
+    (every 11th), a curly-brace code line (every 13th), and a
+    blocklisted phrase (every 17th).  Map-only, zero shuffle; the whole
+    rule battery (line filter, sentence count, page flags, verdict)
+    value-replayed in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import c4_clean
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat_ws(
+        "\n",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.when(d % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+        F.lit("ok"),
+        F.concat(F.substring("text", 61, 60), F.lit(".")),
+        F.lit("closing remarks are here today."),
+    )
+    extra = F.concat(
+        F.when(d % 11 == 0, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 13 == 0, F.lit("\nfunction() { return 0; }")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 17 == 0, F.lit("\nthe spammy casino bonus is here.")
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", F.concat(base, extra).alias("text"))
+    return c4_clean(pages, "doc_id", "text", blocklist=("casino bonus",)).orderBy(
+        "id"
+    )
+
+
+@register(
     "sketch_heavy_hitters",
     oracle=f"""
     WITH raw AS (

@@ -4842,3 +4842,52 @@ class TestTokenizerFertility:
         rows = tokenizer_fertility(df).collect()
         assert len(rows) == 1 and rows[0].lang_id == "unknown"
         assert rows[0].n_words == 0 and rows[0].fertility_r6 == 0.0
+
+
+class TestC4Clean:
+    def _run(self, spark, rows):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import c4_clean
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.id: r
+            for r in c4_clean(
+                df, blocklist=("casino bonus",)
+            ).collect()
+        }
+
+    def test_line_and_page_rules(self, spark):
+        good = "alpha beta gamma delta epsilon.\nok\nzeta eta theta iota kappa!\nclosing remarks are here today."
+        out = self._run(
+            spark,
+            [
+                (1, good),
+                # first line lacks terminal punct -> only 2 sentences -> drop
+                (2, "alpha beta gamma delta epsilon\nzeta eta theta iota kappa.\nclosing remarks are here today."),
+                (3, good + "\nLorem Ipsum dolor sit."),
+                (4, good + "\nif (x) { y(); }"),
+                (5, good + "\nbig CASINO Bonus now offered here."),
+                (6, None),
+            ],
+        )
+        r1 = out[1]
+        # "ok" fails the 5-word minimum; the other three lines survive
+        assert (r1.n_lines, r1.n_kept_lines, r1.n_sentences) == (4, 3, 3)
+        assert r1.keep and "ok" not in r1.clean_text.split("\n")
+        r2 = out[2]
+        assert r2.n_kept_lines == 2 and r2.n_sentences == 2 and not r2.keep
+        assert not out[3].keep and out[3].has_lorem
+        assert not out[4].keep and out[4].has_brace
+        assert not out[5].keep and out[5].has_blocklist
+        # NULL text survives as an empty dropped page
+        r6 = out[6]
+        assert r6.clean_text == "" and r6.n_kept_lines == 0 and not r6.keep
+
+    def test_quote_terminal_and_word_count_on_trimmed(self, spark):
+        out = self._run(
+            spark,
+            [(1, '  he said "five words right here."  \nshort line.')],
+        )
+        r = out[1]
+        # trimmed line ends in a quote -> kept; "short line." has 2 words
+        assert r.n_kept_lines == 1 and r.clean_text.endswith('"')
