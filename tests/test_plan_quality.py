@@ -676,3 +676,54 @@ class TestTranscriptPlans:
         # window exchange (conv_id) + tiny matrix rollup exchange
         assert plan.count("Exchange") == 2
         assert "partial_count" in plan
+
+
+class TestRoundFiveLatePlans:
+    def test_c4_clean_is_map_only(self, docs):
+        """The C4 rule battery is a scan-level gate like pii_scrub: zero
+        Exchange, zero Python, whole-stage codegen — anything else would
+        cost a 100 TB pass a shuffle it doesn't need."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import c4_clean
+
+        plan = _plan(c4_clean(docs, blocklist=("casino bonus",)))
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert plan.lstrip().startswith("*(")
+
+    def test_turn_contamination_audit_broadcasts_eval_grams(self, spark, docs):
+        """transcript_decontam's audit leg: the eval gram set must ride a
+        broadcast into the turn-gram stream (the corpus side never
+        shuffles before the per-turn agg), and no exchange may partition
+        on the gram key."""
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            contamination_flags,
+        )
+        from mistral_ocr_pipeline_spark.plans.entry_queries import (
+            transcripts_from_documents,
+        )
+
+        turns = transcripts_from_documents(docs).withColumn(
+            "turn_key",
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+        )
+        ev = docs.filter(F.col("doc_id") % 25 == 0).withColumnRenamed(
+            "doc_id", "turn_key"
+        )
+        out = contamination_flags(
+            turns, ev, "turn_key", "text", n=4, keep_cols=["conv_id"]
+        )
+        out.write.format("noop").mode("overwrite").save()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        # exactly ONE gram-keyed exchange: the eval side's distinct
+        # (eval-sized, by design).  A second would mean the corpus gram
+        # stream is shuffling on g — the 100 TB mistake this guards.
+        g_exchanges = [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line
+            and "g#" in line.split("hashpartitioning", 1)[1][:60]
+        ]
+        assert len(g_exchanges) == 1, plan
