@@ -151,6 +151,77 @@ def pii_scrub(
     return df.select(*cols)
 
 
+def _utf8_as_cp1252(ch: str) -> str:
+    """The mojibake artifact for ``ch``: its UTF-8 bytes mis-decoded as
+    cp1252, with the five cp1252 holes (0x81 8D 8F 90 9D) falling back
+    to the latin-1 control char -- ftfy's "sloppy cp1252", the decode
+    real browsers and real crawls apply."""
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# the canonical UTF-8-read-as-cp1252 double encodings: punctuation
+# artifacts (a-circumflex + euro + trademark for the right single
+# quote), accented-Latin artifacts, and the nbsp artifact (repaired to a
+# plain space).  Generated from the true chars so the literals are
+# exact; entries are mutually non-overlapping (the 3-char artifacts all
+# share a prefix but differ in their final char and no entry IS that
+# prefix), so per-pattern occurrence counts on the RAW text are exact.
+# Pinned SMALL on purpose: each entry is an unambiguous artifact; a
+# statistical repair (real ftfy) is a model, not a rule table.
+_MOJIBAKE_CHARS = (
+    "\u2019", "\u2018", "\u201c", "\u201d", "\u2013", "\u2014",
+    "\u2026", "\u00e9", "\u00e8", "\u00e4", "\u00f6", "\u00fc",
+    "\u00f1", "\u00e7",
+)
+MOJIBAKE_FIXES: tuple[tuple[str, str], ...] = tuple(
+    (_utf8_as_cp1252(c), c) for c in _MOJIBAKE_CHARS
+) + ((_utf8_as_cp1252("\u00a0"), " "),)
+
+
+def mojibake_repair(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Repair the common UTF-8-decoded-as-Latin-1 mojibake artifacts
+    (ftfy's bread and butter — every web-crawl pipeline runs this pass
+    before quality scoring, since 'donâ€™t' both corrupts the text AND
+    poisons token/quality statistics).  A pinned longest-first literal
+    ``replace`` cascade — exact string surgery, no regex, no UDF —
+    map-only at 100 TB, with a per-doc artifact count so the corpus's
+    encoding-damage rate is auditable (`n_mojibake` counts artifact
+    occurrences BEFORE repair).  ``keep_cols`` ride through the
+    projection (the `pii_scrub` convention).  DuckDB twin: the same
+    ``replace`` chain; the count twin is the length-delta of a
+    sentinel-free single-pass replace per pattern.  NULL text survives
+    as an empty repaired doc with count 0 (coalesce-to-'' like the
+    dedup family)."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.lit(0).cast("long")
+    for bad, _ in MOJIBAKE_FIXES:
+        # occurrences of `bad` = length drop when deleting it / len(bad)
+        n = n + (
+            (F.length(raw) - F.length(F.replace(raw, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+    cur = raw
+    for bad, good in MOJIBAKE_FIXES:
+        cur = F.replace(cur, F.lit(bad), F.lit(good))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_mojibake"),
+        cur.alias("repaired"),
+        *(F.col(c) for c in keep_cols or []),
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     id_col: str,

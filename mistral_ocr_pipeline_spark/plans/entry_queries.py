@@ -4234,6 +4234,68 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(ml, "doc_id", "text", min_dup_count=5).orderBy("doc_id")
 
 
+def _mojibake_oracle() -> str:
+    """Compose the mojibake oracle from the SAME module constants the
+    engine applies, so the artifact literals are byte-identical in both
+    engines (none contain a single quote, so no SQL escaping)."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        MOJIBAKE_FIXES,
+    )
+
+    art = {good: bad for bad, good in MOJIBAKE_FIXES}
+    t0 = f" don{art['’']}t {art['“']}quote{art['”']} this"
+    t1 = f" caf{art['é']} cr{art['è']}me {art['–']} fine"
+    repl = "text"
+    for bad, good in MOJIBAKE_FIXES:
+        repl = f"replace({repl}, '{bad}', '{good}')"
+    cnt = " + ".join(
+        f"((length(text) - length(replace(text, '{bad}', ''))) // {len(bad)})"
+        for bad, _ in MOJIBAKE_FIXES
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 40) ||
+               CASE doc_id % 3 WHEN 0 THEN '{t0}' WHEN 1 THEN '{t1}'
+                    ELSE ' all clean here' END AS text
+      FROM documents)
+    SELECT doc_id AS id,
+           ({cnt})::BIGINT AS n_mojibake,
+           {repl} AS repaired
+    FROM d ORDER BY id
+    """
+
+
+@register("text_mojibake_repair", oracle=_mojibake_oracle())
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style encoding repair over deterministically corrupted pages:
+    every 3rd doc carries cp1252-mojibake quotes, every 3rd+1 accented
+    artifacts, the rest stay clean.  The pinned literal replace cascade
+    (`text_analysis.MOJIBAKE_FIXES`) repairs them and counts artifacts
+    per doc; the ORACLE is composed from the same constants, so the
+    whole pass — corruption, counts, repaired strings — is value-hashed.
+    Map-only, zero shuffle."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        MOJIBAKE_FIXES,
+        mojibake_repair,
+    )
+
+    art = {good: bad for bad, good in MOJIBAKE_FIXES}
+    t0 = f" don{art['’']}t {art['“']}quote{art['”']} this"
+    t1 = f" caf{art['é']} cr{art['è']}me {art['–']} fine"
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.when(d % 3 == 0, F.lit(t0))
+            .when(d % 3 == 1, F.lit(t1))
+            .otherwise(F.lit(" all clean here")),
+        ).alias("text"),
+    )
+    return mojibake_repair(pages, "doc_id", "text").orderBy("id")
+
+
 @register(
     "text_c4_clean",
     oracle="""

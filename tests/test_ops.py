@@ -4891,3 +4891,35 @@ class TestC4Clean:
         r = out[1]
         # trimmed line ends in a quote -> kept; "short line." has 2 words
         assert r.n_kept_lines == 1 and r.clean_text.endswith('"')
+
+
+class TestMojibakeRepair:
+    def test_artifact_table_is_true_cp1252_misdecode(self):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            MOJIBAKE_FIXES,
+        )
+
+        art = dict((g, b) for b, g in MOJIBAKE_FIXES)
+        # the canonical example: RIGHT SINGLE QUOTE U+2019
+        assert art["’"] == "â€™"  # 'a-circ euro tm'
+        # non-overlap: no artifact is a substring of another
+        bads = [b for b, _ in MOJIBAKE_FIXES]
+        for i, b1 in enumerate(bads):
+            for j, b2 in enumerate(bads):
+                assert i == j or b1 not in b2, (b1, b2)
+
+    def test_repair_counts_and_null(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            MOJIBAKE_FIXES,
+            mojibake_repair,
+        )
+
+        art = dict((g, b) for b, g in MOJIBAKE_FIXES)
+        corrupted = f"don{art['’']}t say caf{art['é']} twice caf{art['é']}"
+        rows = [(1, corrupted), (2, "already clean"), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r for r in mojibake_repair(df, "doc_id").collect()}
+        assert out[1].repaired == "don’t say café twice café"
+        assert out[1].n_mojibake == 3
+        assert out[2].repaired == "already clean" and out[2].n_mojibake == 0
+        assert out[3].repaired == "" and out[3].n_mojibake == 0
