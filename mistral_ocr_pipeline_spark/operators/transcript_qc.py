@@ -228,6 +228,74 @@ def transcript_loss_mask(
     )
 
 
+def transcript_render_sft(
+    df: DataFrame,
+    trainable_roles: tuple[str, ...] = ("assistant",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Render each conversation into THE training artifact an SFT
+    trainer consumes: one string with role tags
+    (``<|role|>text``, turns joined by newline) plus the character-level
+    trainable spans — ``start:end`` offsets of each trainable turn's
+    text inside the rendered string, comma-joined so the span list is a
+    flat engine-portable string (the trainer masks loss outside them).
+    The render twin of `transcript_loss_mask` (which only counts): here
+    the mask becomes byte offsets a tokenizer-side masker can apply.
+
+    Plan: per-turn piece + start offset via ONE cumulative window over
+    (conv_id, turn_idx), then ONE conv_id groupBy whose ordered
+    reassembly is an array_sort over (turn_idx, piece) structs — the
+    same exchange serves both (window partitioning satisfies the agg),
+    so a conversation costs one shuffle.  NULL text renders as the
+    empty string (role tag survives), keeping offsets well-defined.
+
+    Returns (conv_id, rendered, train_spans, n_turns, n_trainable)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    piece = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"), txt)
+    plen = F.length(F.concat(F.lit("<|"), F.col("role"), F.lit("|>")))
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    trainable = F.col("role").isin(*trainable_roles)
+    per = df.select(
+        "conv_id",
+        "turn_idx",
+        piece.alias("_piece"),
+        (
+            F.coalesce(F.sum(F.length(piece) + 1).over(w), F.lit(0)) + plen
+        ).alias("_s"),
+        F.length(txt).alias("_tlen"),
+        trainable.alias("_tr"),
+    )
+    span = F.concat_ws(
+        ":", F.col("_s").cast("string"), (F.col("_s") + F.col("_tlen")).cast("string")
+    )
+    return per.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "_piece"))),
+                lambda s: s["_piece"],
+            ),
+            "\n",
+        ).alias("rendered"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_tr"), F.struct("turn_idx", span.alias("_sp")))
+                    )
+                ),
+                lambda s: s["_sp"],
+            ),
+            ",",
+        ).alias("train_spans"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("_tr").cast("long")).alias("n_trainable"),
+    )
+
+
 def transcript_context_windows(
     df: DataFrame, budget: int = 512, text_col: str = "text"
 ) -> DataFrame:

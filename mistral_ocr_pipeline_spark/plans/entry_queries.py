@@ -9112,6 +9112,44 @@ def transcript_loss_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "transcript_render_sft",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    p AS (SELECT conv_id, turn_idx,
+                 '<|' || role || '|>' || coalesce(text, '') AS piece,
+                 length('<|' || role || '|>') AS plen,
+                 length(coalesce(text, '')) AS tlen,
+                 role = 'assistant' AS tr
+          FROM t),
+    o AS (SELECT conv_id, turn_idx, piece, tr, tlen,
+                 coalesce(sum(length(piece) + 1) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + plen AS s
+          FROM p)
+    SELECT conv_id,
+           string_agg(piece, chr(10) ORDER BY turn_idx) AS rendered,
+           coalesce(string_agg(
+               CASE WHEN tr THEN s::varchar || ':' || (s + tlen)::varchar END,
+               ',' ORDER BY turn_idx), '') AS train_spans,
+           count(*)::BIGINT AS n_turns,
+           sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_trainable
+    FROM o GROUP BY conv_id
+    """,
+)
+def transcript_render_sft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT render (`transcript_qc.transcript_render_sft`): each
+    conversation becomes the literal training string (role-tagged turns)
+    plus character-offset trainable spans — rendered bytes AND span
+    arithmetic value-hashed against the ordered string_agg twin."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_render_sft as op,
+    )
+
+    return op(transcripts_from_documents(_t(spark, sf_dir, "documents")))
+
+
+@register(
     "transcript_context_windows",
     oracle=rf"""
     WITH t AS ({_TRANSCRIPTS_SQL}),

@@ -4923,3 +4923,39 @@ class TestMojibakeRepair:
         assert out[1].n_mojibake == 3
         assert out[2].repaired == "already clean" and out[2].n_mojibake == 0
         assert out[3].repaired == "" and out[3].n_mojibake == 0
+
+
+class TestRenderSft:
+    def test_spans_slice_back_to_turn_text(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_render_sft,
+        )
+
+        rows = [
+            ("c1", 0, "user", "hello there", None, None),
+            ("c1", 1, "assistant", "hi, how can I help?", None, None),
+            ("c1", 2, "user", None, None, None),  # NULL text turn
+            ("c1", 3, "assistant", "bye", None, None),
+            ("c2", 0, "user", "no assistant here", None, None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        out = {r.conv_id: r for r in transcript_render_sft(df).collect()}
+        c1 = out["c1"]
+        assert c1.rendered == (
+            "<|user|>hello there\n<|assistant|>hi, how can I help?\n"
+            "<|user|>\n<|assistant|>bye"
+        )
+        # the trainer-facing invariant: each span slices the rendered
+        # string back to exactly the trainable turn's text
+        spans = [tuple(map(int, s.split(":"))) for s in c1.train_spans.split(",")]
+        assert [c1.rendered[a:b] for a, b in spans] == [
+            "hi, how can I help?",
+            "bye",
+        ]
+        assert (c1.n_turns, c1.n_trainable) == (4, 2)
+        c2 = out["c2"]
+        assert c2.train_spans == "" and c2.n_trainable == 0

@@ -727,3 +727,16 @@ class TestRoundFiveLatePlans:
             and "g#" in line.split("hashpartitioning", 1)[1][:60]
         ]
         assert len(g_exchanges) == 1, plan
+
+    def test_render_sft_single_conv_exchange(self, spark, docs):
+        """The offset window and the ordered-reassembly agg must share
+        the conv_id exchange — a render pass is one shuffle, not two."""
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_render_sft,
+        )
+        from mistral_ocr_pipeline_spark.plans.entry_queries import (
+            transcripts_from_documents,
+        )
+
+        plan = _plan(transcript_render_sft(transcripts_from_documents(docs)))
+        assert plan.count("Exchange") == 1, plan
