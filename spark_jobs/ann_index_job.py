@@ -87,6 +87,43 @@ def _build(spark: SparkSession, args: argparse.Namespace) -> None:
     )
 
 
+def _add(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Incremental index maintenance — FAISS ``IndexIVFPQ.add`` in Spark
+    clothes: encode a NEW embedding batch with the PERSISTED model
+    (frozen centroids + codebooks read back from the model table — no
+    retraining, no rescan of indexed history) and append the codes in
+    one atomic commit.  Because `ivfpq_encode` is a pure per-row
+    function of the frozen model, the maintained index is trivially
+    hash-identical to a one-shot encode over history ∪ batch with the
+    same model — the daily-embedding-drop shape.  Caller owns vec_id
+    uniqueness across batches (the ingest norm), exactly as FAISS does;
+    re-quantization drift only enters if/when a `build` retrains."""
+    import numpy as np
+
+    from mistral_ocr_pipeline_spark.operators.similarity_df import ivfpq_encode
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+    catalog = TableCatalog(spark, args.warehouse)
+    model = catalog.read(args.model_table).first()
+    cent = np.asarray(json.loads(model.centroids), dtype=np.float64)
+    books = np.asarray(json.loads(model.codebooks), dtype=np.float64)
+    batch = spark.read.parquet(args.corpus)
+    enc = ivfpq_encode(
+        batch, cent, books, args.id_col, args.vec_col,
+        keep_vec=model.keep_vec, by_residual=model.by_residual,
+    )
+    snap = catalog.stage_append(enc, args.index_table, partition_by=["cell"])
+    catalog.commit({args.index_table: snap})
+    print(
+        json.dumps(
+            {
+                "added": batch.count(),
+                "indexed": catalog.read(args.index_table).count(),
+            }
+        )
+    )
+
+
 def _search(spark: SparkSession, args: argparse.Namespace) -> None:
     import numpy as np
 
@@ -134,6 +171,14 @@ def main() -> None:
     b.add_argument("--keep-vec", action="store_true",
                    help="carry float vectors in the index (enables --refine)")
 
+    a = sub.add_parser("add")
+    a.add_argument("--corpus", required=True, help="NEW embeddings parquet dir")
+    a.add_argument("--warehouse", required=True)
+    a.add_argument("--index-table", default="ivfpq_index")
+    a.add_argument("--model-table", default="ivfpq_model")
+    a.add_argument("--id-col", default="vec_id")
+    a.add_argument("--vec-col", default="embedding")
+
     s = sub.add_parser("search")
     s.add_argument("--queries", required=True, help="query parquet")
     s.add_argument("--warehouse", required=True)
@@ -150,6 +195,8 @@ def main() -> None:
     spark = SparkSession.builder.appName(f"ann_index_{args.cmd}").getOrCreate()
     if args.cmd == "build":
         _build(spark, args)
+    elif args.cmd == "add":
+        _add(spark, args)
     else:
         _search(spark, args)
 

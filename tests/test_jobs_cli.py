@@ -40,9 +40,13 @@ def test_curation_job_cli(tmp_path):
 
 
 def test_ann_index_job_cli(tmp_path):
-    """build → search round-trip through the spark-submit surface: the
-    index + model publish atomically; search reads them back and its
-    top-k agrees with the in-process composite (residual mode, refined)."""
+    """build → add → search round-trip through the spark-submit surface:
+    the index + model publish atomically; `add` encodes a NEW batch with
+    the persisted frozen model (no retrain, no history rescan) and the
+    added vectors are immediately retrievable — each query finds its
+    added exact clone at the top."""
+    import duckdb
+
     wh = str(tmp_path / "wh_ann")
     out = str(tmp_path / "topk")
     env = dict(os.environ, PYTHONPATH="/root/repo")
@@ -59,6 +63,21 @@ def test_ann_index_job_cli(tmp_path):
     assert b.returncode == 0, b.stderr[-2000:]
     stats = json.loads(b.stdout.strip().splitlines()[-1])
     assert stats["indexed"] == 500 and stats["by_residual"]
+
+    batch2 = str(tmp_path / "batch2.parquet")
+    duckdb.sql(
+        f"copy (select vec_id + 10000 as vec_id, embedding from '{corpus}')"
+        f" to '{batch2}' (format parquet)"
+    )
+    a = subprocess.run(
+        [sys.executable, "spark_jobs/ann_index_job.py", "add",
+         "--corpus", batch2, "--warehouse", wh],
+        **common,
+    )
+    assert a.returncode == 0, a.stderr[-2000:]
+    astats = json.loads(a.stdout.strip().splitlines()[-1])
+    assert astats == {"added": 500, "indexed": 1000}
+
     s = subprocess.run(
         [sys.executable, "spark_jobs/ann_index_job.py", "search",
          "--queries", corpus, "--warehouse", wh,
@@ -68,6 +87,14 @@ def test_ann_index_job_cli(tmp_path):
     assert s.returncode == 0, s.stderr[-2000:]
     n = json.loads(s.stdout.strip().splitlines()[-1])["results"]
     assert 1400 <= n <= 1500  # ~k per query; a sparse probed cell may trim
+    # the added exact clone of (almost) every query must be retrieved —
+    # proof the appended codes live in the same searchable index (ties
+    # at probed-cell boundaries may cost a few)
+    clone_hits = duckdb.sql(
+        f"select count(*) from '{out}/*.parquet'"
+        " where vec_id = query_id + 10000"
+    ).fetchone()[0]
+    assert clone_hits >= 490, clone_hits
     manifest = json.load(
         open(os.path.join(wh, "_manifests",
                           open(os.path.join(wh, "_HEAD")).read().strip()))
