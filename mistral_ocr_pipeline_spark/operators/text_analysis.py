@@ -736,6 +736,30 @@ def bm25_topk(
             .filter(F.col("_pr") <= max_postings_per_term)
             .drop("_pr")
         )
+    return _bm25_score(
+        postings, stats, queries, id_col=id_col, query_id_col=query_id_col,
+        query_text_col=query_text_col, k=k, k1=k1, b=b,
+        exclude_self=exclude_self,
+    )
+
+
+def _bm25_score(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Shared BM25 scoring tail: broadcast the query terms onto a
+    postings frame (doc, term, tf, dl, df) + 1-row stats (n_docs,
+    avgdl), sum exact integer micro-unit contributions, rank per query.
+    Used by both the one-shot ``bm25_topk`` and the maintained-index
+    ``bm25_search_index`` so the two paths cannot diverge."""
     from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
 
     qterms = (
@@ -818,6 +842,102 @@ def bm25_postings(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(dfreq, "term"), stats
+
+
+def bm25_index_build(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE, MERGEABLE form of the BM25 index — what a daily
+    ingest job stores instead of re-tokenizing the whole corpus per
+    batch (the lexical sibling of ``dedup.build_minhash_index`` /
+    ``build_substring_index``).
+
+    Two frames of purely additive facts:
+      * postings ``(doc, term, tf, dl)`` — doc-LOCAL facts only.  A new
+        batch (disjoint doc ids) contributes disjoint rows, so merge is
+        a plain union; ``df`` is deliberately NOT stored — it is a
+        derived per-term count that would need read-modify-write on
+        every append.
+      * stats ``(n_docs, sum_dl)`` — one row, both columns additive
+        (``avgdl`` is derived as sum_dl/n_docs at read time; storing the
+        ratio would not merge).
+
+    Because every stored fact is either row-disjoint or a sum, append ≡
+    rebuild EXACTLY — the `bm25_index_append` driver query hash-proves
+    it, and `text_bm25_incremental` proves search over the maintained
+    index matches the one-shot `bm25_topk` score-for-score."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = corpus.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    stats = base.select(F.size("_toks").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    postings = (
+        base.select(
+            "doc", F.explode("_toks").alias("term"), F.size("_toks").alias("dl")
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    return postings, stats
+
+
+def bm25_index_append(
+    index: tuple[DataFrame, DataFrame],
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a new batch into a persisted BM25 index WITHOUT touching
+    history text: only the batch tokenizes; history contributes its
+    already-stored postings rows and one stats row.  Both merges are
+    lattice operations (row-disjoint union; column-wise sum), so the
+    result is hash-identical to ``bm25_index_build`` over history ∪
+    batch — the property the `bm25_index_append` oracle certifies."""
+    postings, stats = index
+    b_postings, b_stats = bm25_index_build(batch, id_col, text_col)
+    merged_stats = (
+        stats.unionByName(b_stats)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    return postings.unionByName(b_postings), merged_stats
+
+
+def bm25_search_index(
+    index: tuple[DataFrame, DataFrame],
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 top-k over a maintained index: derive ``df`` (one map-side
+    combinable groupBy over 8-byte-ish (term, doc) rows — never text)
+    and ``avgdl`` from the stored additive facts, then reuse the exact
+    ``_bm25_score`` tail `bm25_topk` uses, so maintained-index search
+    and one-shot search are the same arithmetic by construction."""
+    postings, stats = index
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    read_stats = stats.select(
+        "n_docs",
+        (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+    )
+    return _bm25_score(
+        postings.join(dfreq, "term"), read_stats, queries,
+        id_col=id_col, query_id_col=query_id_col,
+        query_text_col=query_text_col, k=k, k1=k1, b=b,
+        exclude_self=exclude_self,
+    )
 
 
 # --------------------------------------------------------------------------

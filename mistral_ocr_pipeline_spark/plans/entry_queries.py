@@ -4898,12 +4898,14 @@ def decontam_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # BM25 lexical retrieval (the sparse half of the retrieval stack)
 # --------------------------------------------------------------------------
-def _bm25_cte(postings_cap: int | None = None) -> str:
+def _bm25_cte(postings_cap: int | None = None, docs_src: str = "documents") -> str:
     """Shared oracle CTE replaying the BM25 path term-for-term: the
     normalized tokenization, corpus stats, tf/df postings (optionally
     champion-capped — idf keeps the FULL df), the sub-4-doc 6-token
     queries, the micro-unit order-independent score sum, and the rank
-    window.  Ends at ``ranked`` so callers pick their own k / fusion."""
+    window.  Ends at ``ranked`` so callers pick their own k / fusion.
+    ``docs_src`` swaps the corpus relation (e.g. history ∪ batch for the
+    incremental-index twin)."""
     cap_cte, tf_src = "", "tf"
     if postings_cap is not None:
         cap_cte = f""",
@@ -4919,7 +4921,7 @@ def _bm25_cte(postings_cap: int | None = None) -> str:
       SELECT doc_id AS doc,
              list_filter(string_split({_KEY.format(c='text')}, ' '),
                          t -> t != '') AS ts
-      FROM documents),
+      FROM {docs_src}),
     stats AS (
       SELECT count(*) AS n_docs,
              sum(len(ts))::DOUBLE / count(*) AS avgdl
@@ -4973,6 +4975,126 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 1, 6), " ").alias("query_text"),
     )
     return bm25_topk(docs, queries, id_col="doc_id", text_col="text", k=5)
+
+
+# the incremental-BM25 fixture: history = documents, batch = every 10th
+# doc re-ingested under a new id with its first word rewritten (the same
+# disjoint-id daily-batch shape the minhash/substring index fixtures use)
+_BM25_BATCH_SRC = r"""(
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             regexp_replace(text, '^\w+', 'changed') AS text
+      FROM documents WHERE doc_id % 10 = 0)"""
+
+
+def _bm25_history_and_batch(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\w+", "changed").alias("text"),
+    )
+    return docs, batch
+
+
+@register(
+    "bm25_index_append",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM {_BM25_BATCH_SRC})
+    SELECT DISTINCT term, TRUE AS index_consistent
+    FROM (SELECT unnest(ts) AS term FROM tok)
+    """,
+)
+def bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified claim: BM25 index maintenance ≡ one-shot rebuild.  The
+    persisted index over history (`text_analysis.bm25_index_build`) gets
+    the new batch merged via `bm25_index_append` — history text is never
+    re-tokenized — and per TERM the claim row asserts the full posting
+    list (doc, tf, dl — sorted) is identical between the merged index
+    and a one-shot build over history ∪ batch, AND that the additive
+    stats row (n_docs, sum_dl) agrees.  Every term in either index
+    appears in the output (full outer join), so a lost or spurious
+    posting anywhere flips its term's row — hash-match ⟺ the merge is
+    lossless.  The oracle independently replays the token universe, so
+    the term column itself is value-checked too."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        bm25_index_append,
+        bm25_index_build,
+    )
+
+    docs, batch = _bm25_history_and_batch(spark, sf_dir)
+    one_p, one_s = bm25_index_build(docs.unionByName(batch))
+    two_p, two_s = bm25_index_append(bm25_index_build(docs), batch)
+
+    def _roll(p: DataFrame, tag: str) -> DataFrame:
+        return p.groupBy("term").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc", "tf", "dl"))
+            ).alias(f"_{tag}_posts")
+        )
+
+    stats_ok = (
+        one_s.join(
+            two_s.select(
+                F.col("n_docs").alias("_n2"), F.col("sum_dl").alias("_s2")
+            )
+        )
+        .select(
+            (
+                (F.col("n_docs") == F.col("_n2"))
+                & (F.col("sum_dl") == F.col("_s2"))
+            ).alias("_stats_ok")
+        )
+    )
+    return (
+        _roll(one_p, "one")
+        .join(_roll(two_p, "two"), "term", "full_outer")
+        .crossJoin(F.broadcast(stats_ok))
+        .select(
+            "term",
+            (
+                F.col("_one_posts").eqNullSafe(F.col("_two_posts"))
+                & F.col("_stats_ok")
+            ).alias("index_consistent"),
+        )
+    )
+
+
+@register(
+    "text_bm25_incremental",
+    oracle=_bm25_cte(docs_src=_BM25_BATCH_SRC)
+    + """
+    SELECT qid AS query_id, doc AS doc_id, score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 served from the MAINTAINED index: history indexed
+    once, the daily batch merged in (`bm25_index_append` — batch-only
+    tokenization), then `bm25_search_index` derives df/avgdl from the
+    stored additive facts and scores with the exact `_bm25_score` tail
+    `bm25_topk` uses.  The oracle is the ONE-SHOT BM25 replay over
+    history ∪ batch — the hash match IS the proof that incremental
+    serving returns score-identical results to a full rebuild."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_search_index,
+    )
+
+    docs, batch = _bm25_history_and_batch(spark, sf_dir)
+    index = bm25_index_append(bm25_index_build(docs), batch)
+    toks = F.filter(F.split(norm_key_col(F.col("text")), " "), lambda t: t != "")
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("query_text"),
+    )
+    return bm25_search_index(index, queries, id_col="doc_id", k=5)
 
 
 # --------------------------------------------------------------------------

@@ -1738,6 +1738,100 @@ class TestBm25:
         assert top.doc_id == 20  # the idf of 'rareword' dominates
 
 
+class TestBm25Index:
+    """Maintained BM25 index (bm25_index_build/append/search_index):
+    append ≡ rebuild on both stored frames, and maintained-index search
+    is row-identical to the one-shot `bm25_topk` (the driver queries
+    `bm25_index_append` / `text_bm25_incremental` hash-prove the same
+    claims against DuckDB at sf0.01)."""
+
+    def _frames(self, spark):
+        hist = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat"),
+                (1, "the dog chased the cat"),
+                (2, "a quantum computer factors integers"),
+                (3, ""),  # empty doc: dl=0 but counts toward n_docs
+            ],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "the cat factors the mat"),
+                (11, "brand new vocabulary only"),
+            ],
+            "doc_id long, text string",
+        )
+        return hist, batch
+
+    def test_append_equals_rebuild(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            bm25_index_append,
+            bm25_index_build,
+        )
+
+        hist, batch = self._frames(spark)
+        m_p, m_s = bm25_index_append(bm25_index_build(hist), batch)
+        r_p, r_s = bm25_index_build(hist.unionByName(batch))
+        assert sorted(map(tuple, m_p.collect())) == sorted(
+            map(tuple, r_p.collect())
+        )
+        assert m_s.collect() == r_s.collect()
+        # stats are genuinely additive facts, not ratios
+        row = m_s.collect()[0]
+        assert row.n_docs == 6 and row.sum_dl == sum(
+            len([w for w in t.split() if w]) for _, t in
+            [(r.doc_id, r.text) for r in hist.unionByName(batch).collect()]
+        )
+
+    def test_index_search_matches_oneshot(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            bm25_index_append,
+            bm25_index_build,
+            bm25_search_index,
+            bm25_topk,
+        )
+
+        hist, batch = self._frames(spark)
+        qdf = spark.createDataFrame(
+            [(100, "cat mat"), (101, "quantum computer"), (102, "vocabulary")],
+            "query_id long, query_text string",
+        )
+        idx = bm25_index_append(bm25_index_build(hist), batch)
+        via_index = sorted(
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_search_index(idx, qdf, k=3).collect()
+        )
+        oneshot = sorted(
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_topk(hist.unionByName(batch), qdf, k=3).collect()
+        )
+        assert via_index == oneshot
+        # batch-only vocabulary is retrievable through the merged index
+        assert any(q == 102 and d == 11 for q, d, _, _ in via_index)
+
+    def test_append_never_reads_history_text(self, spark, tmp_path):
+        """The append path's inputs are the PERSISTED index frames —
+        history text is not among its data sources.  Persist the index,
+        delete the history table from disk, and the merge still works."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            bm25_index_append,
+            bm25_index_build,
+        )
+
+        hist, batch = self._frames(spark)
+        p, s = bm25_index_build(hist)
+        p.write.parquet(str(tmp_path / "postings"))
+        s.write.parquet(str(tmp_path / "stats"))
+        stored = (
+            spark.read.parquet(str(tmp_path / "postings")),
+            spark.read.parquet(str(tmp_path / "stats")),
+        )
+        m_p, m_s = bm25_index_append(stored, batch)
+        assert m_p.count() > stored[0].count()
+        assert m_s.collect()[0].n_docs == 6
+
+
 class TestTokenBudgetMix:
     def _fixture(self, spark):
         rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
