@@ -110,6 +110,73 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_id", lang_col)
 
 
+# Unicode script ranges in the RE2∩Java-identical subset (plain codepoint
+# ranges via \x{...} — no \p{Script=} property classes, whose inventories
+# differ between engines and Unicode versions).  Pinned order doubles as
+# the dominant-script tie-break.
+SCRIPT_RANGES = (
+    ("latin", r"A-Za-z\x{00C0}-\x{024F}"),
+    ("cyrillic", r"\x{0400}-\x{04FF}"),
+    ("greek", r"\x{0370}-\x{03FF}"),
+    ("arabic", r"\x{0600}-\x{06FF}"),
+    ("hangul", r"\x{AC00}-\x{D7AF}"),
+    ("cjk", r"\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}"),
+)
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode-script profile: per-script character counts
+    and exact integer-micro-unit fractions, the dominant script, and a
+    mixed-script flag — the homoglyph-spoofing / wrong-corpus signal
+    ``language_id`` (which latches on the FIRST matching script) cannot
+    express.  A doc whose `lang` metadata says 'en' but whose letters
+    are 40% Cyrillic is either spam or mislabeled; a doc mixing 3+
+    scripts above 5% each is a strong boilerplate/injection tell
+    (cf. CCNet §3.1 language filtering, Gopher's doc-quality battery).
+
+    Scale shape: map-only, zero shuffle, all JVM `regexp_count`
+    expressions over pinned codepoint ranges; fractions are BIGINT
+    floor-divisions (never double), so every value is bit-identical
+    across partitionings and engines."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sel = [F.col(id_col)]
+    for name, rng in SCRIPT_RANGES:
+        sel.append(
+            F.regexp_count(t, F.lit(f"[{rng}]")).cast("long").alias(f"cnt_{name}")
+        )
+    base = df.select(*sel)
+    names = [n for n, _ in SCRIPT_RANGES]
+    total = None
+    for n in names:
+        c = F.col(f"cnt_{n}")
+        total = c if total is None else total + c
+    base = base.withColumn("script_chars", total.cast("long"))
+    fracs = [
+        F.expr(f"CASE WHEN script_chars = 0 THEN 0 "
+               f"ELSE cnt_{n} * 1000000 DIV script_chars END")
+        .cast("long")
+        .alias(f"frac_{n}_micro")
+        for n in names
+    ]
+    base = base.select("*", *fracs)
+    best = F.greatest(*[F.col(f"cnt_{n}") for n in names])
+    dom = F.when(F.col("script_chars") == 0, F.lit("none"))
+    for n in names:
+        dom = dom.when(F.col(f"cnt_{n}") == best, F.lit(n))
+    n_scripts = None
+    for n in names:
+        flag = (F.col(f"frac_{n}_micro") >= 50000).cast("int")
+        n_scripts = flag if n_scripts is None else n_scripts + flag
+    return base.select(
+        "*",
+        dom.alias("dominant_script"),
+        n_scripts.cast("int").alias("n_scripts"),
+        (n_scripts >= 2).alias("is_mixed"),
+    )
+
+
 # PII patterns — deliberately in the RE2∩Java-identical subset: no
 # backrefs, no lookarounds, and NO \b (Java's \b is Unicode-aware, RE2's
 # is ASCII — adjacent non-ASCII word chars would make the engines

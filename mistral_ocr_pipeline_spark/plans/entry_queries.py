@@ -2037,6 +2037,97 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs.select("doc_id", "text")).select("doc_id", "lang_id")
 
 
+# Multi-script fixture for `text_script_detect` — the parquet corpus is
+# pure ASCII, so (exactly like the mojibake fixture) the query synthesizes
+# deterministic non-Latin payloads from doc_id with IDENTICAL literals on
+# both engines: 'replace' docs become single-script foreign text, 'append'
+# docs become genuinely mixed-script (the base is truncated to 60 chars so
+# the foreign share clears the 5% mixed threshold — both flag values occur).
+_SCRIPT_PHRASES: tuple[tuple[str, str], ...] = (
+    ("replace", "привет мир данные модель"),
+    ("append", "深度学习模型训练 データ"),
+    ("replace", "αλφα βητα γαμμα δελτα κοσμος"),
+    ("append", "مرحبا بالعالم بيانات"),
+    ("replace", "한국어 텍스트 데이터 세트"),
+    ("append", "привет κοσμος 世界 123"),
+)
+
+
+def _script_oracle() -> str:
+    from mistral_ocr_pipeline_spark.operators.text_analysis import SCRIPT_RANGES
+
+    arms = "\n      ".join(
+        f"WHEN doc_id % 7 = {i} THEN "
+        + (f"'{ph}'" if mode == "replace"
+           else f"substring(text, 1, 60) || ' {ph}'")
+        for i, (mode, ph) in enumerate(_SCRIPT_PHRASES)
+    )
+    names = [n for n, _ in SCRIPT_RANGES]
+    cnts = ",\n        ".join(
+        f"len(regexp_extract_all(t, '[{rng}]'))::BIGINT AS cnt_{n}"
+        for n, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"cnt_{n}" for n in names)
+    fracs = ",\n        ".join(
+        f"(CASE WHEN script_chars = 0 THEN 0 "
+        f"ELSE cnt_{n} * 1000000 // script_chars END)::BIGINT AS frac_{n}_micro"
+        for n in names
+    )
+    best = "greatest(" + ", ".join(f"cnt_{n}" for n in names) + ")"
+    dom = "\n             ".join(
+        f"WHEN cnt_{n} = {best} THEN '{n}'" for n in names
+    )
+    nsc = " + ".join(f"(frac_{n}_micro >= 50000)::INT" for n in names)
+    return f"""
+    WITH src AS (
+      SELECT doc_id, CASE
+      {arms}
+      ELSE text END AS t
+      FROM documents),
+    cnt AS (
+      SELECT doc_id,
+        {cnts}
+      FROM src),
+    tot AS (SELECT *, ({total})::BIGINT AS script_chars FROM cnt),
+    fr AS (
+      SELECT *,
+        {fracs}
+      FROM tot)
+    SELECT *,
+           CASE WHEN script_chars = 0 THEN 'none'
+             {dom}
+           END AS dominant_script,
+           ({nsc})::INT AS n_scripts,
+           ({nsc}) >= 2 AS is_mixed
+    FROM fr
+    """
+
+
+@register("text_script_detect", oracle=_script_oracle())
+def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile (`text_analysis.script_profile`): per-script
+    character counts, BIGINT micro-unit fractions, dominant script with
+    the pinned-order tie-break, and the ≥2-scripts-above-5% mixed flag —
+    over a synthesized corpus where doc_id % 7 selects pure-Cyrillic/
+    Greek/Hangul replacements and CJK/Arabic/tri-script appends.  The
+    oracle is generated from the SAME range table and phrase literals,
+    so counts, floor-divided fractions, tie-break, and flags are all
+    value-checked."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import script_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = None
+    for i, (mode, ph) in enumerate(_SCRIPT_PHRASES):
+        val = (
+            F.lit(ph) if mode == "replace"
+            else F.concat(F.substring("text", 1, 60), F.lit(" " + ph))
+        )
+        t = F.when(d % 7 == i, val) if t is None else t.when(d % 7 == i, val)
+    t = t.otherwise(F.col("text"))
+    return script_profile(docs.select("doc_id", t.alias("text")))
+
+
 @register(
     "text_fingerprint_md5",
     oracle=r"""

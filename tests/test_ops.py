@@ -611,6 +611,44 @@ class TestTextAnalysis:
         assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
         assert out[4] == "cjk" and out[5] == "ru" and out[6] == "unknown"
 
+    def test_script_profile(self, spark):
+        """Hand-computed counts/fractions, pinned-order tie-break, the
+        5%-mixed rule, and none/NULL/empty survival (the full profile is
+        value-oracled vs DuckDB by `text_script_detect`)."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            script_profile,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "abc привет"),        # 3 latin + 6 cyrillic, mixed
+                (2, "мир"),               # pure cyrillic
+                (3, "ab " + "я" * 100),   # latin 2/102 < 5% -> NOT mixed
+                (4, "αβ юя"),             # 2 greek + 2 cyrillic tie ->
+                                          # cyrillic (pinned order) wins
+                (5, "123 .,!"),           # no script chars at all
+                (6, None),                # NULL text survives
+                (7, "naïve café"),        # extended-Latin diacritics count
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in script_profile(df).collect()}
+        r1 = out[1]
+        assert (r1.cnt_latin, r1.cnt_cyrillic, r1.script_chars) == (3, 6, 9)
+        assert r1.frac_cyrillic_micro == 6 * 1000000 // 9
+        assert r1.dominant_script == "cyrillic" and r1.is_mixed
+        assert out[2].dominant_script == "cyrillic" and not out[2].is_mixed
+        r3 = out[3]
+        assert r3.frac_latin_micro < 50000 and not r3.is_mixed
+        assert r3.dominant_script == "cyrillic"
+        # equal counts: 'cyrillic' precedes 'greek' in SCRIPT_RANGES
+        assert out[4].dominant_script == "cyrillic" and out[4].is_mixed
+        r5 = out[5]
+        assert r5.script_chars == 0 and r5.dominant_script == "none"
+        assert r5.n_scripts == 0 and not r5.is_mixed
+        assert out[6].dominant_script == "none"
+        assert out[7].cnt_latin == 9  # ï and é are Latin letters
+
     def test_fingerprints(self, spark):
         from mistral_ocr_pipeline_spark.operators.text_analysis import (
             fingerprint_md5,
