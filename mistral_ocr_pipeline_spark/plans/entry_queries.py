@@ -2103,6 +2103,62 @@ def _script_oracle() -> str:
     """
 
 
+# profiling fixture: documents with deterministic nulls punched into text
+# (the parquet corpus has none) so the null metrics are exercised
+_PROFILE_SRC = (
+    "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,"
+    " lang, source, n_chars FROM documents"
+)
+_PROFILE_COLS = (
+    ("doc_id", "doc_id"),          # numeric: metric = the value itself
+    ("text", "len(text)::BIGINT"),  # string: metric = char length
+    ("lang", "len(lang)::BIGINT"),
+    ("source", "len(source)::BIGINT"),
+    ("n_chars", "n_chars"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, metric in _PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS "column",
+           count(*)::BIGINT AS n_rows,
+           (count(*) FILTER (WHERE {c} IS NULL))::BIGINT AS n_null,
+           count(DISTINCT {c})::BIGINT AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_repr,
+           CAST(max({c}) AS VARCHAR) AS max_repr,
+           (CASE WHEN count({metric}) = 0 THEN NULL
+                 ELSE sum({metric}) * 1000000 // count({metric})
+            END)::BIGINT AS mean_micro
+    FROM src""")
+    return f"WITH src AS ({_PROFILE_SRC})" + "\n    UNION ALL".join(parts)
+
+
+@register("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (`profiling.profile_columns`): per
+    column the row count, null count, EXACT distinct count, min/max
+    string reprs, and an all-integer micro-unit mean (value for
+    numerics, char length for strings) — the ingest health check run
+    before any curation.  All metrics are map-side partials in ONE
+    aggregation job (the multi-distinct rides Spark's Expand rewrite),
+    unpivoted executor-side via stack.  The oracle recomputes every
+    metric per column relationally over the same null-punched source."""
+    from mistral_ocr_pipeline_spark.operators.profiling import profile_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return profile_columns(docs)
+
+
 @register("text_script_detect", oracle=_script_oracle())
 def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profile (`text_analysis.script_profile`): per-script

@@ -577,6 +577,58 @@ class TestSemDeDup:
         assert a == b and len(a) == u.count() - 4
 
 
+class TestProfiling:
+    """Column profiler (profiling.profile_columns) — hand-computed
+    metrics, all-null / empty-table survival, column selection (the
+    full path is value-oracled vs DuckDB by `profile_table`)."""
+
+    def test_hand_computed_metrics(self, spark):
+        from mistral_ocr_pipeline_spark.operators.profiling import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "ab", 10.0),
+                (2, "abcd", None),
+                (3, None, 30.0),
+                (3, "ab", 20.0),
+            ],
+            "id long, s string, v double",
+        )
+        out = {r.column: r for r in profile_columns(df).collect()}
+        assert set(out) == {"id", "s", "v"}
+        rid = out["id"]
+        assert (rid.n_rows, rid.n_null, rid.n_distinct) == (4, 0, 3)
+        assert (rid.min_repr, rid.max_repr) == ("1", "3")
+        assert rid.mean_micro == (1 + 2 + 3 + 3) * 1_000_000 // 4
+        rs = out["s"]
+        assert (rs.n_null, rs.n_distinct) == (1, 2)
+        # string metric is LENGTH; nulls excluded from the mean
+        assert rs.mean_micro == (2 + 4 + 2) * 1_000_000 // 3
+        assert (rs.min_repr, rs.max_repr) == ("ab", "abcd")
+        rv = out["v"]
+        assert rv.n_null == 1 and rv.n_distinct == 3
+        assert rv.mean_micro == (10 + 30 + 20) * 1_000_000 // 3
+
+    def test_all_null_and_empty_and_subset(self, spark):
+        from mistral_ocr_pipeline_spark.operators.profiling import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "id long, s string"
+        )
+        rs = {r.column: r for r in profile_columns(df).collect()}["s"]
+        assert (rs.n_null, rs.n_distinct, rs.mean_micro) == (2, 0, None)
+        assert rs.min_repr is None and rs.max_repr is None
+        empty = df.filter("id < 0")
+        rows = profile_columns(empty).collect()
+        assert len(rows) == 2 and all(r.n_rows == 0 for r in rows)
+        only = profile_columns(df, columns=["id"]).collect()
+        assert [r.column for r in only] == ["id"]
+
+
 class TestTextAnalysis:
     def test_quality_and_tokens(self, spark):
         from mistral_ocr_pipeline_spark.operators.text_analysis import (
