@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "layout_zorder",            # r5: Morton-interleave layout key + shards
     "profile_table",            # r5: single-pass column profiler (Deequ shape)
     "text_script_detect",       # r5: Unicode-script profile + mixed-script flag
     "text_bm25_incremental",    # r5: maintained-index BM25 ≡ one-shot, oracled

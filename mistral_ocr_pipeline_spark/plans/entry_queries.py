@@ -2103,6 +2103,56 @@ def _script_oracle() -> str:
     """
 
 
+def _zorder_oracle(bits: int = 16, n_shards: int = 16) -> str:
+    top = (1 << bits) - 1
+    cols = ("doc_id", "n_chars")
+    d = len(cols)
+    buckets = ",\n        ".join(
+        f"CASE WHEN _max_{c} = _min_{c} THEN 0 "
+        f"ELSE (CAST({c} AS BIGINT) - _min_{c}) * {top} "
+        f"// (_max_{c} - _min_{c}) END AS zbucket_{c}"
+        for c in cols
+    )
+    terms = " + ".join(
+        f"(((zbucket_{c} >> {j}) & 1) << {j * d + k})"
+        for k, c in enumerate(cols)
+        for j in range(bits)
+    )
+    stats = ", ".join(
+        f"min({c})::BIGINT AS _min_{c}, max({c})::BIGINT AS _max_{c}"
+        for c in cols
+    )
+    return f"""
+    WITH stats AS (SELECT {stats} FROM documents),
+    b AS (
+      SELECT doc_id,
+        {buckets}
+      FROM documents CROSS JOIN stats),
+    z AS (SELECT *, ({terms})::BIGINT AS zvalue FROM b)
+    SELECT doc_id, zbucket_doc_id, zbucket_n_chars, zvalue,
+           (zvalue * {n_shards} // {1 << (bits * d)})::INT AS shard
+    FROM z
+    """
+
+
+@register("layout_zorder", oracle=_zorder_oracle())
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (doc_id, n_chars)
+    (`layout.zorder_shards`): fixed-point bucketing into 2^16 cells via
+    BIGINT floor division, 32 unrolled shift/mask interleave terms, and
+    the deterministic equi-width shard id — the physical-design pass
+    behind Delta OPTIMIZE ZORDER BY / Iceberg sort-order rewrite, here
+    as a pure scan-level expression whose only exchange is the 1-row
+    min/max broadcast.  Buckets, every interleave term, and the shard
+    rule replay bit-for-bit in the generated oracle."""
+    from mistral_ocr_pipeline_spark.operators.layout import zorder_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return zorder_shards(docs, ["doc_id", "n_chars"]).select(
+        "doc_id", "zbucket_doc_id", "zbucket_n_chars", "zvalue", "shard"
+    )
+
+
 # profiling fixture: documents with deterministic nulls punched into text
 # (the parquet corpus has none) so the null metrics are exercised
 _PROFILE_SRC = (

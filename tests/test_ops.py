@@ -577,6 +577,93 @@ class TestSemDeDup:
         assert a == b and len(a) == u.count() - 4
 
 
+class TestZorderLayout:
+    """Z-order layout (layout.zorder_key/zorder_shards) — Morton-code
+    parity with a pure-Python model, the file-skipping benefit claim,
+    and edge guards (full path value-oracled by `layout_zorder`)."""
+
+    @staticmethod
+    def _py_morton(bx: int, by: int, bits: int = 16) -> int:
+        z = 0
+        for j in range(bits):
+            z |= ((bx >> j) & 1) << (2 * j)
+            z |= ((by >> j) & 1) << (2 * j + 1)
+        return z
+
+    def test_matches_python_model(self, spark):
+        from mistral_ocr_pipeline_spark.operators.layout import zorder_key
+
+        rows = [(i, (i * 37) % 100, (i * 59) % 1000) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        xs = [r[1] for r in rows]
+        ys = [r[2] for r in rows]
+        top = (1 << 16) - 1
+
+        def bucket(v, lo, hi):
+            return 0 if hi == lo else (v - lo) * top // (hi - lo)
+
+        expected = {
+            i: self._py_morton(
+                bucket(x, min(xs), max(xs)), bucket(y, min(ys), max(ys))
+            )
+            for i, x, y in rows
+        }
+        got = {r.id: r.zvalue for r in zorder_key(df, ["x", "y"]).collect()}
+        assert got == expected
+
+    def test_skipping_benefit_vs_row_order(self, spark):
+        """Each z-shard covers a small bounding box in BOTH dims; id-order
+        sharding of the same points leaves the y-extent near the full
+        domain (why a plain sort can't serve two filter columns)."""
+        from mistral_ocr_pipeline_spark.operators.layout import zorder_shards
+
+        # a 64x64 grid visited in an id order uncorrelated with y
+        rows = [(i, i % 64, (i * 17) % 64) for i in range(4096)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        out = zorder_shards(df, ["x", "y"], n_shards=16).collect()
+        by_shard: dict = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append((r.x, r.y))
+        assert len(by_shard) == 16
+        domain_area = 64 * 64
+
+        def bbox_area(pts):
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            return (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+
+        z_mean = sum(bbox_area(p) for p in by_shard.values()) / 16
+        id_order: dict = {}
+        for i, x, y in rows:
+            id_order.setdefault(i * 16 // 4096, []).append((x, y))
+        id_mean = sum(bbox_area(p) for p in id_order.values()) / 16
+        assert z_mean <= domain_area / 3   # tight rectangles
+        assert id_mean >= domain_area / 2  # row-order: y spans the domain
+        assert z_mean < id_mean / 2
+
+    def test_constant_column_and_guards(self, spark):
+        import pytest as _pytest
+
+        from mistral_ocr_pipeline_spark.operators.layout import (
+            zorder_key,
+            zorder_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5, 10), (2, 5, 20)], "id long, x long, y long"
+        )
+        out = {r.id: r for r in zorder_key(df, ["x", "y"]).collect()}
+        assert all(r.zbucket_x == 0 for r in out.values())
+        assert out[2].zbucket_y == (1 << 16) - 1
+        with _pytest.raises(ValueError):
+            zorder_key(df, ["x", "y"], bits=32)
+        with _pytest.raises(ValueError):
+            zorder_key(df, [])
+        # shard ids stay within [0, n)
+        sh = zorder_shards(df, ["x", "y"], n_shards=4).collect()
+        assert all(0 <= r.shard < 4 for r in sh)
+
+
 class TestProfiling:
     """Column profiler (profiling.profile_columns) — hand-computed
     metrics, all-null / empty-table survival, column selection (the
