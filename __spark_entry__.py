@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "transcript_script_mismatch",  # r5: wrong-script assistant-answer gate
+    "text_vocab_coverage",      # r5: tokenizer vocab-budget coverage curve
     "layout_zorder",            # r5: Morton-interleave layout key + shards
     "profile_table",            # r5: single-pass column profiler (Deequ shape)
     "text_script_detect",       # r5: Unicode-script profile + mixed-script flag

@@ -124,6 +124,26 @@ SCRIPT_RANGES = (
 )
 
 
+def dominant_script_col(t: Column) -> Column:
+    """Standalone dominant-script expression (same range table and
+    pinned-order tie-break as `script_profile`, NULL-safe, 'none' when
+    no script characters) — for callers that need the verdict inline
+    without the full per-script profile columns."""
+    t = F.coalesce(t, F.lit(""))
+    cnts = [
+        (n, F.regexp_count(t, F.lit(f"[{rng}]")).cast("long"))
+        for n, rng in SCRIPT_RANGES
+    ]
+    total = None
+    for _, c in cnts:
+        total = c if total is None else total + c
+    best = F.greatest(*[c for _, c in cnts])
+    dom = F.when(total == 0, F.lit("none"))
+    for n, c in cnts:
+        dom = dom.when(c == best, F.lit(n))
+    return dom
+
+
 def script_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1004,6 +1024,77 @@ def bm25_search_index(
         id_col=id_col, query_id_col=query_id_col,
         query_text_col=query_text_col, k=k, k1=k1, b=b,
         exclude_self=exclude_self,
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary-coverage curve: for each candidate vocab size k, what
+    fraction of ALL corpus token occurrences the top-k most frequent
+    words cover — the number that sizes a tokenizer's vocab budget and
+    predicts its OOV rate before training one (Zipf's law says coverage
+    grows ~log k; this measures the actual corpus).
+
+    Output: one row per k — (vocab_k, n_types_used, covered_tokens,
+    total_tokens, coverage_micro), where coverage is an exact BIGINT
+    micro-unit floor division.
+
+    Scale shape: the corpus collapses to its WORD-FREQUENCY table in one
+    map-side-combinable groupBy (the only corpus-sized shuffle); the
+    ranking window then runs over the vocabulary — millions of rows, not
+    the corpus — and the k cuts are a tiny rollup.  Ties at the rank
+    boundary break deterministically by (count desc, word asc)."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(norm_key_col(F.col(text_col)), " "),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    ranked = words.select(
+        "cnt", F.row_number().over(w).alias("rank")
+    )
+    total = ranked.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    cuts = None
+    for k in ks:
+        cut = (
+            ranked.filter(F.col("rank") <= k)
+            .agg(
+                F.lit(k).cast("long").alias("vocab_k"),
+                F.count(F.lit(1)).cast("long").alias("n_types_used"),
+                F.sum("cnt").cast("long").alias("covered_tokens"),
+            )
+        )
+        cuts = cut if cuts is None else cuts.unionByName(cut)
+    return (
+        cuts.crossJoin(F.broadcast(total))
+        .select(
+            "vocab_k",
+            "n_types_used",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias(
+                "covered_tokens"
+            ),
+            "total_tokens",
+            F.expr(
+                "CASE WHEN total_tokens = 0 THEN 0 "
+                "ELSE coalesce(covered_tokens, 0) * 1000000 DIV total_tokens "
+                "END"
+            ).cast("long").alias("coverage_micro"),
+        )
     )
 
 

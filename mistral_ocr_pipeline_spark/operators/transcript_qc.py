@@ -366,6 +366,81 @@ def transcript_role_transitions(df: DataFrame) -> DataFrame:
     )
 
 
+def transcript_script_mismatch(df: DataFrame) -> DataFrame:
+    """Wrong-language-response detector: per conversation, does any
+    ASSISTANT turn answer in a Unicode script no USER turn of that
+    conversation used?  (A Cyrillic question answered in Latin — or the
+    reverse — is a turn an SFT gate should flag regardless of its
+    quality score; per-turn langid can't see it because each turn is
+    individually fine.)  'none' turns (no script characters) assert
+    nothing in either direction, and a conversation with zero scripted
+    user turns reports 0 mismatches — there is no reference to violate.
+
+    Output: (conv_id, n_user_scripts, n_asst_scripts,
+    n_mismatched_asst_turns, script_mismatch).
+
+    Scale shape: the dominant-script verdict is a map-only expression
+    per turn (`text_analysis.dominant_script_col`); everything after is
+    keyed on conv_id — a distinct-count rollup, the tiny per-conv
+    distinct user-script relation, and one left-anti membership join.
+    Per-conversation state is bounded by its own script diversity (≤6),
+    never by turn volume."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        dominant_script_col,
+    )
+
+    dom = df.select(
+        "conv_id",
+        "role",
+        dominant_script_col(F.col("text")).alias("dominant_script"),
+    )
+    scripted = dom.filter(F.col("dominant_script") != "none")
+    base = dom.groupBy("conv_id").agg(
+        F.count_distinct(
+            F.when(
+                (F.col("role") == "user")
+                & (F.col("dominant_script") != "none"),
+                F.col("dominant_script"),
+            )
+        ).cast("int").alias("n_user_scripts"),
+        F.count_distinct(
+            F.when(
+                (F.col("role") == "assistant")
+                & (F.col("dominant_script") != "none"),
+                F.col("dominant_script"),
+            )
+        ).cast("int").alias("n_asst_scripts"),
+    )
+    user_scripts = (
+        scripted.filter(F.col("role") == "user")
+        .select("conv_id", "dominant_script")
+        .distinct()
+    )
+    asst = scripted.filter(F.col("role") == "assistant").select(
+        "conv_id", "dominant_script"
+    )
+    mismatched = (
+        asst.join(user_scripts.select("conv_id").distinct(), "conv_id")
+        .join(user_scripts, ["conv_id", "dominant_script"], "left_anti")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mismatched_asst_turns"))
+    )
+    return (
+        base.join(mismatched, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_user_scripts",
+            "n_asst_scripts",
+            F.coalesce(
+                F.col("n_mismatched_asst_turns"), F.lit(0)
+            ).cast("long").alias("n_mismatched_asst_turns"),
+            (
+                F.coalesce(F.col("n_mismatched_asst_turns"), F.lit(0)) > 0
+            ).alias("script_mismatch"),
+        )
+    )
+
+
 def transcript_tool_stats(df: DataFrame) -> DataFrame:
     """Per-conversation agent-trace analytics over the ``tool`` column:
 

@@ -2103,6 +2103,48 @@ def _script_oracle() -> str:
     """
 
 
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split({_KEY.format(c='text')}, ' '),
+                    t -> t != '')) AS word
+      FROM documents),
+    freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+      FROM freq),
+    total AS (
+      SELECT coalesce(sum(cnt), 0)::BIGINT AS total_tokens FROM ranked),
+    cuts AS (
+      SELECT k::BIGINT AS vocab_k,
+             (SELECT count(*) FROM ranked WHERE rank <= k)::BIGINT
+               AS n_types_used,
+             (SELECT coalesce(sum(cnt), 0) FROM ranked WHERE rank <= k)::BIGINT
+               AS covered_tokens
+      FROM (VALUES (5), (10), (20)) AS ks(k))
+    SELECT vocab_k, n_types_used, covered_tokens, total_tokens,
+           (CASE WHEN total_tokens = 0 THEN 0
+                 ELSE covered_tokens * 1000000 // total_tokens
+            END)::BIGINT AS coverage_micro
+    FROM cuts CROSS JOIN total
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve (`text_analysis.vocab_coverage`): the
+    corpus collapses to its word-frequency table in one combinable
+    groupBy, ranking runs over the VOCAB (not the corpus), and each
+    candidate vocab size k ∈ {5,10,20} (sized to the fixture's 31-word
+    vocabulary) reports exactly how many token occurrences its top-k
+    types cover, as a BIGINT micro-unit fraction — the tokenizer-budget
+    / OOV-rate planning number.  Frequencies, tie-broken ranks, cut
+    sums, and the floor-divided coverage all replay in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, ks=(5, 10, 20))
+
+
 def _zorder_oracle(bits: int = 16, n_shards: int = 16) -> str:
     top = (1 << bits) - 1
     cols = ("doc_id", "n_chars")
@@ -2209,6 +2251,130 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(docs)
 
 
+def _script_fixture_text() -> "F.Column":
+    """The doc_id-keyed multi-script text transform, Spark side (shared
+    by `text_script_detect` and `transcript_script_mismatch`)."""
+    d = F.col("doc_id")
+    t = None
+    for i, (mode, ph) in enumerate(_SCRIPT_PHRASES):
+        val = (
+            F.lit(ph) if mode == "replace"
+            else F.concat(F.substring("text", 1, 60), F.lit(" " + ph))
+        )
+        t = F.when(d % 7 == i, val) if t is None else t.when(d % 7 == i, val)
+    return t.otherwise(F.col("text"))
+
+
+def _script_mismatch_oracle() -> str:
+    from mistral_ocr_pipeline_spark.operators.text_analysis import SCRIPT_RANGES
+
+    arms = "\n      ".join(
+        f"WHEN doc_id % 7 = {i} THEN "
+        + (f"'{ph}'" if mode == "replace"
+           else f"substring(text, 1, 60) || ' {ph}'")
+        for i, (mode, ph) in enumerate(_SCRIPT_PHRASES)
+    )
+    names = [n for n, _ in SCRIPT_RANGES]
+    cnts = ",\n        ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '[{rng}]'))::BIGINT"
+        f" AS cnt_{n}"
+        for n, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"cnt_{n}" for n in names)
+    best = "greatest(" + ", ".join(f"cnt_{n}" for n in names) + ")"
+    dom_arms = "\n             ".join(
+        f"WHEN cnt_{n} = {best} THEN '{n}'" for n in names
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, CASE
+      {arms}
+      ELSE text END AS text
+      FROM documents),
+    tr AS (
+      -- roles cycle per TURN (turn_idx % 4), not per doc_id: the canonical
+      -- doc_id % 4 rule and the %50 conv keying are arithmetically
+      -- entangled (50k mod 4 alternates parity), leaving every conv with
+      -- only 2 roles and never a user+assistant pair to compare
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (['user','assistant','tool','system'])[((doc_id // 50) % 4) + 1]
+               AS role,
+             text
+      FROM src),
+    cnt AS (
+      SELECT conv_id, role,
+        {cnts}
+      FROM tr),
+    dom AS (
+      SELECT conv_id, role,
+           CASE WHEN ({total}) = 0 THEN 'none'
+             {dom_arms}
+           END AS dominant_script
+      FROM cnt),
+    base AS (
+      SELECT conv_id,
+             count(DISTINCT CASE WHEN role = 'user'
+                   AND dominant_script != 'none'
+                   THEN dominant_script END)::INT AS n_user_scripts,
+             count(DISTINCT CASE WHEN role = 'assistant'
+                   AND dominant_script != 'none'
+                   THEN dominant_script END)::INT AS n_asst_scripts
+      FROM dom GROUP BY conv_id),
+    u AS (
+      SELECT DISTINCT conv_id, dominant_script FROM dom
+      WHERE role = 'user' AND dominant_script != 'none'),
+    a AS (
+      SELECT conv_id, dominant_script FROM dom
+      WHERE role = 'assistant' AND dominant_script != 'none'),
+    mis AS (
+      SELECT a.conv_id, count(*)::BIGINT AS n_mis
+      FROM a
+      JOIN (SELECT DISTINCT conv_id FROM u) uc ON uc.conv_id = a.conv_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM u
+        WHERE u.conv_id = a.conv_id
+          AND u.dominant_script = a.dominant_script)
+      GROUP BY a.conv_id)
+    SELECT base.conv_id, n_user_scripts, n_asst_scripts,
+           coalesce(n_mis, 0)::BIGINT AS n_mismatched_asst_turns,
+           coalesce(n_mis, 0) > 0 AS script_mismatch
+    FROM base LEFT JOIN mis ON mis.conv_id = base.conv_id
+    """
+
+
+@register("transcript_script_mismatch", oracle=_script_mismatch_oracle())
+def transcript_script_mismatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrong-language-response gate
+    (`transcript_qc.transcript_script_mismatch`): per conversation, any
+    assistant turn whose dominant Unicode script no user turn of that
+    conversation used — over the same synthesized multi-script corpus
+    as `text_script_detect`, run through the transcripts derivation so
+    conversations genuinely mix scripted and Latin turns.  Per-turn
+    dominants, the distinct-script rollups, the scripted-user gate, and
+    the anti-join membership count all replay in SQL."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_script_mismatch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+    )
+    # role cycles per TURN (turn_idx % 4): the canonical doc_id % 4 rule is
+    # arithmetically entangled with the % 50 conv keying (50k mod 4
+    # alternates parity), which would leave every conversation with only 2
+    # roles and never a user+assistant pair to compare
+    tr = docs.select(
+        F.concat(
+            F.lit("conv-"), F.lpad((d % 50).cast("string"), 6, "0")
+        ).alias("conv_id"),
+        F.get(roles, (F.floor(d / 50) % 4).cast("int")).alias("role"),
+        _script_fixture_text().alias("text"),
+    )
+    return transcript_script_mismatch(tr)
+
+
 @register("text_script_detect", oracle=_script_oracle())
 def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profile (`text_analysis.script_profile`): per-script
@@ -2222,16 +2388,9 @@ def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistral_ocr_pipeline_spark.operators.text_analysis import script_profile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d = F.col("doc_id")
-    t = None
-    for i, (mode, ph) in enumerate(_SCRIPT_PHRASES):
-        val = (
-            F.lit(ph) if mode == "replace"
-            else F.concat(F.substring("text", 1, 60), F.lit(" " + ph))
-        )
-        t = F.when(d % 7 == i, val) if t is None else t.when(d % 7 == i, val)
-    t = t.otherwise(F.col("text"))
-    return script_profile(docs.select("doc_id", t.alias("text")))
+    return script_profile(
+        docs.select("doc_id", _script_fixture_text().alias("text"))
+    )
 
 
 @register(

@@ -750,6 +750,30 @@ class TestTextAnalysis:
         assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
         assert out[4] == "cjk" and out[5] == "ru" and out[6] == "unknown"
 
+    def test_vocab_coverage(self, spark):
+        """Hand-computed coverage cuts, boundary tie-break, k beyond the
+        vocab, and empty-corpus survival (full path oracled by
+        `text_vocab_coverage`)."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+
+        # freqs: a=4, b=3, c=2, d=1  (10 tokens, 4 types)
+        df = spark.createDataFrame(
+            [("a a b c",), ("a b d",), ("a b c",)], "text string"
+        )
+        out = {
+            r.vocab_k: r for r in vocab_coverage(df, ks=(1, 2, 10)).collect()
+        }
+        assert out[1].covered_tokens == 4
+        assert out[1].coverage_micro == 4 * 1_000_000 // 10
+        assert out[2].covered_tokens == 7
+        assert (out[10].n_types_used, out[10].covered_tokens) == (4, 10)
+        assert out[10].coverage_micro == 1_000_000
+        empty = spark.createDataFrame([], "text string")
+        rows = vocab_coverage(empty, ks=(5,)).collect()
+        assert rows[0].total_tokens == 0 and rows[0].coverage_micro == 0
+
     def test_script_profile(self, spark):
         """Hand-computed counts/fractions, pinned-order tie-break, the
         5%-mixed rule, and none/NULL/empty survival (the full profile is

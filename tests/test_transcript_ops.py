@@ -731,3 +731,46 @@ class TestEchoIncremental:
         assert appended == rebuilt
         assert min(appended[k] for k in appended if k[0] == "a") == 0
         assert any(v == 2 for k, v in appended.items() if k[0] == "a")
+
+
+class TestScriptMismatch:
+    """transcript_script_mismatch: assistant turns in a script no user
+    turn used (full path value-oracled by the driver query)."""
+
+    def test_mismatch_detection_and_neutral_cases(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_script_mismatch,
+        )
+
+        rows = [
+            # conv a: user asks in Cyrillic, assistant answers Greek -> flag
+            ("a", 0, "user", "привет как дела сегодня", None, None),
+            ("a", 1, "assistant", "αλφα βητα γαμμα", None, None),
+            # conv b: user Latin, assistant Latin -> clean
+            ("b", 0, "user", "hello there friend", None, None),
+            ("b", 1, "assistant", "general kenobi", None, None),
+            # conv c: 'none' turns assert nothing; assistant matches user
+            ("c", 0, "user", "мир труд май", None, None),
+            ("c", 1, "assistant", "12345 .,!", None, None),   # none
+            ("c", 2, "assistant", "да конечно хорошо", None, None),
+            # conv d: NO scripted user turn -> 0 mismatches by definition
+            ("d", 0, "user", "...", None, None),
+            ("d", 1, "assistant", "latin answer here", None, None),
+            # conv e: no assistant turns at all
+            ("e", 0, "user", "question pending", None, None),
+        ]
+        out = {
+            r.conv_id: r
+            for r in transcript_script_mismatch(_df(spark, rows)).collect()
+        }
+        assert set(out) == {"a", "b", "c", "d", "e"}
+        ra = out["a"]
+        assert ra.script_mismatch and ra.n_mismatched_asst_turns == 1
+        assert (ra.n_user_scripts, ra.n_asst_scripts) == (1, 1)
+        assert not out["b"].script_mismatch
+        rc = out["c"]
+        assert not rc.script_mismatch and rc.n_asst_scripts == 1
+        rd = out["d"]
+        assert not rd.script_mismatch and rd.n_user_scripts == 0
+        re_ = out["e"]
+        assert not re_.script_mismatch and re_.n_asst_scripts == 0
