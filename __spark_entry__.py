@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "profile_merge",            # r5: mergeable per-shard profiler, fold == direct
     "transcript_script_mismatch",  # r5: wrong-script assistant-answer gate
     "text_vocab_coverage",      # r5: tokenizer vocab-budget coverage curve
     "layout_zorder",            # r5: Morton-interleave layout key + shards

@@ -13,7 +13,7 @@ row per column.  Nothing corpus-sized moves; output is #columns rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql.types import NumericType, StringType
 
 MICRO = 1_000_000
@@ -73,4 +73,135 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     ).select(
         "column", "n_rows", "n_null", "n_distinct",
         "min_repr", "max_repr", "mean_micro",
+    )
+
+
+def _profile_metric(df: DataFrame, c: str) -> F.Column:
+    kind = dict((f.name, f.dataType) for f in df.schema.fields)[c]
+    col = F.col(c)
+    return (
+        F.length(col).cast("long") if isinstance(kind, StringType)
+        else col.cast("long")
+    )
+
+
+def profile_shards(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    shard_col: str = "shard",
+    k: int = 256,
+    salt: str = "profile",
+) -> DataFrame:
+    """The MERGEABLE form of the profiler — what a sharded/streaming
+    warehouse stores per partition in a stats table instead of
+    re-profiling the union on every question.  One row per
+    (shard, column) holding ONLY lattice facts:
+
+      n_rows / n_null / sum_metric / cnt_metric  (sums — additive),
+      min_metric / max_metric                    (min/max laws),
+      kmv                                        (bottom-k distinct
+                                                  sketch array — union
+                                                  then re-cut),
+
+    so `merge_profiles` over ANY shard subset equals a direct profile of
+    that subset (the `profile_merge` driver query hash-proves it, the
+    lattice laws are pinned in test_ops).  Metric = value for numerics,
+    char length for strings (value extrema as strings would NOT merge —
+    '10' < '9' lexically — which is why the mergeable form tracks metric
+    extrema, unlike one-shot `profile_columns`).
+
+    Scale shape per column: scalar facts are one combinable groupBy on
+    the shard key; the sketch pass collapses to DISTINCT (shard, hash)
+    map-side first, and the per-shard bottom-k window then ranks only
+    distinct 8-byte hashes — never raw values, never non-distinct rows."""
+    from mistral_ocr_pipeline_spark.operators.sketches import _kmv_hash
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        columns = [
+            n for n, t in fields.items()
+            if n != shard_col and isinstance(t, (StringType, NumericType))
+        ]
+    out = None
+    for c in columns:
+        metric = _profile_metric(df, c)
+        scal = df.groupBy(F.col(shard_col).alias("shard")).agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_if(F.col(c).isNull()).cast("long").alias("n_null"),
+            F.min(metric).alias("min_metric"),
+            F.max(metric).alias("max_metric"),
+            F.sum(metric).alias("sum_metric"),
+            F.count(metric).cast("long").alias("cnt_metric"),
+        )
+        hw = W.partitionBy("shard").orderBy("h")
+        kmv = (
+            df.select(
+                F.col(shard_col).alias("shard"),
+                _kmv_hash(F.col(c), f"{salt}:{c}").alias("h"),
+            )
+            .filter(F.col("h").isNotNull())
+            .distinct()
+            .withColumn("_r", F.row_number().over(hw))
+            .filter(F.col("_r") <= k)
+            .groupBy("shard")
+            .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+        )
+        part = scal.join(kmv, "shard", "left").withColumn(
+            "kmv", F.coalesce(F.col("kmv"), F.array().cast("array<long>"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "shard", "column", "n_rows", "n_null", "min_metric", "max_metric",
+        "sum_metric", "cnt_metric", "kmv",
+    )
+
+
+def merge_profiles(profiles: DataFrame, k: int = 256) -> DataFrame:
+    """Fold per-shard profile rows into one row per column: sums add,
+    extrema take min/max, the sketches union-and-recut (bottom-k of a
+    union of bottom-k sets == bottom-k of the union), and the distinct
+    ESTIMATE uses the exact `sketches.kmv_estimate` formula — exact
+    below k, (k-1)/theta above.  Input can be any subset of shards; the
+    result is identical to `profile_shards` on that subset's rows
+    collapsed to one shard, which is how append-only stats tables answer
+    table-level questions without rescanning data."""
+    from mistral_ocr_pipeline_spark.operators.sketches import _KMV_SCALE
+
+    scal = profiles.groupBy("column").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_null").cast("long").alias("n_null"),
+        F.min("min_metric").alias("min_metric"),
+        F.max("max_metric").alias("max_metric"),
+        F.sum("sum_metric").alias("sum_metric"),
+        F.sum("cnt_metric").cast("long").alias("cnt_metric"),
+    )
+    hw = W.partitionBy("column").orderBy("h")
+    kmv = (
+        profiles.select("column", F.explode("kmv").alias("h"))
+        .distinct()
+        .withColumn("_r", F.row_number().over(hw))
+        .filter(F.col("_r") <= k)
+        .groupBy("column")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    est = (
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / F.col("kth_hash"))
+    )
+    return (
+        scal.join(kmv, "column", "left")
+        .select(
+            "column", "n_rows", "n_null", "min_metric", "max_metric",
+            F.expr(
+                "CASE WHEN cnt_metric = 0 THEN CAST(NULL AS BIGINT)"
+                f" ELSE sum_metric * {MICRO} DIV cnt_metric END"
+            ).alias("mean_micro"),
+            F.coalesce(F.col("n_sketch"), F.lit(0)).alias("n_sketch"),
+            F.coalesce(est, F.lit(0.0)).alias("est_distinct"),
+        )
     )

@@ -2375,6 +2375,75 @@ def transcript_script_mismatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcript_script_mismatch(tr)
 
 
+_PROFILE_MERGE_SRC = (
+    "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,"
+    " lang FROM documents"
+)
+_KMV_SCALE_SQL = "4503599627370496.0"  # 2^52, sketches._KMV_SCALE
+
+
+def _profile_merge_oracle(k: int = 256) -> str:
+    cols = (("doc_id", "doc_id"), ("text", "len(text)::BIGINT"),
+            ("lang", "len(lang)::BIGINT"))
+    parts = []
+    for c, metric in cols:
+        parts.append(f"""
+    SELECT '{c}' AS "column",
+           count(*)::BIGINT AS n_rows,
+           (count(*) FILTER (WHERE {c} IS NULL))::BIGINT AS n_null,
+           min({metric}) AS min_metric,
+           max({metric}) AS max_metric,
+           (CASE WHEN count({metric}) = 0 THEN NULL
+                 ELSE sum({metric}) * 1000000 // count({metric})
+            END)::BIGINT AS mean_micro,
+           (SELECT count(*) FROM k_{c})::BIGINT AS n_sketch,
+           (SELECT CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                        ELSE {float(k - 1) * 4503599627370496.0!r}::DOUBLE
+                             / max(h) END
+            FROM k_{c}) AS est_distinct
+    FROM src""")
+    sketches = ",\n    ".join(
+        f"""k_{c} AS (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substring(
+          md5('profile:{c}:' || {c}::VARCHAR), 1, 13))::UBIGINT AS BIGINT) AS h
+        FROM src WHERE {c} IS NOT NULL)
+      ORDER BY h LIMIT {k})"""
+        for c, _ in cols
+    )
+    return (
+        f"WITH src AS ({_PROFILE_MERGE_SRC}),\n    {sketches}"
+        + "\n    UNION ALL".join(parts)
+    )
+
+
+@register("profile_merge", oracle=_profile_merge_oracle())
+def profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable profiler (`profiling.profile_shards` +
+    `merge_profiles`): documents shard by doc_id % 8, each shard stores
+    only lattice facts (sums, extrema, bottom-k KMV sketch), and the
+    fold over shard rows reproduces the direct whole-table profile —
+    which is exactly what the oracle computes, so the hash match IS the
+    merge ≡ one-shot proof.  The lang column (5 distinct) exercises the
+    exact below-k estimator branch, doc_id/text (500 distinct > 256)
+    the (k-1)/theta branch."""
+    from mistral_ocr_pipeline_spark.operators.profiling import (
+        merge_profiles,
+        profile_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+    )
+    shards = profile_shards(docs, columns=["doc_id", "text", "lang"])
+    return merge_profiles(shards)
+
+
 @register("text_script_detect", oracle=_script_oracle())
 def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profile (`text_analysis.script_profile`): per-script

@@ -715,6 +715,57 @@ class TestProfiling:
         only = profile_columns(df, columns=["id"]).collect()
         assert [r.column for r in only] == ["id"]
 
+    def test_mergeable_profile_lattice_law(self, spark):
+        """merge_profiles over per-shard facts == profile_shards of the
+        same rows collapsed to one shard (the stats-table contract), and
+        merging a shard SUBSET profiles exactly that subset."""
+        from mistral_ocr_pipeline_spark.operators.profiling import (
+            merge_profiles,
+            profile_shards,
+        )
+
+        rows = [
+            (i, f"word{i % 7}" if i % 5 else None, i % 4)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id long, s string, shard int")
+        merged = {
+            r.column: r
+            for r in merge_profiles(profile_shards(df, ["id", "s"])).collect()
+        }
+        direct = {
+            r.column: r
+            for r in merge_profiles(
+                profile_shards(df.withColumn("shard", F.lit(0)), ["id", "s"])
+            ).collect()
+        }
+        for c in ("id", "s"):
+            assert merged[c].asDict() == direct[c].asDict()
+        assert merged["id"].n_rows == 40 and merged["s"].n_null == 8
+        # below-k sketch: the estimate is EXACT (7 distinct non-null s)
+        assert merged["s"].est_distinct == 7.0
+        assert merged["id"].min_metric == 0 and merged["id"].max_metric == 39
+        # subset merge == profile of the subset only
+        shards = profile_shards(df, ["id"])
+        sub = {
+            r.column: r
+            for r in merge_profiles(
+                shards.filter(F.col("shard") < 2)
+            ).collect()
+        }
+        expect = {
+            r.column: r
+            for r in merge_profiles(
+                profile_shards(
+                    df.filter(F.col("shard") < 2).withColumn(
+                        "shard", F.lit(0)
+                    ),
+                    ["id"],
+                )
+            ).collect()
+        }
+        assert sub["id"].asDict() == expect["id"].asDict()
+
 
 class TestTextAnalysis:
     def test_quality_and_tokens(self, spark):
