@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_pmi_collocations",    # r5: PMI phrase mining, micro-unit log scores
     "profile_merge",            # r5: mergeable per-shard profiler, fold == direct
     "transcript_script_mismatch",  # r5: wrong-script assistant-answer gate
     "text_vocab_coverage",      # r5: tokenizer vocab-budget coverage curve

@@ -167,6 +167,11 @@ def main() -> None:
         "transcript_prefix_dedup",
         "transcript_neardup",
         "transcript_context_windows",
+        "text_bm25_incremental",
+        "text_script_detect",
+        "layout_zorder",
+        "profile_table",
+        "transcript_script_mismatch",
     ]
     # Best-of-N with adaptive extension: this box shows periodic
     # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query

@@ -1027,6 +1027,84 @@ def bm25_search_index(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top-k
+    adjacent word pairs whose co-occurrence beats independence —
+    ``PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )`` (Church & Hanks 1990), the
+    statistic behind phrase-vocabulary induction (word2vec's phrase
+    pass, tokenizer merge seeding) and boilerplate-collocation review.
+    ``min_count`` floors the bigram count — PMI famously explodes on
+    hapax pairs, so unfloored ranks are noise.
+
+    Output: (w1, w2, pair_count, c1, c2, pmi_micro) — the PMI in exact
+    integer micro-units (one `round` over one `ln`, the same
+    engine-identical discipline the BM25 scores use).
+
+    Scale shape: bigram and unigram streams each collapse in ONE
+    map-side-combinable groupBy; totals are 1-row broadcasts; the
+    unigram join-back keys on words (vocabulary-sized, not corpus-sized);
+    the final top-k window runs over floored PAIRS only.  Ties break by
+    (w1, w2) ascending."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(toks.alias("_toks"))
+    uni = (
+        base.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_u"))
+    pairs = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))),
+                    F.slice(F.col("_toks"), 2, F.greatest(F.size("_toks") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    n_pairs = pairs.agg(F.sum("pair_count").cast("double").alias("n_b"))
+    scored = (
+        pairs.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1", "w2", "pair_count", "c1", "c2",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n_b"))
+                    / ((F.col("c1") / F.col("n_u")) * (F.col("c2") / F.col("n_u")))
+                )
+                * F.lit(1e6),
+                0,
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    w = W.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("w1", "w2", "pair_count", "c1", "c2", "pmi_micro", "rank")
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str = "text",

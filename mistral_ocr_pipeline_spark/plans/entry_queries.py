@@ -2104,6 +2104,59 @@ def _script_oracle() -> str:
 
 
 @register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+    nu AS (SELECT sum(c)::DOUBLE AS n_u FROM uni),
+    pairs AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count
+      FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(ts) - 1, 0)),
+                 i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS p
+        FROM tok)
+      GROUP BY p.w1, p.w2),
+    nb AS (SELECT sum(pair_count)::DOUBLE AS n_b FROM pairs),
+    scored AS (
+      SELECT w1, w2, pair_count, u1.c AS c1, u2.c AS c2,
+             round(ln((pair_count / n_b)
+                      / ((u1.c / n_u) * (u2.c / n_u))) * 1000000.0,
+                   0)::BIGINT AS pmi_micro
+      FROM pairs
+      JOIN uni u1 ON u1.w = pairs.w1
+      JOIN uni u2 ON u2.w = pairs.w2
+      CROSS JOIN nb CROSS JOIN nu
+      WHERE pair_count >= 5),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, w1 ASC, w2 ASC)
+               AS rank
+      FROM scored)
+    SELECT w1, w2, pair_count, c1, c2, pmi_micro, rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (`text_analysis.pmi_collocations`): top-20
+    adjacent word pairs by ln(p(ab)/(p(a)p(b))) with a count-5 floor —
+    the phrase-induction / boilerplate-collocation statistic.  Bigram and
+    unigram counts, both totals, the micro-unit rounded log score, and
+    the tie-broken rank window all replay in SQL with identical operand
+    order (so the doubles agree bit-for-bit)."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=20)
+
+
+@register(
     "text_vocab_coverage",
     oracle=f"""
     WITH words AS (

@@ -801,6 +801,46 @@ class TestTextAnalysis:
         assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
         assert out[4] == "cjk" and out[5] == "ru" and out[6] == "unknown"
 
+    def test_pmi_collocations(self, spark):
+        """Hand-computed PMI against math.log, the min-count hapax floor,
+        and deterministic tie-breaking (full path oracled by
+        `text_pmi_collocations`)."""
+        import math
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            pmi_collocations,
+        )
+
+        # 'new york' appears 3x and only together; 'the cat' 3x but both
+        # words also occur apart; 'rare pair' once (floored out at 2)
+        docs = [
+            "new york is the cat place",
+            "new york holds the cat now",
+            "new york and the dog cat",
+            "rare pair appears once only here",
+        ]
+        df = spark.createDataFrame([(t,) for t in docs], "text string")
+        out = pmi_collocations(df, min_count=2, k=5).collect()
+        got = {(r.w1, r.w2): r for r in out}
+        assert ("rare", "pair") not in got  # hapax floored
+        toks = [t.split() for t in docs]
+        n_u = sum(len(t) for t in toks)
+        n_b = sum(len(t) - 1 for t in toks)
+        uni: dict = {}
+        for t in toks:
+            for w in t:
+                uni[w] = uni.get(w, 0) + 1
+        ny = got[("new", "york")]
+        expect = round(
+            math.log((3 / n_b) / ((uni["new"] / n_u) * (uni["york"] / n_u)))
+            * 1e6
+        )
+        assert ny.pmi_micro == expect and ny.pair_count == 3
+        tc = got[("the", "cat")]
+        assert tc.pmi_micro < ny.pmi_micro  # exclusive pair scores higher
+        ranks = sorted(r.rank for r in out)
+        assert ranks == list(range(1, len(out) + 1))
+
     def test_vocab_coverage(self, spark):
         """Hand-computed coverage cuts, boundary tie-break, k beyond the
         vocab, and empty-corpus survival (full path oracled by
