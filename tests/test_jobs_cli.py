@@ -149,3 +149,72 @@ def test_sft_job_cli(tmp_path):
     kept = {r["conv_id"] for r in facts if r["keep"]}
     assert kept and {t["conv_id"] for t in turns} == kept
     assert all(t["win_id"] >= 0 and t["turn_tokens"] >= 0 for t in turns)
+
+
+def test_profile_job_cli(tmp_path):
+    """Incremental ingest profiling through the spark-submit surface:
+    batch 1 bootstraps the stats ledger, batch 2 appends, the merged
+    table-level profile reflects BOTH batches, and a rerun of batch 2 is
+    an idempotent no-op (same _HEAD)."""
+    import duckdb
+
+    b1 = str(tmp_path / "b1.parquet")
+    b2 = str(tmp_path / "b2.parquet")
+    wh = str(tmp_path / "wh_prof")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT doc_id, text, lang FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        " WHERE doc_id % 2 = 0) TO '" + b1 + "' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "COPY (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN NULL"
+        " ELSE text END AS text, lang FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        " WHERE doc_id % 2 = 1) TO '" + b2 + "' (FORMAT PARQUET)"
+    )
+    n1 = con.execute(f"SELECT count(*) FROM '{b1}'").fetchone()[0]
+    n2 = con.execute(f"SELECT count(*) FROM '{b2}'").fetchone()[0]
+    nulls2 = con.execute(
+        f"SELECT count(*) FROM '{b2}' WHERE text IS NULL"
+    ).fetchone()[0]
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    common = dict(cwd="/root/repo", env=env, capture_output=True, text=True,
+                  timeout=400)
+
+    def run(inp, batch):
+        return subprocess.run(
+            [sys.executable, "spark_jobs/profile_job.py",
+             "--input", inp, "--warehouse", wh, "--batch-id", batch,
+             "--columns", "doc_id,text,lang"],
+            **common,
+        )
+
+    p1 = run(b1, "batch-1")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    p2 = run(b2, "batch-2")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    head = os.path.join(wh, "_HEAD")
+    head_after_2 = open(head).read().strip()
+    manifest = json.load(
+        open(os.path.join(wh, "_manifests", head_after_2))
+    )
+    assert set(manifest["tables"]) == {"profile_stats", "profile_merged"}
+    merged = {
+        r[0]: r
+        for r in con.execute(
+            "SELECT \"column\", n_rows, n_null, est_distinct FROM "
+            f"read_parquet('{os.path.join(wh, manifest['tables']['profile_merged'])}/*.parquet')"
+        ).fetchall()
+    }
+    assert merged["doc_id"][1] == n1 + n2
+    assert merged["text"][2] == nulls2          # nulls only in batch 2
+    assert merged["lang"][3] == 5.0             # below-k: estimate exact
+    # distinct doc_id across both batches is exact too (500 < k=256?)
+    # 500 distinct > 256 -> estimator branch: within 20% of truth
+    assert abs(merged["doc_id"][3] - (n1 + n2)) / (n1 + n2) < 0.2
+    # idempotent rerun: no new commit
+    p2b = run(b2, "batch-2")
+    assert p2b.returncode == 0, p2b.stderr[-2000:]
+    assert "already-recorded" in p2b.stdout
+    assert open(head).read().strip() == head_after_2
