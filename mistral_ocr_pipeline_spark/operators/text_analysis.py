@@ -1027,6 +1027,64 @@ def bm25_search_index(
     )
 
 
+def negative_sampling_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The word2vec/NCE negative-sampling table: each vocabulary word
+    weighted ∝ count^0.75 (Mikolov et al. 2013 — the exponent that
+    damps stop-word dominance without flattening to uniform), laid out
+    as an inverse-CDF: ``(word, cnt, w_micro, cum_start, total_micro)``
+    where a sampler draws u ∈ [0, total_micro) and binary-searches
+    ``cum_start`` — the contiguous-range layout a trainer broadcasts.
+
+    Engine-exact arithmetic: ``c^0.75 = sqrt(c · sqrt(c))`` — two
+    correctly-rounded IEEE sqrts instead of ``pow`` (libm pow differs
+    across engines at the ULP level; sqrt never does — the same trick
+    the temperature-mix shares use), rounded to integer micro-units per
+    word BEFORE any summation, so the cumulative offsets are exact
+    BIGINT facts, bit-identical across partitionings and engines.
+
+    Scale shape: one combinable word-count groupBy (the only
+    corpus-sized shuffle); the weight map is per-row; the cumulative
+    window runs over the VOCABULARY in deterministic (cnt desc, word)
+    order."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(norm_key_col(F.col(text_col)), " "),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("cnt").cast("double")
+    w_micro = F.round(F.sqrt(c * F.sqrt(c)) * F.lit(1e6), 0).cast("long")
+    weighted = words.withColumn("w_micro", w_micro)
+    win = W.orderBy(F.col("cnt").desc(), F.col("word").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        weighted.withColumn(
+            "cum_start",
+            F.coalesce(F.sum("w_micro").over(win), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "total_micro",
+            F.sum("w_micro").over(
+                W.partitionBy().rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ).cast("long"),
+        )
+        .select("word", "cnt", "w_micro", "cum_start", "total_micro")
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -2104,6 +2104,43 @@ def _script_oracle() -> str:
 
 
 @register(
+    "text_negative_sampling",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split({_KEY.format(c='text')}, ' '),
+                    t -> t != '')) AS word
+      FROM documents),
+    freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+    wm AS (
+      SELECT word, cnt,
+             round(sqrt(cnt::DOUBLE * sqrt(cnt::DOUBLE)) * 1000000.0, 0)
+               ::BIGINT AS w_micro
+      FROM freq)
+    SELECT word, cnt, w_micro,
+           coalesce(sum(w_micro) OVER (
+             ORDER BY cnt DESC, word ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS cum_start,
+           (sum(w_micro) OVER ())::BIGINT AS total_micro
+    FROM wm
+    """,
+)
+def text_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling table (`text_analysis.negative_sampling_table`):
+    count^0.75 weights via two correctly-rounded IEEE sqrts (never libm
+    pow), integer micro-units BEFORE summation, exclusive cumulative
+    offsets in deterministic (cnt desc, word) order — the inverse-CDF
+    layout a trainer broadcasts.  Counts, weights, offsets, and the
+    total all replay exactly in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        negative_sampling_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_sampling_table(docs)
+
+
+@register(
     "text_pmi_collocations",
     oracle=f"""
     WITH tok AS (

@@ -801,6 +801,35 @@ class TestTextAnalysis:
         assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
         assert out[4] == "cjk" and out[5] == "ru" and out[6] == "unknown"
 
+    def test_negative_sampling_table(self, spark):
+        """count^0.75 weights vs a pure-Python model, contiguous
+        non-overlapping inverse-CDF ranges, deterministic order (full
+        path oracled by `text_negative_sampling`)."""
+        import math
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            negative_sampling_table,
+        )
+
+        df = spark.createDataFrame(
+            [("a a a a b b c",), ("a b c d",)], "text string"
+        )
+        rows = sorted(
+            negative_sampling_table(df).collect(),
+            key=lambda r: r.cum_start,
+        )
+        cnts = {"a": 5, "b": 3, "c": 2, "d": 1}
+        for r in rows:
+            expect = round(math.sqrt(cnts[r.word] * math.sqrt(cnts[r.word])) * 1e6)
+            assert r.w_micro == expect
+        # ranges tile [0, total) exactly: each starts where the prior ends
+        offset = 0
+        for r in rows:  # cum order == (cnt desc, word) order
+            assert r.cum_start == offset
+            offset += r.w_micro
+        assert all(r.total_micro == offset for r in rows)
+        assert [r.word for r in rows] == ["a", "b", "c", "d"]
+
     def test_pmi_collocations(self, spark):
         """Hand-computed PMI against math.log, the min-count hapax floor,
         and deterministic tie-breaking (full path oracled by
