@@ -1027,6 +1027,100 @@ def bm25_search_index(
     )
 
 
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    subsample_t: float = 1e-3,
+    salt: str = "sgp",
+) -> DataFrame:
+    """Skip-gram co-occurrence extraction — the word2vec/GloVe training
+    feed: frequent-word subsampling (Mikolov et al. 2013: keep a token
+    occurrence with probability ``sqrt(t/f)``, f = corpus frequency
+    ratio), then every (center, context) pair within ±``window`` over
+    the COMPACTED sequence (positions re-ranked after drops, exactly
+    like the C implementation windows over the surviving stream),
+    rolled up to ``(center, context, n_pairs, glove_micro)`` where
+    glove_micro = Σ round(10^6 / distance) — GloVe's 1/d weighting in
+    exact integer micro-units.
+
+    Determinism: the keep draw is u = md5(salt‖id‖pos)/2^32 — a pure
+    function of the token occurrence, identical at every cluster size
+    and replayable in SQL; both sides of the keep comparison round to
+    6 dp (the Pareto-gate discipline); sqrt is IEEE-correctly-rounded in
+    both engines (never libm pow).
+
+    Scale shape: one posexplode scan; the frequency join keys on the
+    VOCABULARY; compaction + pairing are two conv-of-doc-keyed exchanges
+    (window then self-join on the same key, per-doc bounded); the rollup
+    collapses map-side to ≤|vocab|² rows — the corpus-sized pair stream
+    never reaches a single task or the driver."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    occ = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(toks).alias("pos", "w")
+    )
+    freq = occ.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n_tok"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"),
+                        F.col("doc").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    keep_p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.lit(float(subsample_t)) / (F.col("c") / F.col("n_tok"))),
+        ),
+        6,
+    )
+    kept = (
+        occ.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .filter(F.round(u, 6) < keep_p)
+    )
+    cw = W.partitionBy("doc").orderBy("pos")
+    compact = kept.select(
+        "doc", "w", (F.row_number().over(cw) - 1).alias("np")
+    )
+    a, b = compact.alias("a"), compact.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc") == F.col("b.doc"))
+        & (F.col("b.np") != F.col("a.np"))
+        & (F.col("b.np") >= F.col("a.np") - window)
+        & (F.col("b.np") <= F.col("a.np") + window),
+    ).select(
+        F.col("a.w").alias("center"),
+        F.col("b.w").alias("context"),
+        F.abs(F.col("b.np") - F.col("a.np")).alias("d"),
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round(F.lit(1e6) / F.col("d"), 0).cast("long"))
+        .cast("long")
+        .alias("glove_micro"),
+    )
+
+
 def negative_sampling_table(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -2104,6 +2104,56 @@ def _script_oracle() -> str:
 
 
 @register(
+    "text_skipgram_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         t -> t != '') AS ts
+      FROM documents),
+    occ AS (
+      SELECT doc, unnest(generate_series(1, len(ts))) - 1 AS pos,
+             unnest(ts) AS w
+      FROM tok),
+    freq AS (SELECT w, count(*) AS c FROM occ GROUP BY w),
+    total AS (SELECT sum(c)::DOUBLE AS n_tok FROM freq),
+    kept AS (
+      SELECT doc, pos, w
+      FROM occ JOIN freq USING (w) CROSS JOIN total
+      WHERE round((('0x' || substring(md5('sgp:' || doc::VARCHAR || ':'
+                    || pos::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+                   / 4294967296.0), 6)
+            < round(least(1.0, sqrt(0.01 / (c / n_tok))), 6)),
+    compact AS (
+      SELECT doc, w,
+             row_number() OVER (PARTITION BY doc ORDER BY pos) - 1 AS np
+      FROM kept),
+    pairs AS (
+      SELECT a.w AS center, b.w AS context, abs(b.np - a.np) AS d
+      FROM compact a JOIN compact b
+        ON b.doc = a.doc AND b.np != a.np
+       AND b.np BETWEEN a.np - 2 AND a.np + 2)
+    SELECT center, context, count(*)::BIGINT AS n_pairs,
+           sum(round(1000000.0 / d, 0)::BIGINT)::BIGINT AS glove_micro
+    FROM pairs GROUP BY center, context
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence feed (`text_analysis.skipgram_pairs`):
+    md5-uniform frequent-word subsampling at t=0.01 (the fixture's
+    31-word vocab makes every word 'frequent', so the gate is genuinely
+    active), compacted-sequence ±2 windows, GloVe 1/d micro-unit
+    weights, rolled up to ≤|vocab|² rows.  Subsample draws, compaction
+    ranks, pair fan-out, and both rollup sums replay exactly in SQL."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        skipgram_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return skipgram_pairs(docs, window=2, subsample_t=0.01)
+
+
+@register(
     "text_negative_sampling",
     oracle=f"""
     WITH words AS (

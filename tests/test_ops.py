@@ -801,6 +801,59 @@ class TestTextAnalysis:
         assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
         assert out[4] == "cjk" and out[5] == "ru" and out[6] == "unknown"
 
+    def test_skipgram_pairs(self, spark):
+        """Full pure-Python model replay: subsample draws, compaction,
+        ±window pairing, GloVe 1/d weights (driver query oracles the
+        same path in SQL)."""
+        import hashlib
+        import math
+
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            skipgram_pairs,
+        )
+
+        docs = [(1, "a b c a b"), (2, "c c a d e f")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        t, window = 0.1, 2  # drops 3 of 11 occurrences (verified below)
+
+        occ = [(d, p, w) for d, s in docs for p, w in enumerate(s.split())]
+        freq: dict = {}
+        for _, _, w in occ:
+            freq[w] = freq.get(w, 0) + 1
+        n_tok = float(len(occ))
+
+        def keep(d, p, w):
+            u = int(hashlib.md5(f"sgp:{d}:{p}".encode()).hexdigest()[:8], 16) / 4294967296.0
+            return round(u, 6) < round(
+                min(1.0, math.sqrt(t / (freq[w] / n_tok))), 6
+            )
+
+        kept = [(d, p, w) for d, p, w in occ if keep(d, p, w)]
+        assert 0 < len(kept) < len(occ)  # the gate is genuinely active
+        expected: dict = {}
+        for doc in (1, 2):
+            seq = [w for d, p, w in kept if d == doc]
+            for i, c in enumerate(seq):
+                for j in range(max(0, i - window), min(len(seq), i + window + 1)):
+                    if j == i:
+                        continue
+                    key = (c, seq[j])
+                    n, g = expected.get(key, (0, 0))
+                    expected[key] = (
+                        n + 1, g + round(1e6 / abs(j - i))
+                    )
+        got = {
+            (r.center, r.context): (r.n_pairs, r.glove_micro)
+            for r in skipgram_pairs(df, window=window, subsample_t=t).collect()
+        }
+        assert got == expected
+        # determinism: a rerun is bit-identical
+        again = {
+            (r.center, r.context): (r.n_pairs, r.glove_micro)
+            for r in skipgram_pairs(df, window=window, subsample_t=t).collect()
+        }
+        assert again == got
+
     def test_negative_sampling_table(self, spark):
         """count^0.75 weights vs a pure-Python model, contiguous
         non-overlapping inverse-CDF ranges, deterministic order (full
