@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "dedup_edit_distance",      # r5: PassJoin blocking + exact levenshtein
     "text_skipgram_pairs",      # r5: subsampled skip-gram/GloVe pair rollup
     "text_negative_sampling",   # r5: unigram^0.75 inverse-CDF sampler table
     "text_pmi_collocations",    # r5: PMI phrase mining, micro-unit log scores

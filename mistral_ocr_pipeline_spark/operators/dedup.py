@@ -1929,3 +1929,150 @@ def cluster_keep_best(
         "kept_id",
         "kept_score",
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup pairs (PassJoin pigeonhole blocking)
+# --------------------------------------------------------------------------
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edits: int = 2,
+    max_bucket: int = 64,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """EXACT edit-distance pairs: (id_a, id_b, edit_distance,
+    bucket_truncated) for every pair of normalized texts within
+    ``max_edits`` Levenshtein edits — the typo/OCR-noise near-dup
+    criterion n-gram Jaccard underweights (one char flip changes n
+    grams) and MinHash can't threshold.
+
+    Candidate generation is PassJoin's pigeonhole blocking (Li et al.
+    2011): partition each string (as x) into k+1 contiguous chunks by
+    ITS OWN length; if ed(x, y) <= k then some chunk of x appears in y
+    EXACTLY, at a position shifted by at most k.  So the index side
+    emits each doc's k+1 own-boundary chunks keyed (chunk_idx,
+    own_length, chunk_text), and the probe side emits, for every
+    assumed partner length ell in [len-k, len+k], the substrings at the
+    ell-boundary positions +-k — a CONSTANT <= (2k+1)(k+1)(2k+1) keys
+    per doc (45 at k=2).  The equi-join of the two key streams is a
+    complete candidate superset (the driver query's all-pairs oracle
+    hash-match IS the completeness proof, deletion-shifted clones
+    included); exact ``levenshtein`` verifies, so false candidates cost
+    one JVM distance call, never a wrong pair.
+
+    Scale shape: both key streams are bounded per doc; hot chunk keys
+    (a boilerplate prefix shared by 10^6 docs) gather through the salted
+    bounded collect with the cap surfaced per pair, exactly like the
+    MinHash/substring buckets; verification joins text back by id —
+    candidates move as (id, id) longs only."""
+    k = max_edits
+    nch = k + 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        norm_key_col(F.coalesce(F.col(text_col), F.lit(""))).alias("s"),
+    ).withColumn("l", F.length("s").cast("long"))
+
+    def chunk_start(i, ell):
+        return F.floor(i * ell / F.lit(nch)).cast("long")
+
+    idx_keys = base.select(
+        "id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.lit(k).cast("long")),
+                    lambda i: F.struct(
+                        i.alias("ci"),
+                        F.col("l").alias("ell"),
+                        F.col("s")
+                        .substr(
+                            chunk_start(i, F.col("l")) + 1,
+                            chunk_start(i + 1, F.col("l"))
+                            - chunk_start(i, F.col("l")),
+                        )
+                        .alias("sub"),
+                    ),
+                ),
+                lambda st: F.length(st["sub"]) >= 1,
+            )
+        ).alias("key"),
+    ).select("id", "key.ci", "key.ell", "key.sub")
+
+    def probe_positions(i, ell):
+        st = chunk_start(i, ell)
+        ln = chunk_start(i + 1, ell) - st
+        pmin = F.greatest(st - k, F.lit(0).cast("long"))
+        pmax = F.least(F.col("l") - ln, st + k)
+        return F.when(
+            (ln >= 1) & (pmax >= pmin),
+            F.transform(
+                F.sequence(pmin, pmax),
+                lambda p: F.struct(
+                    i.alias("ci"),
+                    ell.alias("ell"),
+                    F.col("s").substr(p + 1, ln).alias("sub"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<ci:long,ell:long,sub:string>>")
+        )
+
+    probe_keys = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.flatten(
+                        F.transform(
+                            F.sequence(
+                                F.greatest(
+                                    F.col("l") - k, F.lit(1).cast("long")
+                                ),
+                                F.col("l") + k,
+                            ),
+                            lambda ell: F.transform(
+                                F.sequence(
+                                    F.lit(0).cast("long"),
+                                    F.lit(k).cast("long"),
+                                ),
+                                lambda i: probe_positions(i, ell),
+                            ),
+                        )
+                    )
+                )
+            )
+        ).alias("key"),
+    ).select("id", "key.ci", "key.ell", "key.sub")
+
+    buckets = _bounded_bucket_collect(
+        idx_keys, ["ci", "ell", "sub"], F.col("id"), F.col("id"),
+        max_bucket, "ids",
+    )
+    buckets = _observe_caps(buckets, observation)
+    cand = (
+        probe_keys.join(buckets, ["ci", "ell", "sub"])
+        .select(
+            F.col("id").alias("_pid"),
+            F.explode("ids").alias("_iid"),
+            "bucket_truncated",
+        )
+        .filter(F.col("_pid") != F.col("_iid"))
+        .groupBy(
+            F.least("_pid", "_iid").alias("id_a"),
+            F.greatest("_pid", "_iid").alias("id_b"),
+        )
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"))
+    b = base.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "edit_distance", F.levenshtein("_sa", "_sb").cast("int")
+        )
+        .filter(F.col("edit_distance") <= k)
+        .select("id_a", "id_b", "edit_distance", "bucket_truncated")
+    )

@@ -2104,6 +2104,60 @@ def _script_oracle() -> str:
 
 
 @register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substring(text, 1, 4) || 'x' || substring(text, 6)
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             substring(text, 1, 4) || substring(text, 6)
+      FROM documents WHERE doc_id % 10 = 5),
+    n AS (SELECT id, {_KEY.format(c='text')} AS s FROM u),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             levenshtein(a.s, b.s) AS edit_distance
+      FROM n a JOIN n b
+        ON b.id > a.id AND abs(len(a.s) - len(b.s)) <= 2)
+    SELECT id_a, id_b, edit_distance::INT AS edit_distance,
+           FALSE AS bucket_truncated
+    FROM p WHERE edit_distance <= 2
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (`dedup.edit_distance_pairs`,
+    PassJoin pigeonhole blocking + exact levenshtein verify) over
+    documents ∪ one-substitution clones ∪ one-DELETION clones — the
+    deletion shifts every later chunk, exactly the case naive
+    aligned-chunk blocking misses and PassJoin's ±k probe positions
+    cover.  The oracle is the brute-force ALL-PAIRS levenshtein ≤ 2
+    (length-difference prefiltered), so the hash match proves the
+    blocking found every true pair (completeness), the verify dropped
+    every false candidate, and no fixture bucket hit its cap."""
+    from mistral_ocr_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 4), F.lit("x"),
+            F.expr("substring(text, 6)"),
+        ).alias("text"),
+    )
+    dele = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 4), F.expr("substring(text, 6)")
+        ).alias("text"),
+    )
+    u = docs.unionAll(sub).unionAll(dele)
+    return edit_distance_pairs(u, "doc_id", "text", max_edits=2)
+
+
+@register(
     "text_skipgram_pairs",
     oracle=f"""
     WITH tok AS (

@@ -3872,7 +3872,71 @@ class TestGopherFullBattery:
         assert got == 2 * len("aa bb")
 
 
-class TestSubstringIncremental:
+class TestEditDistancePairs:
+    """PassJoin edit-distance pairs (dedup.edit_distance_pairs):
+    completeness vs brute force under substitutions, insertions, and
+    deletions (chunk-shifting cases), exact distances, the bucket cap,
+    and short/identical-string edges (the driver query proves the same
+    vs DuckDB's levenshtein at sf0.01)."""
+
+    def test_complete_vs_brute_force(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            edit_distance_pairs,
+        )
+
+        def ed(a, b):  # tiny exact DP, fine at this size
+            m, n = len(a), len(b)
+            d = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, d[0] = d[0], i
+                for j in range(1, n + 1):
+                    prev, d[j] = d[j], min(
+                        d[j] + 1, d[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]),
+                    )
+            return d[n]
+
+        base = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (0, base),
+            (1, base.replace("quick", "quick")),          # identical -> 0
+            (2, base[:10] + "x" + base[11:]),             # 1 substitution
+            (3, base[:10] + base[11:]),                   # 1 deletion
+            (4, base[:10] + "zz" + base[10:]),            # 2 insertions
+            (5, base[:5] + base[8:]),                     # 3 deletions -> out
+            (6, "completely different text body here"),
+            (7, "ab"),                                    # short string
+            (8, "ac"),                                    # ed=1 to 'ab'
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        texts = dict(rows)
+        expected = {
+            (i, j): ed(texts[i], texts[j])
+            for i in texts
+            for j in texts
+            if i < j and ed(texts[i], texts[j]) <= 2
+        }
+        got = {
+            (r.id_a, r.id_b): r.edit_distance
+            for r in edit_distance_pairs(df, "id", "text").collect()
+        }
+        assert got == expected
+        assert got[(0, 1)] == 0 and got[(0, 3)] == 1 and got[(0, 4)] == 2
+        assert (0, 5) not in got and (7, 8) in got
+
+    def test_bucket_cap_surfaces(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            edit_distance_pairs,
+        )
+
+        # 12 identical docs, cap 4: pairs that survive must carry the flag
+        df = spark.createDataFrame(
+            [(i, "same exact text for everyone") for i in range(12)],
+            "id long, text string",
+        )
+        out = edit_distance_pairs(df, "id", "text", max_bucket=4).collect()
+        assert out and all(r.bucket_truncated for r in out)
+        assert all(r.edit_distance == 0 for r in out)
     def test_batch_matches_oneshot_and_history_untouched(self, spark):
         """Incremental span removal for a batch == one-shot over
         history ∪ batch restricted to batch rows; history text is never
