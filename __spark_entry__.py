@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "dedup_edit_incremental",   # r5: batch-vs-history edits via chunk index
+    "edit_index_append",        # r5: PassJoin chunk-index merge == rebuild
     "dedup_edit_distance",      # r5: PassJoin blocking + exact levenshtein
     "text_skipgram_pairs",      # r5: subsampled skip-gram/GloVe pair rollup
     "text_negative_sampling",   # r5: unigram^0.75 inverse-CDF sampler table

@@ -1934,6 +1934,96 @@ def cluster_keep_best(
 # --------------------------------------------------------------------------
 # Edit-distance near-dup pairs (PassJoin pigeonhole blocking)
 # --------------------------------------------------------------------------
+def _edit_norm_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        norm_key_col(F.coalesce(F.col(text_col), F.lit(""))).alias("s"),
+    ).withColumn("l", F.length("s").cast("long"))
+
+
+def _edit_chunk_start(i, ell, k: int):
+    return F.floor(i * ell / F.lit(k + 1)).cast("long")
+
+
+def _edit_chunk_keys(base: DataFrame, k: int) -> DataFrame:
+    """Index-side PassJoin keys: each doc's k+1 own-boundary chunks as
+    (id, ci, ell=own length, sub)."""
+    return base.select(
+        "id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.lit(k).cast("long")),
+                    lambda i: F.struct(
+                        i.alias("ci"),
+                        F.col("l").alias("ell"),
+                        F.col("s")
+                        .substr(
+                            _edit_chunk_start(i, F.col("l"), k) + 1,
+                            _edit_chunk_start(i + 1, F.col("l"), k)
+                            - _edit_chunk_start(i, F.col("l"), k),
+                        )
+                        .alias("sub"),
+                    ),
+                ),
+                lambda st: F.length(st["sub"]) >= 1,
+            )
+        ).alias("key"),
+    ).select("id", "key.ci", "key.ell", "key.sub")
+
+
+def _edit_probe_keys(base: DataFrame, k: int) -> DataFrame:
+    """Probe-side PassJoin keys: for every assumed partner length
+    ell ∈ [l−k, l+k], the ell-boundary chunk substrings at positions
+    shifted by at most ±k — constant ≤ (2k+1)(k+1)(2k+1) keys per doc."""
+
+    def probe_positions(i, ell):
+        st = _edit_chunk_start(i, ell, k)
+        ln = _edit_chunk_start(i + 1, ell, k) - st
+        pmin = F.greatest(st - k, F.lit(0).cast("long"))
+        pmax = F.least(F.col("l") - ln, st + k)
+        return F.when(
+            (ln >= 1) & (pmax >= pmin),
+            F.transform(
+                F.sequence(pmin, pmax),
+                lambda p: F.struct(
+                    i.alias("ci"),
+                    ell.alias("ell"),
+                    F.col("s").substr(p + 1, ln).alias("sub"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<ci:long,ell:long,sub:string>>")
+        )
+
+    return base.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.flatten(
+                        F.transform(
+                            F.sequence(
+                                F.greatest(
+                                    F.col("l") - k, F.lit(1).cast("long")
+                                ),
+                                F.col("l") + k,
+                            ),
+                            lambda ell: F.transform(
+                                F.sequence(
+                                    F.lit(0).cast("long"),
+                                    F.lit(k).cast("long"),
+                                ),
+                                lambda i: probe_positions(i, ell),
+                            ),
+                        )
+                    )
+                )
+            )
+        ).alias("key"),
+    ).select("id", "key.ci", "key.ell", "key.sub")
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
@@ -1968,89 +2058,13 @@ def edit_distance_pairs(
     MinHash/substring buckets; verification joins text back by id —
     candidates move as (id, id) longs only."""
     k = max_edits
-    nch = k + 1
-    base = df.select(
-        F.col(id_col).alias("id"),
-        norm_key_col(F.coalesce(F.col(text_col), F.lit(""))).alias("s"),
-    ).withColumn("l", F.length("s").cast("long"))
-
-    def chunk_start(i, ell):
-        return F.floor(i * ell / F.lit(nch)).cast("long")
-
-    idx_keys = base.select(
-        "id",
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(0).cast("long"), F.lit(k).cast("long")),
-                    lambda i: F.struct(
-                        i.alias("ci"),
-                        F.col("l").alias("ell"),
-                        F.col("s")
-                        .substr(
-                            chunk_start(i, F.col("l")) + 1,
-                            chunk_start(i + 1, F.col("l"))
-                            - chunk_start(i, F.col("l")),
-                        )
-                        .alias("sub"),
-                    ),
-                ),
-                lambda st: F.length(st["sub"]) >= 1,
-            )
-        ).alias("key"),
-    ).select("id", "key.ci", "key.ell", "key.sub")
-
-    def probe_positions(i, ell):
-        st = chunk_start(i, ell)
-        ln = chunk_start(i + 1, ell) - st
-        pmin = F.greatest(st - k, F.lit(0).cast("long"))
-        pmax = F.least(F.col("l") - ln, st + k)
-        return F.when(
-            (ln >= 1) & (pmax >= pmin),
-            F.transform(
-                F.sequence(pmin, pmax),
-                lambda p: F.struct(
-                    i.alias("ci"),
-                    ell.alias("ell"),
-                    F.col("s").substr(p + 1, ln).alias("sub"),
-                ),
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<ci:long,ell:long,sub:string>>")
-        )
-
-    probe_keys = base.select(
-        "id",
-        F.explode(
-            F.array_distinct(
-                F.flatten(
-                    F.flatten(
-                        F.transform(
-                            F.sequence(
-                                F.greatest(
-                                    F.col("l") - k, F.lit(1).cast("long")
-                                ),
-                                F.col("l") + k,
-                            ),
-                            lambda ell: F.transform(
-                                F.sequence(
-                                    F.lit(0).cast("long"),
-                                    F.lit(k).cast("long"),
-                                ),
-                                lambda i: probe_positions(i, ell),
-                            ),
-                        )
-                    )
-                )
-            )
-        ).alias("key"),
-    ).select("id", "key.ci", "key.ell", "key.sub")
-
+    base = _edit_norm_base(df, id_col, text_col)
     buckets = _bounded_bucket_collect(
-        idx_keys, ["ci", "ell", "sub"], F.col("id"), F.col("id"),
-        max_bucket, "ids",
+        _edit_chunk_keys(base, k), ["ci", "ell", "sub"], F.col("id"),
+        F.col("id"), max_bucket, "ids",
     )
     buckets = _observe_caps(buckets, observation)
+    probe_keys = _edit_probe_keys(base, k)
     cand = (
         probe_keys.join(buckets, ["ci", "ell", "sub"])
         .select(
@@ -2075,4 +2089,129 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_distance") <= k)
         .select("id_a", "id_b", "edit_distance", "bucket_truncated")
+    )
+
+
+def build_edit_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edits: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Persisted PassJoin chunk index: one row per (ci, ell, sub) chunk
+    key — (ci, ell, sub, ids, bucket_truncated) — built ONCE over the
+    historical corpus so daily batches find their within-k-edits
+    neighbors in 100 TB of history without re-chunking it.  Posting
+    lists keep the ``max_bucket`` SMALLEST ids via the salted bounded
+    collect (the same capped-posting contract as the MinHash index), so
+    every future batch's join fan-out is bounded even against a
+    degenerate history."""
+    base = _edit_norm_base(df, id_col, text_col)
+    return _bounded_bucket_collect(
+        _edit_chunk_keys(base, max_edits), ["ci", "ell", "sub"],
+        F.col("id"), F.col("id"), max_bucket, "ids",
+    )
+
+
+def edit_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edits: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Merge a new batch's chunk keys into a persisted
+    ``build_edit_index`` table — hash-identical to a one-shot build over
+    history ∪ batch, by the same capped-merge argument as
+    ``minhash_index_append``: posting lists keep the smallest ids, any
+    of the union's smallest is among its own side's smallest, and with
+    disjoint id spaces the exact truncation flag survives as (either
+    side truncated) OR (joint kept lists exceed the cap).  Only the
+    batch tokenizes; history costs one full-outer shuffle of the INDEX
+    on its key — O(index), never O(history text)."""
+    delta = build_edit_index(new_df, id_col, text_col, max_edits, max_bucket)
+    ids_type = index.schema["ids"].dataType.simpleString()
+    a_ids = F.coalesce(F.col("_a_ids"), F.array().cast(ids_type))
+    b_ids = F.coalesce(F.col("_b_ids"), F.array().cast(ids_type))
+    return (
+        index.select(
+            "ci", "ell", "sub",
+            F.col("ids").alias("_a_ids"),
+            F.col("bucket_truncated").alias("_a_tr"),
+        )
+        .join(
+            delta.select(
+                "ci", "ell", "sub",
+                F.col("ids").alias("_b_ids"),
+                F.col("bucket_truncated").alias("_b_tr"),
+            ),
+            ["ci", "ell", "sub"],
+            "full",
+        )
+        .select(
+            "ci",
+            "ell",
+            "sub",
+            F.slice(F.array_sort(F.concat(a_ids, b_ids)), 1, max_bucket)
+            .alias("ids"),
+            (
+                F.coalesce(F.col("_a_tr"), F.lit(False))
+                | F.coalesce(F.col("_b_tr"), F.lit(False))
+                | (F.size(a_ids) + F.size(b_ids) > max_bucket)
+            ).alias("bucket_truncated"),
+        )
+    )
+
+
+def edit_distance_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Incremental edit-distance near-dup: pairs (id_new, id_old,
+    edit_distance, bucket_truncated) between a NEW batch and the
+    history served by a ``build_edit_index`` table — the daily-batch
+    shape: only the batch is chunked (it plays PassJoin's probe side;
+    history docs' own-boundary chunks are already in the index, the
+    orientation the pigeonhole lemma needs), candidates explode from
+    pre-capped posting lists, and verification reads ONLY the candidate
+    history docs' text (semi-join-pruned by id before normalization) —
+    a sliver of history, never a scan.  Index parameters must match the
+    build; caller keeps id spaces disjoint."""
+    k = max_edits
+    new_base = _edit_norm_base(new_df, id_col, text_col)
+    cand = (
+        _edit_probe_keys(new_base, k)
+        .join(index, ["ci", "ell", "sub"])
+        .select(
+            F.col("id").alias("id_new"),
+            F.explode("ids").alias("id_old"),
+            "bucket_truncated",
+        )
+        .filter(F.col("id_new") != F.col("id_old"))
+        .groupBy("id_new", "id_old")
+        .agg(F.bool_or("bucket_truncated").alias("bucket_truncated"))
+    )
+    old_needed = corpus_df.join(
+        cand.select(F.col("id_old").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    old_base = _edit_norm_base(old_needed, id_col, text_col).select(
+        F.col("id").alias("id_old"), F.col("s").alias("_so")
+    )
+    new_s = new_base.select(
+        F.col("id").alias("id_new"), F.col("s").alias("_sn")
+    )
+    return (
+        cand.join(new_s, "id_new")
+        .join(old_base, "id_old")
+        .withColumn("edit_distance", F.levenshtein("_sn", "_so").cast("int"))
+        .filter(F.col("edit_distance") <= k)
+        .select("id_new", "id_old", "edit_distance", "bucket_truncated")
     )

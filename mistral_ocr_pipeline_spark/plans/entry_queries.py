@@ -2140,6 +2140,24 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mistral_ocr_pipeline_spark.operators.dedup import edit_distance_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.unionAll(_edit_clones(spark, sf_dir))
+    return edit_distance_pairs(u, "doc_id", "text", max_edits=2)
+
+
+# shared clone fixture for the edit-distance queries: one substitution
+# (+1000000) and one chunk-shifting DELETION (+2000000)
+_EDIT_CLONES_SQL = """
+      SELECT doc_id + 1000000 AS id,
+             substring(text, 1, 4) || 'x' || substring(text, 6) AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             substring(text, 1, 4) || substring(text, 6)
+      FROM documents WHERE doc_id % 10 = 5"""
+
+
+def _edit_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sub = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(
@@ -2153,8 +2171,104 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 4), F.expr("substring(text, 6)")
         ).alias("text"),
     )
-    u = docs.unionAll(sub).unionAll(dele)
-    return edit_distance_pairs(u, "doc_id", "text", max_edits=2)
+    return sub.unionAll(dele)
+
+
+@register(
+    "edit_index_append",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL{_EDIT_CLONES_SQL}),
+    n AS (SELECT id, {_KEY.format(c='text')} AS s, len({_KEY.format(c='text')})
+               AS l FROM u),
+    keys AS (
+      SELECT DISTINCT i AS ci, l AS ell,
+             substring(s, (i * l) // 3 + 1,
+                       ((i + 1) * l) // 3 - (i * l) // 3) AS sub
+      FROM n, unnest([0, 1, 2]) AS t(i)
+      WHERE ((i + 1) * l) // 3 - (i * l) // 3 >= 1)
+    SELECT ci, ell, sub, TRUE AS index_consistent FROM keys
+    """,
+)
+def edit_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified claim: PassJoin chunk-index maintenance ≡ one-shot
+    rebuild.  History (documents) is indexed once, the clone batch
+    merges in via `dedup.edit_index_append` (batch-only chunking), and
+    per chunk key the claim row asserts the capped posting list AND
+    truncation flag agree, null-safe on a full outer join, between the
+    merged index and `build_edit_index` over history ∪ batch.  The
+    oracle independently replays the chunk-key universe (boundaries,
+    lengths, substrings), so the key columns are value-checked too."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        build_edit_index,
+        edit_index_append,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = _edit_clones(spark, sf_dir)
+    one = build_edit_index(docs.unionAll(batch), "doc_id", "text")
+    two = edit_index_append(
+        build_edit_index(docs, "doc_id", "text"), batch, "doc_id", "text"
+    )
+    j = (
+        one.select(
+            "ci", "ell", "sub",
+            F.col("ids").alias("_one_ids"),
+            F.col("bucket_truncated").alias("_one_tr"),
+        )
+        .join(
+            two.select(
+                "ci", "ell", "sub",
+                F.col("ids").alias("_two_ids"),
+                F.col("bucket_truncated").alias("_two_tr"),
+            ),
+            ["ci", "ell", "sub"],
+            "full_outer",
+        )
+    )
+    return j.select(
+        "ci", "ell", "sub",
+        (
+            F.col("_one_ids").eqNullSafe(F.col("_two_ids"))
+            & F.col("_one_tr").eqNullSafe(F.col("_two_tr"))
+        ).alias("index_consistent"),
+    )
+
+
+@register(
+    "dedup_edit_incremental",
+    oracle=f"""
+    WITH hist AS (
+      SELECT doc_id AS id, {_KEY.format(c='text')} AS s FROM documents),
+    batch AS (
+      SELECT id, {_KEY.format(c='text')} AS s FROM ({_EDIT_CLONES_SQL})),
+    p AS (
+      SELECT b.id AS id_new, h.id AS id_old,
+             levenshtein(b.s, h.s) AS edit_distance
+      FROM batch b JOIN hist h ON abs(len(b.s) - len(h.s)) <= 2)
+    SELECT id_new, id_old, edit_distance::INT AS edit_distance,
+           FALSE AS bucket_truncated
+    FROM p WHERE edit_distance <= 2
+    """,
+)
+def dedup_edit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental edit-distance near-dup
+    (`dedup.edit_distance_incremental`): the clone batch finds its
+    within-2-edits history neighbors through the persisted chunk index
+    — only the batch is chunked, and verification reads only the
+    candidate history docs (semi-join-pruned).  The oracle is the
+    brute-force batch×history levenshtein ≤ 2, so the hash match proves
+    the index-served path is exactly as complete as a full scan."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        build_edit_index,
+        edit_distance_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = _edit_clones(spark, sf_dir)
+    index = build_edit_index(docs, "doc_id", "text")
+    return edit_distance_incremental(batch, docs, index, "doc_id", "text")
 
 
 @register(

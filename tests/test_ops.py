@@ -3924,6 +3924,52 @@ class TestEditDistancePairs:
         assert got[(0, 1)] == 0 and got[(0, 3)] == 1 and got[(0, 4)] == 2
         assert (0, 5) not in got and (7, 8) in got
 
+    def test_incremental_matches_oneshot_and_append_law(self, spark):
+        """Index-served batch search == one-shot pairs restricted to
+        batch×history, and append == rebuild on the chunk index."""
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            build_edit_index,
+            edit_distance_incremental,
+            edit_distance_pairs,
+            edit_index_append,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog"
+        hist = spark.createDataFrame(
+            [(0, base), (1, "completely different text body")],
+            "id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, base[:10] + base[11:]),   # deletion of char 10 -> ed 1
+                (11, "no relation to anything at all"),
+                (12, base[:7] + "xy" + base[9:]),  # 2 substitutions
+            ],
+            "id long, text string",
+        )
+        idx = build_edit_index(hist, "id", "text")
+        inc = {
+            (r.id_new, r.id_old): r.edit_distance
+            for r in edit_distance_incremental(
+                batch, hist, idx, "id", "text"
+            ).collect()
+        }
+        oneshot = {
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.edit_distance
+            for r in edit_distance_pairs(
+                hist.unionByName(batch), "id", "text"
+            ).collect()
+            if (r.id_a < 10) != (r.id_b < 10)  # batch-vs-history only
+        }
+        assert inc == oneshot
+        assert inc[(10, 0)] == 1 and inc[(12, 0)] == 2
+        assert not any(n == 11 for n, _ in inc)
+        merged = edit_index_append(idx, batch, "id", "text")
+        rebuilt = build_edit_index(hist.unionByName(batch), "id", "text")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+
     def test_bucket_cap_surfaces(self, spark):
         from mistral_ocr_pipeline_spark.operators.dedup import (
             edit_distance_pairs,
