@@ -740,3 +740,69 @@ class TestRoundFiveLatePlans:
 
         plan = _plan(transcript_render_sft(transcripts_from_documents(docs)))
         assert plan.count("Exchange") == 1, plan
+
+
+class TestLateR5Plans:
+    """Plan-shape guards for the late-round-5 operators: map-only passes
+    stay shuffle-free, single-aggregation passes stay single-exchange,
+    and nothing grows a Python node or a cartesian product."""
+
+    def test_script_profile_is_map_only(self, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            script_profile,
+        )
+
+        plan = _plan(script_profile(docs))
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_zorder_one_broadcast_no_shuffle_no_python(self, docs):
+        from mistral_ocr_pipeline_spark.operators.layout import zorder_shards
+
+        plan = _plan(zorder_shards(docs, ["doc_id", "n_chars"]))
+        # the only exchanges are the 1-row min/max stats aggregate and
+        # its broadcast back — the corpus itself never hash-partitions
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_profiler_single_expand_aggregate(self, docs):
+        from mistral_ocr_pipeline_spark.operators.profiling import (
+            profile_columns,
+        )
+
+        plan = _plan(profile_columns(docs))
+        # multi-distinct rides ONE Expand; metrics are partial aggs into
+        # a single-partition exchange; no per-column rescans
+        assert plan.count("Scan ") <= 1 or plan.count("FileScan") <= 1, plan
+        assert "Expand" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pmi_vocab_joins_never_cartesian(self, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            pmi_collocations,
+        )
+
+        plan = _plan(pmi_collocations(docs))
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_edit_distance_no_python_no_cartesian(self, docs):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            edit_distance_pairs,
+        )
+
+        plan = _plan(edit_distance_pairs(docs, "doc_id", "text"))
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        # levenshtein is a JVM expression in the verify projection
+        assert "levenshtein" in plan.lower()
+
+    def test_skipgram_rollup_no_python(self, docs):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            skipgram_pairs,
+        )
+
+        plan = _plan(skipgram_pairs(docs))
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "CartesianProduct" not in plan, plan
