@@ -4156,18 +4156,132 @@ def pack_token_budget_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_budget(docs, "doc_id", "tokens", budget=512, n_shards=8)
 
 
-@register("pack_token_budget_bpe2")
+# Full SQL replay of operators/bpe.py — TRAINING and APPLICATION — so the
+# real-BPE packing query is value-oracled end to end (r5; closes the last
+# meaningful rows-only row).  Encoding trick: a symbol sequence rides as a
+# string with every symbol wrapped chr(31)·sym·chr(30) (symbols can never
+# contain either wrapper: Python str.split() treats \x1e/\x1f as whitespace,
+# so they never survive word-splitting).  Merging pair (a,b) left-greedily
+# over ALL its non-overlapping occurrences — exactly bpe.py's scan loop —
+# is then ONE plain `replace()` (verified left-to-right, resumes after the
+# replacement).  Training is a recursive CTE carrying the whole wrapped
+# vocabulary as a list<struct(s,f)>: each step explodes adjacent pairs,
+# arg-maxes count with the Python tuple tie-break (cnt DESC, a, b), applies
+# the winner via list_transform+replace, and appends the merge; it stops at
+# 200 merges or when no pair remains (the LATERAL yields no row), exactly
+# the kernel's `if not pairs: break`.  Application is a second recursion
+# per distinct corpus word: merge the LOWEST-RANK pair present (strpos
+# probe over the rank table), repeat until none applies; final token count
+# = number of chr(30) closers.  Doc tokens = sum over word multiplicities;
+# the budget/shard/offset tail is the shared _PACK_OFF cumsum.
+_BPE2_WRAP = (
+    "regexp_replace(word, '(.)', chr(31) || '\\1' || chr(30), 'g')"
+    " || chr(31) || '</w>' || chr(30)"
+)
+_BPE2_ORACLE = rf"""
+    WITH RECURSIVE
+    samp AS (
+      SELECT text FROM documents
+      ORDER BY substring(md5('bpe:' || doc_id::varchar), 1, 8), doc_id
+      LIMIT 1024),
+    wf AS (
+      SELECT w AS word, count(*)::bigint AS f
+      FROM samp, unnest(string_split_regex(coalesce(text, ''), '\s+')) u(w)
+      WHERE w <> ''
+      GROUP BY 1),
+    init AS (
+      SELECT list(struct_pack(s := {_BPE2_WRAP}, f := f)) AS ws FROM wf),
+    tr(it, ws, ms) AS (
+      SELECT 0, ws, []::varchar[] FROM init
+      UNION ALL
+      SELECT it + 1,
+             list_transform(ws, w -> struct_pack(
+                 s := replace(w.s,
+                              chr(31) || best.a || chr(30)
+                                  || chr(31) || best.b || chr(30),
+                              chr(31) || best.a || best.b || chr(30)),
+                 f := w.f)),
+             list_append(ms, best.a || chr(9) || best.b)
+      FROM tr, LATERAL (
+        SELECT a, b FROM (
+          SELECT p.a, p.b, sum(p.f) AS cnt FROM (
+            SELECT syms[i] AS a, syms[i + 1] AS b, f
+            FROM (SELECT string_split(substring(w.s, 2, length(w.s) - 2),
+                                      chr(30) || chr(31)) AS syms,
+                         w.f AS f
+                  FROM unnest(ws) t(w)) z,
+                 unnest(range(1, len(syms))) g(i)) p
+          GROUP BY 1, 2)
+        ORDER BY cnt DESC, a, b
+        LIMIT 1) best
+      WHERE it < 200),
+    fin_tr AS (SELECT ms FROM tr ORDER BY it DESC LIMIT 1),
+    ranks AS (
+      SELECT string_split(ms[i], chr(9))[1] AS a,
+             string_split(ms[i], chr(9))[2] AS b,
+             i AS rank
+      FROM fin_tr, unnest(range(1, len(ms) + 1)) g(i)),
+    dw AS (
+      SELECT doc_id, w AS word, count(*)::bigint AS n
+      FROM documents, unnest(string_split_regex(coalesce(text, ''), '\s+')) u(w)
+      WHERE w <> ''
+      GROUP BY 1, 2),
+    uw AS (SELECT DISTINCT word FROM dw),
+    enc(word, step, s) AS (
+      SELECT word, 0, {_BPE2_WRAP} FROM uw
+      UNION ALL
+      SELECT word, step + 1,
+             replace(s,
+                     chr(31) || best.a || chr(30)
+                         || chr(31) || best.b || chr(30),
+                     chr(31) || best.a || best.b || chr(30))
+      FROM enc, LATERAL (
+        SELECT a, b FROM ranks
+        WHERE strpos(enc.s, chr(31) || a || chr(30)
+                                || chr(31) || b || chr(30)) > 0
+        ORDER BY rank LIMIT 1) best),
+    fin AS (
+      SELECT word, s FROM (
+        SELECT word, s,
+               row_number() OVER (PARTITION BY word ORDER BY step DESC) rn
+        FROM enc) WHERE rn = 1),
+    wtok AS (
+      SELECT word,
+             (length(s) - length(replace(s, chr(30), '')))::bigint AS toks
+      FROM fin),
+    tok AS (
+      SELECT d.doc_id AS id, d.doc_id % 8 AS shard,
+             coalesce(sum(dw.n * wtok.toks), 0)::bigint AS tokens
+      FROM documents d
+      LEFT JOIN dw ON dw.doc_id = d.doc_id
+      LEFT JOIN wtok ON wtok.word = dw.word
+      GROUP BY 1, 2),
+    off AS (
+      SELECT id, shard, tokens,
+             coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                 AS start_offset
+      FROM tok)
+    SELECT id, shard, tokens, start_offset,
+           (start_offset // 512)::bigint AS pack_id
+    FROM off
+    """
+
+
+@register("pack_token_budget_bpe2", oracle=_BPE2_ORACLE)
 def pack_token_budget_bpe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing budgeted on REAL trained-BPE counts (r4 verdict item 5):
     `bpe.bpe_train` learns 200 merges from the hash-ordered corpus
     sample, `bpe_token_count_trained` applies them in an Arrow kernel
     with a per-batch word memo, and the document-preserving
     shard/cumsum/boundary plan cuts 512-token windows on those counts.
-    The merge-apply loop has no SQL twin, so this row is rows-only by
-    design (the `j2_fuzzy_difflib` convention); the kernel's counts are
-    value-pinned in tests/test_ops.py against an independent reference
-    BPE implementation, and the regex-proxy `pack_token_budget_bpe`
-    keeps the fully-oracled twin of the plan shape."""
+    r5: VALUE-ORACLED — `_BPE2_ORACLE` replays the full trainer (200
+    merge iterations as a recursive CTE over the wrapped-symbol
+    vocabulary, tuple tie-break intact) and the GPT-2 apply loop
+    (lowest-rank-pair recursion per distinct word) in pure DuckDB SQL,
+    so the hash match pins the trained merge table, every per-word
+    token count, and the packing assignment; the kernel stays
+    independently value-pinned in tests/test_ops.py."""
     from mistral_ocr_pipeline_spark.operators.bpe import (
         bpe_token_count_trained,
         bpe_train,
