@@ -1071,3 +1071,197 @@ def transcript_echo_incremental(
     )
     spine = base.filter(F.col("role") == "assistant").select("conv_id", "turn_idx")
     return _echo_assemble(spine, counts, flag_threshold)
+
+
+def transcript_spin_runs(
+    df: DataFrame, min_run: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Agent-loop ("spin") detection — the trace pathology where an agent
+    re-issues the same tool call and gets the same result back, burning
+    turns without progress.  A turn is CYCLIC when its normalized text
+    equals the previous turn's (period-1: verbatim retry storms) OR the
+    one before that (period-2: the call/result ping-pong a stuck agent
+    produces, where the repeat alternates between two texts).  Maximal
+    runs of consecutive cyclic turns with length ≥ ``min_run`` are spin
+    episodes; empty/NULL turns are never cyclic (nothing is looping).
+
+    Returns one row per conv_id: ``n_spin_runs`` (episodes ≥ min_run),
+    ``max_spin_run`` (longest cyclic run, 0 if none), ``spin_turns``
+    (turns inside qualifying episodes — the rows a curation pass would
+    mask or drop), ``is_spinning``.
+
+    Text equality compares md5 digests of the normalized turn text, so
+    the conv_id window moves 32-char digests, never transcripts; the
+    lag/lag2 probes, the island grouping, and both aggregations all
+    share ONE conv_id exchange (per-conversation state bounded by the
+    conversation's own turn count, the extraction pipeline's scale
+    contract).  Windows break turn_idx ties (retry storms duplicate
+    indices) on the digest, so the output is a deterministic function
+    of the input multiset."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx", "_k")
+    key = F.md5(norm_key_col(F.coalesce(F.col(text_col), F.lit(""))))
+    empty = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
+    keyed = df.select(
+        "conv_id", "turn_idx", key.alias("_k"), empty.alias("_e")
+    )
+    cyc = (
+        (F.col("_k") == F.lag("_k", 1).over(w))
+        | (F.col("_k") == F.lag("_k", 2).over(w))
+    ) & ~F.col("_e")
+    flagged = keyed.select(
+        "conv_id",
+        "turn_idx",
+        "_k",
+        F.coalesce(cyc, F.lit(False)).alias("_cyc"),
+    )
+    # island grouping: new group whenever the cyclic flag changes
+    # (staged — the change flag is itself a lag, and Spark rejects a
+    # window expression nested inside another window aggregate)
+    stamped = flagged.select(
+        "conv_id",
+        "turn_idx",
+        "_k",
+        "_cyc",
+        F.when(
+            F.lag("_cyc").over(w).isNull()
+            | (F.col("_cyc") != F.lag("_cyc").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    grouped = stamped.select(
+        "conv_id",
+        "_cyc",
+        F.sum("_chg")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("_grp"),
+    )
+    runs = (
+        grouped.filter(F.col("_cyc"))
+        .groupBy("conv_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    per_conv = runs.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("_len") >= min_run, 1).otherwise(0))
+        .cast("long")
+        .alias("n_spin_runs"),
+        F.max("_len").cast("long").alias("max_spin_run"),
+        F.sum(F.when(F.col("_len") >= min_run, F.col("_len")).otherwise(0))
+        .cast("long")
+        .alias("spin_turns"),
+    )
+    convs = df.select("conv_id").distinct()
+    return convs.join(per_conv, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_spin_runs", F.lit(0)).alias("n_spin_runs"),
+        F.coalesce("max_spin_run", F.lit(0)).alias("max_spin_run"),
+        F.coalesce("spin_turns", F.lit(0)).alias("spin_turns"),
+        (F.coalesce("n_spin_runs", F.lit(0)) > 0).alias("is_spinning"),
+    )
+
+
+def transcript_truncation_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Conversation-ending audit — the gate that keeps ABANDONED or
+    CUT-OFF sessions out of an SFT corpus: a conversation whose final
+    turn is a user message has no target to train on, and a final
+    assistant turn that stops without terminal punctuation is the
+    classic mid-generation kill (client disconnect, token-limit cut).
+
+    One row per conv_id: ``n_turns``, ``last_turn_idx``, ``last_role``,
+    ``ends_with_user``, ``last_turn_empty``, and ``ends_midsentence``
+    (final normalized text is non-empty and does not end in one of
+    ``. ! ? … " ' ) ] `` — the terminal-punctuation class).
+
+    W1 best-per-group shape: one conv_id window picks the max-turn row
+    while the count aggregates over the same exchange; only the final
+    turn's text is inspected, and nothing corpus-sized re-shuffles.
+    turn_idx ties break on (role, normalized text) so duplicated
+    indices still yield a deterministic final-turn pick."""
+    norm = F.trim(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")
+    )
+    pre = df.select("conv_id", "turn_idx", "role", norm.alias("_t"))
+    w = W.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").desc(), F.col("role").desc(), F.col("_t").desc()
+    )
+    ranked = pre.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "_t",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            W.partitionBy("conv_id").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n_turns"),
+    )
+    last = ranked.filter(F.col("_rn") == 1)
+    terminal = F.col("_t").rlike("[.!?…\"')\\]]$")
+    return last.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("turn_idx").alias("last_turn_idx"),
+        F.col("role").alias("last_role"),
+        (F.col("role") == "user").alias("ends_with_user"),
+        (F.col("_t") == "").alias("last_turn_empty"),
+        ((F.col("_t") != "") & ~terminal).alias("ends_midsentence"),
+    )
+
+
+def transcript_tail_trim(
+    df: DataFrame, budget: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Context-window tail trim — keep the longest SUFFIX of each
+    conversation that fits a token budget, cutting only at turn
+    boundaries (the standard "fit chat history into the model's
+    context" preparation before SFT rendering or inference replay).
+    The FINAL turn always survives even if it alone exceeds the budget
+    (a sample with no final turn is no sample at all); earlier turns
+    survive while the running suffix total stays ≤ ``budget``.
+
+    Returns every turn: (conv_id, turn_idx, role, tokens,
+    suffix_tokens, kept) where ``suffix_tokens`` is the whitespace-token
+    total of this turn plus everything after it in the conversation —
+    so ``kept = (suffix_tokens <= budget) OR last turn`` and the
+    per-conversation drop count is auditable downstream.
+
+    One conv_id window in DESCENDING turn order computes the reverse
+    cumulative sum; tokens ride as a long per turn, so the shuffle
+    carries (conv_id, turn_idx, role, tokens) and the text column never
+    leaves the scan.  turn_idx ties break on (role, tokens): any
+    remaining tie is between indistinguishable rows, so the output
+    multiset stays deterministic."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    w = W.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").desc(), F.col("role").desc(), F.col("tokens").desc()
+    )
+    base = df.select(
+        "conv_id", "turn_idx", "role", toks.alias("tokens")
+    )
+    ranked = base.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tokens",
+        F.sum("tokens")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("suffix_tokens"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    return ranked.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tokens",
+        "suffix_tokens",
+        (
+            (F.col("suffix_tokens") <= budget) | (F.col("_rn") == 1)
+        ).alias("kept"),
+    )

@@ -11265,3 +11265,193 @@ def echo_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = base.filter(F.col("turn_idx") >= 7)
     index = build_echo_index(hist, k=5, source_roles=("user",))
     return append_op(index, batch, k=5, source_roles=("user",))
+
+
+# --------------------------------------------------------------------------
+# agent-trace pathology gates (r5 late): spin loops, truncated sessions,
+# context-window tail trim
+# --------------------------------------------------------------------------
+_SPIN_FIXTURE_SQL = """
+    SELECT doc_id,
+           CASE WHEN (doc_id % 50) % 3 = 0
+                     AND (doc_id // 50) BETWEEN 2 AND 5
+                THEN 'retry search {"q": 42}'
+                WHEN (doc_id % 50) % 3 = 1 AND (doc_id // 50) >= 4
+                THEN (CASE WHEN (doc_id // 50) % 2 = 0
+                           THEN 'PING' ELSE 'PONG' END)
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _spin_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts with injected loop pathologies: every conv≡0 (mod 3)
+    repeats one tool call verbatim on turns 2-5 (period-1 retry storm);
+    every conv≡1 alternates PING/PONG from turn 4 on (the period-2
+    call/result cycle a stuck agent produces); conv≡2 stays natural."""
+    conv = F.col("doc_id") % 50
+    turn = F.floor(F.col("doc_id") / 50)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            (conv % 3 == 0) & turn.between(2, 5),
+            F.lit('retry search {"q": 42}'),
+        )
+        .when(
+            (conv % 3 == 1) & (turn >= 4),
+            F.when(turn % 2 == 0, F.lit("PING")).otherwise(F.lit("PONG")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return transcripts_from_documents(docs)
+
+
+@register(
+    "transcript_spin_runs",
+    oracle=f"""
+    WITH d AS ({_SPIN_FIXTURE_SQL}),
+    t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx, text
+      FROM d),
+    k AS (
+      SELECT conv_id, turn_idx,
+             md5(coalesce({_KEY.format(c='text')}, '')) AS k,
+             trim(coalesce(text, '')) = '' AS e
+      FROM t),
+    c AS (
+      SELECT conv_id, turn_idx, k,
+             coalesce(((k = lag(k, 1) OVER w) OR (k = lag(k, 2) OVER w))
+                          AND NOT e,
+                      FALSE) AS cyc
+      FROM k WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, k)),
+    s AS (
+      SELECT conv_id, turn_idx, k, cyc,
+             CASE WHEN lag(cyc) OVER w IS NULL
+                       OR cyc != lag(cyc) OVER w THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, k)),
+    g AS (
+      SELECT conv_id, cyc,
+             sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx, k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM s),
+    runs AS (
+      SELECT conv_id, grp, count(*)::bigint AS len
+      FROM g WHERE cyc GROUP BY conv_id, grp),
+    per AS (
+      SELECT conv_id,
+             sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END)::bigint AS n_spin_runs,
+             max(len)::bigint AS max_spin_run,
+             sum(CASE WHEN len >= 2 THEN len ELSE 0 END)::bigint AS spin_turns
+      FROM runs GROUP BY conv_id)
+    SELECT t.conv_id,
+           coalesce(per.n_spin_runs, 0)::bigint AS n_spin_runs,
+           coalesce(per.max_spin_run, 0)::bigint AS max_spin_run,
+           coalesce(per.spin_turns, 0)::bigint AS spin_turns,
+           coalesce(per.n_spin_runs, 0) > 0 AS is_spinning
+    FROM (SELECT DISTINCT conv_id FROM t) t
+    LEFT JOIN per USING (conv_id)
+    """,
+)
+def transcript_spin_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection (`transcript_qc.transcript_spin_runs`) over
+    the injected-pathology fixture: period-1 retry storms AND period-2
+    ping-pong cycles both surface through the lag/lag2 digest probe +
+    island runs; natural conversations report zero episodes.  The
+    oracle replays the full window chain."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_spin_runs as op,
+    )
+
+    return op(_spin_fixture(spark, sf_dir), min_run=2)
+
+
+@register(
+    "transcript_truncation_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) AS text
+      FROM documents),
+    t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text
+      FROM d),
+    p AS (
+      SELECT conv_id, turn_idx, role,
+             trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS nt
+      FROM t),
+    r AS (
+      SELECT conv_id, turn_idx, role, nt,
+             row_number() OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx DESC, role DESC, nt DESC) AS rn,
+             count(*) OVER (PARTITION BY conv_id)::bigint AS n_turns
+      FROM p)
+    SELECT conv_id, n_turns, turn_idx AS last_turn_idx, role AS last_role,
+           role = 'user' AS ends_with_user,
+           nt = '' AS last_turn_empty,
+           (nt != '' AND NOT regexp_matches(nt, '[.!?…"'')\\]]$'))
+               AS ends_midsentence
+    FROM r WHERE rn = 1
+    """,
+)
+def transcript_truncation_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandoned/cut-off session gate
+    (`transcript_qc.transcript_truncation_audit`): terminal punctuation
+    appended to every even source row so both `ends_midsentence`
+    branches fire, and the formulaic role layout makes a quarter of
+    conversations end on a user turn.  W1 max-turn pick + same-exchange
+    count, replayed verbatim."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_truncation_audit as op,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    return op(transcripts_from_documents(docs))
+
+
+@register(
+    "transcript_tail_trim",
+    oracle=f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    b AS (
+      SELECT conv_id, turn_idx, role,
+             (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+'))
+              END)::bigint AS tokens
+      FROM t),
+    r AS (
+      SELECT conv_id, turn_idx, role, tokens,
+             sum(tokens) OVER w AS suffix_tokens,
+             row_number() OVER w AS rn
+      FROM b WINDOW w AS (PARTITION BY conv_id
+          ORDER BY turn_idx DESC, role DESC, tokens DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT conv_id, turn_idx, role, tokens,
+           suffix_tokens::bigint AS suffix_tokens,
+           (suffix_tokens <= 256 OR rn = 1) AS kept
+    FROM r
+    """,
+)
+def transcript_tail_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window tail trim (`transcript_qc.transcript_tail_trim`,
+    budget 256): the longest turn-boundary suffix of each conversation
+    that fits the budget survives (final turn always kept) — the chat
+    history preparation before SFT rendering.  Reverse-cumsum window
+    replayed exactly; fixture conversations total ~300-700 tokens, so
+    every conversation exercises both kept and dropped turns."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_tail_trim as op,
+    )
+
+    return op(
+        transcripts_from_documents(_t(spark, sf_dir, "documents")), budget=256
+    )

@@ -774,3 +774,150 @@ class TestScriptMismatch:
         assert not rd.script_mismatch and rd.n_user_scripts == 0
         re_ = out["e"]
         assert not re_.script_mismatch and re_.n_asst_scripts == 0
+
+
+class TestSpinRuns:
+    def _out(self, spark, rows, **kw):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_spin_runs,
+        )
+
+        return {
+            r.conv_id: r
+            for r in transcript_spin_runs(_df(spark, rows), **kw).collect()
+        }
+
+    def test_period1_retry_storm(self, spark):
+        rows = [("a", i, "tool", "same call", None, None) for i in range(4)]
+        rows += [("a", 4, "assistant", "done", None, None)]
+        out = self._out(spark, rows)
+        # turns 1,2,3 are cyclic (lag1 match) → one run of 3
+        a = out["a"]
+        assert (a.n_spin_runs, a.max_spin_run, a.spin_turns, a.is_spinning) == (
+            1, 3, 3, True,
+        )
+
+    def test_period2_ping_pong(self, spark):
+        texts = ["call A", "result B", "call A", "result B", "call A"]
+        rows = [("a", i, "assistant", t, None, None) for i, t in enumerate(texts)]
+        out = self._out(spark, rows)
+        # turns 2,3,4 match lag2 → run of 3
+        a = out["a"]
+        assert (a.n_spin_runs, a.max_spin_run, a.spin_turns) == (1, 3, 3)
+
+    def test_clean_conversation_zero(self, spark):
+        rows = [("a", i, "user", f"turn {i}", None, None) for i in range(6)]
+        a = self._out(spark, rows)["a"]
+        assert (a.n_spin_runs, a.max_spin_run, a.spin_turns, a.is_spinning) == (
+            0, 0, 0, False,
+        )
+
+    def test_empty_turns_never_cycle(self, spark):
+        rows = [("a", i, "tool", "", None, None) for i in range(5)]
+        rows += [("b", 0, "tool", None, None, None), ("b", 1, "tool", None, None, None)]
+        out = self._out(spark, rows)
+        assert not out["a"].is_spinning and not out["b"].is_spinning
+
+    def test_min_run_threshold_and_max_reporting(self, spark):
+        # one cyclic turn only (run len 1): below min_run=2 — reported in
+        # max_spin_run but not in n_spin_runs/spin_turns
+        rows = [
+            ("a", 0, "user", "x", None, None),
+            ("a", 1, "user", "x", None, None),
+            ("a", 2, "user", "y", None, None),
+        ]
+        a = self._out(spark, rows)["a"]
+        # spin_turns counts only QUALIFYING episodes; max reports any run
+        assert (a.n_spin_runs, a.max_spin_run, a.spin_turns, a.is_spinning) == (
+            0, 1, 0, False,
+        )
+
+    def test_normalization_case_and_punct(self, spark):
+        rows = [
+            ("a", 0, "tool", "Retry: NOW!", None, None),
+            ("a", 1, "tool", "retry now", None, None),
+            ("a", 2, "tool", "RETRY   now", None, None),
+        ]
+        a = self._out(spark, rows)["a"]
+        assert a.is_spinning and a.max_spin_run == 2
+
+
+class TestTruncationAudit:
+    def _out(self, spark, rows):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_truncation_audit,
+        )
+
+        return {
+            r.conv_id: r
+            for r in transcript_truncation_audit(_df(spark, rows)).collect()
+        }
+
+    def test_flags(self, spark):
+        rows = [
+            ("user_end", 0, "assistant", "Hello.", None, None),
+            ("user_end", 1, "user", "And then?", None, None),
+            ("cut", 0, "user", "Hi.", None, None),
+            ("cut", 1, "assistant", "The answer is that we", None, None),
+            ("clean", 0, "user", "Hi.", None, None),
+            ("clean", 1, "assistant", "Done!", None, None),
+            ("empty_end", 0, "user", "Hi.", None, None),
+            ("empty_end", 1, "assistant", "   ", None, None),
+        ]
+        out = self._out(spark, rows)
+        ue = out["user_end"]
+        assert ue.ends_with_user and not ue.ends_midsentence and ue.n_turns == 2
+        cut = out["cut"]
+        assert cut.ends_midsentence and not cut.ends_with_user
+        assert cut.last_role == "assistant" and cut.last_turn_idx == 1
+        clean = out["clean"]
+        assert not clean.ends_midsentence and not clean.last_turn_empty
+        ee = out["empty_end"]
+        assert ee.last_turn_empty and not ee.ends_midsentence
+
+    def test_terminal_punctuation_classes(self, spark):
+        enders = ['Yes.', 'Yes!', 'Maybe?', 'quote"', "quote'", "paren)", "bracket]"]
+        rows = [(f"c{i}", 0, "assistant", t, None, None) for i, t in enumerate(enders)]
+        rows.append(("mid", 0, "assistant", "ends with word", None, None))
+        out = self._out(spark, rows)
+        assert all(not out[f"c{i}"].ends_midsentence for i in range(len(enders)))
+        assert out["mid"].ends_midsentence
+
+
+class TestTailTrim:
+    def _out(self, spark, rows, **kw):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_tail_trim,
+        )
+
+        return transcript_tail_trim(_df(spark, rows), **kw).collect()
+
+    def test_suffix_cut_at_turn_boundary(self, spark):
+        rows = [
+            ("a", 0, "user", "one two three", None, None),      # 3 toks
+            ("a", 1, "assistant", "four five", None, None),      # 2
+            ("a", 2, "user", "six", None, None),                 # 1
+        ]
+        out = {r.turn_idx: r for r in self._out(spark, rows, budget=3)}
+        # suffixes: turn2=1, turn1=3, turn0=6 → keep turns 1,2
+        assert [out[i].kept for i in (0, 1, 2)] == [False, True, True]
+        assert [out[i].suffix_tokens for i in (0, 1, 2)] == [6, 3, 1]
+
+    def test_final_turn_always_survives(self, spark):
+        rows = [
+            ("a", 0, "user", "a b", None, None),
+            ("a", 1, "assistant", "one two three four five six", None, None),
+        ]
+        out = {r.turn_idx: r for r in self._out(spark, rows, budget=4)}
+        assert out[1].kept and not out[0].kept
+
+    def test_empty_and_null_turns_cost_zero(self, spark):
+        rows = [
+            ("a", 0, "user", "w1 w2 w3 w4", None, None),
+            ("a", 1, "tool", None, None, None),
+            ("a", 2, "tool", "   ", None, None),
+            ("a", 3, "assistant", "w5", None, None),
+        ]
+        out = {r.turn_idx: r for r in self._out(spark, rows, budget=5)}
+        assert [out[i].tokens for i in range(4)] == [4, 0, 0, 1]
+        assert all(out[i].kept for i in range(4))
