@@ -806,3 +806,65 @@ class TestLateR5Plans:
         plan = _plan(skipgram_pairs(docs))
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestAgentPathologyPlans:
+    """Plan-shape guards for the agent-trace pathology gates (r5 final):
+    every pass is pure Catalyst (no Python nodes), never cartesian, and
+    pays the minimum number of conv_id exchanges — the window chain and
+    every downstream groupBy share one partitioning because grouping
+    keys are supersets of the window key."""
+
+    def _transcripts(self, spark):
+        import datetime as dt
+
+        rows = [
+            (f"c{i % 4}", i // 4, ["user", "assistant"][i % 2], f"text {i}",
+             None, dt.datetime(2024, 1, 1, second=i % 60))
+            for i in range(64)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    def test_spin_runs_two_exchanges_no_python(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_spin_runs,
+        )
+
+        plan = _plan(transcript_spin_runs(self._transcripts(spark)))
+        # one exchange feeds the lag/island window chain AND both
+        # run-length groupBys (superset grouping keys reuse it); the
+        # second is the distinct conv spine — nothing else shuffles
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_truncation_audit_single_exchange(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_truncation_audit,
+        )
+
+        plan = _plan(transcript_truncation_audit(self._transcripts(spark)))
+        # the max-turn pick and the same-conv count share ONE window
+        # exchange (W1 shape)
+        assert plan.count("Exchange") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_tail_trim_single_exchange_no_text_on_shuffle(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_tail_trim,
+        )
+
+        out = transcript_tail_trim(self._transcripts(spark))
+        plan = _plan(out)
+        assert plan.count("Exchange") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        # tokens are computed scan-side: the exchange input carries the
+        # token count, not the turn text
+        import re
+
+        m = re.search(r"Exchange hashpartitioning[^\n]*", plan)
+        assert m and "text" not in m.group(0), plan
