@@ -2524,3 +2524,171 @@ def tokenizer_fertility(
             ).alias("chars_per_token_r6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Logistic-regression quality classifier — trained by unrolled gradient
+# descent, every step engine-replayable
+# --------------------------------------------------------------------------
+def _round_away(x: float) -> int:
+    """Ties-away-from-zero rounding with EXACT decimal semantics on the
+    double's true binary value — the same answer as Spark's
+    ``F.round(_, 0)`` (BigDecimal HALF_UP) and DuckDB's ``round()``, so
+    a weight update computed on the driver replays bit-identically in
+    both engines (``floor(x+0.5)`` is NOT safe here: for |x| large
+    enough, x+0.5 can round across the tie before floor sees it)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def lr_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    train_col: str,
+    text_col: str = "text",
+    n_buckets: int = 16,
+    n_iters: int = 6,
+    lr: float = 4.0,
+) -> DataFrame:
+    """Binary logistic regression over hashed-unigram FREQUENCY features,
+    trained by ``n_iters`` full-batch gradient-descent steps — the
+    iterated-trainer counterpart of `nb_quality_classifier` (closed
+    form) and the third engine-replayable trainer in the repo after
+    unrolled-Lloyd k-means and the BPE merge loop: every training pass
+    is plain relational algebra, so the WHOLE fit — not just the
+    scoring — replays in any engine.
+
+    Numeric parity discipline (cf. `nb_quality_classifier`,
+    `similarity._kmeans_centroids`):
+
+    * features are integer micro-units: f_b = round(count_b/n · 1e6),
+      a bias feature is the constant 1e6;
+    * weights are integer micro-units, so every margin is an EXACT
+      bigint Σ w_b·f_b (+ w_bias·1e6) in 1e-12 units — order-independent
+      by integer addition, |margin| ≪ 2⁵³ so the one float division
+      that produces m is correctly rounded everywhere;
+    * the activation is the FAST SIGMOID σ̃(m) = 0.5 + 0.5·m/(1+|m|) —
+      add/mul/div/abs only, all IEEE-correctly-rounded, where exp()
+      would be libm-dependent (the `temperature_allocation` rule);
+    * per-row gradient contributions round to micro ints BEFORE the
+      cross-row sum (g_b = round((σ̃(m)−y)·f_b), bigint Σ), and the
+      driver applies w_b ← w_b − round(lr·G_b/n_train) with exact
+      HALF_UP decimal semantics (`_round_away`) — each iteration ends
+      in integers, so float drift can never accumulate across steps.
+
+    Plan shape at scale: featurization is MAP-ONLY (the dense
+    ``n_buckets``-vector is built per row with array higher-order
+    functions — no explode, no shuffle); each GD step is one
+    posexplode → map-side-combined sum collapsing to ``n_buckets``
+    rows; scoring is one map-only projection with the trained weights
+    as an array literal.  ``n_iters`` passes over a persisted feature
+    frame — textbook distributed full-batch LR.  Zero UDFs.
+
+    Returns (id_col, is_train, label, pred, n_grams, score) — the
+    `nb_quality_classifier` output contract, score = margin rounded to
+    6 dp."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    # coalesce: norm_key(NULL) is NULL → size(NULL) would null n_grams
+    toks = F.filter(
+        F.split(norm_key_col(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    bkts = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    n = F.size(F.col("_bs"))
+    fvec = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.when(
+            n > 0,
+            F.round(
+                F.size(F.filter(F.col("_bs"), lambda b: b == i.cast("long")))
+                / n
+                * F.lit(1e6),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    feats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("boolean").alias("label"),
+            F.col(train_col).cast("boolean").alias("is_train"),
+            bkts.alias("_bs"),
+        )
+        .select(
+            "id",
+            "label",
+            "is_train",
+            F.col("label").cast("double").alias("_y"),
+            n.cast("long").alias("_n"),
+            fvec.alias("_f"),
+        )
+        .persist()
+    )
+    n_train = feats.filter("is_train").count()
+
+    def margin_p12(warr: Column, wb: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(warr, F.col("_f"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return dot + F.lit(int(wb) * 1_000_000).cast("long")
+
+    def fast_sigmoid(m: Column) -> Column:
+        return F.lit(0.5) + F.lit(0.5) * m / (F.lit(1.0) + F.abs(m))
+
+    w = [0] * n_buckets
+    wb = 0
+    for _ in range(max(0, int(n_iters)) if n_train > 0 else 0):
+        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        m = (margin_p12(warr, wb) / F.lit(1e12)).alias("_m")
+        resid = (fast_sigmoid(F.col("_m")) - F.col("_y")).alias("_r")
+        g = (
+            feats.filter("is_train")
+            .select(m, "_y", "_f")
+            .select(resid, "_f")
+            .select(
+                F.posexplode(
+                    F.concat(
+                        F.transform(
+                            F.col("_f"),
+                            lambda fm: F.round(F.col("_r") * fm, 0).cast(
+                                "long"
+                            ),
+                        ),
+                        F.array(
+                            F.round(F.col("_r") * F.lit(1e6), 0).cast("long")
+                        ),
+                    )
+                )
+            )
+            .groupBy("pos")
+            .agg(F.sum("col").alias("G"))
+            .collect()
+        )
+        G = {r["pos"]: r["G"] for r in g}
+        w = [
+            w[j] - _round_away(lr * G.get(j, 0) / n_train)
+            for j in range(n_buckets)
+        ]
+        wb = wb - _round_away(lr * G.get(n_buckets, 0) / n_train)
+
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    mp12 = margin_p12(warr, wb)
+    return feats.select(
+        F.col("id").alias(id_col),
+        "is_train",
+        "label",
+        (mp12 > 0).alias("pred"),
+        F.col("_n").alias("n_grams"),
+        F.round(mp12 / F.lit(1e12), 6).alias("score"),
+    )

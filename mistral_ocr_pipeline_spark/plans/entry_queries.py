@@ -11455,3 +11455,114 @@ def transcript_tail_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(
         transcripts_from_documents(_t(spark, sf_dir, "documents")), budget=256
     )
+
+
+# --------------------------------------------------------------------------
+# logistic-regression quality filter — unrolled-GD training replayed in SQL
+# --------------------------------------------------------------------------
+def _lr_model_sql(n_buckets: int = 16, n_iters: int = 6, lr: float = 4.0) -> str:
+    """CTE block replaying `text_analysis.lr_quality_classifier` over a
+    labeled relation ``lab(id, text, label, is_train)`` — emits
+    ``lrscored(doc_id, is_train, label, pred, n_grams, score)``.  Each
+    of the ``n_iters`` gradient steps is UNROLLED (the `_ivf_training_
+    ctes` convention): margins are exact bigint dot products of
+    micro-unit weights and features, the fast sigmoid is add/mul/div/abs
+    only, per-row gradient contributions round to micro ints before the
+    cross-row sum, and the weight update re-rounds to integers — so both
+    engines re-synchronize to the SAME integer state every iteration and
+    float drift cannot accumulate.  Assumes ≥1 training row (the labeled
+    fixtures guarantee it; the Spark side skips training when empty)."""
+    nb, p12 = n_buckets, "1000000000000.0"
+    key = _KEY.format(c="text")
+    parts = [
+        f"""lrtk AS (
+      SELECT id, label, is_train,
+             list_filter(string_split(coalesce({key}, ''), ' '),
+                         x -> x != '') AS ts
+      FROM lab),
+    lrfb AS (
+      SELECT id, label, is_train, len(ts)::BIGINT AS n,
+             list_transform(ts, t ->
+                 (('0x' || substring(md5(t), 1, 8))::UBIGINT % {nb})::BIGINT)
+                 AS bs
+      FROM lrtk),
+    lrft AS (
+      SELECT id, label, is_train,
+             (CASE WHEN label THEN 1.0 ELSE 0.0 END) AS y, n,
+             list_transform(generate_series(0, {nb - 1}),
+                 i -> CASE WHEN n > 0
+                      THEN round(len(list_filter(bs, b -> b = i))
+                                 / n * 1000000.0)::BIGINT
+                      ELSE 0::BIGINT END) AS f
+      FROM lrfb),
+    lrnt AS (SELECT count(*)::BIGINT AS nt FROM lrft WHERE is_train),
+    lrw0 AS (SELECT list_transform(generate_series(0, {nb - 1}),
+                                   i -> 0::BIGINT) AS w,
+                    0::BIGINT AS wb)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(f"""lrm{k} AS (
+      SELECT f.id, f.y, f.f,
+             (list_sum(list_transform(generate_series(1, {nb}),
+                                      j -> w.w[j] * f.f[j]))
+                  + w.wb * 1000000)::BIGINT AS mp
+      FROM lrft f CROSS JOIN lrw{k - 1} w WHERE f.is_train),
+    lrr{k} AS (
+      SELECT id, f,
+             (0.5 + 0.5 * (mp / {p12}) / (1 + abs(mp / {p12}))) - y AS r
+      FROM lrm{k}),
+    lrg{k} AS (
+      SELECT j, sum(round(r * (CASE WHEN j <= {nb} THEN f[j]
+                                    ELSE 1000000 END))::BIGINT)::BIGINT AS g
+      FROM lrr{k}, unnest(generate_series(1, {nb + 1})) s(j)
+      GROUP BY j),
+    lrgl{k} AS (SELECT list(g ORDER BY j) AS gs FROM lrg{k}),
+    lrw{k} AS (
+      SELECT list_transform(generate_series(1, {nb}),
+                 j -> (w.w[j] - round({lr} * gl.gs[j] / nt.nt))::BIGINT) AS w,
+             (w.wb - round({lr} * gl.gs[{nb + 1}] / nt.nt))::BIGINT AS wb
+      FROM lrw{k - 1} w CROSS JOIN lrgl{k} gl CROSS JOIN lrnt nt)""")
+    parts.append(f"""lrsc AS (
+      SELECT f.id, f.is_train, f.label, f.n,
+             (list_sum(list_transform(generate_series(1, {nb}),
+                                      j -> w.w[j] * f.f[j]))
+                  + w.wb * 1000000)::BIGINT AS mp
+      FROM lrft f CROSS JOIN lrw{n_iters} w),
+    lrscored AS (
+      SELECT id AS doc_id, is_train, label,
+             mp > 0 AS pred,
+             n AS n_grams,
+             round(mp / {p12}, 6) AS score
+      FROM lrsc)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_lr_quality",
+    oracle=f"""
+    WITH {_NB_LABEL_SQL},
+    {_lr_model_sql(16, 6, 4.0)}
+    SELECT doc_id, is_train, label, pred, n_grams, score FROM lrscored
+    """,
+)
+def text_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter with an ITERATED trainer
+    (`text_analysis.lr_quality_classifier`): the same surprisal-median
+    pseudo-labeled spine and 70% content-hash split as `text_nb_quality`,
+    but fit by 6 full-batch gradient-descent steps over hashed-unigram
+    frequency features instead of the NB closed form — the third
+    engine-replayable trainer in the repo (after unrolled-Lloyd k-means
+    and the BPE merge loop).  The oracle unrolls all 6 steps: micro-unit
+    integer weights/features, exact bigint margins, fast-sigmoid
+    residuals (no libm), per-row micro-rounded gradients — the hash
+    match pins every intermediate weight vector, every per-doc score,
+    and every decision, train and held-out alike."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        lr_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return lr_quality_classifier(
+        _nb_labeled(docs), "doc_id", "label", "is_train",
+        n_buckets=16, n_iters=6, lr=4.0,
+    )

@@ -5537,3 +5537,165 @@ class TestRenderSft:
         assert (c1.n_turns, c1.n_trainable) == (4, 2)
         c2 = out["c2"]
         assert c2.train_spans == "" and c2.n_trainable == 0
+
+
+class TestLRQualityClassifier:
+    """`lr_quality_classifier` — unrolled-GD trainer: value-pin against
+    an independent pure-Python model (the BPE-kernel convention), plus
+    separability, evidence-free survival, and zero-train safety."""
+
+    def _reference(self, rows, nb=8, it=5, lr=4.0):
+        import hashlib
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def norm_key(t):
+            if t is None:
+                return ""
+            s = re.sub(r"[^\w\s/\-]", "", t.lower())
+            return re.sub(r"\s+", " ", s).strip()
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % nb
+
+        def rnd(x):
+            return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        feats = {}
+        for i, t, lab, tr in rows:
+            ts = [x for x in norm_key(t).split(" ") if x]
+            n = len(ts)
+            f = [
+                rnd(sum(1 for x in ts if bucket(x) == b) / n * 1e6) if n else 0
+                for b in range(nb)
+            ]
+            feats[i] = (f, n, 1.0 if lab else 0.0, bool(tr))
+        w, wb = [0] * nb, 0
+        ntr = sum(1 for v in feats.values() if v[3])
+        for _ in range(it if ntr else 0):
+            G = [0] * (nb + 1)
+            for f, n, y, tr in feats.values():
+                if not tr:
+                    continue
+                mp = sum(a * b for a, b in zip(w, f)) + wb * 1_000_000
+                m = mp / 1e12
+                r = (0.5 + 0.5 * m / (1.0 + abs(m))) - y
+                for j in range(nb):
+                    G[j] += rnd(r * f[j])
+                G[nb] += rnd(r * 1e6)
+            w = [w[j] - rnd(lr * G[j] / ntr) for j in range(nb)]
+            wb = wb - rnd(lr * G[nb] / ntr)
+        out = {}
+        for i, (f, n, y, tr) in feats.items():
+            mp = sum(a * b for a, b in zip(w, f)) + wb * 1_000_000
+            # F.round(double, 6) goes through BigDecimal.valueOf =
+            # Double.toString (SHORTEST round-trip repr), then HALF_UP;
+            # python's repr() is the same shortest representation, so
+            # Decimal(repr(x)) reproduces it exactly — Decimal(x) (exact
+            # binary value) sits below the decimal tie and diverges
+            s6 = float(
+                Decimal(repr(mp / 1e12)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            out[i] = (mp > 0, n, s6)
+        return out
+
+    def _rows(self):
+        good = "careful measured prose with varied structure and clarity"
+        bad = "buy now click here free offer winner cash prize deal"
+        return (
+            [(i, good + f" variant {i}", True, True) for i in range(8)]
+            + [(i + 8, bad + f" spam {i}", False, True) for i in range(8)]
+            + [(100, good + " unseen", True, False),
+               (101, bad + " unseen", False, False)]
+            + [(102, "", False, False), (103, None, False, False)]
+        )
+
+    def test_matches_independent_model_exactly(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            lr_quality_classifier,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(
+            rows, "id long, text string, label boolean, is_train boolean"
+        )
+        got = {
+            r.id: r
+            for r in lr_quality_classifier(
+                df, "id", "label", "is_train", n_buckets=8, n_iters=5, lr=4.0
+            ).collect()
+        }
+        ref = self._reference(rows)
+        assert len(got) == len(ref)
+        for i, (pred, n, score) in ref.items():
+            g = got[i]
+            assert (g.pred, g.n_grams, float(g.score)) == (pred, n, score), i
+
+    def test_separates_and_scores_heldout(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            lr_quality_classifier,
+        )
+
+        df = spark.createDataFrame(
+            self._rows(), "id long, text string, label boolean, is_train boolean"
+        )
+        out = {
+            r.id: r
+            for r in lr_quality_classifier(
+                df, "id", "label", "is_train", n_buckets=8, n_iters=5, lr=4.0
+            ).collect()
+        }
+        for i in range(8):
+            assert out[i].pred is True and out[i + 8].pred is False
+        assert out[100].pred is True and out[101].pred is False
+        # evidence-free docs survive and score exactly the bias
+        assert out[102].n_grams == 0 and out[103].n_grams == 0
+        assert out[102].score == out[103].score
+
+    def test_partition_invariance(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            lr_quality_classifier,
+        )
+
+        rows = self._rows()
+        a = spark.createDataFrame(
+            rows, "id long, text string, label boolean, is_train boolean"
+        )
+        one = sorted(
+            map(
+                tuple,
+                lr_quality_classifier(
+                    a, "id", "label", "is_train", n_buckets=8, n_iters=3
+                ).collect(),
+            )
+        )
+        many = sorted(
+            map(
+                tuple,
+                lr_quality_classifier(
+                    a.repartition(7), "id", "label", "is_train",
+                    n_buckets=8, n_iters=3,
+                ).collect(),
+            )
+        )
+        assert one == many
+
+    def test_no_train_rows_scores_zero(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            lr_quality_classifier,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "some text", True, False), (2, "other words", False, False)],
+            "id long, text string, label boolean, is_train boolean",
+        )
+        out = {
+            r.id: r
+            for r in lr_quality_classifier(
+                df, "id", "label", "is_train", n_buckets=8, n_iters=4
+            ).collect()
+        }
+        # untrained model: zero weights, zero bias -> score 0, pred False
+        assert all(r.score == 0.0 and r.pred is False for r in out.values())
