@@ -11566,3 +11566,60 @@ def text_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb_labeled(docs), "doc_id", "label", "is_train",
         n_buckets=16, n_iters=6, lr=4.0,
     )
+
+
+@register(
+    "text_lr_calibration",
+    oracle=f"""
+    WITH {_NB_LABEL_SQL},
+    {_lr_model_sql(16, 6, 4.0)},
+    pb AS (
+      SELECT label,
+             0.5 + 0.5 * score / (1 + abs(score)) AS p,
+             score
+      FROM lrscored WHERE NOT is_train),
+    bn AS (
+      SELECT least(floor(p * 10), 9)::BIGINT AS bin, label, score FROM pb)
+    SELECT bin,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           round(sum(CASE WHEN label THEN 1 ELSE 0 END) / count(*), 6)
+               AS pos_rate_r6,
+           round(avg(score), 6) AS mean_score_r6
+    FROM bn GROUP BY bin
+    """,
+)
+def text_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability report for the trained LR filter — the model-ops
+    query a production gate ships with: HELD-OUT rows only (calibration
+    on the train split flatters the model), fast-sigmoid probability
+    from the published 6-dp score, decile bins, observed positive rate
+    per bin.  Both engines compute the identical double for p (same
+    correctly-rounded formula on the same rounded score), so the bin
+    edges can never disagree; one tiny aggregation after the scoring
+    projection."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        lr_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lr_quality_classifier(
+        _nb_labeled(docs), "doc_id", "label", "is_train",
+        n_buckets=16, n_iters=6, lr=4.0,
+    )
+    p = F.lit(0.5) + F.lit(0.5) * F.col("score") / (
+        F.lit(1.0) + F.abs(F.col("score"))
+    )
+    return (
+        scored.filter(~F.col("is_train"))
+        .select("label", "score", F.least(F.floor(p * 10), F.lit(9)).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("label").cast("long")).alias("n_pos"),
+            F.round(
+                F.sum(F.col("label").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("pos_rate_r6"),
+            F.round(F.avg("score"), 6).alias("mean_score_r6"),
+        )
+    )

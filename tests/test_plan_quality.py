@@ -868,3 +868,31 @@ class TestAgentPathologyPlans:
 
         m = re.search(r"Exchange hashpartitioning[^\n]*", plan)
         assert m and "text" not in m.group(0), plan
+
+
+class TestLRClassifierPlan:
+    def test_scoring_is_map_only_over_cached_features(self, spark):
+        """The trained-LR scoring pass: a projection over the persisted
+        feature frame — zero exchanges, zero Python nodes, zero
+        Generate (the dense feature vector is array HOFs, not explode);
+        only the per-iteration gradient aggregations shuffle, and those
+        collapse map-side to n_buckets+1 rows."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            lr_quality_classifier,
+        )
+
+        rows = [
+            (i, f"tok{i} words here", i % 2 == 0, i % 3 != 0)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, text string, label boolean, is_train boolean"
+        )
+        out = lr_quality_classifier(
+            df, "id", "label", "is_train", n_buckets=8, n_iters=2
+        )
+        plan = _plan(out)
+        assert plan.count("Exchange") == 0, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "Generate" not in plan, plan
+        assert "InMemoryTableScan" in plan
