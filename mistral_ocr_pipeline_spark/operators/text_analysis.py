@@ -2692,3 +2692,81 @@ def lr_quality_classifier(
         F.col("_n").alias("n_grams"),
         F.round(mp12 / F.lit(1e12), 6).alias("score"),
     )
+
+
+def kn_bigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """(id, n_pairs, kn_surprisal) — mean −ln P(wᵢ|wᵢ₋₁) under an
+    INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995, the smoothing
+    KenLM uses — so this is the honest in-engine stand-in for CCNet's
+    perplexity filter, one rung above `bigram_surprisal`'s add-1):
+
+      P(cur|prev) = (c(prev,cur) − D)/ctx(prev)
+                    + D·N₁₊(prev·)/ctx(prev) · N₁₊(·cur)/N₁₊(··)
+
+    with discount D, N₁₊(prev·) the distinct continuations of prev,
+    N₁₊(·cur) the distinct HISTORIES of cur (the continuation
+    probability that makes "francisco" cheap only after "san"), and
+    N₁₊(··) the distinct-bigram total.  The LM is trained on the scored
+    corpus itself, so every scored bigram has c ≥ 1 and the discounted
+    term stays positive — no OOV floor needed; add-1 artifacts (common
+    words inflated after rare ones) are what the continuation term
+    fixes.
+
+    Same determinism discipline as `bigram_surprisal`: each bigram's
+    surprisal is micro-rounded in the VOCABULARY-sized table, per-doc
+    sums are order-independent bigints.  Plan shape: the c(prev,cur)
+    groupBy collapses map-side; the three count relations derive from it
+    (prev rollup, cur rollup, 1-row total); the probability table
+    broadcasts and scoring is one corpus shuffle keyed on doc id.  At
+    100 TB swap the broadcast for a shuffle hash join on (prev, cur) —
+    everything else unchanged.  Docs with < 2 tokens emit no row."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import norm_key_col
+
+    toks = F.filter(
+        F.split(norm_key_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+    pair_arr = F.when(
+        F.size("_ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ts") - 1),
+            lambda i: F.struct(
+                F.element_at("_ts", i).alias("prev"),
+                F.element_at("_ts", i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select("id", F.explode(pair_arr).alias("p")).select(
+        "id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    c2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("prev").agg(
+        F.sum("c2").alias("ctx"), F.count(F.lit(1)).alias("n1pf")
+    )
+    hist = c2.groupBy("cur").agg(F.count(F.lit(1)).alias("n1pb"))
+    tot = c2.agg(F.count(F.lit(1)).alias("n1pp"))
+    d = F.lit(float(discount))
+    p = (F.col("c2") - d) / F.col("ctx") + d * F.col("n1pf") / F.col(
+        "ctx"
+    ) * (F.col("n1pb") / F.col("n1pp"))
+    table = (
+        c2.join(ctx, "prev")
+        .join(hist, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev", "cur", F.round(-F.log(p) * F.lit(1e6), 0).cast("long").alias("micro")
+        )
+    )
+    return (
+        pairs.join(F.broadcast(table), ["prev", "cur"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("micro") / F.lit(1e6) / F.count(F.lit(1)), 6).alias(
+                "kn_surprisal"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_pairs", "kn_surprisal")
+    )

@@ -11623,3 +11623,49 @@ def text_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("score"), 6).alias("mean_score_r6"),
         )
     )
+
+
+@register(
+    "text_kn_surprisal",
+    oracle=f"""
+    WITH ktk AS (
+      SELECT doc_id AS id,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         x -> x != '') AS ts
+      FROM documents),
+    kpr AS (
+      SELECT id, ts[i] AS prev, ts[i + 1] AS cur
+      FROM ktk, unnest(generate_series(1, len(ts) - 1)) s(i)
+      WHERE len(ts) >= 2),
+    kc2 AS (SELECT prev, cur, count(*)::BIGINT AS c2 FROM kpr GROUP BY 1, 2),
+    kctx AS (SELECT prev, sum(c2)::BIGINT AS ctx, count(*)::BIGINT AS n1pf
+             FROM kc2 GROUP BY 1),
+    knb AS (SELECT cur, count(*)::BIGINT AS n1pb FROM kc2 GROUP BY 1),
+    ktot AS (SELECT count(*)::BIGINT AS n1pp FROM kc2),
+    ktab AS (
+      SELECT prev, cur,
+             round(-ln((c2 - 0.75) / ctx
+                       + 0.75 * n1pf / ctx * (n1pb / n1pp))
+                   * 1000000.0)::BIGINT AS micro
+      FROM kc2 JOIN kctx USING (prev) JOIN knb USING (cur) CROSS JOIN ktot)
+    SELECT id AS doc_id, count(*)::BIGINT AS n_pairs,
+           round(sum(micro) / 1000000.0 / count(*), 6) AS kn_surprisal
+    FROM kpr JOIN ktab USING (prev, cur)
+    GROUP BY id
+    """,
+)
+def text_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal per document
+    (`text_analysis.kn_bigram_surprisal`) — the KenLM-smoothing-class
+    fluency filter, one rung above the add-1 `text_bigram_surprisal`:
+    absolute discounting plus the continuation-probability backoff that
+    stops common-after-rare bigram artifacts.  Discounted counts,
+    continuation/history type counts, the distinct-bigram total, the
+    micro-unit probability table, and the per-doc bigint means all
+    replay in the oracle."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        kn_bigram_surprisal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_bigram_surprisal(docs, "doc_id")

@@ -5699,3 +5699,120 @@ class TestLRQualityClassifier:
         }
         # untrained model: zero weights, zero bias -> score 0, pred False
         assert all(r.score == 0.0 and r.pred is False for r in out.values())
+
+
+class TestKNBigramSurprisal:
+    """`kn_bigram_surprisal` — interpolated Kneser-Ney: exact value-pin
+    against an independent python model, the continuation-probability
+    property KN exists for, and the word-salad ordering check."""
+
+    def _reference(self, rows, D=0.75):
+        import math
+        import re
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def norm_key(t):
+            if t is None:
+                return ""
+            s = re.sub(r"[^\w\s/\-]", "", t.lower())
+            return re.sub(r"\s+", " ", s).strip()
+
+        def rnd(x):
+            return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        seqs = {i: [x for x in norm_key(t).split(" ") if x] for i, t in rows}
+        c2 = Counter()
+        for ts in seqs.values():
+            for a, b in zip(ts, ts[1:]):
+                c2[(a, b)] += 1
+        ctx, n1pf, n1pb = Counter(), Counter(), Counter()
+        for (a, b), c in c2.items():
+            ctx[a] += c
+            n1pf[a] += 1
+            n1pb[b] += 1
+        n1pp = len(c2)
+        micro = {
+            (a, b): rnd(
+                -math.log(
+                    (c - D) / ctx[a] + D * n1pf[a] / ctx[a] * (n1pb[b] / n1pp)
+                )
+                * 1e6
+            )
+            for (a, b), c in c2.items()
+        }
+        out = {}
+        for i, ts in seqs.items():
+            ms = [micro[(a, b)] for a, b in zip(ts, ts[1:])]
+            if not ms:
+                continue
+            s6 = float(
+                Decimal(repr(sum(ms) / 1e6 / len(ms))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            out[i] = (len(ms), s6)
+        return out
+
+    def test_matches_independent_model_exactly(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            kn_bigram_surprisal,
+        )
+
+        rows = [
+            (1, "san francisco is in california"),
+            (2, "new york is in new york state"),
+            (3, "francisco york new san"),
+            (4, "one"),          # < 2 tokens: no row
+            (5, ""),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r.id: (r.n_pairs, float(r.kn_surprisal))
+            for r in kn_bigram_surprisal(df, "id").collect()
+        }
+        ref = self._reference(rows)
+        assert got == ref
+        assert 4 not in got and 5 not in got and 6 not in got
+
+    def test_continuation_probability_property(self, spark):
+        """The KN point: a word that only ever follows ONE history
+        ("francisco" after "san") gets a LOW continuation probability,
+        so an unusual pairing with it is more surprising than with an
+        equally-frequent word seen after many histories."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            kn_bigram_surprisal,
+        )
+
+        corpus = [(i, "san francisco hosts events") for i in range(6)]
+        corpus += [
+            (10, "big data"), (11, "small data"), (12, "open data"),
+            (13, "raw data"), (14, "fast data"), (15, "new data"),
+        ]
+        # probes: same bigram count (1 each), same context word
+        corpus += [(20, "odd francisco"), (21, "odd data")]
+        df = spark.createDataFrame(corpus, "id long, text string")
+        got = {
+            r.id: float(r.kn_surprisal)
+            for r in kn_bigram_surprisal(df, "id").collect()
+        }
+        # "data" follows 7 distinct histories, "francisco" only 2 —
+        # continuation backoff makes odd+francisco the more surprising
+        assert got[20] > got[21]
+
+    def test_salad_scores_above_fluent(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            kn_bigram_surprisal,
+        )
+
+        fluent = "the quick brown fox jumps over the lazy dog"
+        rows = [(i, fluent) for i in range(1, 9)] + [
+            (9, "dog the over quick lazy fox brown jumps the")
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r.id: float(r.kn_surprisal)
+            for r in kn_bigram_surprisal(df, "id").collect()
+        }
+        assert got[9] > got[1]
