@@ -3,8 +3,10 @@
 
 Reads a documents table (id + text), runs the curation DAG the engine
 exposes as the ``curation_pipeline`` driver query — optional PII scrub →
-quality gate → exact-dedup keep-canonical → deterministic
-train/valid/test split → optional token-budget sequence packing — and
+quality gate → optional Kneser-Ney fluency cut (``--max-kn-surprisal``,
+the CCNet-perplexity-filter shape) → exact-dedup keep-canonical →
+deterministic train/valid/test split → optional token-budget sequence
+packing — and
 writes the kept corpus partitioned by split, plus a one-row-per-split
 rollup (and a per-shard pack assignment when packing is on).  Everything
 up to the writes is one Catalyst plan: the scrub is a map-side regex
@@ -39,6 +41,10 @@ def main() -> None:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--min-quality", type=float, default=0.05)
+    p.add_argument("--max-kn-surprisal", type=float, default=0.0,
+                   help="drop docs whose Kneser-Ney bigram surprisal "
+                        "exceeds this (0 = off; docs with <2 tokens "
+                        "carry no evidence and are kept)")
     p.add_argument("--weights", default="0.8,0.1,0.1",
                    help="train,valid,test split weights")
     p.add_argument("--scrub-pii", action="store_true",
@@ -90,6 +96,29 @@ def main() -> None:
             *(["lang"] if args.lang_col else []),
         )
     gated = quality_features(docs).filter(F.col("q_score") >= args.min_quality)
+    if args.max_kn_surprisal > 0:
+        # CCNet-style fluency cut on the rule-gated corpus: the KN
+        # bigram LM trains on the survivors themselves (the in-engine
+        # stand-in for a reference-corpus KenLM); docs too short to
+        # produce a bigram carry no evidence and pass.  The LM tables
+        # are vocabulary-sized; the score join is doc-keyed.
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            kn_bigram_surprisal,
+        )
+
+        kn = kn_bigram_surprisal(gated, "doc_id", "text").select(
+            "doc_id", "kn_surprisal"
+        )
+        gated = (
+            gated.join(kn, "doc_id", "left")
+            .filter(
+                F.coalesce(
+                    F.col("kn_surprisal") <= args.max_kn_surprisal,
+                    F.lit(True),
+                )
+            )
+            .drop("kn_surprisal")
+        )
     canon = gated.join(
         exact_dedup(gated, "doc_id", "text").filter("is_canonical"),
         gated["doc_id"] == F.col("id"),
@@ -156,6 +185,8 @@ def main() -> None:
     catalog.commit(updates)  # every output table publishes atomically
     summary = {r.split: (r.n, r.mean_q) for r in catalog.read("curation_rollup").collect()}
     out = {"input": args.input, "kept_by_split": summary}
+    if args.max_kn_surprisal > 0:
+        out["max_kn_surprisal"] = args.max_kn_surprisal
     if args.pack_budget > 0:
         n_packs = catalog.read("pack_stats").count()
         out["packs"] = n_packs

@@ -23,6 +23,9 @@ def test_curation_job_cli(tmp_path):
             "--unimax-budget-tokens", "4000",
             "--unimax-max-epochs", "2",
             "--pack-budget", "256",
+            # loose KN fluency cut: exercises the LM-score join without
+            # changing which fixture docs survive (all score well under 50)
+            "--max-kn-surprisal", "50.0",
         ],
         cwd="/root/repo", env=env, capture_output=True, text=True,
         timeout=400,
