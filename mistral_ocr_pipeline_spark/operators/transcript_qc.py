@@ -1265,3 +1265,129 @@ def transcript_tail_trim(
             (F.col("suffix_tokens") <= budget) | (F.col("_rn") == 1)
         ).alias("kept"),
     )
+
+
+def transcript_pathology_facts(
+    df: DataFrame,
+    min_run: int = 2,
+    budget: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """FUSED agent-trace pathology pass — the `transcript_conv_facts`
+    trick applied to the pathology gates: spin-run statistics
+    (`transcript_spin_runs`), session-ending flags
+    (`transcript_truncation_audit`), and context-budget fit
+    (`transcript_tail_trim`'s kept-turn count) in ONE conv_id exchange,
+    where running the three a-la-carte operators pays three.
+
+    Everything rides scan-side before the shuffle: the normalized-text
+    md5 digest (spin equality), empty/terminal-punctuation booleans
+    (truncation), and the whitespace token count (budget) — the turn
+    text itself never shuffles.  After the one exchange: the asc
+    lag/island window chain stamps cyclic runs; a (conv_id, run) window
+    reuses the same partitioning for run lengths (grouping keys are a
+    superset of the partition key, so Catalyst inserts sorts, not
+    exchanges); a desc window ranks the final turn and accumulates the
+    suffix-token cumsum; ONE final aggregation emits the facts row.
+
+    Per conv_id: ``n_turns``, ``total_tokens``, spin facts
+    (``n_spin_runs``/``max_spin_run``/``spin_turns``/``is_spinning``),
+    ending facts (``last_role``/``ends_with_user``/``last_turn_empty``/
+    ``ends_midsentence``), and ``kept_turns_budget`` — turns surviving
+    the longest-suffix-under-``budget`` trim (final turn always kept).
+
+    Tie-breaks: both window orders break duplicated turn_idx on (role,
+    digest), so the output is a deterministic function of the input
+    multiset (the standalone trim's tokens tie-break is replaced by the
+    digest — only visibly different for rows duplicated in everything
+    but tokens)."""
+    key = F.md5(norm_key_col(F.coalesce(F.col(text_col), F.lit(""))))
+    norm = F.trim(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")
+    )
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    scan = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        key.alias("_k"),
+        (norm == "").alias("_empty"),
+        norm.rlike("[.!?…\"')\\]]$").alias("_term"),
+        toks.alias("_tok"),
+    )
+    asc = W.partitionBy("conv_id").orderBy("turn_idx", F.col("role"), "_k")
+    desc = W.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").desc(), F.col("role").desc(), F.col("_k").desc()
+    )
+    cyc = (
+        (F.col("_k") == F.lag("_k", 1).over(asc))
+        | (F.col("_k") == F.lag("_k", 2).over(asc))
+    ) & ~F.col("_empty")
+    s1 = scan.select(
+        "*",
+        F.coalesce(cyc, F.lit(False)).alias("_cyc"),
+        F.row_number().over(desc).alias("_rnd"),
+        F.sum("_tok")
+        .over(desc.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("_suffix"),
+    )
+    s2 = s1.select(
+        "*",
+        F.when(
+            F.lag("_cyc").over(asc).isNull()
+            | (F.col("_cyc") != F.lag("_cyc").over(asc)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    s3 = s2.select(
+        "*",
+        F.sum("_chg")
+        .over(asc.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("_grp"),
+    )
+    grpw = W.partitionBy("conv_id", "_grp")
+    s4 = s3.select(
+        "*",
+        F.count(F.lit(1))
+        .over(grpw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("_len"),
+        F.row_number()
+        .over(grpw.orderBy("turn_idx", F.col("role"), "_k"))
+        .alias("_rig"),
+    )
+    qual = F.col("_cyc") & (F.col("_len") >= min_run)
+    last = lambda c: F.max(F.when(F.col("_rnd") == 1, c))  # noqa: E731
+    return s4.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum(F.when(qual & (F.col("_rig") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spin_runs"),
+        F.coalesce(
+            F.max(F.when(F.col("_cyc"), F.col("_len"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_spin_run"),
+        F.sum(F.when(qual, 1).otherwise(0)).cast("long").alias("spin_turns"),
+        (F.sum(F.when(qual & (F.col("_rig") == 1), 1).otherwise(0)) > 0).alias(
+            "is_spinning"
+        ),
+        last(F.col("role")).alias("last_role"),
+        last(F.col("role") == "user").alias("ends_with_user"),
+        last(F.col("_empty")).alias("last_turn_empty"),
+        last(~F.col("_empty") & ~F.col("_term")).alias("ends_midsentence"),
+        F.sum(
+            F.when(
+                (F.col("_suffix") <= budget) | (F.col("_rnd") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_turns_budget"),
+    )

@@ -11669,3 +11669,113 @@ def text_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return kn_bigram_surprisal(docs, "doc_id")
+
+
+@register(
+    "transcript_pathology_facts",
+    oracle=f"""
+    WITH sp AS ({_SPIN_FIXTURE_SQL}),
+    d AS (
+      SELECT doc_id,
+             text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) AS text
+      FROM sp),
+    t AS (
+      SELECT 'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text
+      FROM d),
+    sc AS (
+      SELECT conv_id, turn_idx, role,
+             md5(coalesce({_KEY.format(c='text')}, '')) AS k,
+             trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) = ''
+                 AS empty,
+             regexp_matches(
+                 trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')),
+                 '[.!?…"'')\\]]$') AS term,
+             (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+'))
+              END)::BIGINT AS tok
+      FROM t),
+    s1 AS (
+      SELECT *,
+             coalesce(((k = lag(k, 1) OVER wa) OR (k = lag(k, 2) OVER wa))
+                          AND NOT empty, FALSE) AS cyc,
+             row_number() OVER wd AS rnd,
+             sum(tok) OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx DESC, role DESC, k DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix
+      FROM sc
+      WINDOW wa AS (PARTITION BY conv_id ORDER BY turn_idx, role, k),
+             wd AS (PARTITION BY conv_id
+                    ORDER BY turn_idx DESC, role DESC, k DESC)),
+    s2 AS (
+      SELECT *, CASE WHEN lag(cyc) OVER wa IS NULL
+                          OR cyc != lag(cyc) OVER wa THEN 1 ELSE 0 END AS chg
+      FROM s1
+      WINDOW wa AS (PARTITION BY conv_id ORDER BY turn_idx, role, k)),
+    s3 AS (
+      SELECT *, sum(chg) OVER (PARTITION BY conv_id
+                    ORDER BY turn_idx, role, k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM s2),
+    s4 AS (
+      SELECT *, count(*) OVER (PARTITION BY conv_id, grp) AS len,
+             row_number() OVER (PARTITION BY conv_id, grp
+                 ORDER BY turn_idx, role, k) AS rig
+      FROM s3)
+    SELECT conv_id,
+           count(*)::BIGINT AS n_turns,
+           sum(tok)::BIGINT AS total_tokens,
+           sum(CASE WHEN cyc AND len >= 2 AND rig = 1 THEN 1 ELSE 0 END)
+               ::BIGINT AS n_spin_runs,
+           coalesce(max(CASE WHEN cyc THEN len END), 0)::BIGINT
+               AS max_spin_run,
+           sum(CASE WHEN cyc AND len >= 2 THEN 1 ELSE 0 END)::BIGINT
+               AS spin_turns,
+           sum(CASE WHEN cyc AND len >= 2 AND rig = 1 THEN 1 ELSE 0 END) > 0
+               AS is_spinning,
+           max(CASE WHEN rnd = 1 THEN role END) AS last_role,
+           max(CASE WHEN rnd = 1 THEN role = 'user' END) AS ends_with_user,
+           max(CASE WHEN rnd = 1 THEN empty END) AS last_turn_empty,
+           max(CASE WHEN rnd = 1 THEN (NOT empty AND NOT term) END)
+               AS ends_midsentence,
+           sum(CASE WHEN suffix <= 256 OR rnd = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS kept_turns_budget
+    FROM s4 GROUP BY conv_id
+    """,
+)
+def transcript_pathology_facts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED pathology facts (`transcript_qc.transcript_pathology_facts`)
+    over the spin fixture with terminal punctuation injected on even
+    source rows: spin episodes, session-ending flags, and the
+    256-token suffix-fit count in ONE conv_id exchange (a-la-carte the
+    three gates pay four).  The '.' injection rides THROUGH the spin
+    digests untouched (the matching key strips punctuation) while
+    flipping the terminal-punctuation flag per parity — both fact
+    families exercised on one fixture, every window replayed."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_pathology_facts as op,
+    )
+
+    conv = F.col("doc_id") % 50
+    turn = F.floor(F.col("doc_id") / 50)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            (conv % 3 == 0) & turn.between(2, 5),
+            F.lit('retry search {"q": 42}'),
+        )
+        .when(
+            (conv % 3 == 1) & (turn >= 4),
+            F.when(turn % 2 == 0, F.lit("PING")).otherwise(F.lit("PONG")),
+        )
+        .otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    return op(transcripts_from_documents(docs), min_run=2, budget=256)

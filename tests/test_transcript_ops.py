@@ -921,3 +921,75 @@ class TestTailTrim:
         out = {r.turn_idx: r for r in self._out(spark, rows, budget=5)}
         assert [out[i].tokens for i in range(4)] == [4, 0, 0, 1]
         assert all(out[i].kept for i in range(4))
+
+
+class TestPathologyFacts:
+    """`transcript_pathology_facts` must agree with the three standalone
+    gates on every shared fact — the fused pass exists to pay ONE
+    conv_id exchange, not to change semantics."""
+
+    def _fixture(self, spark):
+        rows = []
+        texts = {0: "call x", 1: "call x", 2: "call x", 3: "done.", 4: "next"}
+        for i in range(5):
+            rows.append(("a", i, ["user", "assistant"][i % 2], texts[i], None, None))
+        pp = ["PING", "PONG", "PING", "PONG", "PING", "end?"]
+        for i, t in enumerate(pp):
+            rows.append(("b", i, "tool", t, None, None))
+        rows += [("c", 0, "user", "only turn no punct", None, None)]
+        rows += [("d", 0, "assistant", "", None, None),
+                 ("d", 1, "user", None, None, None)]
+        rows += [("e", i, "user", f"w{i} " * (i + 1) * 30, None, None)
+                 for i in range(5)]
+        return _df(spark, rows)
+
+    def test_agrees_with_standalone_gates(self, spark):
+        from pyspark.sql import functions as F
+
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_pathology_facts,
+            transcript_spin_runs,
+            transcript_tail_trim,
+            transcript_truncation_audit,
+        )
+
+        df = self._fixture(spark)
+        fused = {
+            r.conv_id: r
+            for r in transcript_pathology_facts(df, min_run=2, budget=100).collect()
+        }
+        spin = {r.conv_id: r for r in transcript_spin_runs(df, min_run=2).collect()}
+        tr = {r.conv_id: r for r in transcript_truncation_audit(df).collect()}
+        kept = {
+            r.conv_id: r.k
+            for r in transcript_tail_trim(df, budget=100)
+            .filter("kept")
+            .groupBy("conv_id")
+            .agg(F.count("*").alias("k"))
+            .collect()
+        }
+        assert set(fused) == set(spin) == set(tr)
+        for c, f in fused.items():
+            s = spin[c]
+            assert (f.n_spin_runs, f.max_spin_run, f.spin_turns, f.is_spinning) == (
+                s.n_spin_runs, s.max_spin_run, s.spin_turns, s.is_spinning,
+            ), c
+            t = tr[c]
+            assert (f.last_role, f.ends_with_user, f.last_turn_empty,
+                    f.ends_midsentence, f.n_turns) == (
+                t.last_role, t.ends_with_user, t.last_turn_empty,
+                t.ends_midsentence, t.n_turns,
+            ), c
+            assert f.kept_turns_budget == kept[c], c
+
+    def test_single_exchange_no_python(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_pathology_facts,
+        )
+
+        out = transcript_pathology_facts(self._fixture(spark))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
