@@ -2741,7 +2741,12 @@ def kn_bigram_surprisal(
     pairs = base.select("id", F.explode(pair_arr).alias("p")).select(
         "id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
     )
-    c2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    # persist: ctx/hist/tot/table all derive from c2 — uncached, Catalyst
+    # re-derives the CORPUS-sized pair groupBy once per reference (4
+    # scans); cached, the corpus pays one aggregation pass and the three
+    # rollups read the VOCABULARY-sized result (the text_nb_quality
+    # persisted-spine rule, applied to the operator's own lineage)
+    c2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2")).persist()
     ctx = c2.groupBy("prev").agg(
         F.sum("c2").alias("ctx"), F.count(F.lit(1)).alias("n1pf")
     )
