@@ -1391,3 +1391,39 @@ def transcript_pathology_facts(
         .cast("long")
         .alias("kept_turns_budget"),
     )
+
+
+def pathology_facts_append(
+    facts: DataFrame,
+    hist_turns: DataFrame,
+    batch_turns: DataFrame,
+    min_run: int = 2,
+    budget: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental maintenance for `transcript_pathology_facts` — the
+    fact table an agent warehouse keeps per conversation, updated as new
+    turns stream in, EXACTLY equal to a one-shot rebuild over
+    history ∪ batch.
+
+    Pathology facts are NOT lattice-mergeable (a batch turn can extend a
+    spin run that started in history, flip the final-turn flags, and
+    shift the suffix-budget window), so the merge recomputes — but ONLY
+    for TOUCHED conversations: the batch's distinct conv_ids select
+    their history turns (broadcast semi join — a micro-batch touches few
+    conversations), the fused single-exchange pass runs over
+    history∩touched ∪ batch, and untouched fact rows carry over via a
+    broadcast anti join.  Cost per batch is O(touched conversations'
+    turns + |facts|), never O(history).
+
+    Returns the merged fact table (same schema as
+    `transcript_pathology_facts`)."""
+    touched = batch_turns.select("conv_id").distinct()
+    relevant = hist_turns.join(
+        F.broadcast(touched), "conv_id", "left_semi"
+    ).unionByName(batch_turns)
+    fresh = transcript_pathology_facts(
+        relevant, min_run=min_run, budget=budget, text_col=text_col
+    )
+    kept = facts.join(F.broadcast(touched), "conv_id", "left_anti")
+    return kept.unionByName(fresh)

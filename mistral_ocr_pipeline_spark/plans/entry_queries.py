@@ -11779,3 +11779,51 @@ def transcript_pathology_facts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return op(transcripts_from_documents(docs), min_run=2, budget=256)
+
+
+@register(
+    "transcript_pathology_append",
+    oracle=ORACLES["transcript_pathology_facts"],
+)
+def transcript_pathology_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fact-table maintenance
+    (`transcript_qc.pathology_facts_append`): history = every turn
+    except even conversations' turns ≥ 7, batch = those turns; the facts
+    built over history are merged with the batch by recomputing ONLY the
+    touched (even) conversations while odd conversations' rows carry
+    over untouched.  The oracle is the ONE-SHOT rebuild over
+    history ∪ batch — the hash match proves append ≡ rebuild exactly
+    (the `substring_index_append` convention), which spin/ending/budget
+    facts need because they are not lattice-mergeable."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        pathology_facts_append,
+        transcript_pathology_facts,
+    )
+
+    conv = F.col("doc_id") % 50
+    turn = F.floor(F.col("doc_id") / 50)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            (conv % 3 == 0) & turn.between(2, 5),
+            F.lit('retry search {"q": 42}'),
+        )
+        .when(
+            (conv % 3 == 1) & (turn >= 4),
+            F.when(turn % 2 == 0, F.lit("PING")).otherwise(F.lit("PONG")),
+        )
+        .otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    t = transcripts_from_documents(docs)
+    conv_num = F.substring("conv_id", 6, 6).cast("int")
+    is_batch = (F.col("turn_idx") >= 7) & (conv_num % 2 == 0)
+    hist = t.filter(~is_batch)
+    batch = t.filter(is_batch)
+    facts = transcript_pathology_facts(hist, min_run=2, budget=256)
+    return pathology_facts_append(facts, hist, batch, min_run=2, budget=256)

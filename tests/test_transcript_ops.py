@@ -993,3 +993,68 @@ class TestPathologyFacts:
         )
         assert plan.count("Exchange") == 1, plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestPathologyAppend:
+    def test_append_equals_rebuild_with_boundary_spin(self, spark):
+        """A spin run that STARTS in history and is only completed by the
+        batch must surface — touched conversations recompute over their
+        full history, so the boundary is invisible."""
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            pathology_facts_append,
+            transcript_pathology_facts,
+        )
+
+        rows = []
+        # conv a: turns 0-4 in history, turns 5-6 arrive in the batch and
+        # extend the "call x" run that history ended with
+        hist_a = ["intro", "setup", "call x", "call x", "call x"]
+        for i, t in enumerate(hist_a):
+            rows.append(("a", i, "tool", t, None, None, False))
+        rows += [("a", 5, "tool", "call x", None, None, True),
+                 ("a", 6, "assistant", "done.", None, None, True)]
+        # conv b: untouched by the batch — its fact row must carry over
+        for i in range(4):
+            rows.append(("b", i, "user", f"turn {i}", None, None, False))
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, in_batch boolean",
+        )
+        hist = df.filter("not in_batch").drop("in_batch")
+        batch = df.filter("in_batch").drop("in_batch")
+        full = df.drop("in_batch")
+        facts = transcript_pathology_facts(hist)
+        merged = sorted(
+            map(tuple, pathology_facts_append(facts, hist, batch).collect())
+        )
+        rebuilt = sorted(
+            map(tuple, transcript_pathology_facts(full).collect())
+        )
+        assert merged == rebuilt
+        a = {r.conv_id: r for r in pathology_facts_append(facts, hist, batch).collect()}
+        # the boundary-crossing run: 4 consecutive "call x" repeats →
+        # cyclic turns 3,4,5 → one episode of 3
+        assert a["a"].is_spinning and a["a"].max_spin_run == 3
+        # history alone saw only the first 2 echoes
+        h = {r.conv_id: r for r in facts.collect()}
+        assert h["a"].max_spin_run == 2
+
+    def test_untouched_rows_carry_over_verbatim(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            pathology_facts_append,
+            transcript_pathology_facts,
+        )
+
+        rows = [("a", i, "user", f"a {i}", None, None) for i in range(3)]
+        rows += [("b", i, "user", f"b {i}", None, None) for i in range(3)]
+        df = _df(spark, rows)
+        facts = transcript_pathology_facts(df)
+        batch = _df(spark, [("a", 3, "assistant", "new turn.", None, None)])
+        merged = {
+            r.conv_id: r
+            for r in pathology_facts_append(facts, df, batch).collect()
+        }
+        before = {r.conv_id: r for r in facts.collect()}
+        assert tuple(merged["b"]) == tuple(before["b"])
+        assert merged["a"].n_turns == 4 and before["a"].n_turns == 3
