@@ -172,6 +172,9 @@ def main() -> None:
         "layout_zorder",
         "profile_table",
         "transcript_script_mismatch",
+        "text_lr_quality",
+        "text_kn_surprisal",
+        "transcript_pathology_facts",
     ]
     # Best-of-N with adaptive extension: this box shows periodic
     # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query
