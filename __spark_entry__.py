@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "text_code_blocks",         # r5: fenced-code extraction, fold == window oracle
+    "code_lang_stats",          # r5: per-language code inventory rollup
     "dedup_edit_incremental",   # r5: batch-vs-history edits via chunk index
     "edit_index_append",        # r5: PassJoin chunk-index merge == rebuild
     "dedup_edit_distance",      # r5: PassJoin blocking + exact levenshtein

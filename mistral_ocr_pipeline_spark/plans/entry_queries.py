@@ -11827,3 +11827,139 @@ def transcript_pathology_append_q(spark: SparkSession, sf_dir: str) -> DataFrame
     batch = t.filter(is_batch)
     facts = transcript_pathology_facts(hist, min_run=2, budget=256)
     return pathology_facts_append(facts, hist, batch, min_run=2, budget=256)
+
+
+# --------------------------------------------------------------------------
+# Fenced-code extraction (The-Stack-style code curation front door)
+# --------------------------------------------------------------------------
+_CODE_PAGES_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'intro prose' || chr(10) || '```python' || chr(10)
+                    || substr(text, 1, 60) || chr(10) || 'print(1)' || chr(10)
+                    || '```' || chr(10) || 'tail prose'
+               WHEN 1 THEN 'a' || chr(10) || '```sql  limit=5' || chr(10)
+                    || substr(text, 61, 40) || chr(10) || '```' || chr(10)
+                    || 'mid' || chr(10) || '```' || chr(10) || '```'
+                    || chr(10) || 'z'
+               WHEN 2 THEN 'pre' || chr(10) || '```JS' || chr(10)
+                    || substr(text, 1, 30)
+               ELSE substr(text, 1, 50)
+             END AS md
+      FROM documents
+"""
+
+_CODE_BLOCKS_SQL = f"""
+    pages AS ({_CODE_PAGES_SQL}),
+    ls AS (SELECT doc_id, string_split(md, chr(10)) AS a FROM pages),
+    l AS (SELECT doc_id,
+                 unnest(range(0, len(a)))::INT AS pos,
+                 unnest(a) AS line
+          FROM ls),
+    m AS (SELECT doc_id, pos, line,
+                 (line LIKE '```%') AS is_m,
+                 sum(CASE WHEN line LIKE '```%' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+          FROM l),
+    opens AS (SELECT doc_id, cum AS oc,
+                     lower(regexp_extract(line,
+                         '^```[ \t]*([A-Za-z0-9_+.#-]*)', 1)) AS lang,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos)::INT
+                         AS block_idx
+              FROM m WHERE is_m AND cum % 2 = 1),
+    content AS (SELECT doc_id, cum, pos, line
+                FROM m WHERE NOT is_m AND cum % 2 = 1),
+    blocks AS (
+      SELECT o.doc_id, o.block_idx, o.lang,
+             coalesce(string_agg(c.line, chr(10) ORDER BY c.pos), '') AS code
+      FROM opens o
+      LEFT JOIN content c ON c.doc_id = o.doc_id AND c.cum = o.oc
+      GROUP BY o.doc_id, o.block_idx, o.lang),
+    bstat AS (
+      SELECT doc_id AS id, block_idx, lang, code,
+             (CASE WHEN code = '' THEN 0
+                   ELSE len(string_split(code, chr(10))) END)::BIGINT
+                 AS n_lines,
+             length(code)::BIGINT AS n_chars
+      FROM blocks)
+"""
+
+
+def _code_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic markdown fixture: %4==0 one python block, %4==1 an
+    attributed sql block plus an EMPTY bare fence, %4==2 an UNCLOSED
+    upper-cased 'JS' fence running to EOF, %4==3 no fences at all —
+    identical construction in both engines."""
+    d = F.col("doc_id")
+    t = F.col("text")
+    page0 = F.concat(
+        F.lit("intro prose\n```python\n"),
+        F.substring(t, 1, 60),
+        F.lit("\nprint(1)\n```\ntail prose"),
+    )
+    page1 = F.concat(
+        F.lit("a\n```sql  limit=5\n"),
+        F.substring(t, 61, 40),
+        F.lit("\n```\nmid\n```\n```\nz"),
+    )
+    page2 = F.concat(F.lit("pre\n```JS\n"), F.substring(t, 1, 30))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 4 == 0, page0)
+        .when(d % 4 == 1, page1)
+        .when(d % 4 == 2, page2)
+        .otherwise(F.substring(t, 1, 50))
+        .alias("md"),
+    )
+
+
+@register(
+    "text_code_blocks",
+    oracle=f"""
+    WITH {_CODE_BLOCKS_SQL}
+    SELECT id, block_idx, lang, code, n_lines, n_chars
+    FROM bstat ORDER BY id, block_idx
+    """,
+)
+def text_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fenced-code extraction (`codeblocks.code_fence_blocks`): one
+    MAP-ONLY ``F.aggregate`` fold over each page's line array pulls out
+    every ``` block with its info-string language tag — zero shuffle,
+    zero UDF.  The fixture cycles a closed python block, an attributed
+    sql block plus an empty bare fence, an unclosed 'JS' fence (runs to
+    EOF, tag lower-cased), and a fence-free page; the oracle replays
+    the same grammar in window form (odd cumulative fence count =
+    inside), so the hash match also proves fold ≡ window."""
+    from mistral_ocr_pipeline_spark.operators.codeblocks import (
+        code_fence_blocks,
+    )
+
+    return code_fence_blocks(
+        _code_pages(spark, sf_dir), "doc_id", "md"
+    ).orderBy("id", "block_idx")
+
+
+@register(
+    "code_lang_stats",
+    oracle=f"""
+    WITH {_CODE_BLOCKS_SQL}
+    SELECT lang,
+           count(*)::BIGINT AS n_blocks,
+           count(DISTINCT id)::BIGINT AS n_docs,
+           sum(n_lines)::BIGINT AS total_lines,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM bstat GROUP BY lang ORDER BY lang
+    """,
+)
+def code_lang_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language code inventory (`codeblocks.code_lang_stats`) — the
+    fact table a language-balanced code-mixing recipe (UniMax caps over
+    The-Stack languages) starts from.  All-BIGINT facts, one
+    map-side-combinable groupBy on the tiny language domain."""
+    from mistral_ocr_pipeline_spark.operators.codeblocks import (
+        code_lang_stats,
+    )
+
+    return code_lang_stats(_code_pages(spark, sf_dir), "doc_id", "md").orderBy(
+        "lang"
+    )

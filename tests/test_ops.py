@@ -5816,3 +5816,79 @@ class TestKNBigramSurprisal:
             for r in kn_bigram_surprisal(df, "id").collect()
         }
         assert got[9] > got[1]
+
+
+class TestCodeFenceBlocks:
+    def _blocks(self, spark, text):
+        from mistral_ocr_pipeline_spark.operators.codeblocks import (
+            code_fence_blocks,
+        )
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return code_fence_blocks(df).orderBy("block_idx").collect()
+
+    def test_two_blocks_with_tags_and_attrs(self, spark):
+        md = (
+            "prose\n```python\na = 1\nb = 2\n```\nmiddle\n"
+            "```sql  limit=5\nSELECT 1\n```\ntail"
+        )
+        out = self._blocks(spark, md)
+        assert [(r.block_idx, r.lang, r.code) for r in out] == [
+            (1, "python", "a = 1\nb = 2"),
+            (2, "sql", "SELECT 1"),
+        ]
+        assert out[0].n_lines == 2 and out[0].n_chars == len("a = 1\nb = 2")
+
+    def test_empty_block_and_bare_fence(self, spark):
+        out = self._blocks(spark, "```\n```\nafter")
+        assert len(out) == 1
+        assert out[0].lang == "" and out[0].code == ""
+        assert out[0].n_lines == 0 and out[0].n_chars == 0
+
+    def test_unclosed_fence_runs_to_eof_and_lowers_tag(self, spark):
+        out = self._blocks(spark, "pre\n```JS\nx\ny")
+        assert len(out) == 1
+        assert out[0].lang == "js" and out[0].code == "x\ny"
+
+    def test_close_marker_with_trailing_text_still_closes(self, spark):
+        # fences TOGGLE (documented subset): '```end' closes the block
+        out = self._blocks(spark, "```py\ncode\n```end\nprose")
+        assert [(r.lang, r.code) for r in out] == [("py", "code")]
+
+    def test_no_fences_and_null_text(self, spark):
+        from mistral_ocr_pipeline_spark.operators.codeblocks import (
+            code_fence_blocks,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "just prose\nno code"), (2, None)],
+            "doc_id long, text string",
+        )
+        assert code_fence_blocks(df).count() == 0
+
+    def test_lang_stats_rollup(self, spark):
+        from mistral_ocr_pipeline_spark.operators.codeblocks import (
+            code_lang_stats,
+        )
+
+        rows = [
+            (1, "```py\na\n```\n```py\nbb\n```"),
+            (2, "```py\nccc\n```"),
+            (3, "```go\nx\n```"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.lang: r for r in code_lang_stats(df).collect()}
+        assert out["py"].n_blocks == 3 and out["py"].n_docs == 2
+        assert out["py"].total_lines == 3 and out["py"].total_chars == 6
+        assert out["go"].n_blocks == 1 and out["go"].n_docs == 1
+
+    def test_zero_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.codeblocks import (
+            code_fence_blocks,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "```py\na\n```")], "doc_id long, text string"
+        )
+        plan = code_fence_blocks(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
