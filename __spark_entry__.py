@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "ann_ivfsq_topk",           # r5: IVF-SQ composite, both trained halves oracled
+    "ann_ivfsq_recall",         # r5: composite recall claim (floor 0.4, both SFs)
     "text_code_blocks",         # r5: fenced-code extraction, fold == window oracle
     "code_lang_stats",          # r5: per-language code inventory rollup
     "dedup_edit_incremental",   # r5: batch-vs-history edits via chunk index

@@ -785,6 +785,95 @@ def sq8_topk_df(
     return _rank_topk(scored, k, "sq8_cosine", descending=True)
 
 
+def ivfsq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    kmeans_iters: int = 8,
+    sample_size: int = 2048,
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-SQ composite ANN — the FAISS IndexIVFScalarQuantizer shape,
+    completing the quantized-index family (IVF-Flat, IVFPQ, IVF-SQ):
+    trained IVF coarse cells prune the corpus to the probed cells, 8-bit
+    scalar-quantized codes score inside them (raw query vs dequantized
+    corpus, the asymmetric discipline), rank by cosine.
+
+    vs IVFPQ: 1 byte/DIM instead of m bytes/VECTOR — 8× bigger codes at
+    dim=64/m=8 but far finer resolution (per-dim uniform grid vs ksub
+    codewords per subspace), the standard pick when recall matters more
+    than code size.  The SQ bounds are trained GLOBALLY over the corpus
+    (min/max — exact, order-independent, kernel-free aggregates), the
+    one trained half here that needs no sample and no seed; the IVF half
+    reuses `_kmeans_centroids`.  Everything after the centroid literals
+    is pure Catalyst over in-plan relations, so the WHOLE composite
+    value-oracles: unrolled-Lloyd CTEs for the cells + the exact SQ8
+    train/encode/dequant replay.
+
+    Corpus-side plan: one train pass (dim-keyed min/max), one encode
+    pass writing (vec_id, cell, dequantized codes) — at 100 TB stored
+    once, bucketed by cell like the IVFPQ codes table — then each query
+    batch pays probes ⋈ codes ON CELL, an AQE-skew-handled equi-join
+    touching n_probe/n_centroids of the code rows."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        if corpus.select(id_col).first() is None:
+            return _empty_topk(corpus)
+        cent = _kmeans_centroids(
+            corpus, id_col, vec_col, n_centroids, kmeans_iters, sample_size, seed
+        )
+
+    params = sq8_train(corpus, vec_col)
+    c0 = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    # encode pass: cell argmax + SQ8 encode→dequant in ONE projection
+    # (production would persist the int codes and dequantize at read —
+    # same arithmetic, the fold below is the read-side expression)
+    enc = c0.crossJoin(F.broadcast(params)).select(
+        "vec_id",
+        _argmax_cell(_cell_dots("_cv", cent)).alias("cell"),
+        _sq8_dequant(
+            _sq8_codes(F.col("_cv"), F.col("lo"), F.col("hi")),
+            F.col("lo"),
+            F.col("hi"),
+        ).alias("_dv"),
+    )
+
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    qd = q0.select(
+        "query_id",
+        "_qv",
+        F.posexplode(_cell_dots("_qv", cent)).alias("cell", "_d"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell").asc())
+    probes = (
+        qd.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+
+    cand = probes.join(enc, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_qv"), F.col("_dv")).alias("sq8_cosine"),
+    )
+    return _rank_topk(scored, k, "sq8_cosine", descending=True)
+
+
 def _jl_planes(r_dim: int, d: int, seed: int) -> np.ndarray:
     """Random orthonormal (r_dim, d) projection basis: QR of a seeded
     (d, r_dim) Gaussian block, transposed.  Deterministic for a given

@@ -11963,3 +11963,131 @@ def code_lang_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_lang_stats(_code_pages(spark, sf_dir), "doc_id", "md").orderBy(
         "lang"
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-SQ composite (FAISS IndexIVFScalarQuantizer shape)
+# --------------------------------------------------------------------------
+def _ivfsq_cte_tail(n_probe: int) -> str:
+    """From trained centroids ``c8(c, cv)`` + ``corp``/``q`` in scope:
+    IVF assignment/probes (`_ivf_assign_ctes`) + the exact SQ8
+    train/encode/dequant replay (the `_SQ8_BASE_SQL` arithmetic over
+    ``corp``), emitting scored candidates ``s(qid, vec_id, sq8_cosine)``."""
+    return f"""{_ivf_assign_ctes("c8", n_probe)},
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    bounds AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM corp CROSS JOIN dims GROUP BY i),
+    ba AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+           FROM bounds),
+    enc AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(v)), i ->
+               CASE WHEN hi[i] = lo[i] THEN 0
+                    ELSE round(greatest(0.0, least(255.0,
+                           (v[i] - lo[i]) / (hi[i] - lo[i]) * 255.0)))::INT
+               END) AS codes
+      FROM corp CROSS JOIN ba),
+    dq AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(codes)), i ->
+               lo[i] + codes[i] * (hi[i] - lo[i]) / 255.0) AS dv
+      FROM enc CROSS JOIN ba),
+    cand AS (
+      SELECT DISTINCT qp.qid, ca.vec_id
+      FROM qprobe qp JOIN cassign ca ON qp.c = ca.c
+      WHERE ca.vec_id != qp.qid),
+    s AS (
+      SELECT cand.qid, cand.vec_id,
+             round(list_dot_product(q.qv, dq.dv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(dq.dv, dq.dv))), 6) AS sq8_cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN dq ON dq.vec_id = cand.vec_id)"""
+
+
+_IVFSQ_HEAD_SQL = f"""{_ivf_training_ctes(16, 8, 2048)},
+    corp AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8)"""
+
+
+@register(
+    "ann_ivfsq_topk",
+    oracle=f"""
+    WITH {_IVFSQ_HEAD_SQL},
+    {_ivfsq_cte_tail(6)},
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY sq8_cosine DESC, vec_id) AS rank FROM s)
+    SELECT qid AS query_id, vec_id, sq8_cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ composite (`similarity_df.ivfsq_topk`) — FAISS's
+    IndexIVFScalarQuantizer, completing the quantized-index family
+    (IVF-Flat / IVFPQ / IVF-SQ): trained coarse cells prune the corpus,
+    globally-trained 8-bit scalar codes score inside the probed cells.
+    Both trained halves replay in SQL — the centroids via the unrolled
+    Lloyd CTEs, the SQ bounds via exact min/max — so the whole composite
+    is value-hashed end to end."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import ivfsq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfsq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=6
+    )
+
+
+@register(
+    "ann_ivfsq_recall",
+    oracle=f"""
+    WITH {_IVFSQ_HEAD_SQL},
+    {_ivfsq_cte_tail(6)},
+    r AS (SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY sq8_cosine DESC, vec_id) AS rank FROM s),
+    xs AS (
+      SELECT qid, corp.vec_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM q CROSS JOIN corp WHERE corp.vec_id != qid),
+    xr AS (SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM xs),
+    hits AS (
+      SELECT xr.qid, sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+      FROM xr LEFT JOIN (SELECT * FROM r WHERE rank <= 5) r
+        ON r.qid = xr.qid AND r.vec_id = xr.vec_id
+      WHERE xr.rank <= 5 GROUP BY xr.qid)
+    SELECT qid AS query_id, round(h / 5.0, 6) AS recall,
+           h / 5.0 >= 0.4 AS recall_ok
+    FROM hits
+    """,
+)
+def ann_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the IVF-SQ composite vs exact cosine top-5 —
+    the honesty row: losses come almost entirely from the IVF pruning
+    (probe misses), the SQ8 grid being near-lossless at 8 bits/dim.
+    Claim floor 0.4 (the IVFPQ convention), verified at both sf0.01 and
+    sf0.1."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        brute_force_topk_df,
+        ivfsq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    approx = ivfsq_topk(emb, q, k=5, n_centroids=16, n_probe=6).select(
+        "query_id", "vec_id"
+    )
+    exact = brute_force_topk_df(emb, q, k=5).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("h"))
+    )
+    return hits.select(
+        "query_id",
+        F.round(F.col("h") / F.lit(5.0), 6).alias("recall"),
+        (F.col("h") / F.lit(5.0) >= 0.4).alias("recall_ok"),
+    )

@@ -258,3 +258,39 @@ def test_mmr_pool_smaller_than_k_and_multi_query(spark):
         ranks = sorted(x.sel_rank for x in rs)
         assert ranks == list(range(1, len(rs) + 1))
         assert len({x.vec_id for x in rs}) == len(rs), "no repeats"
+
+
+def test_ivfsq_full_probe_matches_sq8(spark):
+    # with every cell probed, IVF pruning is a no-op and the composite
+    # must rank exactly like the flat SQ8 path
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    full = D.ivfsq_topk(emb, q, k=5, n_centroids=8, n_probe=8)
+    flat = D.sq8_topk_df(emb, q, k=5)
+    assert _rows(full) == _rows(flat)
+
+
+def test_ivfsq_prunes_to_probed_cells(spark):
+    # n_probe=1: every returned neighbor must live in the query's argmax
+    # cell — the pruning is real, not cosmetic
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 4)
+    cent = S._kmeans_centroids(emb, "vec_id", "embedding", 8, 4, 2048, 11)
+    out = D.ivfsq_topk(emb, q, k=50, n_centroids=8, n_probe=1, centroids=cent)
+    cells = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id",
+            D._argmax_cell(
+                D._cell_dots("CAST(embedding AS array<double>)", cent)
+            ).alias("cell"),
+        ).collect()
+    }
+    for r in out.collect():
+        assert cells[r.vec_id] == cells[r.query_id]
+
+
+def test_ivfsq_empty_query_relation(spark):
+    emb = _emb(spark)
+    none = emb.filter(F.col("vec_id") < 0)
+    assert D.ivfsq_topk(emb, none, k=3, n_centroids=8).count() == 0
