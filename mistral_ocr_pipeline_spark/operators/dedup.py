@@ -1845,6 +1845,72 @@ def contamination_flags(
     )
 
 
+def semantic_contamination_flags(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id, eval_id, cosine, contaminated) per corpus vector —
+    EMBEDDING-SPACE decontamination: each corpus document's nearest eval
+    item by exact cosine, flagged at ``cosine >= threshold``.  The
+    semantic complement to `contamination_flags`: the 13-gram surface
+    pass cannot see paraphrased, translated, or re-formatted eval
+    leakage (zero shared n-grams), while in embedding space such copies
+    stay near the eval item — the decontam modality GPT-3/PaLM-era
+    reports run alongside the n-gram one.
+
+    Shape at scale: the eval side is tiny BY DEFINITION (a benchmark,
+    not a corpus) — it broadcasts; the corpus streams map-side through
+    the cross join, `cosine_expr` scores each (corpus, eval) pair
+    in-plan, and the per-doc argmax is a map-side-combined ``max(struct)``
+    (each corpus row's |eval| candidates are co-located after the
+    broadcast expansion, so partial aggregation collapses them to ONE
+    row per doc per partition before the final exchange on doc id).
+    O(|corpus|·|eval|) multiply-adds, |corpus| rows shuffled once —
+    the same budget as the n-gram pass's final agg.  For an eval side
+    too big to broadcast, route through `similarity_df.ivf_topk_df`
+    with the roles swapped instead.
+
+    Every corpus row gets an audit row (nearest eval item even when
+    clean), mirroring `contamination_flags`' per-doc audit-table
+    contract; ties at the 6-dp cosine rounding break to the lowest
+    eval id.  Rows with NULL embeddings are dropped (no distance is
+    defined); an empty eval set yields an empty audit."""
+    from mistral_ocr_pipeline_spark.operators.similarity import cosine_expr
+
+    e = eval_set.filter(F.col(eval_vec_col).isNotNull()).select(
+        F.col(eval_id_col).cast("long").alias("eval_id"),
+        F.col(eval_vec_col).cast("array<double>").alias("_ev"),
+    )
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = c.crossJoin(F.broadcast(e)).select(
+        "id",
+        "eval_id",
+        cosine_expr(F.col("_cv"), F.col("_ev")).alias("cosine"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("eval_id")).alias("negid"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "id",
+        (-F.col("b.negid")).alias("eval_id"),
+        F.col("b.c").alias("cosine"),
+        (F.col("b.c") >= F.lit(float(threshold))).alias("contaminated"),
+    )
+
+
 def intra_line_dedup(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -5491,6 +5491,89 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_semantic",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id AS eval_id, v AS ev FROM base WHERE vec_id < 8),
+    scaled AS (
+      SELECT eval_id + 1000000 AS vec_id,
+             list_transform(ev, x -> x * 2.5) AS v
+      FROM e),
+    blend AS (
+      SELECT e.eval_id + 2000000 AS vec_id,
+             list_transform(generate_series(1, len(e.ev)),
+                            i -> e.ev[i] + 0.15 * m.v[i]) AS v
+      FROM e JOIN base m ON m.vec_id = e.eval_id + 100),
+    corpus AS (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM scaled
+      UNION ALL SELECT * FROM blend),
+    s AS (
+      SELECT c.vec_id AS id, e.eval_id,
+             round(list_dot_product(c.v, e.ev) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(e.ev, e.ev))), 6) AS cosine
+      FROM corpus c CROSS JOIN e),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY id ORDER BY cosine DESC, eval_id) AS rn FROM s)
+    SELECT id, eval_id, cosine, cosine >= 0.9 AS contaminated
+    FROM r WHERE rn = 1
+    """,
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE decontamination
+    (`dedup.semantic_contamination_flags`): nearest eval item by exact
+    cosine per corpus vector, flagged at ≥ 0.9 — the modality that
+    catches what every n-gram pass above misses: paraphrased /
+    translated / re-formatted eval leakage shares zero surface grams
+    but stays near the eval item in embedding space.
+
+    Fixture: the first 8 vectors play the benchmark; the corpus is the
+    full embeddings table ∪ SCALED clones of the eval vectors (×2.5 —
+    byte-distinct, n-gram-invisible, direction-identical) ∪ BLENDED
+    paraphrase stand-ins (v_e + 0.15·v_{e+100} — cosine ≈ 0.98, below
+    exact-match and above the organic ceiling, which is 0.49 on this
+    corpus).  Expect 24 contaminated rows: 8 self + 8 scaled + 8 blends.
+
+    Value-oracle: all-pairs exact cosine + argmax replayed in SQL —
+    `cosine_expr`'s sequential fold matches `list_dot_product` term
+    order, the blend arithmetic is the same IEEE-double expression in
+    both engines, and ties at the 6-dp rounding break to the lowest
+    eval id in both."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        semantic_contamination_flags,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ev = base.filter(F.col("vec_id") < 8)
+    scaled = ev.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.5)).alias(
+            "embedding"
+        ),
+    )
+    mates = base.select(
+        (F.col("vec_id") - 100).alias("_jid"),
+        F.col("embedding").alias("_w"),
+    )
+    blended = (
+        ev.select(F.col("vec_id").alias("_jid"), F.col("embedding").alias("_v"))
+        .join(mates, "_jid")
+        .select(
+            (F.col("_jid") + 2000000).alias("vec_id"),
+            F.zip_with(
+                "_v", "_w", lambda a, b: a + F.lit(0.15) * b
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(scaled).unionByName(blended)
+    return semantic_contamination_flags(corpus, ev, threshold=0.9)
+
+
+@register(
     "transcript_decontam",
     oracle=f"""
     WITH t AS ({_TRANSCRIPTS_SQL}),

@@ -1885,6 +1885,46 @@ class TestContamination:
         assert got[3] == (0, False)                   # too short for any 5-gram
         assert len(got) == 3                          # audit covers every doc
 
+    def test_semantic_flags(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            semantic_contamination_flags,
+        )
+
+        ev = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, [3.0, 0.0, 0.0]),     # scaled copy of eval 100 -> cos 1.0
+                (2, [1.0, 0.12, 0.0]),    # near-paraphrase of 100 -> cos ~0.993
+                (3, [1.0, 1.0, 0.0]),     # equidistant: cos 0.707107 to BOTH
+                (4, [0.0, 0.0, 5.0]),     # orthogonal -> clean, still audited
+                (5, None),                # NULL embedding -> dropped
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r.id: r
+            for r in semantic_contamination_flags(
+                corpus, ev, threshold=0.9
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4}              # NULL dropped, rest audited
+        assert rows[1].eval_id == 100 and rows[1].cosine == 1.0
+        assert rows[1].contaminated is True
+        assert rows[2].eval_id == 100 and rows[2].contaminated is True
+        # 6-dp tie between the two eval items -> lowest eval id wins
+        assert rows[3].eval_id == 100 and rows[3].contaminated is False
+        assert rows[4].contaminated is False
+        # empty eval set -> empty audit, not a crash
+        assert (
+            semantic_contamination_flags(
+                corpus, ev.filter("vec_id < 0"), threshold=0.9
+            ).count()
+            == 0
+        )
+
 
 class TestPerKeySample:
     def test_cap_and_partition_invariance(self, spark):
