@@ -1792,6 +1792,17 @@ def pagerank_canonical(
 # --------------------------------------------------------------------------
 # Decontamination (train/eval n-gram overlap)
 # --------------------------------------------------------------------------
+def eval_gram_set(
+    eval_set: DataFrame, id_col: str, text_col: str, n: int = 13
+) -> DataFrame:
+    """Distinct ``n``-gram set of a benchmark — the broadcast side of
+    `contamination_flags`, factored out so callers that audit MANY
+    corpora/batches against one eval release (the streaming gate, a
+    multi-source curation run) build it once, pin it
+    (``localCheckpoint``), and pass it back via ``eval_grams=``."""
+    return explode_grams(shingle_sets(eval_set, id_col, text_col, n)).distinct()
+
+
 def contamination_flags(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -1800,6 +1811,7 @@ def contamination_flags(
     n: int = 13,
     min_overlap: int = 1,
     keep_cols: list[str] | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, [keep_cols...], n_contaminated_grams, contaminated) per corpus
     document —
@@ -1816,10 +1828,12 @@ def contamination_flags(
 
     ``keep_cols`` carries extra corpus columns (e.g. a language or source
     tag) through to the audit rows so downstream rollups don't need a
-    second join back onto the corpus — one gram-scan, one plan."""
-    eval_grams = explode_grams(
-        shingle_sets(eval_set, id_col, text_col, n)
-    ).distinct()
+    second join back onto the corpus — one gram-scan, one plan.
+    ``eval_grams`` (an `eval_gram_set` frame) skips rebuilding the
+    benchmark gram set — pass it when one eval release audits many
+    corpora; ``eval_set``/``n`` are ignored for the eval side then."""
+    if eval_grams is None:
+        eval_grams = eval_gram_set(eval_set, id_col, text_col, n)
     corpus_grams = explode_grams(
         shingle_sets(corpus, id_col, text_col, n), "id"
     )
