@@ -175,6 +175,8 @@ def main() -> None:
         "text_lr_quality",
         "text_kn_surprisal",
         "transcript_pathology_facts",
+        "md_table_cells",
+        "html_link_graph",
     ]
     # Best-of-N with adaptive extension: this box shows periodic
     # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query

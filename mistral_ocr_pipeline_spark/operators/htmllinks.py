@@ -1,0 +1,104 @@
+"""HTML hyperlink extraction + the domain link graph.
+
+Boilerplate stripping (``extractors/html_extract.py``) deliberately
+DISCARDS link-dominated blocks; this module extracts what those blocks
+contain — the ``<a href>`` edges — because at web scale the link graph
+is itself a curation input: domain-level PageRank-ish authority,
+internal/external link ratios, anchor-text quality (Common Crawl's
+host-level web graph is exactly this relation).
+
+Extraction is pure expression work: ``regexp_extract_all`` pulls hrefs
+and anchor texts in one scan (two capture groups read with two passes
+over the same compiled pattern, zipped positionally), then the existing
+URL canonicalizer (`urls.canonicalize_url` / `urls.url_host`) normalizes
+targets so the graph keys on real hosts — map-only until the graph
+rollup's own groupBy, zero UDF.  Relative hrefs (no scheme) canonicalize
+to the explicit '' junk group (the `exact_dedup` NULL-key rule: rows
+never vanish on a NULL key); the graph keeps them under dst_host ''
+so internal-link mass is still measured.
+
+Anchor grammar: the practical ``<a href="...">text</a>`` form the HTML
+fixture/payload emitters produce — no attribute reordering, no nested
+tags inside the anchor (those anchors belong to the boilerplate
+stripper's DOM walk, not this scan-level pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mistral_ocr_pipeline_spark.operators.urls import (
+    canonicalize_url,
+    url_host,
+)
+
+# One pattern, two groups: 1 = href, 2 = anchor text.  Character-class
+# only (no backtracking ambiguity) — Java regex and RE2 agree.
+ANCHOR_PATTERN = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def _anchor_pairs(html_col: str):
+    """``array<struct<href,anchor>>`` of the anchors in the column."""
+    pat = F.lit(ANCHOR_PATTERN)
+    body = F.coalesce(F.col(html_col), F.lit(""))
+    return F.zip_with(
+        F.regexp_extract_all(body, pat, 1),
+        F.regexp_extract_all(body, pat, 2),
+        lambda h, a: F.struct(h.alias("href"), a.alias("anchor")),
+    )
+
+
+def html_links(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """One row per anchor: (id, link_idx, href, canon_url, dst_host,
+    anchor, anchor_chars) in document order.  link_idx is 1-based;
+    canon_url/dst_host are '' for junk and relative hrefs."""
+    z = F.col("z")
+    href = z.getField("href")
+    anchor = z.getField("anchor")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_anchor_pairs(html_col)).alias("p", "z"),
+    ).select(
+        "id",
+        (F.col("p") + 1).cast("int").alias("link_idx"),
+        href.alias("href"),
+        canonicalize_url(href).alias("canon_url"),
+        url_host(href).alias("dst_host"),
+        anchor.alias("anchor"),
+        F.length(anchor).cast("long").alias("anchor_chars"),
+    )
+
+
+def link_graph(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    src_host_col: str = "src_host",
+) -> DataFrame:
+    """Domain-level link graph: (src_host, dst_host, n_links, n_docs,
+    total_anchor_chars, internal) — one edge per ordered host pair.
+    ``internal`` marks same-host edges (site navigation) so authority
+    rollups can drop them the way host-graph PageRank does.  The source
+    host rides THROUGH the explode (no join back to the page table), so
+    the whole job is scan → Generate → ONE map-side-combinable groupBy
+    on the (small) host-pair domain."""
+    z = F.col("z")
+    anchor = z.getField("anchor")
+    links = df.select(
+        F.col(id_col).alias("id"),
+        F.col(src_host_col).alias("src_host"),
+        F.explode(_anchor_pairs(html_col)).alias("z"),
+    ).select(
+        "id",
+        "src_host",
+        url_host(z.getField("href")).alias("dst_host"),
+        F.length(anchor).cast("long").alias("anchor_chars"),
+    )
+    return links.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("id").alias("n_docs"),
+        F.sum("anchor_chars").alias("total_anchor_chars"),
+        F.max(F.col("src_host") == F.col("dst_host")).alias("internal"),
+    )

@@ -12174,3 +12174,387 @@ def ann_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h") / F.lit(5.0), 6).alias("recall"),
         (F.col("h") / F.lit(5.0) >= 0.4).alias("recall_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markdown STRUCTURE extraction: pipe tables + heading sections
+# --------------------------------------------------------------------------
+_MDSTRUCT_PAGES_SQL = """
+      SELECT doc_id AS id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'intro prose' || chr(10)
+                    || '# Results' || chr(10)
+                    || '| name | value | note |' || chr(10)
+                    || '| --- | ---: | :-: |' || chr(10)
+                    || '| alpha | ' || (doc_id % 97)::varchar || ' | '
+                    || substr(text, 1, 12) || ' |' || chr(10)
+                    || '  | beta | ' || (doc_id % 13)::varchar || ' | ok |'
+                    || chr(10) || 'tail prose'
+               WHEN 1 THEN '## Data' || chr(10) || 'lead' || chr(10)
+                    || '| k | v |' || chr(10) || '|--|--|' || chr(10)
+                    || '| a | 1 |' || chr(10)
+                    || '| b | 2 | extra |' || chr(10) || 'after'
+               WHEN 2 THEN '| x | y |' || chr(10) || '| p | q |' || chr(10)
+                    || '### Deep dive' || chr(10) || substr(text, 1, 30)
+               WHEN 3 THEN 'pre' || chr(10) || '# Top' || chr(10)
+                    || '## Sub' || chr(10) || '| h |' || chr(10)
+                    || '| - |' || chr(10) || '| ' || substr(text, 5, 9)
+                    || ' |'
+               ELSE substr(text, 1, 50)
+             END AS md
+      FROM documents
+"""
+
+# Gaps-and-islands window replay of the pipe-table fold (mdstruct.py):
+# consecutive pipe lines group by pos − cum(non-pipe); a group is a
+# table iff its 2nd line is a separator.  Emits cells(cs list per row).
+_MDTABLE_CELLS_SQL = f"""
+    pages AS ({_MDSTRUCT_PAGES_SQL}),
+    ls AS (SELECT id, string_split(coalesce(md, ''), chr(10)) AS a
+           FROM pages),
+    l AS (SELECT id, unnest(range(0, len(a)))::INT AS pos,
+                 trim(unnest(a)) AS t
+          FROM ls),
+    m AS (SELECT id, pos, t, starts_with(t, '|') AS isp,
+                 sum(CASE WHEN starts_with(t, '|') THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY id ORDER BY pos) AS grp
+          FROM l),
+    runs AS (SELECT id, grp, list(t ORDER BY pos) AS run
+             FROM m WHERE isp GROUP BY id, grp),
+    valid AS (SELECT id, run,
+                     row_number() OVER (PARTITION BY id ORDER BY grp)::INT
+                         AS table_idx
+              FROM runs
+              WHERE len(run) >= 2
+                AND regexp_matches(run[2], '^\\|[ \t:|-]+$')
+                AND contains(run[2], '-')),
+    rows_ AS (SELECT id, table_idx,
+                     unnest(range(0, len(run) - 1))::INT AS row_idx,
+                     unnest(list_concat([run[1]], run[3:])) AS r
+              FROM valid),
+    bodies AS (SELECT id, table_idx, row_idx,
+                      CASE WHEN ends_with(substr(r, 2), '|')
+                           THEN substr(substr(r, 2), 1,
+                                       len(substr(r, 2)) - 1)
+                           ELSE substr(r, 2) END AS body
+               FROM rows_),
+    cells AS (SELECT id, table_idx, row_idx,
+                     list_transform(string_split(body, '|'), x -> trim(x))
+                         AS cs
+              FROM bodies)
+"""
+
+
+def _mdstruct_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_MDSTRUCT_PAGES_SQL` (same literals, same
+    arithmetic): %5==0 prose + heading + 3-col table with an indented
+    pipe line, %5==1 heading + ragged table (a 3-cell row under a
+    2-col header), %5==2 an INVALID pipe run (no separator) + deep
+    heading, %5==3 two headings + an unterminated single-column table
+    at EOF, %5==4 plain prose (preamble-only, no tables)."""
+    d = F.col("doc_id")
+    t = F.col("text")
+    nl = "\n"
+    page0 = F.concat(
+        F.lit("intro prose" + nl + "# Results" + nl
+              + "| name | value | note |" + nl
+              + "| --- | ---: | :-: |" + nl + "| alpha | "),
+        (d % 97).cast("string"),
+        F.lit(" | "),
+        F.substring(t, 1, 12),
+        F.lit(" |" + nl + "  | beta | "),
+        (d % 13).cast("string"),
+        F.lit(" | ok |" + nl + "tail prose"),
+    )
+    page1 = F.lit(
+        "## Data" + nl + "lead" + nl + "| k | v |" + nl + "|--|--|" + nl
+        + "| a | 1 |" + nl + "| b | 2 | extra |" + nl + "after"
+    )
+    page2 = F.concat(
+        F.lit("| x | y |" + nl + "| p | q |" + nl + "### Deep dive" + nl),
+        F.substring(t, 1, 30),
+    )
+    page3 = F.concat(
+        F.lit("pre" + nl + "# Top" + nl + "## Sub" + nl + "| h |" + nl
+              + "| - |" + nl + "| "),
+        F.substring(t, 5, 9),
+        F.lit(" |"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        d.alias("id"),
+        F.when(d % 5 == 0, page0)
+        .when(d % 5 == 1, page1)
+        .when(d % 5 == 2, page2)
+        .when(d % 5 == 3, page3)
+        .otherwise(F.substring(t, 1, 50))
+        .alias("md"),
+    )
+
+
+@register(
+    "md_table_cells",
+    oracle=f"""
+    WITH {_MDTABLE_CELLS_SQL}
+    SELECT id, table_idx, row_idx,
+           unnest(range(0, len(cs)))::INT + 1 AS col_idx,
+           unnest(cs) AS cell
+    FROM cells
+    ORDER BY id, table_idx, row_idx, col_idx
+    """,
+)
+def md_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-table extraction to structured CELLS
+    (`mdstruct.pipe_table_cells`): one MAP-ONLY ``F.aggregate`` fold
+    groups consecutive pipe lines per document, keeps runs whose 2nd
+    line is a separator, and explodes header+data rows into (id,
+    table_idx, row_idx, col_idx, cell) — the table-QA/grounding corpus
+    shape.  The oracle replays the grammar as gaps-and-islands windows,
+    so the hash match also proves fold ≡ window.  The fixture covers
+    indented pipe lines, a ragged row, an invalid run (no separator),
+    an unterminated EOF table, and a pipe-free page."""
+    from mistral_ocr_pipeline_spark.operators.mdstruct import (
+        pipe_table_cells,
+    )
+
+    return pipe_table_cells(
+        _mdstruct_pages(spark, sf_dir), "id", "md"
+    ).orderBy("id", "table_idx", "row_idx", "col_idx")
+
+
+@register(
+    "md_table_stats",
+    oracle=f"""
+    WITH {_MDTABLE_CELLS_SQL},
+    csz AS (SELECT id, table_idx, row_idx, len(cs) AS nc FROM cells),
+    hdr AS (SELECT id, table_idx, nc AS hc FROM csz WHERE row_idx = 0)
+    SELECT c.id, c.table_idx,
+           (count(*) FILTER (WHERE c.row_idx > 0))::BIGINT AS n_rows,
+           any_value(h.hc)::BIGINT AS n_cols,
+           coalesce(bool_or(c.row_idx > 0 AND c.nc <> h.hc), false)
+               AS ragged
+    FROM csz c JOIN hdr h ON h.id = c.id AND h.table_idx = c.table_idx
+    GROUP BY c.id, c.table_idx
+    ORDER BY c.id, c.table_idx
+    """,
+)
+def md_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table health facts (`mdstruct.pipe_table_stats`): data-row
+    count, header column count, and the RAGGED flag (any data row whose
+    cell count differs from the header's) — the malformed-table gate a
+    table corpus filters on.  Computed INSIDE the run array (F.exists
+    over the data rows), so the per-cell relation never materializes:
+    still map-only."""
+    from mistral_ocr_pipeline_spark.operators.mdstruct import (
+        pipe_table_stats,
+    )
+
+    return pipe_table_stats(
+        _mdstruct_pages(spark, sf_dir), "id", "md"
+    ).orderBy("id", "table_idx")
+
+
+@register(
+    "md_sections",
+    oracle=f"""
+    WITH pages AS ({_MDSTRUCT_PAGES_SQL}),
+    ls AS (SELECT id, string_split(coalesce(md, ''), chr(10)) AS a
+           FROM pages),
+    l AS (SELECT id, unnest(range(0, len(a)))::INT AS pos, unnest(a) AS line
+          FROM ls),
+    m AS (SELECT id, pos, line,
+                 regexp_matches(line, '^#{{1,6}} ') AS ish,
+                 sum(CASE WHEN regexp_matches(line, '^#{{1,6}} ')
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY id ORDER BY pos) AS cum
+          FROM l),
+    heads AS (SELECT id, cum,
+                     len(regexp_extract(line, '^(#{{1,6}}) ', 1))::INT
+                         AS level,
+                     trim(regexp_replace(line, '^#{{1,6}} ', '')) AS heading,
+                     pos AS start_line
+              FROM m WHERE ish),
+    content AS (SELECT id, cum, pos, line FROM m WHERE NOT ish),
+    pre AS (SELECT id, 0 AS cum, 0 AS level, '' AS heading, 0 AS start_line
+            FROM content WHERE cum = 0 GROUP BY id),
+    secs AS (SELECT * FROM pre UNION ALL SELECT * FROM heads),
+    agg AS (SELECT s.id, s.cum, s.level, s.heading, s.start_line,
+                   count(c.pos)::BIGINT AS n_lines,
+                   length(coalesce(
+                       string_agg(c.line, chr(10) ORDER BY c.pos),
+                       ''))::BIGINT AS n_chars
+            FROM secs s
+            LEFT JOIN content c ON c.id = s.id AND c.cum = s.cum
+            GROUP BY s.id, s.cum, s.level, s.heading, s.start_line)
+    SELECT id,
+           row_number() OVER (PARTITION BY id ORDER BY cum)::INT
+               AS section_idx,
+           level, heading, start_line, n_lines, n_chars
+    FROM agg ORDER BY id, section_idx
+    """,
+)
+def md_sections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline SECTION segmentation (`mdstruct.md_sections`):
+    the document split at ATX headings into (section_idx, level,
+    heading, start_line, n_lines, n_chars) — section-aware chunk
+    boundaries with LINE OFFSETS (the same span-bookkeeping contract
+    the extraction path keeps), preamble as a level-0 section.  One
+    map-only fold; the oracle replays it in cumulative-heading-count
+    window form."""
+    from mistral_ocr_pipeline_spark.operators.mdstruct import md_sections
+
+    return md_sections(_mdstruct_pages(spark, sf_dir), "id", "md").orderBy(
+        "id", "section_idx"
+    )
+
+
+# --------------------------------------------------------------------------
+# HTML hyperlink extraction + the domain link graph
+# --------------------------------------------------------------------------
+_LINK_PAGES_SQL = """
+      SELECT doc_id AS id,
+             'site' || (doc_id % 5)::varchar || '.example.com' AS src_host,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE '<html><body><p>' || substr(text, 1, 40) || '</p>'
+               || '<a href="https://site' || ((doc_id + 1) % 5)::varchar
+               || '.example.com/p/' || (doc_id % 20)::varchar
+               || '?utm_source=z&x=1">read ' || (doc_id % 7)::varchar
+               || '</a>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<a href="HTTP://WWW.Site'
+                            || (doc_id % 5)::varchar
+                            || '.Example.com:80/nav/">home</a>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '<a href="/rel/' || (doc_id % 9)::varchar
+                            || '">more</a>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN '<a href="mailto:x@y">mail</a>'
+                       ELSE '' END
+               || '</body></html>'
+             END AS html
+      FROM documents
+"""
+
+_ANCHOR_RE = '<a href="([^"]*)">([^<]*)</a>'
+
+_LINK_ROWS_SQL = f"""
+    pages AS ({_LINK_PAGES_SQL}),
+    x AS (SELECT id, src_host,
+                 regexp_extract_all(coalesce(html, ''), '{_ANCHOR_RE}', 1)
+                     AS hs,
+                 regexp_extract_all(coalesce(html, ''), '{_ANCHOR_RE}', 2)
+                     AS ans
+          FROM x0),
+    lk2 AS (SELECT id, src_host,
+                   unnest(range(0, len(hs)))::INT + 1 AS link_idx,
+                   unnest(hs) AS url, unnest(ans) AS anchor
+            FROM x)
+""".replace("FROM x0", "FROM pages")
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_LINK_PAGES_SQL`: every page links the NEXT site
+    (cross-domain edge); %3==0 adds a messy self-link (scheme/WWW/port
+    noise that canonicalizes back to src_host — the INTERNAL edge);
+    %4==0 a relative href (canonicalizes to the '' junk host); %11==0 a
+    mailto (no '://', junk); %13==0 a NULL page."""
+    d = F.col("doc_id")
+    t = F.col("text")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.substring(t, 1, 40),
+        F.lit('</p><a href="https://site'),
+        ((d + 1) % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        (d % 20).cast("string"),
+        F.lit('?utm_source=z&x=1">read '),
+        (d % 7).cast("string"),
+        F.lit("</a>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<a href="HTTP://WWW.Site'),
+                (d % 5).cast("string"),
+                F.lit('.Example.com:80/nav/">home</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<a href="/rel/'),
+                (d % 9).cast("string"),
+                F.lit('">more</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit('<a href="mailto:x@y">mail</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</body></html>"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        d.alias("id"),
+        F.concat(
+            F.lit("site"), (d % 5).cast("string"), F.lit(".example.com")
+        ).alias("src_host"),
+        F.when(d % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(html)
+        .alias("html"),
+    )
+
+
+@register(
+    "html_links",
+    oracle=f"""
+    WITH {_LINK_ROWS_SQL},
+    {_url_canon_ctes('lk2')}
+    SELECT id, link_idx, url AS href, canon_url,
+           regexp_extract(canon_url, '{_URLRE}', 2) AS dst_host,
+           anchor, length(anchor)::BIGINT AS anchor_chars
+    FROM lk2_c ORDER BY id, link_idx
+    """,
+)
+def html_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor link extraction (`htmllinks.html_links`): ONE
+    regexp_extract_all scan pulls hrefs + anchor texts (two capture
+    groups, zipped positionally), then the existing URL canonicalizer
+    normalizes targets — map-only, zero UDF.  Relative and mailto
+    hrefs canonicalize to the explicit '' junk host (rows never vanish
+    on a NULL key); NULL pages emit no rows via the coalesce guard."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import html_links
+
+    return html_links(_link_pages(spark, sf_dir), "id", "html").orderBy(
+        "id", "link_idx"
+    )
+
+
+@register(
+    "html_link_graph",
+    oracle=f"""
+    WITH {_LINK_ROWS_SQL},
+    {_url_canon_ctes('lk2')}
+    SELECT src_host,
+           regexp_extract(canon_url, '{_URLRE}', 2) AS dst_host,
+           count(*)::BIGINT AS n_links,
+           count(DISTINCT id)::BIGINT AS n_docs,
+           sum(length(anchor))::BIGINT AS total_anchor_chars,
+           bool_or(src_host = regexp_extract(canon_url, '{_URLRE}', 2))
+               AS internal
+    FROM lk2_c
+    GROUP BY src_host, dst_host
+    ORDER BY src_host, dst_host
+    """,
+)
+def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph (`htmllinks.link_graph`) — the Common
+    Crawl host-graph shape: (src_host, dst_host) edges with link/doc
+    counts, anchor-text mass, and the INTERNAL flag (self-edges the
+    messy-self-link fixture branch produces after canonicalization
+    strips WWW/port/case).  src_host rides THROUGH the explode — scan →
+    Generate → ONE map-side-combinable groupBy, no join back to the
+    page table."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import link_graph
+
+    return link_graph(
+        _link_pages(spark, sf_dir), "id", "html", "src_host"
+    ).orderBy("src_host", "dst_host")

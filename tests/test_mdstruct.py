@@ -1,0 +1,217 @@
+"""Pins for markdown-structure extraction (operators/mdstruct.py) and
+HTML link extraction (operators/htmllinks.py): grammar edge branches,
+NULL survival, and the zero-shuffle plan contracts."""
+
+from pyspark.sql import functions as F
+
+
+def _cells(spark, text):
+    from mistral_ocr_pipeline_spark.operators.mdstruct import (
+        pipe_table_cells,
+    )
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return pipe_table_cells(df).orderBy(
+        "table_idx", "row_idx", "col_idx"
+    ).collect()
+
+
+class TestPipeTables:
+    def test_basic_table_header_and_rows(self, spark):
+        md = (
+            "intro\n| a | b |\n|---|---|\n| 1 | 2 |\n| 3 | 4 |\ntail"
+        )
+        out = _cells(spark, md)
+        assert [(r.row_idx, r.col_idx, r.cell) for r in out] == [
+            (0, 1, "a"), (0, 2, "b"),
+            (1, 1, "1"), (1, 2, "2"),
+            (2, 1, "3"), (2, 2, "4"),
+        ]
+        assert all(r.table_idx == 1 for r in out)
+
+    def test_run_without_separator_is_not_a_table(self, spark):
+        assert _cells(spark, "| a | b |\n| c | d |\nprose") == []
+
+    def test_separator_needs_a_dash(self, spark):
+        # '|  :  |' matches the char class but has no dash → invalid
+        assert _cells(spark, "| a |\n| : |\n| v |") == []
+
+    def test_unterminated_table_at_eof_flushes(self, spark):
+        out = _cells(spark, "pre\n| h |\n| - |\n| v |")
+        assert [(r.row_idx, r.cell) for r in out] == [(0, "h"), (1, "v")]
+
+    def test_indented_pipe_line_joins_run(self, spark):
+        out = _cells(spark, "| a |\n|-|\n  | b |")
+        assert [(r.row_idx, r.cell) for r in out] == [(0, "a"), (1, "b")]
+
+    def test_missing_trailing_pipe_and_ragged(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import (
+            pipe_table_stats,
+        )
+
+        md = "| a | b |\n|--|--|\n| 1 | 2\n| 3 | 4 | 5 |"
+        out = _cells(spark, md)
+        assert [(r.row_idx, r.col_idx, r.cell) for r in out if r.row_idx == 1] == [
+            (1, 1, "1"), (1, 2, "2")
+        ]
+        df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+        st = pipe_table_stats(df).collect()[0]
+        assert (st.n_rows, st.n_cols, st.ragged) == (2, 2, True)
+
+    def test_two_tables_index_in_doc_order(self, spark):
+        md = "| a |\n|-|\nmid\n| b |\n|-|\n| x |"
+        out = _cells(spark, md)
+        assert sorted({r.table_idx for r in out}) == [1, 2]
+
+    def test_null_and_pipe_free_docs_emit_nothing(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import (
+            pipe_table_cells,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "plain prose")], "doc_id long, text string"
+        )
+        assert pipe_table_cells(df).count() == 0
+
+    def test_stats_not_ragged_and_zero_data_rows(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import (
+            pipe_table_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "| a | b |\n|--|--|")], "doc_id long, text string"
+        )
+        st = pipe_table_stats(df).collect()[0]
+        assert (st.n_rows, st.n_cols, st.ragged) == (0, 2, False)
+
+    def test_zero_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import (
+            pipe_table_cells,
+            pipe_table_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "| a |\n|-|\n| b |")], "doc_id long, text string"
+        )
+        for op in (pipe_table_cells, pipe_table_stats):
+            plan = (
+                op(df)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" not in plan
+
+
+class TestMdSections:
+    def _secs(self, spark, text):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import md_sections
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return md_sections(df).orderBy("section_idx").collect()
+
+    def test_preamble_and_levels_and_offsets(self, spark):
+        md = "pre line\n# Title\nbody a\nbody b\n## Sub\n\n### x\ntail"
+        out = self._secs(spark, md)
+        assert [
+            (r.section_idx, r.level, r.heading, r.start_line, r.n_lines)
+            for r in out
+        ] == [
+            (1, 0, "", 0, 1),
+            (2, 1, "Title", 1, 2),
+            (3, 2, "Sub", 4, 1),
+            (4, 3, "x", 6, 1),
+        ]
+        assert out[1].n_chars == len("body a\nbody b")
+        # the blank line under '## Sub' is one content line of 0 chars
+        assert out[2].n_chars == 0
+
+    def test_doc_opening_with_heading_has_no_preamble(self, spark):
+        out = self._secs(spark, "# Only")
+        assert [(r.section_idx, r.level, r.heading, r.n_lines) for r in out] == [
+            (1, 1, "Only", 0)
+        ]
+
+    def test_seven_hashes_is_not_a_heading(self, spark):
+        out = self._secs(spark, "####### nope\n# real")
+        assert [(r.level, r.heading) for r in out] == [(0, ""), (1, "real")]
+
+    def test_hash_without_space_is_content(self, spark):
+        out = self._secs(spark, "#nope")
+        assert [(r.level, r.heading, r.n_lines) for r in out] == [(0, "", 1)]
+
+    def test_null_doc_survives_as_empty_preamble(self, spark):
+        out = self._secs(spark, None)
+        assert [(r.level, r.n_lines, r.n_chars) for r in out] == [(0, 1, 0)]
+
+    def test_zero_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import md_sections
+
+        df = spark.createDataFrame([(1, "# a\nb")], "doc_id long, text string")
+        plan = md_sections(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestHtmlLinks:
+    def _links(self, spark, html):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import html_links
+
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        return html_links(df).orderBy("link_idx").collect()
+
+    def test_extract_canonicalize_and_junk_groups(self, spark):
+        html = (
+            '<a href="https://WWW.Site1.Example.com:443/p/3?utm_source=z&x=1">'
+            "read more</a>"
+            '<a href="/rel/9">rel</a>'
+            '<a href="mailto:x@y">mail</a>'
+        )
+        out = self._links(spark, html)
+        assert [(r.link_idx, r.canon_url, r.dst_host, r.anchor) for r in out] == [
+            (1, "https://site1.example.com/p/3?x=1", "site1.example.com",
+             "read more"),
+            (2, "", "", "rel"),
+            (3, "", "", "mail"),
+        ]
+        assert out[0].anchor_chars == 9
+
+    def test_null_and_anchor_free_pages_emit_nothing(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import html_links
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "<p>no anchors</p>")], "doc_id long, html string"
+        )
+        assert html_links(df).count() == 0
+
+    def test_link_graph_internal_flag_and_rollup(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import link_graph
+
+        rows = [
+            (1, '<a href="https://a.com/x">one</a>'
+                '<a href="http://WWW.A.com:80/y">two</a>', "a.com"),
+            (2, '<a href="https://a.com/z">three</a>', "b.com"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string, src string")
+        out = {
+            (r.src_host, r.dst_host): r
+            for r in link_graph(df, "doc_id", "html", "src").collect()
+        }
+        e1 = out[("a.com", "a.com")]
+        assert (e1.n_links, e1.n_docs, bool(e1.internal)) == (2, 1, True)
+        e2 = out[("b.com", "a.com")]
+        assert (e2.n_links, e2.n_docs, bool(e2.internal)) == (1, 1, False)
+        assert e2.total_anchor_chars == len("three")
+
+    def test_link_graph_single_exchange_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import link_graph
+
+        df = spark.createDataFrame(
+            [(1, '<a href="https://a.com/x">one</a>', "a.com")],
+            "doc_id long, html string, src string",
+        )
+        plan = (
+            link_graph(df, "doc_id", "html", "src")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one aggregation exchange (the groupBy's own), nothing else
+        assert plan.count("Exchange") <= 2  # partial agg + distinct-doc agg
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
