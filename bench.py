@@ -177,6 +177,8 @@ def main() -> None:
         "transcript_pathology_facts",
         "md_table_cells",
         "html_link_graph",
+        "host_authority",
+        "md_section_chunks",
     ]
     # Best-of-N with adaptive extension: this box shows periodic
     # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query

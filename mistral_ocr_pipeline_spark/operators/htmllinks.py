@@ -102,3 +102,92 @@ def link_graph(
         F.sum("anchor_chars").alias("total_anchor_chars"),
         F.max(F.col("src_host") == F.col("dst_host")).alias("internal"),
     )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    n_iter: int = 5,
+    d: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """DIRECTED PageRank with dangling-mass redistribution over the
+    host graph — the web-graph authority score (Page et al. 1999;
+    Common Crawl publishes exactly this over its host graph):
+
+        pr'(v) = (1−d)/N + d·( Σ_{(u,v)∈E} pr(u)/outdeg(u) + m/N )
+
+    where m is the total rank sitting on DANGLING hosts (no out-links —
+    the link-graph fixture's '' junk sink is one).  This differs from
+    `dedup.pagerank_canonical`, which symmetrizes edges for undirected
+    dedup-cluster canonicality; authority needs direction kept.
+
+    Scale shape mirrors `pagerank_canonical`: static 1/outdeg edge
+    weights computed once; per round ONE shuffle on dst (the
+    contribution groupBy) plus a 1-row dangling-mass broadcast, with
+    lineage truncated per round (localCheckpoint, or a reliable
+    ``checkpoint_dir`` on real clusters — pr is referenced TWICE per
+    round, so an uncheckpointed plan doubles each iteration).  The
+    host-pair relation is orders of magnitude smaller than the page
+    corpus; the pages are never re-read.  Returns (host, pagerank)
+    rounded to 9 dp — the pinned convention that keeps the whole
+    recurrence SQL-unrollable."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = _ckpt(
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.select("host", F.lit(0.0).alias("pagerank"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # static per-edge weight 1/outdeg(src), computed once, reused per round
+    ed = _ckpt(
+        e.join(deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+        )
+    )
+    linked = ed.select("src").distinct()
+    base = (1.0 - d) / n_total
+    pr = _ckpt(nodes.select("host", F.lit(1.0 / n_total).alias("pr")))
+    for _ in range(n_iter):
+        dang = pr.join(linked, pr["host"] == linked["src"], "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m")
+        )
+        contrib = (
+            ed.join(pr, ed["src"] == pr["host"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("s"))
+        )
+        pr = _ckpt(
+            nodes.join(contrib, nodes["host"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("m") / F.lit(float(n_total))
+                    )
+                ).alias("pr"),
+            )
+        )
+    return pr.select("host", F.round("pr", 9).alias("pagerank"))

@@ -252,3 +252,25 @@ def md_sections(
         F.size(content).cast("long").alias("n_lines"),
         F.length(F.array_join(content, "\n")).cast("long").alias("n_chars"),
     )
+
+
+def md_section_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per section WITH its content text: (id, section_idx,
+    level, heading, sec_text) — the input shape for section-aware
+    passage chunking (chunk boundaries that respect the document
+    outline instead of blind token windows).  sec_text is the
+    '\\n'-joined content (heading line excluded, '' for content-free
+    sections).  Same map-only fold as `md_sections`."""
+    s = F.col("s")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(md_section_array(F.col(text_col))).alias("p", "s"),
+    ).select(
+        "id",
+        (F.col("p") + 1).cast("int").alias("section_idx"),
+        s.getField("level").alias("level"),
+        s.getField("heading").alias("heading"),
+        F.array_join(s.getField("lines"), "\n").alias("sec_text"),
+    )

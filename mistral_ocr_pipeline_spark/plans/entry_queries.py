@@ -12558,3 +12558,185 @@ def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_graph(
         _link_pages(spark, sf_dir), "id", "html", "src_host"
     ).orderBy("src_host", "dst_host")
+
+
+def _host_pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled directed PageRank with dangling-mass redistribution over
+    the link-graph fixture's external edges — operand order and literals
+    identical to `htmllinks.host_pagerank` (1.0-0.85 constant-folds to
+    the same double in both engines)."""
+    ctes = [
+        f"""{_LINK_ROWS_SQL},
+    {_url_canon_ctes('lk2')},
+    eg AS (SELECT DISTINCT src_host AS src,
+                  regexp_extract(canon_url, '{_URLRE}', 2) AS dst
+           FROM lk2_c
+           WHERE src_host <> regexp_extract(canon_url, '{_URLRE}', 2)),
+    u AS (SELECT src AS host FROM eg UNION SELECT dst FROM eg),
+    dg AS (SELECT src, count(*)::DOUBLE AS deg FROM eg GROUP BY src),
+    ew AS (SELECT src, dst, 1.0 / deg AS w FROM eg JOIN dg USING (src)),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM u),
+    pr0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS pr FROM u)"""
+    ]
+    for k in range(n_iter):
+        ctes.append(
+            f"""dang{k} AS (
+      SELECT coalesce(sum(pr), 0)::DOUBLE AS m FROM pr{k} p
+      WHERE p.host NOT IN (SELECT src FROM dg)),
+    pr{k + 1} AS (
+      SELECT u.host,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * (COALESCE(sum(p.pr * ew.w), 0)
+                       + (SELECT m FROM dang{k}) / (SELECT n FROM nn)) AS pr
+      FROM u
+      LEFT JOIN ew ON ew.dst = u.host
+      LEFT JOIN pr{k} p ON p.host = ew.src
+      GROUP BY u.host)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT host, round(pr, 9) AS pagerank FROM pr{n_iter}"
+        + "\n    ORDER BY host"
+    )
+
+
+@register("host_authority", oracle=_host_pagerank_oracle_sql())
+def host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority (`htmllinks.host_pagerank`): DIRECTED PageRank
+    with dangling-mass redistribution over the link graph's external
+    edges — the '' junk sink has no out-links, so the dangling branch
+    is live in the fixture.  Unlike `graph_pagerank` (undirected
+    dedup-cluster canonicality), direction is kept: authority flows
+    along hrefs.  5 iterations, each ONE shuffle on the HOST-pair
+    relation + two 1-row broadcasts; the oracle unrolls the exact
+    recurrence."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import (
+        host_pagerank,
+        link_graph,
+    )
+
+    g = link_graph(_link_pages(spark, sf_dir), "id", "html", "src_host")
+    edges = g.filter(F.col("src_host") != F.col("dst_host"))
+    return host_pagerank(edges).orderBy("host")
+
+
+@register(
+    "anchor_text_index",
+    oracle=f"""
+    WITH {_LINK_ROWS_SQL},
+    {_url_canon_ctes('lk2')},
+    a AS (SELECT canon_url, anchor FROM lk2_c WHERE canon_url <> ''),
+    counts AS (SELECT canon_url, anchor, count(*)::BIGINT AS n_mentions
+               FROM a GROUP BY canon_url, anchor),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY canon_url
+                   ORDER BY n_mentions DESC, anchor ASC)::INT AS rank
+               FROM counts),
+    tot AS (SELECT canon_url, sum(n_mentions)::BIGINT AS total_mentions
+            FROM counts GROUP BY canon_url)
+    SELECT r.canon_url, r.anchor, r.n_mentions, r.rank, t.total_mentions
+    FROM ranked r JOIN tot t USING (canon_url)
+    WHERE r.rank <= 3
+    ORDER BY r.canon_url, r.rank
+    """,
+)
+def anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index — the classic IR signal (anchor text describes
+    the TARGET document better than its own words; every web-scale
+    retrieval stack aggregates it): per canonical target URL, the top-3
+    anchor strings by mention count (ties → lexicographic) plus the
+    URL's total mention mass.  One groupBy on (url, anchor), a top-k
+    window over the URL domain, and a broadcast-sized totals join —
+    the per-anchor relation never lands anywhere else."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import html_links
+
+    links = html_links(_link_pages(spark, sf_dir), "id", "html").filter(
+        F.col("canon_url") != ""
+    )
+    counts = links.groupBy("canon_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    w = W.partitionBy("canon_url").orderBy(
+        F.col("n_mentions").desc(), F.col("anchor").asc()
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= 3)
+    totals = counts.groupBy("canon_url").agg(
+        F.sum("n_mentions").alias("total_mentions")
+    )
+    return ranked.join(totals, "canon_url").orderBy("canon_url", "rank")
+
+
+@register(
+    "md_section_chunks",
+    oracle=rf"""
+    WITH pages AS ({_MDSTRUCT_PAGES_SQL}),
+    ls AS (SELECT id, string_split(coalesce(md, ''), chr(10)) AS a
+           FROM pages),
+    l AS (SELECT id, unnest(range(0, len(a)))::INT AS pos, unnest(a) AS line
+          FROM ls),
+    m AS (SELECT id, pos, line,
+                 regexp_matches(line, '^#{{1,6}} ') AS ish,
+                 sum(CASE WHEN regexp_matches(line, '^#{{1,6}} ')
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY id ORDER BY pos) AS cum
+          FROM l),
+    heads AS (SELECT id, cum FROM m WHERE ish),
+    content AS (SELECT id, cum, pos, line FROM m WHERE NOT ish),
+    pre AS (SELECT id, 0 AS cum FROM content WHERE cum = 0 GROUP BY id),
+    secs AS (SELECT * FROM pre UNION ALL SELECT * FROM heads),
+    sagg AS (SELECT s.id, s.cum,
+                    coalesce(string_agg(c.line, chr(10) ORDER BY c.pos),
+                             '') AS sec_text
+             FROM secs s
+             LEFT JOIN content c ON c.id = s.id AND c.cum = s.cum
+             GROUP BY s.id, s.cum),
+    sidx AS (SELECT id,
+                    row_number() OVER (PARTITION BY id ORDER BY cum)::INT
+                        AS section_idx,
+                    sec_text
+             FROM sagg),
+    k AS (SELECT id::varchar || '#' || section_idx::varchar AS sec_key,
+                 CASE WHEN trim(sec_text) = '' THEN []::varchar[]
+                      ELSE string_split_regex(trim(sec_text), '\s+')
+                 END AS toks
+          FROM sidx),
+    c2 AS (SELECT sec_key, len(toks) AS n, toks,
+                  unnest(range(0, len(toks)::bigint, 12))::int AS chunk_start
+           FROM k WHERE len(toks) > 0)
+    SELECT sec_key, chunk_start,
+           array_to_string(toks[chunk_start + 1:chunk_start + 16], ' ')
+               AS chunk_text,
+           least(16, n - chunk_start)::bigint AS n_tokens
+    FROM c2 ORDER BY sec_key, chunk_start
+    """,
+)
+def md_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-aware passage chunking: the outline segmentation
+    (`mdstruct.md_section_text`) feeds the token-window chunker
+    (`packing.chunk_text_tokens`, window=16 overlap=4) so no passage
+    straddles a heading boundary — the RAG ingest shape structure-blind
+    windows get wrong.  Both halves are map-only folds/fan-outs in ONE
+    plan; sec_key = id#section_idx keeps the composite key through the
+    chunker's single-column contract."""
+    from mistral_ocr_pipeline_spark.operators.mdstruct import md_section_text
+    from mistral_ocr_pipeline_spark.operators.packing import chunk_text_tokens
+
+    secs = md_section_text(_mdstruct_pages(spark, sf_dir), "id", "md").select(
+        F.concat_ws(
+            "#",
+            F.col("id").cast("string"),
+            F.col("section_idx").cast("string"),
+        ).alias("sec_key"),
+        "sec_text",
+    )
+    return (
+        chunk_text_tokens(secs, "sec_key", "sec_text", window=16, overlap=4)
+        .select(
+            F.col("id").alias("sec_key"), "chunk_start", "chunk_text",
+            "n_tokens",
+        )
+        .orderBy("sec_key", "chunk_start")
+    )

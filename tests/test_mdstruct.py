@@ -215,3 +215,78 @@ class TestHtmlLinks:
         # one aggregation exchange (the groupBy's own), nothing else
         assert plan.count("Exchange") <= 2  # partial agg + distinct-doc agg
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestHostPagerank:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+    def test_one_iteration_hand_computed_with_dangling(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            host_pagerank,
+        )
+
+        # A->B, B->A, A->C; C dangles.  pr0 = 1/3 each, m = 1/3:
+        # pr1(A) = .05 + .85*(1/3 + 1/9), pr1(B) = pr1(C)
+        #        = .05 + .85*(1/6 + 1/9)
+        e = self._edges(spark, [("A", "B"), ("B", "A"), ("A", "C")])
+        got = {
+            r.host: round(r.pagerank, 6)
+            for r in host_pagerank(e, n_iter=1).collect()
+        }
+        assert got == {
+            "A": round(0.05 + 0.85 * (1 / 3 + 1 / 9), 6),
+            "B": round(0.05 + 0.85 * (1 / 6 + 1 / 9), 6),
+            "C": round(0.05 + 0.85 * (1 / 6 + 1 / 9), 6),
+        }
+
+    def test_rank_mass_conserved_and_sink_beats_sources(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            host_pagerank,
+        )
+
+        # 3-cycle where every node also links the sink: sink collects
+        # double in-mass and must outrank the cycle nodes.
+        e = self._edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"),
+             ("a", "s"), ("b", "s"), ("c", "s")],
+        )
+        out = {r.host: r.pagerank for r in host_pagerank(e, n_iter=5).collect()}
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+        assert out["s"] > out["a"] == out["b"] == out["c"]
+
+    def test_duplicate_edges_collapse(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            host_pagerank,
+        )
+
+        once = host_pagerank(
+            self._edges(spark, [("A", "B")]), n_iter=3
+        ).collect()
+        twice = host_pagerank(
+            self._edges(spark, [("A", "B"), ("A", "B")]), n_iter=3
+        ).collect()
+        assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+class TestMdSectionText:
+    def test_sec_text_slices_back_to_source(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import (
+            md_section_text,
+        )
+
+        md = "pre\n# A\nx y\nz\n## B\nw"
+        df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+        out = md_section_text(df).orderBy("section_idx").collect()
+        assert [(r.section_idx, r.heading, r.sec_text) for r in out] == [
+            (1, "", "pre"),
+            (2, "A", "x y\nz"),
+            (3, "B", "w"),
+        ]
+        # content lines re-join to the source minus heading lines
+        lines = md.split("\n")
+        joined = [r.sec_text for r in out]
+        assert "\n".join(joined).split("\n") == [
+            ln for ln in lines if not ln.startswith("#")
+        ]
