@@ -274,3 +274,92 @@ def md_section_text(
         s.getField("heading").alias("heading"),
         F.array_join(s.getField("lines"), "\n").alias("sec_text"),
     )
+
+
+def pipe_table_linearize(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ToTTo-style table linearization: each DATA row rendered as
+    'h1: v1 | h2: v2 | …' by pairing cells with the header positionally
+    — the flat string a table-QA / table-to-text corpus trains on.
+    Pairs stop at the SHORTER of header/row (ragged extras carry no
+    header name; `pipe_table_stats.ragged` flags those tables).  Still
+    map-only: the pairing runs inside the run array via
+    transform(sequence(...)).  Returns (id, table_idx, row_idx ≥ 1,
+    row_text)."""
+    run = F.col("run")
+    hdr = _row_cells(F.element_at(run, 1))
+    data = F.slice(run, 3, F.size(run) - 2)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(pipe_table_runs(F.col(text_col))).alias("ti", "run"),
+        )
+        .select(
+            "id",
+            (F.col("ti") + 1).cast("int").alias("table_idx"),
+            F.posexplode(
+                F.transform(
+                    data,
+                    lambda r: F.array_join(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.size(hdr), F.size(_row_cells(r))
+                                ),
+                            ),
+                            lambda j: F.concat(
+                                F.element_at(hdr, j),
+                                F.lit(": "),
+                                F.element_at(_row_cells(r), j),
+                            ),
+                        ),
+                        " | ",
+                    ),
+                )
+            ).alias("ri", "row_text"),
+        )
+        .select(
+            "id",
+            "table_idx",
+            (F.col("ri") + 1).cast("int").alias("row_idx"),
+            "row_text",
+        )
+    )
+
+
+# Markdown image/figure reference: ![alt](src).  Character-class only —
+# Java regex and RE2 agree; nested brackets/parens are out of grammar
+# (the md sink never emits them).
+IMAGE_PATTERN = r"!\[([^\]]*)\]\(([^)]*)\)"
+
+
+def md_images(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Figure/image inventory of a markdown document: one row per
+    ``![alt](src)`` reference — (id, img_idx, alt, src, alt_chars) in
+    document order.  The markdown twin of the reference's figure-span
+    bookkeeping (`extractors/blocks.py` renders figures exactly this
+    way), extracted scan-level with regexp_extract_all: map-only, zero
+    UDF."""
+    pat = F.lit(IMAGE_PATTERN)
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    z = F.col("z")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.zip_with(
+                F.regexp_extract_all(body, pat, 1),
+                F.regexp_extract_all(body, pat, 2),
+                lambda a, s: F.struct(a.alias("alt"), s.alias("src")),
+            )
+        ).alias("p", "z"),
+    ).select(
+        "id",
+        (F.col("p") + 1).cast("int").alias("img_idx"),
+        z.getField("alt").alias("alt"),
+        z.getField("src").alias("src"),
+        F.length(z.getField("alt")).cast("long").alias("alt_chars"),
+    )

@@ -1427,3 +1427,56 @@ def pathology_facts_append(
     )
     kept = facts.join(F.broadcast(touched), "conv_id", "left_anti")
     return kept.unionByName(fresh)
+
+
+def transcript_retry_collapse(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Latest-wins turn versioning: retry storms and ingest
+    double-writes leave several rows per (conv_id, turn_idx) — the
+    class `transcript_integrity` AUDITS; this operator RESOLVES it,
+    keeping exactly one version per logical turn (the turn analog of
+    `urls.url_dedup`'s latest-fetch-wins crawl rule).
+
+    Pick: greatest ``ts`` (NULL ts coalesces to epoch — a timestamped
+    version always beats an untimestamped one), ties broken by content
+    fingerprint, then role / NULL-presence flags, so the winner is a
+    total deterministic order both engines replay.  The raw payload
+    (role, text, tool) rides the comparator struct BEHIND fields that
+    fully determine it (md5 + is-null flags), so it never influences
+    the comparison.
+
+    ONE map-side-combinable max(struct) aggregate on (conv_id,
+    turn_idx) — no window, no second pass over the corpus; clean
+    conversations (the overwhelming mass) collapse map-side to
+    themselves.  Returns (conv_id, turn_idx, role, text, tool,
+    n_versions)."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    tfp = F.md5(F.coalesce(F.col("tool"), F.lit("")))
+    cand = F.struct(
+        F.coalesce(
+            F.col("ts"), F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        ).alias("t"),
+        fp.alias("fp"),
+        F.col(text_col).isNotNull().alias("nt"),
+        F.coalesce(F.col("role"), F.lit("")).alias("role_c"),
+        F.col("role").isNotNull().alias("nr"),
+        tfp.alias("tfp"),
+        F.col("tool").isNotNull().alias("ntool"),
+        F.col("role").alias("role"),
+        F.col(text_col).alias("text"),
+        F.col("tool").alias("tool"),
+    )
+    return (
+        df.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.max(cand).alias("b"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("b").getField("role").alias("role"),
+            F.col("b").getField("text").alias("text"),
+            F.col("b").getField("tool").alias("tool"),
+            "n_versions",
+        )
+    )

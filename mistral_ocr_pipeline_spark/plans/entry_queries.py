@@ -12740,3 +12740,205 @@ def md_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sec_key", "chunk_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Turn-retry collapse (latest-wins turn versioning)
+# --------------------------------------------------------------------------
+_RETRY_FIXTURE_SQL = """
+    b0 AS (
+      SELECT doc_id,
+             'conv-' || lpad((doc_id % 50)::varchar, 6, '0') AS conv_id,
+             (doc_id // 50)::int AS turn_idx,
+             (['user','assistant','tool','system'])[(doc_id % 4) + 1] AS role,
+             text,
+             CAST(NULL AS varchar) AS tool,
+             TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND
+                 AS ts
+      FROM documents),
+    allr AS (
+      SELECT conv_id, turn_idx, role, text, tool, ts FROM b0
+      UNION ALL
+      SELECT conv_id, turn_idx, role, text || ' (edited)', tool,
+             ts + INTERVAL 1000 SECOND
+      FROM b0 WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT conv_id, turn_idx, role, 'stale retry', tool,
+             CAST(NULL AS TIMESTAMP)
+      FROM b0 WHERE doc_id % 9 = 0)
+"""
+
+
+@register(
+    "transcript_retry_collapse",
+    oracle=f"""
+    WITH {_RETRY_FIXTURE_SQL},
+    g AS (SELECT conv_id, turn_idx,
+                 max({{'t': coalesce(ts, TIMESTAMP '1970-01-01 00:00:00'),
+                      'fp': md5(coalesce(text, '')),
+                      'nt': text IS NOT NULL,
+                      'role_c': coalesce(role, ''),
+                      'nr': role IS NOT NULL,
+                      'tfp': md5(coalesce(tool, '')),
+                      'ntool': tool IS NOT NULL,
+                      'role': role, 'text': text, 'tool': tool}}) AS b,
+                 count(*)::BIGINT AS n_versions
+          FROM allr GROUP BY conv_id, turn_idx)
+    SELECT conv_id, turn_idx, b.role AS role, b.text AS text,
+           b.tool AS tool, n_versions
+    FROM g ORDER BY conv_id, turn_idx
+    """,
+)
+def transcript_retry_collapse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins turn versioning
+    (`transcript_qc.transcript_retry_collapse`): every 6th turn carries
+    a LATER edited retry (the edit must win), every 9th a NULL-ts stale
+    double-write (the timestamped original must win via the epoch
+    coalesce).  ONE map-side-combinable max(struct) on (conv_id,
+    turn_idx) — the turn analog of `url_dedup_latest`'s crawl rule; no
+    window."""
+    from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+        transcript_retry_collapse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = transcripts_from_documents(docs)
+    edited = transcripts_from_documents(
+        docs.filter(F.col("doc_id") % 6 == 0)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.concat(F.col("text"), F.lit(" (edited)")).alias("text"),
+        "tool",
+        (F.col("ts") + F.make_interval(secs=F.lit(1000.0))).alias("ts"),
+    )
+    stale = transcripts_from_documents(
+        docs.filter(F.col("doc_id") % 9 == 0)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lit("stale retry").alias("text"),
+        "tool",
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    allr = base.unionAll(edited).unionAll(stale)
+    return transcript_retry_collapse(allr).orderBy("conv_id", "turn_idx")
+
+
+@register(
+    "md_table_linearize",
+    oracle=f"""
+    WITH {_MDTABLE_CELLS_SQL},
+    hdr AS (SELECT id, table_idx, cs AS hs FROM cells WHERE row_idx = 0),
+    dat AS (SELECT id, table_idx, row_idx, cs FROM cells WHERE row_idx > 0)
+    SELECT d.id, d.table_idx, d.row_idx,
+           array_to_string(list_transform(
+               range(1, least(len(h.hs), len(d.cs)) + 1),
+               j -> h.hs[j] || ': ' || d.cs[j]), ' | ') AS row_text
+    FROM dat d JOIN hdr h ON h.id = d.id AND h.table_idx = d.table_idx
+    ORDER BY d.id, d.table_idx, d.row_idx
+    """,
+)
+def md_table_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToTTo-style table linearization
+    (`mdstruct.pipe_table_linearize`): each data row rendered as
+    'h1: v1 | h2: v2 | …' for table-to-text / table-QA training; the
+    positional header pairing stops at the shorter side (the fixture's
+    ragged 3-cell row under a 2-col header keeps its first 2 pairs).
+    Map-only — the pairing runs inside the run array."""
+    from mistral_ocr_pipeline_spark.operators.mdstruct import (
+        pipe_table_linearize,
+    )
+
+    return pipe_table_linearize(
+        _mdstruct_pages(spark, sf_dir), "id", "md"
+    ).orderBy("id", "table_idx", "row_idx")
+
+
+# --------------------------------------------------------------------------
+# Markdown image/figure inventory
+# --------------------------------------------------------------------------
+_IMG_PAGES_SQL = """
+      SELECT doc_id AS id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'intro ![Figure ' || (doc_id % 9)::varchar
+                    || '](images/fig' || (doc_id % 9)::varchar
+                    || '.png) tail'
+               WHEN 1 THEN '![](assets/' || (doc_id % 5)::varchar
+                    || '.jpg) and ![logo](https://cdn.example.com/l'
+                    || (doc_id % 7)::varchar || '.svg)'
+               WHEN 2 THEN 'no images here ' || substr(text, 1, 20)
+               ELSE 'broken ![alt without close](open'
+             END AS md
+      FROM documents
+"""
+
+
+def _img_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_IMG_PAGES_SQL`: %4==0 one captioned figure,
+    %4==1 an empty-alt image plus an absolute-URL logo, %4==2 no
+    images, %4==3 an unclosed paren (must NOT match)."""
+    d = F.col("doc_id")
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        d.alias("id"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("intro ![Figure "),
+                (d % 9).cast("string"),
+                F.lit("](images/fig"),
+                (d % 9).cast("string"),
+                F.lit(".png) tail"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("![](assets/"),
+                (d % 5).cast("string"),
+                F.lit(".jpg) and ![logo](https://cdn.example.com/l"),
+                (d % 7).cast("string"),
+                F.lit(".svg)"),
+            ),
+        )
+        .when(d % 4 == 2, F.concat(F.lit("no images here "), F.substring(t, 1, 20)))
+        .otherwise(F.lit("broken ![alt without close](open"))
+        .alias("md"),
+    )
+
+
+@register(
+    "md_images",
+    oracle=f"""
+    WITH pages AS ({_IMG_PAGES_SQL}),
+    x AS (SELECT id,
+                 regexp_extract_all(coalesce(md, ''),
+                     '!\\[([^\\]]*)\\]\\(([^)]*)\\)', 1) AS alts,
+                 regexp_extract_all(coalesce(md, ''),
+                     '!\\[([^\\]]*)\\]\\(([^)]*)\\)', 2) AS srcs
+          FROM pages)
+    SELECT id,
+           unnest(range(0, len(alts)))::INT + 1 AS img_idx,
+           unnest(alts) AS alt,
+           unnest(srcs) AS src,
+           length(unnest(alts))::BIGINT AS alt_chars
+    FROM x
+    ORDER BY id, img_idx
+    """,
+)
+def md_images_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Figure/image inventory (`mdstruct.md_images`) — the markdown
+    twin of the reference's figure-span bookkeeping
+    (`extractors/blocks.py` renders figures as ``![text](ref)``):
+    one row per image reference with alt text and source, scan-level
+    regexp_extract_all, map-only.  The fixture covers empty alt,
+    absolute-URL sources, image-free pages, and an unclosed paren
+    that must not match."""
+    from mistral_ocr_pipeline_spark.operators.mdstruct import md_images
+
+    return md_images(_img_pages(spark, sf_dir), "id", "md").orderBy(
+        "id", "img_idx"
+    )

@@ -290,3 +290,56 @@ class TestMdSectionText:
         assert "\n".join(joined).split("\n") == [
             ln for ln in lines if not ln.startswith("#")
         ]
+
+
+class TestTableLinearize:
+    def test_pairs_and_ragged_truncation(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import (
+            pipe_table_linearize,
+        )
+
+        md = "| a | b |\n|--|--|\n| 1 | 2 |\n| 3 |\n| 4 | 5 | 6 |"
+        df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+        out = pipe_table_linearize(df).orderBy("row_idx").collect()
+        assert [(r.row_idx, r.row_text) for r in out] == [
+            (1, "a: 1 | b: 2"),
+            (2, "a: 3"),          # short row: pairs stop at the row
+            (3, "a: 4 | b: 5"),   # long row: extras carry no header
+        ]
+
+    def test_zero_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import (
+            pipe_table_linearize,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "| a |\n|-|\n| b |")], "doc_id long, text string"
+        )
+        plan = (
+            pipe_table_linearize(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestMdImages:
+    def test_matches_and_non_matches(self, spark):
+        from mistral_ocr_pipeline_spark.operators.mdstruct import md_images
+
+        md = "x ![Fig 1](a.png) y ![](b.jpg) z ![unclosed](open"
+        df = spark.createDataFrame(
+            [
+                (1, md),
+                (2, "plain [link](not-img.html)"),  # no '!' — not an image
+                (3, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = md_images(df).orderBy("id", "img_idx").collect()
+        assert [(r.id, r.img_idx, r.alt, r.src) for r in out] == [
+            (1, 1, "Fig 1", "a.png"),
+            (1, 2, "", "b.jpg"),
+        ]
+        assert out[0].alt_chars == 5

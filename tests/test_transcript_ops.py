@@ -1058,3 +1058,86 @@ class TestPathologyAppend:
         before = {r.conv_id: r for r in facts.collect()}
         assert tuple(merged["b"]) == tuple(before["b"])
         assert merged["a"].n_turns == 4 and before["a"].n_turns == 3
+
+
+class TestRetryCollapse:
+    def _collapse(self, spark, rows):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_retry_collapse,
+        )
+
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        return {
+            (r.conv_id, r.turn_idx): r
+            for r in transcript_retry_collapse(df).collect()
+        }
+
+    def test_latest_ts_wins_and_null_ts_loses(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        t1 = dt.datetime(2024, 1, 1, 0, 16, 40)
+        out = self._collapse(
+            spark,
+            [
+                ("c", 0, "user", "original", None, t0),
+                ("c", 0, "user", "edited", None, t1),
+                ("c", 1, "assistant", "timestamped", None, t0),
+                ("c", 1, "assistant", "stale retry", None, None),
+                ("c", 2, "tool", "clean", "payload", t0),
+            ],
+        )
+        assert out[("c", 0)].text == "edited"
+        assert out[("c", 0)].n_versions == 2
+        assert out[("c", 1)].text == "timestamped"
+        assert out[("c", 2)].text == "clean"
+        assert out[("c", 2)].tool == "payload"
+        assert out[("c", 2)].n_versions == 1
+
+    def test_identical_duplicates_collapse_deterministically(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        out = self._collapse(
+            spark,
+            [
+                ("c", 0, "user", "same", None, t0),
+                ("c", 0, "user", "same", None, t0),
+            ],
+        )
+        assert out[("c", 0)].text == "same"
+        assert out[("c", 0)].n_versions == 2
+
+    def test_ts_tie_breaks_by_content_fingerprint(self, spark):
+        import hashlib, datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        texts = ["alpha", "beta"]
+        want = max(texts, key=lambda s: hashlib.md5(s.encode()).hexdigest())
+        out = self._collapse(
+            spark,
+            [("c", 0, "user", s, None, t0) for s in texts],
+        )
+        assert out[("c", 0)].text == want
+
+    def test_no_window_single_exchange(self, spark):
+        from mistral_ocr_pipeline_spark.operators.transcript_qc import (
+            transcript_retry_collapse,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 0, "user", "x", None, None)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        plan = (
+            transcript_retry_collapse(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
