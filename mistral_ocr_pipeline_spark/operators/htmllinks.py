@@ -191,3 +191,32 @@ def host_pagerank(
             )
         )
     return pr.select("host", F.round("pr", 9).alias("pagerank"))
+
+
+def link_graph_append(
+    stats: DataFrame,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    src_host_col: str = "src_host",
+) -> DataFrame:
+    """Incremental link-graph maintenance: merge a new page batch into
+    the persisted host-graph fact table WITHOUT re-scanning history
+    pages.  Every stored column is a lattice fact — n_links /
+    total_anchor_chars additive sums, n_docs additive under the ingest
+    contract that each page arrives in exactly one batch, internal a
+    bool_or — so append ≡ one-shot rebuild by the same merge law the
+    BM25/profile/pathology fact tables use (the `link_graph_append`
+    oracle hash-proves it against a full-corpus rebuild).  Cost: the
+    BATCH scan plus one groupBy on the (small) host-pair relation."""
+    b = link_graph(batch_df, id_col, html_col, src_host_col)
+    return (
+        stats.unionByName(b)
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.sum("n_links").alias("n_links"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_anchor_chars").alias("total_anchor_chars"),
+            F.max("internal").alias("internal"),
+        )
+    )

@@ -12942,3 +12942,42 @@ def md_images_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md_images(_img_pages(spark, sf_dir), "id", "md").orderBy(
         "id", "img_idx"
     )
+
+
+@register(
+    "link_graph_append",
+    oracle=f"""
+    WITH {_LINK_ROWS_SQL},
+    {_url_canon_ctes('lk2')}
+    SELECT src_host,
+           regexp_extract(canon_url, '{_URLRE}', 2) AS dst_host,
+           count(*)::BIGINT AS n_links,
+           count(DISTINCT id)::BIGINT AS n_docs,
+           sum(length(anchor))::BIGINT AS total_anchor_chars,
+           bool_or(src_host = regexp_extract(canon_url, '{_URLRE}', 2))
+               AS internal
+    FROM lk2_c
+    GROUP BY src_host, dst_host
+    ORDER BY src_host, dst_host
+    """,
+)
+def link_graph_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified claim: link-graph maintenance ≡ one-shot rebuild.  The
+    persisted host-graph facts over the even-doc history get the odd-doc
+    batch merged via `htmllinks.link_graph_append` — history pages are
+    never re-scanned — and the oracle is the ONE-SHOT graph over the
+    whole corpus, so the hash match IS the append-law proof (every
+    column is a lattice fact: sums, one-batch-per-page n_docs, bool_or
+    internal)."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import (
+        link_graph,
+        link_graph_append,
+    )
+
+    pages = _link_pages(spark, sf_dir)
+    hist = pages.filter(F.col("id") % 2 == 0)
+    batch = pages.filter(F.col("id") % 2 == 1)
+    stats = link_graph(hist, "id", "html", "src_host")
+    return link_graph_append(stats, batch, "id", "html", "src_host").orderBy(
+        "src_host", "dst_host"
+    )

@@ -343,3 +343,29 @@ class TestMdImages:
             (1, 2, "", "b.jpg"),
         ]
         assert out[0].alt_chars == 5
+
+
+class TestLinkGraphAppend:
+    def test_append_equals_rebuild(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            link_graph,
+            link_graph_append,
+        )
+
+        rows = [
+            (1, '<a href="https://a.com/x">one</a>', "b.com"),
+            (2, '<a href="https://a.com/y">two</a>'
+                '<a href="https://c.com/z">three</a>', "b.com"),
+            (3, '<a href="https://a.com/x">four</a>', "a.com"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string, src string")
+        hist = df.filter(F.col("doc_id") <= 2)
+        batch = df.filter(F.col("doc_id") == 3)
+        merged = link_graph_append(
+            link_graph(hist, "doc_id", "html", "src"),
+            batch, "doc_id", "html", "src",
+        )
+        rebuilt = link_graph(df, "doc_id", "html", "src")
+        key = lambda r: (r.src_host, r.dst_host)
+        assert sorted(map(tuple, merged.collect()), key=lambda t: t[:2]) == \
+               sorted(map(tuple, rebuilt.collect()), key=lambda t: t[:2])
