@@ -220,3 +220,79 @@ def link_graph_append(
             F.max("internal").alias("internal"),
         )
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    n_iter: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the directed host
+    graph — the complement to `host_pagerank`: authority(v) = Σ hub(u)
+    over in-links, hub(u) = Σ authority(v) over out-links, each vector
+    L1-normalized after its update (sum-normalization keeps the whole
+    recurrence division-only and SQL-replayable; the classic L2 variant
+    only changes the norm, not the ranking).  Good hubs in a curation
+    context are directory/navigation hosts; good authorities are the
+    content hosts worth crawling deeper.
+
+    Same scale shape as `host_pagerank`: per iteration TWO shuffles on
+    the host-pair relation (one per direction) + two 1-row broadcast
+    sums, lineage truncated per round via localCheckpoint.  Returns
+    (host, authority, hub) rounded to 9 dp."""
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = _ckpt(
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.select(
+            "host", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    e = _ckpt(e)
+    a = _ckpt(nodes.select("host", F.lit(1.0 / n_total).alias("v")))
+    h = _ckpt(nodes.select("host", F.lit(1.0 / n_total).alias("v")))
+    for _ in range(n_iter):
+        raw_a = (
+            nodes.join(e, nodes["host"] == e["dst"], "left")
+            .join(h.withColumnRenamed("host", "_hh"), e["src"] == F.col("_hh"), "left")
+            .groupBy(nodes["host"])
+            .agg(F.coalesce(F.sum("v"), F.lit(0.0)).alias("raw"))
+        )
+        tot_a = raw_a.agg(F.sum("raw").alias("t"))
+        a = _ckpt(
+            raw_a.crossJoin(F.broadcast(tot_a)).select(
+                "host", (F.col("raw") / F.col("t")).alias("v")
+            )
+        )
+        raw_h = (
+            nodes.join(e, nodes["host"] == e["src"], "left")
+            .join(a.withColumnRenamed("host", "_ah"), e["dst"] == F.col("_ah"), "left")
+            .groupBy(nodes["host"])
+            .agg(F.coalesce(F.sum("v"), F.lit(0.0)).alias("raw"))
+        )
+        tot_h = raw_h.agg(F.sum("raw").alias("t"))
+        h = _ckpt(
+            raw_h.crossJoin(F.broadcast(tot_h)).select(
+                "host", (F.col("raw") / F.col("t")).alias("v")
+            )
+        )
+    return (
+        a.withColumnRenamed("v", "authority")
+        .join(h.withColumnRenamed("v", "hub"), "host")
+        .select(
+            "host",
+            F.round("authority", 9).alias("authority"),
+            F.round("hub", 9).alias("hub"),
+        )
+    )

@@ -12981,3 +12981,65 @@ def link_graph_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_graph_append(stats, batch, "id", "html", "src_host").orderBy(
         "src_host", "dst_host"
     )
+
+
+def _hits_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled HITS (sum-normalized) over the link-graph fixture's
+    external edges — identical raw-sum / normalize operand order to
+    `htmllinks.hits_scores`."""
+    ctes = [
+        f"""{_LINK_ROWS_SQL},
+    {_url_canon_ctes('lk2')},
+    eg AS MATERIALIZED (SELECT DISTINCT src_host AS src,
+                  regexp_extract(canon_url, '{_URLRE}', 2) AS dst
+           FROM lk2_c
+           WHERE src_host <> regexp_extract(canon_url, '{_URLRE}', 2)),
+    u AS MATERIALIZED (SELECT src AS host FROM eg UNION SELECT dst FROM eg),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM u),
+    a0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS v FROM u),
+    h0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS v FROM u)"""
+    ]
+    for k in range(n_iter):
+        ctes.append(
+            f"""ar{k} AS MATERIALIZED (
+      SELECT u.host, COALESCE(sum(hx.v), 0) AS raw
+      FROM u LEFT JOIN eg ON eg.dst = u.host
+             LEFT JOIN h{k} hx ON hx.host = eg.src
+      GROUP BY u.host),
+    at{k} AS (SELECT sum(raw) AS t FROM ar{k}),
+    a{k + 1} AS MATERIALIZED (
+      SELECT host, raw / (SELECT t FROM at{k}) AS v FROM ar{k}),
+    hr{k} AS MATERIALIZED (
+      SELECT u.host, COALESCE(sum(ax.v), 0) AS raw
+      FROM u LEFT JOIN eg ON eg.src = u.host
+             LEFT JOIN a{k + 1} ax ON ax.host = eg.dst
+      GROUP BY u.host),
+    ht{k} AS (SELECT sum(raw) AS t FROM hr{k}),
+    h{k + 1} AS MATERIALIZED (
+      SELECT host, raw / (SELECT t FROM ht{k}) AS v FROM hr{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.host, round(a.v, 9) AS authority, round(h.v, 9) AS hub
+    FROM a{n_iter} a JOIN h{n_iter} h USING (host) ORDER BY a.host"""
+    )
+
+
+@register("host_hits", oracle=_hits_oracle_sql())
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (`htmllinks.hits_scores`) over the same
+    external-edge host graph `host_authority` scores — Kleinberg's
+    complement to PageRank (good hubs = directory hosts, good
+    authorities = content hosts worth crawling deeper).  5 sum-
+    normalized iterations, two host-relation shuffles each, the whole
+    recurrence unrolled in the oracle."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import (
+        hits_scores,
+        link_graph,
+    )
+
+    g = link_graph(_link_pages(spark, sf_dir), "id", "html", "src_host")
+    edges = g.filter(F.col("src_host") != F.col("dst_host"))
+    return hits_scores(edges).orderBy("host")

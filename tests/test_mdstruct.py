@@ -369,3 +369,22 @@ class TestLinkGraphAppend:
         key = lambda r: (r.src_host, r.dst_host)
         assert sorted(map(tuple, merged.collect()), key=lambda t: t[:2]) == \
                sorted(map(tuple, rebuilt.collect()), key=lambda t: t[:2])
+
+
+class TestHits:
+    def test_bipartite_hand_structure(self, spark):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import hits_scores
+
+        # h1 links both authorities, h2/h3 one each; a1 has 3 in-links.
+        e = spark.createDataFrame(
+            [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h3", "a1")],
+            "src_host string, dst_host string",
+        )
+        out = {r.host: r for r in hits_scores(e, n_iter=3).collect()}
+        assert out["a1"].authority > out["a2"].authority > 0
+        assert out["h1"].hub > out["h2"].hub == out["h3"].hub > 0
+        # pure hubs have no authority, pure authorities no hub score
+        assert out["h1"].authority == 0.0 and out["a1"].hub == 0.0
+        # L1 normalization: each vector sums to 1
+        assert abs(sum(r.authority for r in out.values()) - 1.0) < 1e-6
+        assert abs(sum(r.hub for r in out.values()) - 1.0) < 1e-6
