@@ -296,3 +296,61 @@ def hits_scores(
             F.round("hub", 9).alias("hub"),
         )
     )
+
+
+# <link rel="canonical" href="..."> — the page's own declared canonical
+# URL.  Fixed attribute order like the anchor grammar; character-class
+# only, first match wins (a page declares at most one; extra
+# declarations are ignored the way browsers ignore them).
+CANONICAL_PATTERN = r'<link rel="canonical" href="([^"]*)"'
+
+
+def canonical_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """rel=canonical-aware crawl dedup: pages DECLARING a canonical URL
+    group under it (print views, session-id variants, AMP pages all
+    point at one canonical), pages declaring none group under their own
+    fetch URL — both normalized through `urls.canonicalize_url` so the
+    declared form and the crawled form of the same page meet.  A junk
+    declaration ('' after canonicalization: relative href, garbage)
+    falls back to the page's own URL rather than lumping every broken
+    page into one group.
+
+    Per group the kept copy is the SELF-CANONICAL page when one exists
+    (the canonical target itself — crawlers prefer it over any
+    variant), else the lowest id; one map-side-combinable max(struct),
+    no window.  Returns (id, url, canon_key, is_canonical, canonical_id,
+    group_size)."""
+    page_url = canonicalize_url(F.col(url_col))
+    decl_raw = F.regexp_extract(
+        F.coalesce(F.col(html_col), F.lit("")), CANONICAL_PATTERN, 1
+    )
+    decl = canonicalize_url(decl_raw)
+    canon_key = F.when(decl != "", decl).otherwise(page_url)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        canon_key.alias("canon_key"),
+        (canon_key == page_url).alias("self_canon"),
+    )
+    best = keyed.groupBy("canon_key").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.max(
+            F.struct(
+                F.col("self_canon").alias("sc"),
+                (-F.col("id")).alias("ni"),
+            )
+        ).alias("b"),
+    )
+    return keyed.join(best, "canon_key").select(
+        "id",
+        "url",
+        "canon_key",
+        (F.col("id") == -F.col("b").getField("ni")).alias("is_canonical"),
+        (-F.col("b").getField("ni")).alias("canonical_id"),
+        "group_size",
+    )

@@ -13043,3 +13043,121 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = link_graph(_link_pages(spark, sf_dir), "id", "html", "src_host")
     edges = g.filter(F.col("src_host") != F.col("dst_host"))
     return hits_scores(edges).orderBy("host")
+
+
+# --------------------------------------------------------------------------
+# rel=canonical-aware crawl dedup
+# --------------------------------------------------------------------------
+_CANON_PAGES_SQL = """
+      SELECT doc_id AS id,
+             CASE doc_id % 3
+               WHEN 1 THEN 'https://site' || (doc_id % 5)::varchar
+                    || '.example.com/p/' || (doc_id % 25)::varchar
+                    || '?utm_source=x'
+               WHEN 2 THEN 'HTTP://WWW.SITE' || (doc_id % 5)::varchar
+                    || '.EXAMPLE.COM:80/p/' || (doc_id % 25)::varchar
+               ELSE 'https://site' || (doc_id % 5)::varchar
+                    || '.example.com/p/' || (doc_id % 25)::varchar
+             END AS url,
+             CASE doc_id % 4
+               WHEN 0 THEN '<head><link rel="canonical" href="https://site'
+                    || (doc_id % 5)::varchar || '.example.com/p/'
+                    || (doc_id % 25)::varchar || '"></head><body>x</body>'
+               WHEN 1 THEN '<body>no decl</body>'
+               WHEN 2 THEN
+                    '<head><link rel="canonical" href="/print/view"></head>'
+               ELSE NULL
+             END AS html
+      FROM documents
+"""
+
+
+def _canon_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_CANON_PAGES_SQL`: page URLs cycle clean /
+    tracking-param / scheme-case-port variants; declarations cycle a
+    clean rel=canonical (shared by every variant of the same page), no
+    declaration, a JUNK relative declaration (must fall back to the
+    page's own URL), and a NULL page."""
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://site"),
+        (d % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        (d % 25).cast("string"),
+    )
+    url = (
+        F.when(d % 3 == 1, F.concat(base, F.lit("?utm_source=x")))
+        .when(
+            d % 3 == 2,
+            F.concat(
+                F.lit("HTTP://WWW.SITE"),
+                (d % 5).cast("string"),
+                F.lit(".EXAMPLE.COM:80/p/"),
+                (d % 25).cast("string"),
+            ),
+        )
+        .otherwise(base)
+    )
+    html = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<head><link rel="canonical" href="'),
+                base,
+                F.lit('"></head><body>x</body>'),
+            ),
+        )
+        .when(d % 4 == 1, F.lit("<body>no decl</body>"))
+        .when(
+            d % 4 == 2,
+            F.lit('<head><link rel="canonical" href="/print/view"></head>'),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        d.alias("id"), url.alias("url"), html.alias("html")
+    )
+
+
+@register(
+    "crawl_canonical_dedup",
+    oracle=f"""
+    WITH pages AS ({_CANON_PAGES_SQL}),
+    p1 AS (SELECT id, url FROM pages),
+    {_url_canon_ctes('p1')},
+    d1 AS (SELECT id,
+                  regexp_extract(coalesce(html, ''),
+                      '<link rel="canonical" href="([^"]*)"', 1) AS url
+           FROM pages),
+    {_url_canon_ctes('d1')},
+    k AS (SELECT p.id, p.url,
+                 CASE WHEN d.canon_url <> '' THEN d.canon_url
+                      ELSE p.canon_url END AS canon_key,
+                 (CASE WHEN d.canon_url <> '' THEN d.canon_url
+                       ELSE p.canon_url END) = p.canon_url AS self_canon
+          FROM p1_c p JOIN d1_c d USING (id)),
+    g AS (SELECT canon_key, count(*)::BIGINT AS group_size,
+                 max({{'sc': self_canon, 'ni': -id}}) AS b
+          FROM k GROUP BY canon_key)
+    SELECT k.id, k.url, k.canon_key,
+           k.id = -(g.b.ni) AS is_canonical,
+           (-(g.b.ni))::BIGINT AS canonical_id,
+           g.group_size
+    FROM k JOIN g USING (canon_key) ORDER BY k.id
+    """,
+)
+def crawl_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical-aware crawl dedup (`htmllinks.canonical_dedup`):
+    tracking-param and scheme-case-port variants of a page group under
+    the page's DECLARED canonical URL (both sides normalized through
+    the URL canonicalizer, so the declared form and the crawled form
+    meet); junk declarations fall back to the page's own URL; the kept
+    copy prefers the SELF-CANONICAL page over any variant, then lowest
+    id.  One max(struct) + join-back, both replayed in SQL."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import (
+        canonical_dedup,
+    )
+
+    return canonical_dedup(
+        _canon_pages(spark, sf_dir), "id", "html", "url"
+    ).orderBy("id")

@@ -388,3 +388,58 @@ class TestHits:
         # L1 normalization: each vector sums to 1
         assert abs(sum(r.authority for r in out.values()) - 1.0) < 1e-6
         assert abs(sum(r.hub for r in out.values()) - 1.0) < 1e-6
+
+
+class TestCanonicalDedup:
+    def _run(self, spark, rows):
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            canonical_dedup,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, html string, url string"
+        )
+        return {r.id: r for r in canonical_dedup(df).collect()}
+
+    def test_variants_group_under_declaration_and_self_canon_wins(self, spark):
+        decl = '<link rel="canonical" href="https://a.com/p">'
+        out = self._run(
+            spark,
+            [
+                # the canonical target itself, crawled late (high id)
+                (9, decl, "https://a.com/p"),
+                # variants declaring the same canonical
+                (1, decl, "https://a.com/p?utm_source=x"),
+                (2, decl, "HTTP://WWW.A.com:80/p"),
+            ],
+        )
+        assert {r.canon_key for r in out.values()} == {"https://a.com/p"}
+        # the utm variant canonicalizes to the key itself, so ids 1 and
+        # 9 are BOTH self-canonical forms; the tie-break keeps lowest id
+        assert out[1].is_canonical and out[1].group_size == 3
+        # http-scheme variant is NOT self-canonical despite same path
+        assert not out[2].is_canonical and not out[9].is_canonical
+        assert out[9].canonical_id == 1
+
+    def test_junk_declaration_falls_back_to_own_url(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, '<link rel="canonical" href="/print">', "https://a.com/x"),
+                (2, None, "https://b.com/y"),
+            ],
+        )
+        assert out[1].canon_key == "https://a.com/x" and out[1].is_canonical
+        assert out[2].canon_key == "https://b.com/y" and out[2].is_canonical
+
+    def test_no_self_canonical_keeps_lowest_id(self, spark):
+        decl = '<link rel="canonical" href="https://a.com/gone">'
+        out = self._run(
+            spark,
+            [
+                (5, decl, "https://a.com/v1"),
+                (3, decl, "https://a.com/v2"),
+            ],
+        )
+        assert out[3].is_canonical and not out[5].is_canonical
+        assert out[5].canonical_id == 3
