@@ -221,3 +221,86 @@ def test_profile_job_cli(tmp_path):
     assert p2b.returncode == 0, p2b.stderr[-2000:]
     assert "already-recorded" in p2b.stdout
     assert open(head).read().strip() == head_after_2
+
+
+def test_linkgraph_job_cli(tmp_path, spark):
+    """Incremental link-graph maintenance through the spark-submit
+    surface: batch 1 bootstraps, batch 2 merges (append ≡ one-shot over
+    both batches), authority lands in the same commit, and a rerun of
+    batch 2 is an idempotent no-op (same _HEAD)."""
+    import duckdb
+    import pandas as pd
+
+    def pages(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            html = (
+                f'<a href="https://site{(i + 1) % 3}.example.com/p/{i % 7}">'
+                f"read {i % 5}</a>"
+            )
+            if i % 3 == 0:
+                html += '<a href="/rel/x">more</a>'
+            rows.append((i, html, f"site{i % 3}.example.com"))
+        return rows
+
+    b1 = str(tmp_path / "lg_b1.parquet")
+    b2 = str(tmp_path / "lg_b2.parquet")
+    cols = ["doc_id", "html", "src_host"]
+    pd.DataFrame(pages(0, 40), columns=cols).to_parquet(b1, index=False)
+    pd.DataFrame(pages(40, 90), columns=cols).to_parquet(b2, index=False)
+    wh = str(tmp_path / "wh_lg")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    common = dict(cwd="/root/repo", env=env, capture_output=True, text=True,
+                  timeout=400)
+
+    def run(inp, batch):
+        return subprocess.run(
+            [sys.executable, "spark_jobs/linkgraph_job.py",
+             "--input", inp, "--warehouse", wh, "--batch-id", batch,
+             "--compute-authority"],
+            **common,
+        )
+
+    p1 = run(b1, "batch-1")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    p2 = run(b2, "batch-2")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+
+    head = os.path.join(wh, "_HEAD")
+    head_after_2 = open(head).read().strip()
+    manifest = json.load(open(os.path.join(wh, "_manifests", head_after_2)))
+    assert set(manifest["tables"]) == {
+        "link_graph", "link_graph_lineage", "host_authority"
+    }
+
+    # maintained graph ≡ one-shot over both batches (in-session twin)
+    from mistral_ocr_pipeline_spark.operators.htmllinks import link_graph
+
+    oneshot = link_graph(
+        spark.createDataFrame(
+            pages(0, 90), "doc_id long, html string, src_host string"
+        ),
+        "doc_id", "html", "src_host",
+    )
+    con = duckdb.connect()
+    got = sorted(con.execute(
+        "SELECT src_host, dst_host, n_links, n_docs, total_anchor_chars,"
+        " internal FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["link_graph"])
+        + "/*.parquet')"
+    ).fetchall())
+    assert got == sorted(map(tuple, oneshot.collect()))
+
+    # authority over the merged graph: rank mass sums to ~1
+    pr = con.execute(
+        "SELECT sum(pagerank) FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["host_authority"])
+        + "/*.parquet')"
+    ).fetchone()[0]
+    assert abs(pr - 1.0) < 1e-6
+
+    # idempotent rerun: no new commit
+    p2b = run(b2, "batch-2")
+    assert p2b.returncode == 0, p2b.stderr[-2000:]
+    assert open(head).read().strip() == head_after_2
+    assert "no-op" in p2b.stdout
