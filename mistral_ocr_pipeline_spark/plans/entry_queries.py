@@ -12560,7 +12560,7 @@ def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src_host", "dst_host")
 
 
-def _host_pagerank_oracle_sql(n_iter: int = 5) -> str:
+def _host_pagerank_oracle_sql(n_iter: int = 5, tail: str | None = None) -> str:
     """Unrolled directed PageRank with dangling-mass redistribution over
     the link-graph fixture's external edges — operand order and literals
     identical to `htmllinks.host_pagerank` (1.0-0.85 constant-folds to
@@ -12596,8 +12596,12 @@ def _host_pagerank_oracle_sql(n_iter: int = 5) -> str:
     return (
         "WITH "
         + ",\n    ".join(ctes)
-        + f"\n    SELECT host, round(pr, 9) AS pagerank FROM pr{n_iter}"
-        + "\n    ORDER BY host"
+        + (
+            tail
+            if tail is not None
+            else f"\n    SELECT host, round(pr, 9) AS pagerank"
+            f" FROM pr{n_iter}\n    ORDER BY host"
+        )
     )
 
 
@@ -13161,3 +13165,59 @@ def crawl_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(
         _canon_pages(spark, sf_dir), "id", "html", "url"
     ).orderBy("id")
+
+
+_FRONTIER_TAIL = f""",
+    pr_final AS (SELECT host, round(pr, 9) AS pagerank FROM pr5),
+    tgt AS (SELECT canon_url,
+                   regexp_extract(canon_url, '{_URLRE}', 2) AS dst_host,
+                   count(*)::BIGINT AS n_mentions
+            FROM lk2_c WHERE canon_url <> ''
+            GROUP BY canon_url)
+    SELECT t.canon_url, t.dst_host, t.n_mentions, p.pagerank,
+           round(p.pagerank * ln(1 + t.n_mentions), 6) AS priority
+    FROM tgt t JOIN pr_final p ON p.host = t.dst_host
+    ORDER BY priority DESC, t.canon_url LIMIT 50"""
+
+
+@register(
+    "crawl_frontier_priority",
+    oracle=_host_pagerank_oracle_sql(tail=_FRONTIER_TAIL),
+)
+def crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization — the capstone composite over the
+    link family: every discovered target URL scored
+    authority(dst_host) × ln(1 + mention count), the classic
+    crawl-scheduler shape (OPIC/BFS-by-authority hybrids rank frontier
+    URLs by where the link mass points).  The anchor rollup and the
+    full 5-iteration directed PageRank both replay in ONE oracle; the
+    micro-unit-rounded ln absorbs libm ULP differences (the PMI
+    convention).  Top-50 with a total (priority, url) order so the cut
+    is deterministic."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import (
+        host_pagerank,
+        html_links,
+        link_graph,
+    )
+
+    pages = _link_pages(spark, sf_dir)
+    links = html_links(pages, "id", "html").filter(F.col("canon_url") != "")
+    tgt = links.groupBy("canon_url", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    g = link_graph(pages, "id", "html", "src_host")
+    pr = host_pagerank(g.filter(F.col("src_host") != F.col("dst_host")))
+    return (
+        tgt.join(pr, tgt["dst_host"] == pr["host"])
+        .select(
+            "canon_url",
+            "dst_host",
+            "n_mentions",
+            "pagerank",
+            F.round(
+                F.col("pagerank") * F.log(F.lit(1) + F.col("n_mentions")), 6
+            ).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "canon_url")
+        .limit(50)
+    )
