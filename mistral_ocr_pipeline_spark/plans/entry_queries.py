@@ -13221,3 +13221,97 @@ def crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "canon_url")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Robots-directive compliance gate
+# --------------------------------------------------------------------------
+_ROBOTS_PAGES_SQL = """
+      SELECT doc_id AS id,
+             CASE doc_id % 6
+               WHEN 0 THEN '<head><meta name="robots" content="noindex, '
+                    || 'follow"></head><body>' || substr(text, 1, 20)
+                    || '</body>'
+               WHEN 1 THEN '<head><meta name="robots" content="INDEX, '
+                    || 'NoFollow"></head><body>x</body>'
+               WHEN 2 THEN '<head><meta name="robots" content="none">'
+                    || '</head>'
+               WHEN 3 THEN '<head><meta name="robots" content='
+                    || '"nofollowup,indexed"></head>'
+               WHEN 4 THEN '<body>no robots meta at all</body>'
+               ELSE NULL
+             END AS html
+      FROM documents
+"""
+
+
+def _robots_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_ROBOTS_PAGES_SQL`: noindex+follow, mixed-case
+    nofollow, the 'none' shorthand (= noindex+nofollow), CUSTOM tokens
+    that must not substring-match real directives, no meta, NULL."""
+    d = F.col("doc_id")
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        d.alias("id"),
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit('<head><meta name="robots" content="noindex, '
+                      'follow"></head><body>'),
+                F.substring(t, 1, 20),
+                F.lit("</body>"),
+            ),
+        )
+        .when(
+            d % 6 == 1,
+            F.lit('<head><meta name="robots" content="INDEX, '
+                  'NoFollow"></head><body>x</body>'),
+        )
+        .when(d % 6 == 2, F.lit('<head><meta name="robots" content="none">'
+                                "</head>"))
+        .when(d % 6 == 3, F.lit('<head><meta name="robots" content='
+                                '"nofollowup,indexed"></head>'))
+        .when(d % 6 == 4, F.lit("<body>no robots meta at all</body>"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("html"),
+    )
+
+
+@register(
+    "robots_gate",
+    oracle=f"""
+    WITH pages AS ({_ROBOTS_PAGES_SQL}),
+    r AS (SELECT id,
+                 regexp_extract(coalesce(html, ''),
+                     '<meta name="robots" content="([^"]*)"', 1) AS raw
+          FROM pages),
+    tk AS (SELECT id, raw,
+                  list_transform(string_split(lower(raw), ','),
+                                 t -> trim(t)) AS toks
+           FROM r),
+    fl AS (SELECT id, raw,
+                  (list_contains(toks, 'noindex')
+                   OR list_contains(toks, 'none')) AS noindex,
+                  (list_contains(toks, 'nofollow')
+                   OR list_contains(toks, 'none')) AS nofollow
+           FROM tk)
+    SELECT id, raw AS robots_content, noindex, nofollow,
+           NOT noindex AS indexable
+    FROM fl ORDER BY id
+    """,
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-directive compliance gate (`robots.robots_directives`):
+    noindex drops the page from the training corpus (publisher
+    opt-out), nofollow gates the link-graph extraction, the 'none'
+    shorthand implies both; token-exact matching over the lower-cased
+    comma list so custom tokens ('nofollowup') cannot substring-match
+    real directives; pages without a robots meta are indexable by
+    default.  Map-only, zero shuffle."""
+    from mistral_ocr_pipeline_spark.operators.robots import (
+        robots_directives,
+    )
+
+    return robots_directives(_robots_pages(spark, sf_dir), "id", "html").orderBy(
+        "id"
+    )

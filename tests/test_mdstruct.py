@@ -443,3 +443,41 @@ class TestCanonicalDedup:
         )
         assert out[3].is_canonical and not out[5].is_canonical
         assert out[5].canonical_id == 3
+
+
+class TestRobotsGate:
+    def test_directive_branches(self, spark):
+        from mistral_ocr_pipeline_spark.operators.robots import (
+            robots_directives,
+        )
+
+        rows = [
+            (1, '<meta name="robots" content="noindex, follow">'),
+            (2, '<meta name="robots" content="INDEX, NoFollow">'),
+            (3, '<meta name="robots" content="none">'),
+            (4, '<meta name="robots" content="nofollowup,indexed">'),
+            (5, "<body>no meta</body>"),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        out = {r.id: r for r in robots_directives(df).collect()}
+        assert (out[1].noindex, out[1].nofollow, out[1].indexable) == (
+            True, False, False)
+        assert (out[2].noindex, out[2].nofollow) == (False, True)
+        assert (out[3].noindex, out[3].nofollow) == (True, True)
+        # token-exact: 'nofollowup' must not match 'nofollow'
+        assert (out[4].noindex, out[4].nofollow, out[4].indexable) == (
+            False, False, True)
+        assert out[5].indexable and out[6].indexable
+
+    def test_zero_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.robots import (
+            robots_directives,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, html string")
+        plan = (
+            robots_directives(df)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
