@@ -157,6 +157,7 @@ def main() -> None:
         "text_ngram_novelty",
         "sample_cluster_balanced",
         "url_dedup_latest",
+        "url_trap_flags",
         "text_soft_dedup_weights",
         "coreset_kcenter",
         "sketch_kmv_overlap",

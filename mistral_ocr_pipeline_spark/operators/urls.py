@@ -137,6 +137,207 @@ def url_dedup(
     )
 
 
+def url_trap_flags(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    max_depth: int = 8,
+    max_seg_repeat: int = 2,
+    max_path_len: int = 200,
+    max_params: int = 6,
+) -> DataFrame:
+    """Spider-trap / crawler-pathology detection per URL — the frontier
+    gate every production crawler runs before enqueueing a discovered link
+    (Heritrix's pathological-path rules, Nutch's regex-urlfilter defaults).
+    Traps are URL-shape pathologies: infinitely deep calendars, session ids
+    minted per request, path-segment loops ('/a/b/a/b/a/b/…'), and
+    query-param explosions — each yields unbounded distinct URLs for finite
+    content, so they must be cut at the URL level, before any fetch.
+
+    Signals (computed on the CANONICAL url, so tracking params never count):
+
+    * ``depth``        — non-empty path segments; > ``max_depth`` → 'deep_path'.
+    * ``max_repeat``   — highest multiplicity of any one segment;
+                         > ``max_seg_repeat`` → 'repeat_segments' (loop traps).
+    * ``path_len``     — characters in the path; > ``max_path_len`` → 'long_path'.
+    * ``n_params``     — surviving query params; > ``max_params`` → 'query_explosion'.
+    * ``session_flag`` — any segment that is ≥16 hex chars or ≥10 digits
+                         (minted session/state tokens) → 'session_id'.
+
+    ``verdict`` is FIRST-FAIL in the order above ('ok' if clean), the same
+    auditable attribution contract as `text_analysis.quality_funnel`.
+
+    100 TB shape: map-only, zero shuffle, zero UDF.  The multiplicity scan
+    is O(distinct·total) per URL inside one row — bounded by path length,
+    never by corpus size.  Junk/NULL URLs canonicalize to '' (depth 0,
+    verdict 'ok') and survive.
+
+    Output: (id, canon_url, depth, max_repeat, path_len, n_params,
+    session_flag, verdict).
+    """
+    canon = canonicalize_url(F.col(url_col))
+    path = F.regexp_extract(canon, _URL_RE, 3)
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    # highest multiplicity of any one segment: count each distinct segment's
+    # occurrences, take the max; [] -> 0 via the outer coalesce
+    max_repeat = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda d: F.size(F.filter(segs, lambda s: s == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    n_params = F.size(
+        F.filter(
+            F.split(F.regexp_extract(canon, _URL_RE, 4), "&"),
+            lambda p: p != F.lit(""),
+        )
+    )
+    session_flag = F.exists(
+        segs, lambda s: s.rlike("^[0-9a-fA-F]{16,}$|^[0-9]{10,}$")
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        canon.alias("canon_url"),
+        F.size(segs).cast("long").alias("depth"),
+        max_repeat.cast("long").alias("max_repeat"),
+        F.length(path).cast("long").alias("path_len"),
+        n_params.cast("long").alias("n_params"),
+        session_flag.alias("session_flag"),
+    )
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("depth") > max_depth, "deep_path")
+        .when(F.col("max_repeat") > max_seg_repeat, "repeat_segments")
+        .when(F.col("path_len") > max_path_len, "long_path")
+        .when(F.col("n_params") > max_params, "query_explosion")
+        .when(F.col("session_flag"), "session_id")
+        .otherwise("ok"),
+    )
+
+
+def url_template(url: Column) -> Column:
+    """URL template key: canonical host+path with hex runs (≥8 chars) →
+    '{h}' then digit runs → '{n}'.  '/item/8f14e45fceea167a' and
+    '/item/45c48cce2e2d7fbd' collapse to one template — the
+    sitemap-structure / trap-cluster key (hex FIRST, or its digit
+    substrings would be rewritten out from under it).  Map-only."""
+    canon = canonicalize_url(url)
+    hostpath = F.concat(
+        F.regexp_extract(canon, _URL_RE, 2), F.regexp_extract(canon, _URL_RE, 3)
+    )
+    return F.regexp_replace(
+        F.regexp_replace(hostpath, "[0-9a-fA-F]{8,}", "{h}"), "[0-9]+", "{n}"
+    )
+
+
+def url_template_stats(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """Per URL-template fan-out stats — the template-level trap detector
+    (one '/cal/{n}/{n}' template backing 50k distinct URLs is a calendar
+    trap even though every individual URL passes `url_trap_flags`) and the
+    site-structure inventory crawl planners prioritize from.
+
+    ONE map-side-combined groupBy on the template key:
+    (template, n_docs, n_pages = distinct canonical URLs).  Fan-out
+    thresholding composes as a scan predicate on the result.
+    """
+    keyed = df.select(
+        url_template(F.col(url_col)).alias("template"),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+    )
+    return keyed.groupBy("template").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon_url").alias("n_pages"),
+    )
+
+
+def crawl_politeness_waves(
+    df: DataFrame, url_col: str, priority_col: str, per_wave: int = 2
+) -> DataFrame:
+    """Politeness-scheduled fetch waves: every frontier URL gets a wave
+    number such that no host appears more than ``per_wave`` times per wave
+    — the per-host rate cap every polite crawler enforces (robots
+    crawl-delay semantics), turned into a deterministic batch schedule.
+
+    Rank within host = row_number ordered by (priority DESC, canon_url ASC
+    — a TOTAL order, so the schedule is rerun/partition invariant);
+    wave = (rank-1) div per_wave.  High-priority pages on a crowded host
+    wait their turn; singleton hosts all land in wave 0.
+
+    Scale note: the window partitions by HOST, which is exactly the
+    cardinality politeness is ABOUT — a host's fetch order is inherently
+    sequential, so the per-host window is the semantics, not an accident.
+    A pathological mega-host bounds one task at that host's frontier size;
+    cap the frontier per host upstream (`url_trap_flags` +
+    `url_template_stats` fan-out cuts) before scheduling.
+
+    Output: (canon_url, host, priority, host_rank, wave).
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+        F.col(priority_col).alias("priority"),
+    ).withColumn("host", F.regexp_extract("canon_url", _URL_RE, 2))
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("canon_url")
+    )
+    return keyed.select(
+        "canon_url",
+        "host",
+        "priority",
+        F.row_number().over(w).cast("long").alias("host_rank"),
+    ).withColumn(
+        # true integer division (div): exact at any rank, no float rounding
+        "wave",
+        F.expr(f"(host_rank - 1) div {int(per_wave)}").cast("long"),
+    )
+
+
+def host_blocklist_gate(
+    df: DataFrame, id_col: str, url_col: str, blocklist: list[str]
+) -> DataFrame:
+    """Domain-blocklist gate with PARENT-DOMAIN suffix matching — the
+    UT1/shallalist gating step of CCNet/RefinedWeb-style curation: listing
+    'example.com' must block 'a.cdn.example.com' too, while
+    'notexample.com' stays (label-boundary, NOT substring, matching).
+
+    Each host expands to its dot-suffix chain ('a.b.com' → ['a.b.com',
+    'b.com', 'com']) inside one row; blocked = overlap with the broadcast
+    literal blocklist.  Map-only, zero shuffle, zero UDF; the blocklist is
+    a scan-level array literal (same shape as the decontam bloom words —
+    KBs per executor; a multi-million-entry UT1 list would swap to a
+    broadcast join on the same suffix explode).
+
+    Output: (id, canon_url, host, blocked_by, kept).  ``blocked_by`` is
+    the lexicographically-first matching blocklist entry (auditable
+    attribution), NULL when kept.
+    """
+    canon = canonicalize_url(F.col(url_col))
+    host = F.regexp_extract(canon, _URL_RE, 2)
+    segs = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(segs)),
+        lambda i: F.array_join(F.slice(segs, i, F.size(segs)), "."),
+    )
+    bl = F.array(*[F.lit(b) for b in sorted(blocklist)])
+    hits = F.array_sort(
+        F.filter(bl, lambda b: F.array_contains(suffixes, b))
+    )
+    blocked_by = F.when(F.size(hits) > 0, F.element_at(hits, 1))
+    return df.select(
+        F.col(id_col).alias("id"),
+        canon.alias("canon_url"),
+        host.alias("host"),
+        blocked_by.alias("blocked_by"),
+        blocked_by.isNull().alias("kept"),
+    )
+
+
 def domain_stats(
     df: DataFrame, id_col: str, url_col: str, text_col: str
 ) -> DataFrame:

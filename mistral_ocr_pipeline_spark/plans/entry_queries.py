@@ -9009,6 +9009,250 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+# deterministic crawl-frontier fixture for the trap / template / politeness /
+# blocklist family: 8 hosts (one a WWW-case alias), 7 path shapes covering
+# every trap verdict (calendar, segment loop, deep path, session token, long
+# path, query explosion), plus the junk/NULL strides.  Pure arithmetic on
+# doc_id — byte-identical in the Spark twin below.
+_CRAWL_FIXTURE_SQL = """
+    cf AS (
+      SELECT doc_id AS id,
+        CASE WHEN doc_id % 13 = 0 THEN 'not a url'
+             WHEN doc_id % 17 = 0 THEN NULL
+             ELSE 'https://'
+               || (CASE doc_id % 8
+                     WHEN 0 THEN 'news.example.com'
+                     WHEN 1 THEN 'cdn.news.example.com'
+                     WHEN 2 THEN 'blog.sample.org'
+                     WHEN 3 THEN 'sample.org'
+                     WHEN 4 THEN 'ads.tracker.net'
+                     WHEN 5 THEN 'shop.example.com'
+                     WHEN 6 THEN 'WWW.News.Example.COM'
+                     ELSE 'mirror.sample.org' END)
+               || (CASE doc_id % 7
+                     WHEN 0 THEN '/a/b/c'
+                     WHEN 1 THEN '/cal/2024/'
+                          || lpad(((doc_id % 12) + 1)::VARCHAR, 2, '0')
+                          || '/' || ((doc_id % 28) + 1)::VARCHAR
+                     WHEN 2 THEN '/x/y/x/y/x'
+                     WHEN 3 THEN '/d1/d2/d3/d4/d5/d6/d7/d8/d9'
+                     WHEN 4 THEN '/s/' || lpad(doc_id::VARCHAR, 12, '0')
+                     WHEN 5 THEN '/long/' || repeat('ab', 120)
+                     ELSE '/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7' END)
+        END AS url
+      FROM documents)
+"""
+
+
+def _crawl_fixture(docs: DataFrame) -> DataFrame:
+    """Spark twin of `_CRAWL_FIXTURE_SQL` (same arithmetic, same literals)."""
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 8 == 0, "news.example.com")
+        .when(d % 8 == 1, "cdn.news.example.com")
+        .when(d % 8 == 2, "blog.sample.org")
+        .when(d % 8 == 3, "sample.org")
+        .when(d % 8 == 4, "ads.tracker.net")
+        .when(d % 8 == 5, "shop.example.com")
+        .when(d % 8 == 6, "WWW.News.Example.COM")
+        .otherwise("mirror.sample.org")
+    )
+    path = (
+        F.when(d % 7 == 0, F.lit("/a/b/c"))
+        .when(
+            d % 7 == 1,
+            F.concat(
+                F.lit("/cal/2024/"),
+                F.lpad(((d % 12) + 1).cast("string"), 2, "0"),
+                F.lit("/"),
+                ((d % 28) + 1).cast("string"),
+            ),
+        )
+        .when(d % 7 == 2, F.lit("/x/y/x/y/x"))
+        .when(d % 7 == 3, F.lit("/d1/d2/d3/d4/d5/d6/d7/d8/d9"))
+        .when(
+            d % 7 == 4,
+            F.concat(F.lit("/s/"), F.lpad(d.cast("string"), 12, "0")),
+        )
+        .when(d % 7 == 5, F.lit("/long/" + "ab" * 120))
+        .otherwise(F.lit("/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7"))
+    )
+    url = (
+        F.when(d % 13 == 0, F.lit("not a url"))
+        .when(d % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    return docs.select(d.alias("id"), url.alias("url"))
+
+
+@register(
+    "url_trap_flags",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    sg AS (
+      SELECT id, canon_url,
+        list_filter(string_split(
+          regexp_extract(canon_url, '{_URLRE}', 3), '/'), s -> s <> '') AS segs,
+        regexp_extract(canon_url, '{_URLRE}', 3) AS path,
+        regexp_extract(canon_url, '{_URLRE}', 4) AS q
+      FROM cf_c),
+    m AS (
+      SELECT id, canon_url,
+        len(segs)::BIGINT AS depth,
+        coalesce(list_max(list_transform(list_distinct(segs),
+          d -> len(list_filter(segs, s -> s = d)))), 0)::BIGINT AS max_repeat,
+        length(path)::BIGINT AS path_len,
+        len(list_filter(string_split(q, '&'), p -> p <> ''))::BIGINT
+          AS n_params,
+        len(list_filter(segs, s -> regexp_matches(s,
+          '^[0-9a-fA-F]{{16,}}$|^[0-9]{{10,}}$'))) > 0 AS session_flag
+      FROM sg)
+    SELECT id, canon_url, depth, max_repeat, path_len, n_params, session_flag,
+      CASE WHEN depth > 8 THEN 'deep_path'
+           WHEN max_repeat > 2 THEN 'repeat_segments'
+           WHEN path_len > 200 THEN 'long_path'
+           WHEN n_params > 6 THEN 'query_explosion'
+           WHEN session_flag THEN 'session_id'
+           ELSE 'ok' END AS verdict
+    FROM m ORDER BY id
+    """,
+)
+def url_trap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap URL gating (`urls.url_trap_flags`) over the crawl
+    fixture: calendar paths pass, segment loops / 9-deep paths / minted
+    session tokens / 246-char paths / 7-param queries each trip their
+    dedicated first-fail verdict.  Map-only, zero shuffle, zero UDF; the
+    per-URL segment-multiplicity scan, regexes, and verdict CASE all
+    replay in SQL.  Junk/NULL URLs → '' (depth 0, 'ok') and survive."""
+    from mistral_ocr_pipeline_spark.operators.urls import url_trap_flags
+
+    u = _crawl_fixture(_t(spark, sf_dir, "documents"))
+    return url_trap_flags(u, "id", "url").orderBy("id")
+
+
+@register(
+    "url_template_stats",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    t AS (
+      SELECT regexp_replace(regexp_replace(
+               regexp_extract(canon_url, '{_URLRE}', 2)
+                 || regexp_extract(canon_url, '{_URLRE}', 3),
+               '[0-9a-fA-F]{{8,}}', '{{h}}', 'g'),
+             '[0-9]+', '{{n}}', 'g') AS template,
+             canon_url
+      FROM cf_c)
+    SELECT template, count(*)::BIGINT AS n_docs,
+           count(DISTINCT canon_url)::BIGINT AS n_pages
+    FROM t GROUP BY template ORDER BY template
+    """,
+)
+def url_template_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template fan-out mining (`urls.url_template_stats`): hex runs →
+    '{h}' then digit runs → '{n}' over host+path, so every calendar date
+    and session token collapses to one template row whose n_pages exposes
+    the trap-level fan-out no single-URL gate can see.  ONE map-side-
+    combined groupBy on the template key; rewrite order (hex first)
+    replayed exactly in SQL."""
+    from mistral_ocr_pipeline_spark.operators.urls import url_template_stats
+
+    u = _crawl_fixture(_t(spark, sf_dir, "documents"))
+    return url_template_stats(u, "id", "url").orderBy("template")
+
+
+@register(
+    "crawl_politeness_waves",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    fr AS (
+      SELECT canon_url, max((id * 37) % 101)::BIGINT AS priority
+      FROM cf_c GROUP BY canon_url),
+    r AS (
+      SELECT canon_url,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host, priority,
+        row_number() OVER (
+          PARTITION BY regexp_extract(canon_url, '{_URLRE}', 2)
+          ORDER BY priority DESC, canon_url)::BIGINT AS host_rank
+      FROM fr)
+    SELECT canon_url, host, priority, host_rank,
+           ((host_rank - 1) // 2)::BIGINT AS wave
+    FROM r ORDER BY host, host_rank
+    """,
+)
+def crawl_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl waves (`urls.crawl_politeness_waves`):
+    the deduped frontier (max-priority copy per canonical URL) is ranked
+    within each host under the TOTAL (priority DESC, canon_url) order and
+    cut into waves of ≤2 fetches per host — the per-host rate cap of a
+    polite fetcher as a deterministic, rerun-invariant batch schedule.
+    Frontier dedup is one map-side-combinable max; the per-host window IS
+    the politeness semantics (a host's fetch order is inherently
+    sequential)."""
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        canonicalize_url,
+        crawl_politeness_waves,
+    )
+
+    u = _crawl_fixture(_t(spark, sf_dir, "documents"))
+    frontier = (
+        u.select(
+            canonicalize_url(F.col("url")).alias("canon_url"),
+            ((F.col("id") * 37) % 101).cast("long").alias("priority"),
+        )
+        .groupBy("canon_url")
+        .agg(F.max("priority").alias("priority"))
+    )
+    return crawl_politeness_waves(
+        frontier, "canon_url", "priority", per_wave=2
+    ).orderBy("host", "host_rank")
+
+
+@register(
+    "url_blocklist_gate",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    b AS (
+      SELECT id, canon_url,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host
+      FROM cf_c),
+    sfx AS (
+      SELECT *, list_transform(
+        generate_series(1, len(string_split(host, '.'))),
+        i -> array_to_string(list_slice(string_split(host, '.'), i,
+               len(string_split(host, '.'))), '.')) AS suffixes
+      FROM b),
+    g AS (
+      SELECT id, canon_url, host,
+        list_sort(list_filter(
+          ['example.com', 'mirror.sample.org', 'tracker.net'],
+          e -> list_contains(suffixes, e))) AS hits
+      FROM sfx)
+    SELECT id, canon_url, host,
+           CASE WHEN len(hits) > 0 THEN hits[1] END AS blocked_by,
+           len(hits) = 0 AS kept
+    FROM g ORDER BY id
+    """,
+)
+def url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain-blocklist gating (`urls.host_blocklist_gate`) with
+    parent-domain suffix semantics: 'example.com' blocks news/cdn/shop
+    subdomains AND the WWW-case alias (matching happens after
+    canonicalization), 'mirror.sample.org' blocks only the exact host
+    while sample.org/blog.sample.org stay, junk/NULL URLs ('' host) pass.
+    The per-host dot-suffix expansion, overlap, and first-match
+    attribution replay in SQL.  Map-only, zero shuffle."""
+    from mistral_ocr_pipeline_spark.operators.urls import host_blocklist_gate
+
+    u = _crawl_fixture(_t(spark, sf_dir, "documents"))
+    return host_blocklist_gate(
+        u, "id", "url", ["example.com", "tracker.net", "mirror.sample.org"]
+    ).orderBy("id")
+
+
 @register(
     "text_soft_dedup_weights",
     oracle=f"""

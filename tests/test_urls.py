@@ -99,3 +99,154 @@ class TestUrlDedup:
         assert ex.recrawl_ratio_micro == 1000000 // 3
         assert ex.mean_len_micro == 6 * 1000000 // 3
         assert out["other.com"].recrawl_ratio_micro == 0
+
+
+class TestTrapFlags:
+    def _run(self, spark, rows):
+        from mistral_ocr_pipeline_spark.operators.urls import url_trap_flags
+
+        df = spark.createDataFrame(rows, "id long, url string")
+        return {r.id: r for r in url_trap_flags(df, "id", "url").collect()}
+
+    def test_verdict_branches(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "https://ex.com/a/b/c"),  # ok
+                (2, "https://ex.com/1/2/3/4/5/6/7/8/9"),  # deep_path (9 > 8)
+                (3, "https://ex.com/x/y/x/y/x"),  # repeat_segments (x ×3)
+                (4, "https://ex.com/long/" + "ab" * 120),  # long_path
+                (5, "https://ex.com/q?" + "&".join(f"p{i}=1" for i in range(7))),
+                (6, "https://ex.com/s/0123456789ab0123456789ab"),  # hex token
+                (7, "https://ex.com/s/0000000123456789"),  # digit token
+                (8, None),  # NULL survives as '' / ok
+                (9, "not a url"),
+            ],
+        )
+        assert out[1].verdict == "ok" and out[1].depth == 3
+        assert out[2].verdict == "deep_path"
+        assert out[3].verdict == "repeat_segments" and out[3].max_repeat == 3
+        assert out[4].verdict == "long_path" and out[4].path_len == 246
+        assert out[5].verdict == "query_explosion" and out[5].n_params == 7
+        assert out[6].verdict == "session_id" and out[6].session_flag
+        assert out[7].verdict == "session_id"
+        assert out[8].verdict == "ok" and out[8].depth == 0
+        assert out[9].verdict == "ok" and out[9].canon_url == ""
+
+    def test_first_fail_order(self, spark):
+        # deep AND repeating AND long: deep_path wins (first in the cascade)
+        url = "https://ex.com/" + "/".join(["seg"] * 12)
+        out = self._run(spark, [(1, url)])
+        assert out[1].verdict == "deep_path" and out[1].max_repeat == 12
+
+    def test_tracking_params_never_count(self, spark):
+        # 7 raw params but 4 survive canonicalization -> not an explosion
+        url = "https://ex.com/q?a=1&b=2&c=3&d=4&utm_a=x&utm_b=y&fbclid=z"
+        out = self._run(spark, [(1, url)])
+        assert out[1].n_params == 4 and out[1].verdict == "ok"
+
+    def test_zero_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import url_trap_flags
+
+        df = spark.range(10).select(
+            F.col("id"), F.concat(F.lit("https://ex.com/p/"), F.col("id")).alias("url")
+        )
+        plan = url_trap_flags(df, "id", "url")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestTemplateStats:
+    def test_hex_before_digits_and_fanout(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import url_template_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ex.com/item/8f14e45fceea167a"),
+                (2, "https://ex.com/item/45c48cce2e2d7fbd"),  # same template
+                (3, "https://ex.com/item/45c48cce2e2d7fbd"),  # recrawl
+                (4, "https://ex.com/cal/2024/01/05"),
+                (5, "https://ex.com/cal/2023/12/31"),
+                (6, "https://other.com/cal/2024/01/05"),  # host-scoped
+            ],
+            "id long, url string",
+        )
+        out = {
+            r.template: r
+            for r in url_template_stats(df, "id", "url").collect()
+        }
+        item = out["ex.com/item/{h}"]  # hex run -> {h}, not {n}
+        assert item.n_docs == 3 and item.n_pages == 2
+        cal = out["ex.com/cal/{n}/{n}/{n}"]
+        assert cal.n_docs == 2 and cal.n_pages == 2
+        assert out["other.com/cal/{n}/{n}/{n}"].n_docs == 1
+
+
+class TestPoliteness:
+    def test_waves_and_total_order(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            crawl_politeness_waves,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("https://ex.com/a", 9),
+                ("https://ex.com/b", 9),  # priority tie -> url order: a, b
+                ("https://ex.com/c", 5),
+                ("https://solo.org/x", 1),
+            ],
+            "url string, pr long",
+        )
+        out = {
+            r.canon_url: r
+            for r in crawl_politeness_waves(df, "url", "pr", per_wave=2).collect()
+        }
+        assert out["https://ex.com/a"].host_rank == 1
+        assert out["https://ex.com/b"].host_rank == 2
+        assert out["https://ex.com/a"].wave == 0 and out["https://ex.com/b"].wave == 0
+        assert out["https://ex.com/c"].wave == 1  # third fetch waits
+        assert out["https://solo.org/x"].wave == 0  # singleton host never waits
+
+
+class TestBlocklistGate:
+    def test_label_boundary_suffix_matching(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            host_blocklist_gate,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.cdn.example.com/x"),  # parent-domain block
+                (2, "https://example.com/x"),  # exact block
+                (3, "https://notexample.com/x"),  # substring must NOT match
+                (4, "https://sample.org/x"),  # kept
+                (5, None),  # '' host kept
+            ],
+            "id long, url string",
+        )
+        out = {
+            r.id: r
+            for r in host_blocklist_gate(
+                df, "id", "url", ["example.com"]
+            ).collect()
+        }
+        assert out[1].blocked_by == "example.com" and not out[1].kept
+        assert out[2].blocked_by == "example.com"
+        assert out[3].kept and out[3].blocked_by is None
+        assert out[4].kept and out[5].kept
+
+    def test_zero_shuffle_plan(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            host_blocklist_gate,
+        )
+
+        df = spark.range(10).select(
+            F.col("id"),
+            F.concat(F.lit("https://ex.com/p/"), F.col("id")).alias("url"),
+        )
+        plan = (
+            host_blocklist_gate(df, "id", "url", ["bad.com"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
