@@ -21,7 +21,7 @@ comma-separated tokens, not substrings, so a hypothetical
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # content of the robots meta tag, '' when absent
 ROBOTS_PATTERN = r'<meta name="robots" content="([^"]*)"'
@@ -54,4 +54,140 @@ def robots_directives(
         noindex.alias("noindex"),
         nofollow.alias("nofollow"),
         (~noindex).alias("indexable"),
+    )
+
+
+def robots_txt_rules(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse per-host robots.txt payloads into the agent-'*' rule table —
+    the FETCH-side half of robots compliance (the meta-tag gate above is
+    the payload side): a crawler must consult these path rules before
+    requesting a URL at all, and a responsible corpus replays them over
+    its frontier.
+
+    Grammar (RFC 9309 subset, literal path prefixes): records are
+    ``key: value`` lines, ``#`` starts a comment, CONSECUTIVE
+    ``User-agent`` lines name one group, and a ``User-agent`` line after
+    rule lines starts a NEW group (the standard group semantics).  Only
+    groups naming agent ``*`` are kept.  An empty ``Disallow:`` value
+    means allow-everything and emits no rule.  ``*``/``$`` wildcards
+    inside paths are out of scope (documented simplification — the
+    overwhelming majority of real rules are literal prefixes).
+
+    Implementation is pure Catalyst: line posexplode, scan-level
+    key/value split, then the group machine as WINDOWS over (host, line)
+    — ``new_group = is_ua AND NOT lag(is_ua)``, group id = running sum,
+    group-wide star flag = max over the group partition.  Per-host
+    windows are bounded by robots.txt size (KBs), never by corpus size.
+
+    Output: (host, path, allow, rule_len) — one row per star-group rule.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(robots_col), F.lit("")), "\n")
+        ).alias("idx", "line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    key = F.lower(F.trim(F.substring_index(clean, ":", 1)))
+    val = F.trim(F.regexp_replace(clean, "^[^:]*:", ""))
+    parsed = lines.select(
+        "host",
+        "idx",
+        (key == "user-agent").alias("is_ua"),
+        key.isin("allow", "disallow").alias("is_rule"),
+        (key == "allow").alias("allow"),
+        val.alias("val"),
+    ).filter(F.col("is_ua") | F.col("is_rule"))
+    w = Window.partitionBy("host").orderBy("idx")
+    grouped = parsed.select(
+        "host",
+        "idx",
+        "is_ua",
+        "is_rule",
+        "allow",
+        "val",
+        F.sum(
+            (
+                F.col("is_ua")
+                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+            ).cast("int")
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("group_id"),
+    )
+    star = F.max(
+        (F.col("is_ua") & (F.col("val") == "*")).cast("int")
+    ).over(Window.partitionBy("host", "group_id"))
+    return (
+        grouped.withColumn("star", star == 1)
+        .filter(F.col("is_rule") & F.col("star") & (F.col("val") != ""))
+        .select(
+            "host",
+            F.col("val").alias("path"),
+            "allow",
+            F.length("val").cast("long").alias("rule_len"),
+        )
+    )
+
+
+def robots_txt_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str,
+    url_col: str,
+) -> DataFrame:
+    """Apply a parsed robots.txt rule table (`robots_txt_rules`) to a URL
+    relation under the RFC 9309 precedence: among rules whose path is a
+    literal prefix of the URL's canonical path, the LONGEST match wins
+    and an allow/disallow tie at equal length resolves to ALLOW; a URL
+    with no matching rule (or no robots.txt at all) is fetchable.
+
+    One broadcast-friendly equi-join on host (rule tables are tiny — a
+    few rows per host), prefix filter, then ONE map-side-combinable
+    max(struct(rule_len, allow, path)) per URL — total order, so the
+    matched-rule attribution is deterministic even between same-length
+    same-verdict rules.  No windows, no collects.
+
+    Output: (id, canon_url, host, matched_rule, rule_allow, fetch_allowed).
+    """
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        _URL_RE,
+        canonicalize_url,
+    )
+
+    canon = canonicalize_url(F.col(url_col))
+    keyed = urls.select(
+        F.col(id_col).alias("id"),
+        canon.alias("canon_url"),
+        F.regexp_extract(canon, _URL_RE, 2).alias("host"),
+        F.regexp_extract(canon, _URL_RE, 3).alias("_path"),
+    )
+    hits = (
+        keyed.join(F.broadcast(rules), "host")
+        .filter(F.col("_path").startswith(F.col("path")))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("rule_len").alias("l"),
+                    F.col("allow").alias("a"),
+                    F.col("path").alias("p"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "id",
+            F.col("b.p").alias("matched_rule"),
+            F.col("b.a").alias("rule_allow"),
+        )
+    )
+    return keyed.join(hits, "id", "left").select(
+        "id",
+        "canon_url",
+        "host",
+        "matched_rule",
+        "rule_allow",
+        F.coalesce(F.col("rule_allow"), F.lit(True)).alias("fetch_allowed"),
     )

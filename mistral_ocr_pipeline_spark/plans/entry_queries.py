@@ -9253,6 +9253,156 @@ def url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+# per-host robots.txt fixture exercising every grammar branch: multi-group
+# files (rules between user-agent lines split groups), consecutive
+# user-agent lines forming ONE group, non-star-only groups, empty Disallow
+# (allow-everything), full-site disallow, comments, and an equal-length
+# allow/disallow tie.
+_ROBOTS_TXT = {
+    "news.example.com": (
+        "User-agent: *\nDisallow: /cal/\nAllow: /cal/2024/\n\n"
+        "User-agent: badbot\nDisallow: /"
+    ),
+    "cdn.news.example.com": (
+        "User-agent: badbot\nUser-agent: *\n"
+        "Disallow: /s/\nAllow: /s/public/"
+    ),
+    "blog.sample.org": "User-agent: googlebot\nDisallow: /x/",
+    "sample.org": "User-agent: *\nDisallow:",
+    "ads.tracker.net": "User-agent: *\nDisallow: /",
+    "shop.example.com": (
+        "# corpus etiquette\nUser-agent: *\nAllow: /long/\nDisallow: /long/"
+    ),
+    "mirror.sample.org": (
+        "User-agent: *\nDisallow: /d1/d2\n\nUser-agent: *\nDisallow: /q"
+    ),
+}
+
+
+def _robots_fixture_sql() -> str:
+    """VALUES-list CTE `rb(host, robots_txt)` with newlines as chr(10)."""
+
+    def lit(t: str) -> str:
+        return (
+            "'"
+            + t.replace("'", "''").replace("\n", "' || chr(10) || '")
+            + "'"
+        )
+
+    rows = ", ".join(
+        f"('{h}', {lit(t)})" for h, t in sorted(_ROBOTS_TXT.items())
+    )
+    return f"rb(host, robots_txt) AS (VALUES {rows})"
+
+
+# SQL replay of `robots.robots_txt_rules`: line posexplode, comment strip,
+# key/value split, the group state machine as windows, star-group filter.
+_ROBOTS_RULES_CTES = f"""
+    {_robots_fixture_sql()},
+    rln AS (
+      SELECT host, string_split(robots_txt, chr(10)) AS ls FROM rb),
+    rl2 AS (
+      SELECT host, unnest(generate_series(1, len(ls))) AS idx, ls FROM rln),
+    rkv AS (
+      SELECT host, idx,
+        lower(trim(split_part(trim(regexp_replace(ls[idx], '#.*$', '')),
+                              ':', 1))) AS key,
+        trim(regexp_replace(trim(regexp_replace(ls[idx], '#.*$', '')),
+                            '^[^:]*:', '')) AS val
+      FROM rl2),
+    rp AS (
+      SELECT host, idx, key = 'user-agent' AS is_ua,
+             key IN ('allow', 'disallow') AS is_rule,
+             key = 'allow' AS allow, val
+      FROM rkv WHERE key = 'user-agent' OR key IN ('allow', 'disallow')),
+    rg0 AS (
+      SELECT *, CASE WHEN is_ua AND NOT coalesce(
+          lag(is_ua) OVER (PARTITION BY host ORDER BY idx), false)
+          THEN 1 ELSE 0 END AS new_group
+      FROM rp),
+    rg AS (
+      SELECT *, sum(new_group)
+        OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING)
+        AS group_id
+      FROM rg0),
+    rs AS (
+      SELECT *, max(CASE WHEN is_ua AND val = '*' THEN 1 ELSE 0 END)
+        OVER (PARTITION BY host, group_id) AS star
+      FROM rg),
+    rules AS (
+      SELECT host, val AS path, allow, length(val)::BIGINT AS rule_len
+      FROM rs WHERE is_rule AND star = 1 AND val <> '')
+"""
+
+
+@register(
+    "robots_txt_rules",
+    oracle=f"""
+    WITH {_ROBOTS_RULES_CTES}
+    SELECT host, path, allow, rule_len FROM rules
+    ORDER BY host, path, allow
+    """,
+)
+def robots_txt_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (`robots.robots_txt_rules`) over the per-host
+    fixture: comment stripping, key/value split, the user-agent GROUP
+    state machine (consecutive UA lines = one group; UA after rules = new
+    group) as pure window expressions, star-group filtering, empty-
+    Disallow suppression.  The whole parser replays in SQL."""
+    from mistral_ocr_pipeline_spark.operators.robots import robots_txt_rules
+
+    rb = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    return robots_txt_rules(rb).orderBy("host", "path", "allow")
+
+
+@register(
+    "robots_txt_fetch_gate",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    {_ROBOTS_RULES_CTES},
+    u AS (
+      SELECT id, canon_url,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host,
+        regexp_extract(canon_url, '{_URLRE}', 3) AS path
+      FROM cf_c),
+    h AS (
+      SELECT u.id,
+        max({{'l': r.rule_len, 'a': r.allow, 'p': r.path}}) AS b
+      FROM u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.path)
+      GROUP BY u.id)
+    SELECT u.id, u.canon_url, u.host,
+           b.p AS matched_rule, b.a AS rule_allow,
+           coalesce(b.a, true) AS fetch_allowed
+    FROM u LEFT JOIN h ON u.id = h.id ORDER BY u.id
+    """,
+)
+def robots_txt_fetch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-side robots compliance (`robots.robots_txt_gate`) under RFC
+    9309 precedence over the crawl fixture: longest-prefix rule wins
+    ('/cal/2024/…' escapes the '/cal/' disallow via the longer Allow),
+    equal-length allow/disallow ties go to ALLOW (shop's /long/ pair),
+    full-site Disallow blocks every ads.tracker.net URL, a
+    googlebot-only group gates nothing for '*', empty Disallow allows
+    all of sample.org, and junk/NULL URLs ('' host, no robots row) stay
+    fetchable.  Broadcast join on host + one max(struct) per URL."""
+    from mistral_ocr_pipeline_spark.operators.robots import (
+        robots_txt_gate,
+        robots_txt_rules,
+    )
+
+    rb = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    u = _crawl_fixture(_t(spark, sf_dir, "documents"))
+    return robots_txt_gate(
+        u, robots_txt_rules(rb), "id", "url"
+    ).orderBy("id")
+
+
 @register(
     "text_soft_dedup_weights",
     oracle=f"""

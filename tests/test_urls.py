@@ -250,3 +250,68 @@ class TestBlocklistGate:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestRobotsTxt:
+    def _rules(self, spark, txt):
+        from mistral_ocr_pipeline_spark.operators.robots import robots_txt_rules
+
+        rb = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+        return sorted(
+            (r.path, r.allow) for r in robots_txt_rules(rb).collect()
+        )
+
+    def test_group_state_machine(self, spark):
+        # UA after rules starts a NEW group; consecutive UA lines are ONE group
+        txt = (
+            "User-agent: *\nDisallow: /a\n"
+            "User-agent: badbot\nDisallow: /b\n"  # non-star group dropped
+            "User-agent: badbot\nUser-agent: *\nDisallow: /c"  # star via 2nd UA
+        )
+        assert self._rules(spark, txt) == [("/a", False), ("/c", False)]
+
+    def test_empty_disallow_comments_case(self, spark):
+        txt = "# hi\nUSER-AGENT: *  # inline\nDisallow:\nAllow: /ok"
+        assert self._rules(spark, txt) == [("/ok", True)]
+
+    def test_no_star_group(self, spark):
+        assert self._rules(spark, "User-agent: googlebot\nDisallow: /") == []
+
+    def test_gate_precedence(self, spark):
+        from mistral_ocr_pipeline_spark.operators.robots import (
+            robots_txt_gate,
+            robots_txt_rules,
+        )
+
+        rb = spark.createDataFrame(
+            [
+                (
+                    "ex.com",
+                    "User-agent: *\nDisallow: /cal/\nAllow: /cal/2024/\n"
+                    "Allow: /tie\nDisallow: /tie",
+                )
+            ],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "https://ex.com/cal/2023/x"),  # blocked by /cal/
+                (2, "https://ex.com/cal/2024/x"),  # longest match -> allow
+                (3, "https://ex.com/tie"),  # equal length -> allow wins
+                (4, "https://ex.com/other"),  # no rule -> fetchable
+                (5, "https://unknown.org/x"),  # no robots -> fetchable
+                (6, None),  # '' host survives, fetchable
+            ],
+            "id long, url string",
+        )
+        out = {
+            r.id: r
+            for r in robots_txt_gate(
+                urls, robots_txt_rules(rb), "id", "url"
+            ).collect()
+        }
+        assert not out[1].fetch_allowed and out[1].matched_rule == "/cal/"
+        assert out[2].fetch_allowed and out[2].matched_rule == "/cal/2024/"
+        assert out[3].fetch_allowed and out[3].matched_rule == "/tie"
+        assert out[4].fetch_allowed and out[4].matched_rule is None
+        assert out[5].fetch_allowed and out[6].fetch_allowed
