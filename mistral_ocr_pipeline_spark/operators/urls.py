@@ -377,3 +377,73 @@ def domain_stats(
             F.expr("_len_sum * 1000000L div n_docs").alias("mean_len_micro"),
         )
     )
+
+
+def recrawl_change_stats(
+    df: DataFrame, id_col: str, url_col: str, ts_col: str, text_col: str
+) -> DataFrame:
+    """Per-host content-change telemetry across recrawls — the freshness
+    signal an adaptive recrawl scheduler allocates budget by (Cho &
+    Garcia-Molina 2000's synchronization policy): hosts whose pages
+    change between consecutive fetches earn frequent revisits, static
+    hosts are demoted, and the crawl spends its politeness-limited
+    request budget where content actually moves.
+
+    Per canonical URL, fetches order by (ts, id) — a TOTAL order, so the
+    consecutive-pair comparison is rerun/partition invariant — and each
+    fetch after the first compares its content fingerprint (md5 of the
+    text; NULL → '') against the previous fetch.  Host rollup:
+
+    * ``n_fetches`` / ``n_pages``   — crawl volume vs distinct pages.
+    * ``n_recrawls`` / ``n_changed`` — consecutive-pair comparisons and
+      how many showed new content.
+    * ``change_rate_micro``         — n_changed/n_recrawls in BIGINT
+      micro-units (0 when a host was never recrawled).
+    * ``bucket``                    — 'hot' (>50%), 'warm' (>10%),
+      'cold' (recrawled, ≤10%), 'static' (never recrawled) — the
+      scheduler's revisit tier.
+
+    Scale: the lag window partitions by canonical URL (bounded by the
+    per-page recrawl count; cap pathological mega-recrawl URLs upstream
+    with `url_trap_flags`), then ONE map-side-combined groupBy on host.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("_ts"),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+    ).withColumn("host", F.regexp_extract("canon_url", _URL_RE, 2))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_url").orderBy("_ts", "id")
+    prev = F.lag("_fp").over(w)
+    flagged = keyed.select(
+        "host",
+        "canon_url",
+        prev.isNotNull().alias("_is_recrawl"),
+        (prev.isNotNull() & (F.col("_fp") != prev)).alias("_changed"),
+    )
+    rolled = flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.countDistinct("canon_url").alias("n_pages"),
+        F.sum(F.col("_is_recrawl").cast("long")).alias("n_recrawls"),
+        F.sum(F.col("_changed").cast("long")).alias("n_changed"),
+    )
+    rate = F.when(
+        F.col("n_recrawls") > 0,
+        F.expr("n_changed * 1000000L div n_recrawls"),
+    ).otherwise(F.lit(0).cast("long"))
+    return rolled.select(
+        "host",
+        "n_fetches",
+        "n_pages",
+        "n_recrawls",
+        "n_changed",
+        rate.alias("change_rate_micro"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("n_recrawls") == 0, "static")
+        .when(F.col("change_rate_micro") > 500000, "hot")
+        .when(F.col("change_rate_micro") > 100000, "warm")
+        .otherwise("cold"),
+    )

@@ -9253,6 +9253,80 @@ def url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register(
+    "crawl_change_rate",
+    oracle=f"""
+    WITH {_URL_FIXTURE_SQL},
+    v AS (
+      SELECT id, url, ((id * 37) % 101)::BIGINT AS ts,
+        'c' || (id % 5)::VARCHAR || '-' || (id % 40)::VARCHAR || '-'
+          || (CASE WHEN id % 6 < 3 THEN 'q' ELSE 'p' END)
+          || (CASE WHEN id % 11 = 0 THEN '!' ELSE '' END) AS content
+      FROM u),
+    {_url_canon_ctes('v')},
+    f AS (
+      SELECT id, ts, canon_url,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host,
+        md5(coalesce(content, '')) AS fp
+      FROM v_c),
+    l AS (
+      SELECT host, canon_url,
+        lag(fp) OVER (PARTITION BY canon_url ORDER BY ts, id) AS pfp, fp
+      FROM f),
+    g AS (
+      SELECT host, count(*)::BIGINT AS n_fetches,
+        count(DISTINCT canon_url)::BIGINT AS n_pages,
+        sum(CASE WHEN pfp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+          AS n_recrawls,
+        sum(CASE WHEN pfp IS NOT NULL AND fp <> pfp THEN 1 ELSE 0 END)
+          ::BIGINT AS n_changed
+      FROM l GROUP BY host),
+    r AS (
+      SELECT *, (CASE WHEN n_recrawls > 0
+                      THEN n_changed * 1000000 // n_recrawls
+                      ELSE 0 END)::BIGINT AS change_rate_micro
+      FROM g)
+    SELECT host, n_fetches, n_pages, n_recrawls, n_changed,
+           change_rate_micro,
+           CASE WHEN n_recrawls = 0 THEN 'static'
+                WHEN change_rate_micro > 500000 THEN 'hot'
+                WHEN change_rate_micro > 100000 THEN 'warm'
+                ELSE 'cold' END AS bucket
+    FROM r ORDER BY host
+    """,
+)
+def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-recrawl freshness telemetry (`urls.recrawl_change_stats`)
+    over the messy-URL fixture with synthetic page content that is stable
+    per canonical page except for a deterministic 1-in-11 changed fetch:
+    consecutive fetches per canonical URL compare md5 fingerprints under
+    the TOTAL (ts, id) order, hosts roll up to change rates in BIGINT
+    micro-units and hot/warm/cold/static revisit tiers.  The lag window,
+    rollup, integer rate, and tier CASE all replay in SQL."""
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        recrawl_change_stats,
+    )
+
+    d = F.col("id")
+    v = _url_fixture(_t(spark, sf_dir, "documents")).select(
+        "id",
+        "url",
+        ((d * 37) % 101).cast("long").alias("ts"),
+        F.concat(
+            F.lit("c"),
+            (d % 5).cast("string"),
+            F.lit("-"),
+            (d % 40).cast("string"),
+            F.lit("-"),
+            F.when(d % 6 < 3, "q").otherwise("p"),
+            F.when(d % 11 == 0, "!").otherwise(""),
+        ).alias("content"),
+    )
+    return recrawl_change_stats(v, "id", "url", "ts", "content").orderBy(
+        "host"
+    )
+
+
 # per-host robots.txt fixture exercising every grammar branch: multi-group
 # files (rules between user-agent lines split groups), consecutive
 # user-agent lines forming ONE group, non-star-only groups, empty Disallow

@@ -315,3 +315,53 @@ class TestRobotsTxt:
         assert out[3].fetch_allowed and out[3].matched_rule == "/tie"
         assert out[4].fetch_allowed and out[4].matched_rule is None
         assert out[5].fetch_allowed and out[6].fetch_allowed
+
+
+class TestRecrawlChangeStats:
+    def test_change_detection_and_buckets(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            recrawl_change_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # hot.com/a: 3 fetches, both recrawls changed
+                (1, "https://hot.com/a", 1, "v1"),
+                (2, "https://hot.com/a", 2, "v2"),
+                (3, "https://hot.com/a", 3, "v3"),
+                # cold.com/a: recrawl identical; /b singleton
+                (4, "https://cold.com/a", 1, "same"),
+                (5, "https://cold.com/a/", 2, "same"),  # canonical collapse
+                (6, "https://cold.com/b", 1, "x"),
+                # static.org: never recrawled
+                (7, "https://static.org/p", 1, None),  # NULL text -> '' fp
+            ],
+            "id long, url string, ts long, text string",
+        )
+        out = {
+            r.host: r
+            for r in recrawl_change_stats(
+                df, "id", "url", "ts", "text"
+            ).collect()
+        }
+        hot = out["hot.com"]
+        assert (hot.n_recrawls, hot.n_changed, hot.bucket) == (2, 2, "hot")
+        assert hot.change_rate_micro == 1000000
+        cold = out["cold.com"]
+        assert (cold.n_fetches, cold.n_pages) == (3, 2)
+        assert (cold.n_recrawls, cold.n_changed, cold.bucket) == (1, 0, "cold")
+        st = out["static.org"]
+        assert (st.n_recrawls, st.change_rate_micro, st.bucket) == (0, 0, "static")
+
+    def test_ts_tie_broken_by_id(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            recrawl_change_stats,
+        )
+
+        # same ts: order is (ts, id) -> 1 then 2 -> one recrawl, changed
+        df = spark.createDataFrame(
+            [(1, "https://t.com/x", 5, "a"), (2, "https://t.com/x", 5, "b")],
+            "id long, url string, ts long, text string",
+        )
+        r = recrawl_change_stats(df, "id", "url", "ts", "text").collect()[0]
+        assert r.n_recrawls == 1 and r.n_changed == 1
