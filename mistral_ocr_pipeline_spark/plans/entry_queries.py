@@ -9085,11 +9085,10 @@ def _crawl_fixture(docs: DataFrame) -> DataFrame:
     return docs.select(d.alias("id"), url.alias("url"))
 
 
-@register(
-    "url_trap_flags",
-    oracle=f"""
-    WITH {_CRAWL_FIXTURE_SQL},
-    {_url_canon_ctes('cf')},
+# shared SQL twins over the canonicalized relation `cf_c` — each gate
+# family gets exactly ONE replay, used by its standalone query AND the
+# admission composite (the `_url_canon_ctes` single-twin rule).
+_TRAP_M_CTES = f"""
     sg AS (
       SELECT id, canon_url,
         list_filter(string_split(
@@ -9107,14 +9106,46 @@ def _crawl_fixture(docs: DataFrame) -> DataFrame:
           AS n_params,
         len(list_filter(segs, s -> regexp_matches(s,
           '^[0-9a-fA-F]{{16,}}$|^[0-9]{{10,}}$'))) > 0 AS session_flag
-      FROM sg)
-    SELECT id, canon_url, depth, max_repeat, path_len, n_params, session_flag,
-      CASE WHEN depth > 8 THEN 'deep_path'
+      FROM sg)"""
+
+_TRAP_VERDICT = """CASE WHEN depth > 8 THEN 'deep_path'
            WHEN max_repeat > 2 THEN 'repeat_segments'
            WHEN path_len > 200 THEN 'long_path'
            WHEN n_params > 6 THEN 'query_explosion'
            WHEN session_flag THEN 'session_id'
-           ELSE 'ok' END AS verdict
+           ELSE 'ok' END"""
+
+
+def _block_ctes(blocklist: list[str]) -> str:
+    """CTE chain replaying `urls.host_blocklist_gate` over ``cf_c`` →
+    ``blk(id, canon_url, host, hits)``."""
+    lits = ", ".join(f"'{b}'" for b in sorted(blocklist))
+    return f"""
+    bsf AS (
+      SELECT id, canon_url,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host
+      FROM cf_c),
+    bsx AS (
+      SELECT *, list_transform(
+        generate_series(1, len(string_split(host, '.'))),
+        i -> array_to_string(list_slice(string_split(host, '.'), i,
+               len(string_split(host, '.'))), '.')) AS suffixes
+      FROM bsf),
+    blk AS (
+      SELECT id, canon_url, host,
+        list_sort(list_filter([{lits}],
+          e -> list_contains(suffixes, e))) AS hits
+      FROM bsx)"""
+
+
+@register(
+    "url_trap_flags",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    {_TRAP_M_CTES}
+    SELECT id, canon_url, depth, max_repeat, path_len, n_params, session_flag,
+      {_TRAP_VERDICT} AS verdict
     FROM m ORDER BY id
     """,
 )
@@ -9215,26 +9246,11 @@ def crawl_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_CRAWL_FIXTURE_SQL},
     {_url_canon_ctes('cf')},
-    b AS (
-      SELECT id, canon_url,
-        regexp_extract(canon_url, '{_URLRE}', 2) AS host
-      FROM cf_c),
-    sfx AS (
-      SELECT *, list_transform(
-        generate_series(1, len(string_split(host, '.'))),
-        i -> array_to_string(list_slice(string_split(host, '.'), i,
-               len(string_split(host, '.'))), '.')) AS suffixes
-      FROM b),
-    g AS (
-      SELECT id, canon_url, host,
-        list_sort(list_filter(
-          ['example.com', 'mirror.sample.org', 'tracker.net'],
-          e -> list_contains(suffixes, e))) AS hits
-      FROM sfx)
+    {_block_ctes(['example.com', 'tracker.net', 'mirror.sample.org'])}
     SELECT id, canon_url, host,
            CASE WHEN len(hits) > 0 THEN hits[1] END AS blocked_by,
            len(hits) = 0 AS kept
-    FROM g ORDER BY id
+    FROM blk ORDER BY id
     """,
 )
 def url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9475,6 +9491,103 @@ def robots_txt_fetch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_txt_gate(
         u, robots_txt_rules(rb), "id", "url"
     ).orderBy("id")
+
+
+@register(
+    "crawl_admission_pipeline",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    {_TRAP_M_CTES},
+    {_block_ctes(['mirror.sample.org'])},
+    {_ROBOTS_RULES_CTES},
+    ru AS (
+      SELECT id, canon_url,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host,
+        regexp_extract(canon_url, '{_URLRE}', 3) AS path
+      FROM cf_c),
+    rh AS (
+      SELECT ru.id,
+        max({{'l': r.rule_len, 'a': r.allow, 'p': r.path}}) AS b
+      FROM ru JOIN rules r
+        ON ru.host = r.host AND starts_with(ru.path, r.path)
+      GROUP BY ru.id),
+    rgate AS (
+      SELECT ru.id, coalesce(b.a, true) AS fetch_allowed
+      FROM ru LEFT JOIN rh ON ru.id = rh.id),
+    adm AS (
+      SELECT m.id, m.canon_url
+      FROM m JOIN blk ON m.id = blk.id JOIN rgate ON m.id = rgate.id
+      WHERE ({_TRAP_VERDICT}) = 'ok' AND len(blk.hits) = 0
+        AND rgate.fetch_allowed AND m.canon_url <> ''),
+    fr AS (
+      SELECT canon_url, max((id * 37) % 101)::BIGINT AS priority
+      FROM adm GROUP BY canon_url),
+    rk AS (
+      SELECT canon_url,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host, priority,
+        row_number() OVER (
+          PARTITION BY regexp_extract(canon_url, '{_URLRE}', 2)
+          ORDER BY priority DESC, canon_url)::BIGINT AS host_rank
+      FROM fr)
+    SELECT canon_url, host, priority, host_rank,
+           ((host_rank - 1) // 2)::BIGINT AS wave
+    FROM rk ORDER BY host, host_rank
+    """,
+)
+def crawl_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full frontier-admission composite in ONE plan: spider-trap gate →
+    domain blocklist → robots.txt fetch gate → frontier dedup (max
+    priority per canonical URL) → politeness waves.  Every gate is
+    independently live on the fixture: traps cut the loop/session/deep/
+    long/query path shapes, the blocklist removes mirror.sample.org
+    (which robots ALLOWS — the two gates are not redundant), robots'
+    full-site Disallow removes ads.tracker.net and its longest-match
+    Allow is what keeps news.example.com's calendar URLs in the
+    schedule.  All three gate replays + the scheduling window chain into
+    one SQL oracle via the shared CTE templates (single-twin rule)."""
+    from mistral_ocr_pipeline_spark.operators.robots import (
+        robots_txt_gate,
+        robots_txt_rules,
+    )
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        crawl_politeness_waves,
+        host_blocklist_gate,
+        url_trap_flags,
+    )
+
+    u = _crawl_fixture(_t(spark, sf_dir, "documents"))
+    trap_ok = (
+        url_trap_flags(u, "id", "url")
+        .filter((F.col("verdict") == "ok") & (F.col("canon_url") != ""))
+        .select("id", "canon_url")
+    )
+    block_ok = (
+        host_blocklist_gate(u, "id", "url", ["mirror.sample.org"])
+        .filter("kept")
+        .select("id")
+    )
+    rb = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    robots_ok = (
+        robots_txt_gate(u, robots_txt_rules(rb), "id", "url")
+        .filter("fetch_allowed")
+        .select("id")
+    )
+    frontier = (
+        trap_ok.join(block_ok, "id")
+        .join(robots_ok, "id")
+        .select(
+            "canon_url",
+            ((F.col("id") * 37) % 101).cast("long").alias("priority"),
+        )
+        .groupBy("canon_url")
+        .agg(F.max("priority").alias("priority"))
+    )
+    return crawl_politeness_waves(
+        frontier, "canon_url", "priority", per_wave=2
+    ).orderBy("host", "host_rank")
 
 
 @register(

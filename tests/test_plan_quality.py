@@ -896,3 +896,30 @@ class TestLRClassifierPlan:
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "Generate" not in plan, plan
         assert "InMemoryTableScan" in plan
+
+
+class TestCrawlAdmissionPlans:
+    def test_robots_rules_join_broadcasts(self, spark):
+        from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+        plan = _plan(QUERIES["crawl_admission_pipeline"](spark, SF_DIR))
+        # the tiny robots rule table must ride a broadcast join, and the
+        # composite must never degenerate into a cartesian product
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_trap_and_blocklist_gates_stay_map_only(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            host_blocklist_gate,
+            url_trap_flags,
+        )
+
+        urls = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit("https://ex.com/p/"), F.col("doc_id")).alias("url"),
+        )
+        assert "Exchange" not in _plan(url_trap_flags(urls, "id", "url"))
+        assert "Exchange" not in _plan(
+            host_blocklist_gate(urls, "id", "url", ["bad.com"])
+        )
