@@ -447,3 +447,82 @@ def recrawl_change_stats(
         .when(F.col("change_rate_micro") > 100000, "warm")
         .otherwise("cold"),
     )
+
+
+def sitemap_entries(
+    df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Parse sitemap.xml payloads into frontier entries — the publisher's
+    OWN inventory of pages worth crawling (the sitemaps.org protocol),
+    the third discovery channel next to link extraction (`htmllinks`)
+    and recrawl telemetry (`recrawl_change_stats`).
+
+    Scan-level parse (zero UDF): ``<url>…</url>`` blocks via non-greedy
+    `regexp_extract_all` (the `htmllinks.ANCHOR_PATTERN` discipline —
+    Java and RE2 agree on lazy quantifiers and on '.' not crossing
+    newlines), then per-block ``<loc>`` / optional ``<lastmod>``
+    extraction; locs normalize through the shared URL canonicalizer so
+    sitemap entries meet crawl-state keys.  ``lastmod`` stays an ISO-8601
+    STRING ('' when the publisher omitted it) — ISO dates compare
+    correctly as strings, engine-exactly.
+
+    Output: (host, loc, canon_url, lastmod) — one row per sitemap entry.
+    """
+    blocks = F.regexp_extract_all(
+        F.coalesce(F.col(xml_col), F.lit("")),
+        F.lit("<url>(.*?)</url>"),
+        F.lit(1),
+    )
+    exploded = df.select(
+        F.col(host_col).alias("host"), F.explode(blocks).alias("block")
+    )
+    loc = F.regexp_extract(F.col("block"), "<loc>([^<]*)</loc>", 1)
+    lastmod = F.regexp_extract(F.col("block"), "<lastmod>([^<]*)</lastmod>", 1)
+    return exploded.select(
+        "host",
+        loc.alias("loc"),
+        canonicalize_url(loc).alias("canon_url"),
+        lastmod.alias("lastmod"),
+    )
+
+
+def sitemap_recrawl_queue(
+    entries: DataFrame, crawl_state: DataFrame
+) -> DataFrame:
+    """Lastmod-driven recrawl queueing: join sitemap entries
+    (`sitemap_entries`) against the crawl state (canon_url, last_crawl —
+    the ISO date of the last successful fetch, e.g. derived from
+    `url_dedup`'s kept copy) and decide, per page:
+
+    * ``new``     — never crawled → queue.
+    * ``changed`` — publisher says it changed after our last fetch
+                    (lastmod > last_crawl, ISO string compare) → queue.
+    * ``fresh``   — lastmod ≤ last_crawl → skip.
+    * ``unknown`` — crawled before but no lastmod signal → skip here;
+                    `recrawl_change_stats`' change-rate tiers own that
+                    policy (sitemap silence is not evidence of change).
+
+    ONE equi-join on canon_url (crawl state is the big side at 100 TB —
+    the join shuffles on the same canonical-URL hash `url_dedup` already
+    keys by, so co-partitioning/bucketing carries over), zero windows.
+
+    Output: (canon_url, host, lastmod, last_crawl, reason, queue).
+    """
+    st = crawl_state.select(
+        F.col("canon_url"), F.col("last_crawl").alias("last_crawl")
+    )
+    j = entries.join(st, "canon_url", "left")
+    reason = (
+        F.when(F.col("last_crawl").isNull(), "new")
+        .when(F.col("lastmod") == "", "unknown")
+        .when(F.col("lastmod") > F.col("last_crawl"), "changed")
+        .otherwise("fresh")
+    )
+    return j.select(
+        "canon_url",
+        "host",
+        "lastmod",
+        "last_crawl",
+        reason.alias("reason"),
+        reason.isin("new", "changed").alias("queue"),
+    )

@@ -9590,6 +9590,101 @@ def crawl_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "host_rank")
 
 
+# deterministic sitemap + crawl-state fixtures, generated ONCE in Python
+# and inlined verbatim on both engine sides (the robots-fixture
+# discipline): 5 hosts × 8 sitemap entries (mixed-case locs so
+# canonicalization is live; every 3rd entry omits <lastmod>), crawl state
+# covering 3 of every 4 pages with an arithmetic last-crawl date.
+def _sitemap_fixture() -> list[tuple[str, str]]:
+    rows = []
+    for h in range(5):
+        parts = []
+        for i in range(8):
+            k = h + i * 5
+            lm = (
+                ""
+                if k % 3 == 2
+                else f"<lastmod>2024-01-{(k % 20) + 1:02d}</lastmod>"
+            )
+            parts.append(
+                f"<url><loc>https://site{h}.Example.com/docs/{k}</loc>"
+                f"{lm}</url>"
+            )
+        rows.append((f"site{h}.example.com", "".join(parts)))
+    return rows
+
+
+def _crawl_state_fixture() -> list[tuple[str, str]]:
+    return [
+        (
+            f"https://site{k % 5}.example.com/docs/{k}",
+            f"2024-01-{((k * 7) % 20) + 1:02d}",
+        )
+        for k in range(40)
+        if k % 4 != 3
+    ]
+
+
+def _values_cte(name: str, cols: str, rows: list[tuple[str, str]]) -> str:
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    body = ", ".join(f"({lit(a)}, {lit(b)})" for a, b in rows)
+    return f"{name}({cols}) AS (VALUES {body})"
+
+
+@register(
+    "sitemap_recrawl_queue",
+    oracle=f"""
+    WITH {_values_cte('sm', 'host, sitemap_xml', _sitemap_fixture())},
+    {_values_cte('cs', 'canon_url, last_crawl', _crawl_state_fixture())},
+    bl AS (
+      SELECT host, unnest(regexp_extract_all(sitemap_xml,
+        '<url>(.*?)</url>', 1)) AS block
+      FROM sm),
+    e0 AS (
+      SELECT host,
+        regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS url,
+        regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+      FROM bl),
+    {_url_canon_ctes('e0')},
+    j AS (
+      SELECT e.canon_url, e.host, e.lastmod, cs.last_crawl,
+        CASE WHEN cs.last_crawl IS NULL THEN 'new'
+             WHEN e.lastmod = '' THEN 'unknown'
+             WHEN e.lastmod > cs.last_crawl THEN 'changed'
+             ELSE 'fresh' END AS reason
+      FROM e0_c e LEFT JOIN cs ON e.canon_url = cs.canon_url)
+    SELECT canon_url, host, lastmod, last_crawl, reason,
+           reason IN ('new', 'changed') AS queue
+    FROM j ORDER BY canon_url
+    """,
+)
+def sitemap_recrawl_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven recrawl queueing (`urls.sitemap_entries` +
+    `urls.sitemap_recrawl_queue`): publisher sitemaps parse scan-level
+    (non-greedy <url> blocks, optional <lastmod>), locs canonicalize
+    through the shared URL twin (mixed-case hosts in the fixture), and
+    each page queues as new / changed / fresh / unknown against the
+    crawl state under ISO-string date comparison.  One equi-join on the
+    canonical-URL key; parse + canonicalization + policy CASE all replay
+    in SQL."""
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        sitemap_entries,
+        sitemap_recrawl_queue,
+    )
+
+    sm = spark.createDataFrame(
+        _sitemap_fixture(), "host string, sitemap_xml string"
+    )
+    cs = spark.createDataFrame(
+        _crawl_state_fixture(), "canon_url string, last_crawl string"
+    )
+    return sitemap_recrawl_queue(sitemap_entries(sm), cs).orderBy(
+        "canon_url"
+    )
+
+
 @register(
     "text_soft_dedup_weights",
     oracle=f"""

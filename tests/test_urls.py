@@ -365,3 +365,51 @@ class TestRecrawlChangeStats:
         )
         r = recrawl_change_stats(df, "id", "url", "ts", "text").collect()[0]
         assert r.n_recrawls == 1 and r.n_changed == 1
+
+
+class TestSitemap:
+    def test_parse_and_queue_policy(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            sitemap_entries,
+            sitemap_recrawl_queue,
+        )
+
+        sm = spark.createDataFrame(
+            [
+                (
+                    "ex.com",
+                    "<url><loc>https://Ex.com/a</loc>"
+                    "<lastmod>2024-02-01</lastmod></url>"
+                    "<url><loc>https://ex.com/b</loc>"
+                    "<lastmod>2024-01-01</lastmod></url>"
+                    "<url><loc>https://ex.com/c</loc></url>"  # no lastmod
+                    "<url><loc>https://ex.com/d</loc>"
+                    "<lastmod>2024-03-01</lastmod></url>",
+                ),
+                ("empty.org", None),  # NULL xml -> no entries, no crash
+            ],
+            "host string, sitemap_xml string",
+        )
+        cs = spark.createDataFrame(
+            [
+                ("https://ex.com/a", "2024-01-15"),  # lastmod newer -> changed
+                ("https://ex.com/b", "2024-01-15"),  # lastmod older -> fresh
+                ("https://ex.com/c", "2024-01-15"),  # no lastmod -> unknown
+                # /d absent -> new
+            ],
+            "canon_url string, last_crawl string",
+        )
+        out = {
+            r.canon_url: r
+            for r in sitemap_recrawl_queue(sitemap_entries(sm), cs).collect()
+        }
+        assert len(out) == 4  # mixed-case loc canonicalized onto state key
+        assert out["https://ex.com/a"].reason == "changed" and out[
+            "https://ex.com/a"
+        ].queue
+        assert out["https://ex.com/b"].reason == "fresh"
+        assert not out["https://ex.com/b"].queue
+        assert out["https://ex.com/c"].reason == "unknown"
+        assert out["https://ex.com/d"].reason == "new" and out[
+            "https://ex.com/d"
+        ].queue and out["https://ex.com/d"].last_crawl is None
