@@ -526,3 +526,42 @@ def sitemap_recrawl_queue(
         reason.alias("reason"),
         reason.isin("new", "changed").alias("queue"),
     )
+
+
+def frontier_facts(df: DataFrame, url_col: str) -> DataFrame:
+    """Per-canonical-URL frontier facts from one batch of discovered
+    links: (canon_url, host, n_mentions).  ``n_mentions`` is the OPIC-ish
+    priority mass (how often the crawl has seen this URL referenced) and
+    an ADDITIVE lattice fact, so per-batch facts merge by summation
+    (`frontier_append`) without ever re-scanning history batches — the
+    maintained-index discipline of `link_graph_append` /
+    `profile_shards`.  Junk/NULL URLs ('' canonical) are dropped here:
+    the frontier is by definition fetchable addresses.
+
+    ONE map-side-combined groupBy on the canonical-URL key.
+    """
+    keyed = df.select(
+        canonicalize_url(F.col(url_col)).alias("canon_url")
+    ).filter(F.col("canon_url") != "")
+    return (
+        keyed.groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            "canon_url",
+            F.regexp_extract("canon_url", _URL_RE, 2).alias("host"),
+            "n_mentions",
+        )
+    )
+
+
+def frontier_append(existing: DataFrame, batch_facts: DataFrame) -> DataFrame:
+    """Merge one batch's `frontier_facts` into the persisted frontier.
+    Every column is a lattice fact (host is a pure function of the key,
+    n_mentions additive), so append ≡ one-shot rebuild over
+    history ∪ batch — the law the frontier_job test pins.  One
+    map-side-combined groupBy on canon_url."""
+    return (
+        existing.unionByName(batch_facts)
+        .groupBy("canon_url", "host")
+        .agg(F.sum("n_mentions").alias("n_mentions"))
+    )

@@ -304,3 +304,106 @@ def test_linkgraph_job_cli(tmp_path, spark):
     assert p2b.returncode == 0, p2b.stderr[-2000:]
     assert open(head).read().strip() == head_after_2
     assert "no-op" in p2b.stdout
+
+
+def test_frontier_job_cli(tmp_path, spark):
+    """Incremental frontier maintenance through the spark-submit surface:
+    batch 1 bootstraps, batch 2 merges (append ≡ one-shot over both
+    batches), the schedule honors trap / blocklist / robots / crawled
+    gates, and a rerun of batch 2 is an idempotent no-op."""
+    import duckdb
+    import pandas as pd
+
+    def links(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            # tracking-param variants collapse onto one canonical mention
+            rows.append(f"https://site{i % 3}.example.com/p/{i % 5}?utm_s=x")
+            if i % 4 == 0:
+                rows.append(f"https://site{i % 3}.example.com/x/y/x/y/x")
+            if i % 5 == 0:
+                rows.append(f"https://ads.bad.net/z/{i % 3}")
+            if i % 6 == 0:
+                rows.append(f"https://site0.example.com/private/{i % 2}")
+        return [(u,) for u in rows]
+
+    b1 = str(tmp_path / "fr_b1.parquet")
+    b2 = str(tmp_path / "fr_b2.parquet")
+    pd.DataFrame(links(0, 30), columns=["url"]).to_parquet(b1, index=False)
+    pd.DataFrame(links(30, 70), columns=["url"]).to_parquet(b2, index=False)
+    robots = str(tmp_path / "fr_robots.parquet")
+    pd.DataFrame(
+        [("site0.example.com", "User-agent: *\nDisallow: /private/")],
+        columns=["host", "robots_txt"],
+    ).to_parquet(robots, index=False)
+    wh = str(tmp_path / "wh_fr")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    common = dict(cwd="/root/repo", env=env, capture_output=True, text=True,
+                  timeout=400)
+
+    def run(inp, batch):
+        return subprocess.run(
+            [sys.executable, "spark_jobs/frontier_job.py",
+             "--input", inp, "--warehouse", wh, "--batch-id", batch,
+             "--block-host", "bad.net", "--robots", robots],
+            **common,
+        )
+
+    p1 = run(b1, "batch-1")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+
+    # a fetcher marks one URL crawled between batches
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, wh)
+    crawled = spark.createDataFrame(
+        [("https://site1.example.com/p/1",)], "canon_url string"
+    )
+    cat.commit({"crawled": cat.stage_overwrite(crawled, "crawled")})
+
+    p2 = run(b2, "batch-2")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+
+    head = os.path.join(wh, "_HEAD")
+    head_after_2 = open(head).read().strip()
+    manifest = json.load(open(os.path.join(wh, "_manifests", head_after_2)))
+    assert {"frontier", "crawl_schedule", "frontier_lineage"} <= set(
+        manifest["tables"]
+    )
+
+    # maintained frontier ≡ one-shot facts over both batches
+    from mistral_ocr_pipeline_spark.operators.urls import frontier_facts
+
+    oneshot = frontier_facts(
+        spark.createDataFrame(links(0, 70), "url string"), "url"
+    )
+    con = duckdb.connect()
+    got = sorted(con.execute(
+        "SELECT canon_url, host, n_mentions FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["frontier"])
+        + "/*.parquet')"
+    ).fetchall())
+    assert got == sorted(map(tuple, oneshot.collect()))
+
+    sched = con.execute(
+        "SELECT canon_url, host, wave FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["crawl_schedule"])
+        + "/*.parquet')"
+    ).fetchall()
+    urls = {r[0] for r in sched}
+    assert urls  # non-empty schedule
+    assert not any("/x/y/x" in u for u in urls)  # trap gate
+    assert not any(r[1].endswith("bad.net") for r in sched)  # blocklist
+    assert not any("/private/" in u for u in urls)  # robots gate
+    assert "https://site1.example.com/p/1" not in urls  # crawled anti-join
+    assert "https://site1.example.com/p/0" in urls  # but siblings schedule
+    # per-wave cap: no host exceeds 2 URLs in wave 0
+    from collections import Counter
+    w0 = Counter(r[1] for r in sched if r[2] == 0)
+    assert max(w0.values()) <= 2
+
+    # idempotent rerun: no new commit
+    p2b = run(b2, "batch-2")
+    assert p2b.returncode == 0, p2b.stderr[-2000:]
+    assert open(head).read().strip() == head_after_2
+    assert "no-op" in p2b.stdout
