@@ -38,6 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "crawl_admission_pipeline",  # r5 final: trap+blocklist+robots -> schedule, one plan
+    "robots_txt_fetch_gate",    # r5 final: RFC 9309 longest-match precedence
+    "robots_txt_rules",         # r5 final: windowed user-agent group parser
+    "url_trap_flags",           # r5 final: spider-trap first-fail verdicts
+    "url_blocklist_gate",       # r5 final: parent-suffix domain blocklist
+    "crawl_politeness_waves",   # r5 final: per-host rate-capped schedule
+    "url_template_stats",       # r5 final: {h}/{n} template fan-out mining
+    "crawl_change_rate",        # r5 final: per-host freshness/revisit tiers
+    "sitemap_recrawl_queue",    # r5 final: lastmod-driven recrawl policy
     "ann_ivfsq_topk",           # r5: IVF-SQ composite, both trained halves oracled
     "ann_ivfsq_recall",         # r5: composite recall claim (floor 0.4, both SFs)
     "text_code_blocks",         # r5: fenced-code extraction, fold == window oracle
