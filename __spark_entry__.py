@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in earlier snapshots and remains verifiable via
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
+    "robots_crawl_delays",      # r5 final: Crawl-delay via the group machine
+    "crawl_politeness_rated",   # r5 final: delay-aware per-host wave budgets
     "crawl_admission_pipeline",  # r5 final: trap+blocklist+robots -> schedule, one plan
     "robots_txt_fetch_gate",    # r5 final: RFC 9309 longest-match precedence
     "robots_txt_rules",         # r5 final: windowed user-agent group parser

@@ -83,6 +83,27 @@ def robots_txt_rules(
 
     Output: (host, path, allow, rule_len) — one row per star-group rule.
     """
+    grouped = _star_grouped(df, host_col, robots_col)
+    return grouped.filter(
+        F.col("key").isin("allow", "disallow")
+        & F.col("star")
+        & (F.col("val") != "")
+    ).select(
+        "host",
+        F.col("val").alias("path"),
+        (F.col("key") == "allow").alias("allow"),
+        F.length("val").cast("long").alias("rule_len"),
+    )
+
+
+def _star_grouped(
+    df: DataFrame, host_col: str, robots_col: str
+) -> DataFrame:
+    """Shared robots.txt group machine: one row per relevant line
+    (user-agent / allow / disallow / crawl-delay — RULE-type lines all
+    terminate a user-agent run, so crawl-delay must ride the grouping
+    even though it emits no path rule) with its host, key, value, group
+    id, and the group-wide agent-'*' flag."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(
@@ -95,18 +116,19 @@ def robots_txt_rules(
     parsed = lines.select(
         "host",
         "idx",
+        key.alias("key"),
         (key == "user-agent").alias("is_ua"),
-        key.isin("allow", "disallow").alias("is_rule"),
-        (key == "allow").alias("allow"),
         val.alias("val"),
-    ).filter(F.col("is_ua") | F.col("is_rule"))
+    ).filter(
+        F.col("is_ua")
+        | F.col("key").isin("allow", "disallow", "crawl-delay")
+    )
     w = Window.partitionBy("host").orderBy("idx")
     grouped = parsed.select(
         "host",
         "idx",
+        "key",
         "is_ua",
-        "is_rule",
-        "allow",
         "val",
         F.sum(
             (
@@ -120,15 +142,30 @@ def robots_txt_rules(
     star = F.max(
         (F.col("is_ua") & (F.col("val") == "*")).cast("int")
     ).over(Window.partitionBy("host", "group_id"))
+    return grouped.withColumn("star", star == 1)
+
+
+def robots_crawl_delays(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` from the agent-'*' groups — the
+    politeness-rate directive (non-standard but honored by most large
+    crawlers): seconds a fetcher must wait between requests to the host.
+    Multiple star groups take the MOST CONSERVATIVE (maximum) delay;
+    non-numeric values are dropped (cast-to-NULL), hosts without the
+    directive are absent (callers supply their default rate).
+
+    One map-side-combinable max per host.  Output: (host, crawl_delay).
+    """
+    grouped = _star_grouped(df, host_col, robots_col)
     return (
-        grouped.withColumn("star", star == 1)
-        .filter(F.col("is_rule") & F.col("star") & (F.col("val") != ""))
-        .select(
-            "host",
-            F.col("val").alias("path"),
-            "allow",
-            F.length("val").cast("long").alias("rule_len"),
-        )
+        grouped.filter((F.col("key") == "crawl-delay") & F.col("star"))
+        # try_cast: ANSI mode would THROW on a junk value like
+        # 'Crawl-delay: fast'; malformed directives must drop, not crash
+        .select("host", F.col("val").try_cast("long").alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
 
 

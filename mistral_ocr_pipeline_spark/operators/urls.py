@@ -565,3 +565,50 @@ def frontier_append(existing: DataFrame, batch_facts: DataFrame) -> DataFrame:
         .groupBy("canon_url", "host")
         .agg(F.sum("n_mentions").alias("n_mentions"))
     )
+
+
+def crawl_politeness_waves_rated(
+    df: DataFrame,
+    url_col: str,
+    priority_col: str,
+    rates: DataFrame,
+    default_per_wave: int = 2,
+) -> DataFrame:
+    """`crawl_politeness_waves` with a PER-HOST rate table — the
+    Crawl-delay-aware schedule: ``rates`` is (host, per_wave) (e.g.
+    derived from `robots.robots_crawl_delays`; slower hosts get smaller
+    per-wave budgets), hosts absent from the table use
+    ``default_per_wave``.  Same TOTAL (priority DESC, canon_url) order
+    within host; wave = (rank-1) div per_wave with true integer
+    division.  The rate table is host-cardinality — a broadcast join.
+
+    Output: (canon_url, host, priority, host_rank, per_wave, wave).
+    """
+    from pyspark.sql import Window
+
+    keyed = (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canon_url"),
+            F.col(priority_col).alias("priority"),
+        )
+        .withColumn("host", F.regexp_extract("canon_url", _URL_RE, 2))
+        .join(F.broadcast(rates.select("host", "per_wave")), "host", "left")
+        .withColumn(
+            "per_wave",
+            F.coalesce(
+                F.col("per_wave"), F.lit(int(default_per_wave))
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("canon_url")
+    )
+    return keyed.select(
+        "canon_url",
+        "host",
+        "priority",
+        F.row_number().over(w).cast("long").alias("host_rank"),
+        "per_wave",
+    ).withColumn(
+        "wave", F.expr("(host_rank - 1) div per_wave").cast("long")
+    )

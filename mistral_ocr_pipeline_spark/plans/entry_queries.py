@@ -9350,18 +9350,22 @@ def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # allow/disallow tie.
 _ROBOTS_TXT = {
     "news.example.com": (
-        "User-agent: *\nDisallow: /cal/\nAllow: /cal/2024/\n\n"
+        "User-agent: *\nDisallow: /cal/\nAllow: /cal/2024/\n"
+        "Crawl-delay: 2\n\n"
         "User-agent: badbot\nDisallow: /"
     ),
     "cdn.news.example.com": (
         "User-agent: badbot\nUser-agent: *\n"
         "Disallow: /s/\nAllow: /s/public/"
     ),
-    "blog.sample.org": "User-agent: googlebot\nDisallow: /x/",
-    "sample.org": "User-agent: *\nDisallow:",
-    "ads.tracker.net": "User-agent: *\nDisallow: /",
+    # non-star group: its rules AND its Crawl-delay must be ignored
+    "blog.sample.org": "User-agent: googlebot\nDisallow: /x/\nCrawl-delay: 7",
+    "sample.org": "User-agent: *\nDisallow:\nCrawl-delay: 10",
+    # junk delay value: dropped by the numeric cast, never a crash
+    "ads.tracker.net": "User-agent: *\nDisallow: /\nCrawl-delay: fast",
     "shop.example.com": (
         "# corpus etiquette\nUser-agent: *\nAllow: /long/\nDisallow: /long/"
+        "\nCrawl-delay: 1"
     ),
     "mirror.sample.org": (
         "User-agent: *\nDisallow: /d1/d2\n\nUser-agent: *\nDisallow: /q"
@@ -9401,10 +9405,9 @@ _ROBOTS_RULES_CTES = f"""
                             '^[^:]*:', '')) AS val
       FROM rl2),
     rp AS (
-      SELECT host, idx, key = 'user-agent' AS is_ua,
-             key IN ('allow', 'disallow') AS is_rule,
-             key = 'allow' AS allow, val
-      FROM rkv WHERE key = 'user-agent' OR key IN ('allow', 'disallow')),
+      SELECT host, idx, key, key = 'user-agent' AS is_ua, val
+      FROM rkv WHERE key = 'user-agent'
+         OR key IN ('allow', 'disallow', 'crawl-delay')),
     rg0 AS (
       SELECT *, CASE WHEN is_ua AND NOT coalesce(
           lag(is_ua) OVER (PARTITION BY host ORDER BY idx), false)
@@ -9420,8 +9423,15 @@ _ROBOTS_RULES_CTES = f"""
         OVER (PARTITION BY host, group_id) AS star
       FROM rg),
     rules AS (
-      SELECT host, val AS path, allow, length(val)::BIGINT AS rule_len
-      FROM rs WHERE is_rule AND star = 1 AND val <> '')
+      SELECT host, val AS path, key = 'allow' AS allow,
+             length(val)::BIGINT AS rule_len
+      FROM rs WHERE key IN ('allow', 'disallow') AND star = 1
+        AND val <> ''),
+    dly AS (
+      SELECT host, max(try_cast(val AS BIGINT)) AS crawl_delay
+      FROM rs WHERE key = 'crawl-delay' AND star = 1
+        AND try_cast(val AS BIGINT) IS NOT NULL
+      GROUP BY host)
 """
 
 
@@ -9491,6 +9501,101 @@ def robots_txt_fetch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_txt_gate(
         u, robots_txt_rules(rb), "id", "url"
     ).orderBy("id")
+
+
+@register(
+    "robots_crawl_delays",
+    oracle=f"""
+    WITH {_ROBOTS_RULES_CTES}
+    SELECT host, crawl_delay FROM dly ORDER BY host
+    """,
+)
+def robots_crawl_delays_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction (`robots.robots_crawl_delays`) from the
+    robots fixture: star groups only (blog's googlebot-group delay is
+    ignored), non-numeric values drop via the cast (ads' 'fast'),
+    multiple star groups take the conservative max.  The directive rides
+    the same group state machine as the path rules — a crawl-delay line
+    terminates a user-agent run, which the shared grouping already
+    honors."""
+    from mistral_ocr_pipeline_spark.operators.robots import (
+        robots_crawl_delays,
+    )
+
+    rb = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    return robots_crawl_delays(rb).orderBy("host")
+
+
+@register(
+    "crawl_politeness_rated",
+    oracle=f"""
+    WITH {_CRAWL_FIXTURE_SQL},
+    {_url_canon_ctes('cf')},
+    {_ROBOTS_RULES_CTES},
+    fr AS (
+      SELECT canon_url, max((id * 37) % 101)::BIGINT AS priority
+      FROM cf_c WHERE canon_url <> '' GROUP BY canon_url),
+    fh AS (
+      SELECT canon_url, priority,
+        regexp_extract(canon_url, '{_URLRE}', 2) AS host
+      FROM fr),
+    rt AS (
+      SELECT host, greatest(1, 4 - crawl_delay)::BIGINT AS per_wave
+      FROM dly),
+    fj AS (
+      SELECT fh.canon_url, fh.host, fh.priority,
+        coalesce(rt.per_wave, 2)::BIGINT AS per_wave
+      FROM fh LEFT JOIN rt ON fh.host = rt.host),
+    rk AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY host ORDER BY priority DESC, canon_url)::BIGINT
+          AS host_rank
+      FROM fj)
+    SELECT canon_url, host, priority, host_rank, per_wave,
+           ((host_rank - 1) // per_wave)::BIGINT AS wave
+    FROM rk ORDER BY host, host_rank
+    """,
+)
+def crawl_politeness_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-aware politeness scheduling
+    (`urls.crawl_politeness_waves_rated`): per-host wave budgets derive
+    from `robots_crawl_delays` as greatest(1, 4 − delay) — sample.org's
+    delay-10 host serializes to 1 fetch/wave, news.example.com's delay-2
+    gets 2, shop's delay-1 gets 3, hosts without the directive take the
+    default 2.  Rate table is host-cardinality (broadcast join); the
+    window semantics match the unrated form."""
+    from mistral_ocr_pipeline_spark.operators.robots import (
+        robots_crawl_delays,
+    )
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        canonicalize_url,
+        crawl_politeness_waves_rated,
+    )
+
+    u = _crawl_fixture(_t(spark, sf_dir, "documents"))
+    frontier = (
+        u.select(
+            canonicalize_url(F.col("url")).alias("canon_url"),
+            ((F.col("id") * 37) % 101).cast("long").alias("priority"),
+        )
+        .filter(F.col("canon_url") != "")
+        .groupBy("canon_url")
+        .agg(F.max("priority").alias("priority"))
+    )
+    rb = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    rates = robots_crawl_delays(rb).select(
+        "host",
+        F.greatest(F.lit(1), F.lit(4) - F.col("crawl_delay"))
+        .cast("long")
+        .alias("per_wave"),
+    )
+    return crawl_politeness_waves_rated(
+        frontier, "canon_url", "priority", rates, default_per_wave=2
+    ).orderBy("host", "host_rank")
 
 
 @register(

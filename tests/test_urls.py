@@ -413,3 +413,77 @@ class TestSitemap:
         assert out["https://ex.com/d"].reason == "new" and out[
             "https://ex.com/d"
         ].queue and out["https://ex.com/d"].last_crawl is None
+
+
+class TestCrawlDelay:
+    def _delays(self, spark, txt):
+        from mistral_ocr_pipeline_spark.operators.robots import (
+            robots_crawl_delays,
+        )
+
+        rb = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+        return {r.host: r.crawl_delay for r in robots_crawl_delays(rb).collect()}
+
+    def test_star_only_junk_dropped_max_wins(self, spark):
+        # non-star group delay ignored; junk value dropped; two star
+        # groups -> conservative max
+        txt = (
+            "User-agent: googlebot\nCrawl-delay: 99\n"
+            "User-agent: *\nDisallow: /a\nCrawl-delay: 3\n"
+            "User-agent: *\nCrawl-delay: 5\n"
+        )
+        assert self._delays(spark, txt) == {"h": 5}
+        assert self._delays(spark, "User-agent: *\nCrawl-delay: fast") == {}
+        assert self._delays(spark, "User-agent: bot\nCrawl-delay: 9") == {}
+
+    def test_delay_line_terminates_ua_run(self, spark):
+        from mistral_ocr_pipeline_spark.operators.robots import (
+            robots_txt_rules,
+        )
+
+        # UA after a crawl-delay line starts a NEW group: the second
+        # group is star, the first is not -> only /b survives
+        rb = spark.createDataFrame(
+            [
+                (
+                    "h",
+                    "User-agent: bot\nCrawl-delay: 1\n"
+                    "User-agent: *\nDisallow: /b",
+                )
+            ],
+            "host string, robots_txt string",
+        )
+        out = [(r.path, r.allow) for r in robots_txt_rules(rb).collect()]
+        assert out == [("/b", False)]
+
+    def test_rated_waves(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            crawl_politeness_waves_rated,
+        )
+
+        frontier = spark.createDataFrame(
+            [
+                ("https://slow.com/a", 9),
+                ("https://slow.com/b", 8),
+                ("https://fast.com/a", 9),
+                ("https://fast.com/b", 8),
+                ("https://fast.com/c", 7),
+                ("https://default.org/x", 5),
+            ],
+            "url string, pr long",
+        )
+        rates = spark.createDataFrame(
+            [("slow.com", 1), ("fast.com", 3)], "host string, per_wave long"
+        )
+        out = {
+            r.canon_url: r
+            for r in crawl_politeness_waves_rated(
+                frontier, "url", "pr", rates, default_per_wave=2
+            ).collect()
+        }
+        assert out["https://slow.com/a"].wave == 0
+        assert out["https://slow.com/b"].wave == 1  # 1/wave on the slow host
+        assert all(
+            out[f"https://fast.com/{p}"].wave == 0 for p in "abc"
+        )  # 3/wave
+        assert out["https://default.org/x"].per_wave == 2  # default applied
