@@ -612,3 +612,77 @@ def crawl_politeness_waves_rated(
     ).withColumn(
         "wave", F.expr("(host_rank - 1) div per_wave").cast("long")
     )
+
+
+def host_mirror_pairs(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    max_hosts_per_fp: int = 8,
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder 1999's mirror problem):
+    hosts serving near-identical CONTENT SETS are one logical site behind
+    several names — crawling both wastes budget and double-counts every
+    page, and URL-level dedup cannot see it (different hosts → different
+    canonical URLs).  Content-set overlap catches it.
+
+    Per host, the distinct set of content fingerprints (md5 of text;
+    recrawls collapse first, so a page crawled twice is one vote); host
+    pairs sharing a fingerprint accumulate shared counts and score
+    set-Jaccard in BIGINT micro-units.
+
+    Skew bound: a fingerprint present on more than ``max_hosts_per_fp``
+    hosts is excluded from PAIRING (kept in host sizes) — template
+    boilerplate served by thousands of unrelated hosts is not mirror
+    evidence, and unbounded it would fan out H² pairs per digest (the
+    bounded-bucket rule every dedup candidate generator here follows).
+    Every shuffle moves 8-byte digests, never text.
+
+    Output: (host_a, host_b, shared, n_a, n_b, jaccard_micro) for host
+    pairs sharing ≥1 pairable fingerprint, host_a < host_b.
+    """
+    fps = df.select(
+        F.col(host_col).alias("host"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+    ).distinct()
+    sizes = fps.groupBy("host").agg(F.count(F.lit(1)).alias("n_fp"))
+    spread = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_hosts"))
+    pairable = fps.join(
+        spread.filter(
+            (F.col("n_hosts") >= 2)
+            & (F.col("n_hosts") <= max_hosts_per_fp)
+        ).select("fp"),
+        "fp",
+    )
+    a = pairable.select(F.col("host").alias("host_a"), "fp")
+    b = pairable.select(F.col("host").alias("host_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("host").alias("host_a"), F.col("n_fp").alias("n_a")
+            ),
+            "host_a",
+        )
+        .join(
+            sizes.select(
+                F.col("host").alias("host_b"), F.col("n_fp").alias("n_b")
+            ),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "shared * 1000000L div (n_a + n_b - shared)"
+            ).alias("jaccard_micro"),
+        )
+    )

@@ -9790,6 +9790,70 @@ def sitemap_recrawl_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic mirror fixture (python-generated, inlined on both sides):
+# m2 fully mirrors m1's 10 pages, m3 carries half, u.org is unrelated, one
+# boilerplate page sits on ALL hosts (pairing-capped out), and m1 has one
+# recrawl duplicate (distinct collapse).
+def _mirror_fixture() -> list[tuple[str, str]]:
+    rows = []
+    for k in range(10):
+        rows.append(("m1.com", f"d{k}"))
+        rows.append(("m2.com", f"d{k}"))
+    for k in range(5):
+        rows.append(("m3.com", f"d{k}"))
+    for k in range(8):
+        rows.append(("u.org", f"u{k}"))
+    for h in ("m1.com", "m2.com", "m3.com", "u.org"):
+        rows.append((h, "empty"))
+    rows.append(("m1.com", "d0"))  # recrawl dup
+    return rows
+
+
+@register(
+    "host_mirror_pairs",
+    oracle=f"""
+    WITH {_values_cte('mp', 'host, text', _mirror_fixture())},
+    fps AS (
+      SELECT DISTINCT host, md5(coalesce(text, '')) AS fp FROM mp),
+    sizes AS (
+      SELECT host, count(*)::BIGINT AS n_fp FROM fps GROUP BY host),
+    spread AS (
+      SELECT fp, count(*)::BIGINT AS n_hosts FROM fps GROUP BY fp),
+    pairable AS (
+      SELECT fps.host, fps.fp FROM fps JOIN spread USING (fp)
+      WHERE n_hosts >= 2 AND n_hosts <= 3),
+    shared AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+      FROM pairable a JOIN pairable b
+        ON a.fp = b.fp AND a.host < b.host
+      GROUP BY a.host, b.host)
+    SELECT s.host_a, s.host_b, s.shared,
+           sa.n_fp AS n_a, sb.n_fp AS n_b,
+           (s.shared * 1000000 // (sa.n_fp + sb.n_fp - s.shared))::BIGINT
+             AS jaccard_micro
+    FROM shared s
+    JOIN sizes sa ON s.host_a = sa.host
+    JOIN sizes sb ON s.host_b = sb.host
+    ORDER BY host_a, host_b
+    """,
+)
+def host_mirror_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (`urls.host_mirror_pairs`) over the mirror
+    fixture: the full mirror scores Jaccard 10/12, the half mirror 5/12,
+    the unrelated host pairs with nobody (its only shared page is the
+    all-hosts boilerplate, which the spread cap (3) excludes from
+    pairing while still counting in host sizes), and m1's recrawl
+    duplicate collapses in the distinct pass.  Digest-keyed throughout;
+    the cap, distinct collapse, pair fold, and integer Jaccard all
+    replay in SQL."""
+    from mistral_ocr_pipeline_spark.operators.urls import host_mirror_pairs
+
+    mp = spark.createDataFrame(_mirror_fixture(), "host string, text string")
+    return host_mirror_pairs(
+        mp, "host", "text", max_hosts_per_fp=3
+    ).orderBy("host_a", "host_b")
+
+
 @register(
     "text_soft_dedup_weights",
     oracle=f"""

@@ -487,3 +487,34 @@ class TestCrawlDelay:
             out[f"https://fast.com/{p}"].wave == 0 for p in "abc"
         )  # 3/wave
         assert out["https://default.org/x"].per_wave == 2  # default applied
+
+
+class TestHostMirrors:
+    def test_mirror_scores_cap_and_distinct(self, spark):
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            host_mirror_pairs,
+        )
+
+        rows = (
+            [("m1.com", f"d{k}") for k in range(4)]
+            + [("m2.com", f"d{k}") for k in range(4)]  # full mirror
+            + [("m2.com", "d0")]  # recrawl dup collapses
+            + [("u.org", f"u{k}") for k in range(3)]
+            + [(h, "boiler") for h in ("m1.com", "m2.com", "u.org")]
+            + [("m1.com", None)]  # NULL text -> '' fp, never crashes
+        )
+        out = {
+            (r.host_a, r.host_b): r
+            for r in host_mirror_pairs(
+                spark.createDataFrame(rows, "host string, text string"),
+                "host",
+                "text",
+                max_hosts_per_fp=2,
+            ).collect()
+        }
+        # boiler is on 3 hosts > cap 2 -> u.org pairs with nobody
+        assert set(out) == {("m1.com", "m2.com")}
+        m = out[("m1.com", "m2.com")]
+        # sizes count boiler and the NULL page; shared counts only d0..d3
+        assert (m.shared, m.n_a, m.n_b) == (4, 6, 5)
+        assert m.jaccard_micro == 4 * 1000000 // 7
