@@ -1246,3 +1246,158 @@ def mmr_topk_df(
         (F.col("maxsim_m").cast("double") / 1e6).alias("maxsim_r6"),
         F.col("mmr_m").cast("long").alias("mmr_m"),
     )
+
+
+def _micro_cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Raw cosine in integer micro-units: round(cos·10⁶) as BIGINT.
+    Rounding the UNROUNDED fold (not `cosine_expr`'s 6-dp double, whose
+    ·10⁶ re-scale can land a hair under the integer and truncate) is
+    what keeps the value bit-identical to the oracle's
+    ``round(x * 1000000.0)::BIGINT``."""
+    from mistral_ocr_pipeline_spark.operators.similarity import fold_dot
+
+    raw = fold_dot(a, b) / (F.sqrt(fold_dot(a, a)) * F.sqrt(fold_dot(b, b)))
+    return F.round(raw * F.lit(1000000.0), 0).cast("long")
+
+
+# Half-away-from-zero integer mean of micro-unit sums over named cols
+# (sm, n) — the IVF-centroid trick, EXACT integer `div` (a double
+# division + truncate is off-by-one at representability boundaries).
+_INT_MEAN_EXPR = (
+    "(CASE WHEN sm < 0 THEN -1 ELSE 1 END) * ((abs(sm) * 2 + n) div (2 * n))"
+)
+
+
+def margin_mine(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.02,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based pair mining between two embedding sets (Artetxe &
+    Schwenk 2019, the CCMatrix/LASER bitext-mining scorer): a candidate
+    pair's raw cosine is normalized by the mean cosine of each side's
+    k-nearest neighbours in the OTHER set,
+
+        margin(x, y) = cos(x, y) / ((a_x + b_y) / 2)
+
+    where a_x = mean cos of x's kNN in Y and b_y = mean cos of y's kNN
+    in X — a hubness correction: a vector whose neighbourhood is
+    uniformly hot (high a/b) must beat its own background to count,
+    which is what makes mined cross-lingual / cross-source pairs
+    precise where a raw cosine cutoff drowns in hub vectors.
+
+    Strategy is the published "intersection": a pair is mined iff y is
+    x's margin-argmax within x's forward kNN list AND x is y's
+    margin-argmax within y's backward kNN list AND margin ≥ threshold.
+    Ties break to the lowest id; pairs whose denominator a_x + b_y ≤ 0
+    (possible only on adversarially anti-correlated sets) are dropped
+    before ranking rather than fed to a sign-flipping division.
+
+    Scale shape: the default kNN stage is the exact cross join (exact
+    kNN IS all-pairs) — at corpus scale pass ``knn_pairs``, a
+    precomputed (x_id, y_id, cm) candidate relation from any ANN kernel
+    in this module (IVF cells / LSH buckets / PQ-ADC top-k); the margin
+    math is agnostic to how the kNN lists were produced, exactly as in
+    production CCMatrix.  Everything downstream of scoring touches only
+    top-k-sized relations: the forward/backward lists are one window
+    each (shuffles keyed x_id / y_id), the kNN means collapse map-side,
+    and the mined intersection is a join of two ≤|X|+|Y|-row relations.
+
+    Determinism/oracle: cosines are integer micro-units
+    (`_micro_cosine`), kNN means are half-away integer means
+    (`_INT_MEAN_EXPR`), and the margin itself is a half-away INTEGER
+    micro-margin — round(cm·10⁶·2/(a+b)) via the (v·2+d) div (2d)
+    trick, never a rounded double division (round(x, 6) on a raw double
+    is engine-divergent at exact halves) — so every step has a
+    bit-identical SQL twin.
+
+    Output: (x_id, y_id, cosine_r6, margin_r6, knn_x_r6, knn_y_r6).
+    """
+    if knn_pairs is not None:
+        pairs = knn_pairs.select("x_id", "y_id", "cm")
+    else:
+        x = x_df.select(
+            F.col(id_col).alias("x_id"), _dvec(F.col(vec_col)).alias("_xv")
+        )
+        y = y_df.select(
+            F.col(id_col).alias("y_id"), _dvec(F.col(vec_col)).alias("_yv")
+        )
+        pairs = x.crossJoin(y).select(
+            "x_id", "y_id", _micro_cosine(F.col("_xv"), F.col("_yv")).alias("cm")
+        )
+
+    wf = W.partitionBy("x_id").orderBy(F.col("cm").desc(), F.col("y_id").asc())
+    wb = W.partitionBy("y_id").orderBy(F.col("cm").desc(), F.col("x_id").asc())
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    ax = (
+        fwd.groupBy("x_id")
+        .agg(F.sum("cm").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .select("x_id", F.expr(_INT_MEAN_EXPR).cast("long").alias("am"))
+    )
+    by = (
+        bwd.groupBy("y_id")
+        .agg(F.sum("cm").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .select("y_id", F.expr(_INT_MEAN_EXPR).cast("long").alias("bm"))
+    )
+
+    # margin = cm / ((am+bm)/2) in half-away integer micro-units:
+    # round(|cm|·2·10⁶ / den) = (|cm|·4·10⁶ + den) div (2·den), sign
+    # restored — |cm| ≤ 10⁶ keeps the numerator ≤ 4·10¹², far inside
+    # BIGINT.
+    _MARGIN_EXPR = (
+        "(CASE WHEN cm < 0 THEN -1 ELSE 1 END)"
+        " * ((abs(cm) * 4000000 + (am + bm)) div (2 * (am + bm)))"
+    )
+
+    def scored(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(ax, "x_id")
+            .join(by, "y_id")
+            .filter(F.col("am") + F.col("bm") > 0)
+            .withColumn("margin_m", F.expr(_MARGIN_EXPR).cast("long"))
+        )
+
+    wfx = W.partitionBy("x_id").orderBy(
+        F.col("margin_m").desc(), F.col("y_id").asc()
+    )
+    wby = W.partitionBy("y_id").orderBy(
+        F.col("margin_m").desc(), F.col("x_id").asc()
+    )
+    fbest = (
+        scored(fwd)
+        .withColumn("r2", F.row_number().over(wfx))
+        .filter(F.col("r2") == 1)
+        .drop("r2")
+    )
+    bbest = (
+        scored(bwd)
+        .withColumn("r2", F.row_number().over(wby))
+        .filter(F.col("r2") == 1)
+        .select("x_id", "y_id")
+    )
+    thr_m = int(round(float(threshold) * 1e6))
+    return (
+        fbest.join(bbest, ["x_id", "y_id"])
+        .filter(F.col("margin_m") >= F.lit(thr_m))
+        .select(
+            "x_id",
+            "y_id",
+            (F.col("cm").cast("double") / 1e6).alias("cosine_r6"),
+            (F.col("margin_m").cast("double") / 1e6).alias("margin_r6"),
+            (F.col("am").cast("double") / 1e6).alias("knn_x_r6"),
+            (F.col("bm").cast("double") / 1e6).alias("knn_y_r6"),
+        )
+    )

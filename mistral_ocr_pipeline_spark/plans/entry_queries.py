@@ -10667,6 +10667,94 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# margin-based cross-set pair mining (similarity_df.margin_mine)
+# --------------------------------------------------------------------------
+@register(
+    "embed_margin_mine",
+    oracle="""
+    WITH x AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS xv
+               FROM embeddings WHERE vec_id % 2 = 0),
+    y AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS yv
+          FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT vec_id + 1000000, embedding::DOUBLE[]
+          FROM embeddings WHERE vec_id % 20 = 0),
+    p AS (SELECT x_id, y_id,
+                 round(list_dot_product(xv, yv) /
+                       (sqrt(list_dot_product(xv, xv)) *
+                        sqrt(list_dot_product(yv, yv)))
+                       * 1000000.0)::BIGINT AS cm
+          FROM x CROSS JOIN y),
+    f AS (SELECT x_id, y_id, cm FROM (
+            SELECT *, row_number() OVER (PARTITION BY x_id
+                 ORDER BY cm DESC, y_id) AS rn FROM p) WHERE rn <= 4),
+    b AS (SELECT x_id, y_id, cm FROM (
+            SELECT *, row_number() OVER (PARTITION BY y_id
+                 ORDER BY cm DESC, x_id) AS rn FROM p) WHERE rn <= 4),
+    ax AS (SELECT x_id, (CASE WHEN sum(cm) < 0 THEN -1 ELSE 1 END)
+                 * ((abs(sum(cm)) * 2 + count(*)) // (2 * count(*))) AS am
+           FROM f GROUP BY 1),
+    byy AS (SELECT y_id, (CASE WHEN sum(cm) < 0 THEN -1 ELSE 1 END)
+                 * ((abs(sum(cm)) * 2 + count(*)) // (2 * count(*))) AS bm
+            FROM b GROUP BY 1),
+    fs AS (SELECT f.x_id, f.y_id, f.cm, ax.am, byy.bm,
+                  (CASE WHEN f.cm < 0 THEN -1 ELSE 1 END)
+                  * ((abs(f.cm) * 4000000 + (ax.am + byy.bm))
+                     // (2 * (ax.am + byy.bm))) AS margin_m
+           FROM f JOIN ax USING (x_id) JOIN byy USING (y_id)
+           WHERE ax.am + byy.bm > 0),
+    bs AS (SELECT b.x_id, b.y_id,
+                  (CASE WHEN b.cm < 0 THEN -1 ELSE 1 END)
+                  * ((abs(b.cm) * 4000000 + (ax.am + byy.bm))
+                     // (2 * (ax.am + byy.bm))) AS margin_m
+           FROM b JOIN ax USING (x_id) JOIN byy USING (y_id)
+           WHERE ax.am + byy.bm > 0),
+    fbest AS (SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY x_id
+                     ORDER BY margin_m DESC, y_id) AS r2 FROM fs)
+              WHERE r2 = 1),
+    bbest AS (SELECT x_id, y_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY y_id
+                     ORDER BY margin_m DESC, x_id) AS r2 FROM bs)
+              WHERE r2 = 1)
+    SELECT fb.x_id, fb.y_id,
+           fb.cm::DOUBLE / 1000000.0 AS cosine_r6,
+           fb.margin_m::DOUBLE / 1000000.0 AS margin_r6,
+           fb.am::DOUBLE / 1000000.0 AS knn_x_r6,
+           fb.bm::DOUBLE / 1000000.0 AS knn_y_r6
+    FROM fbest fb JOIN bbest bb
+         ON fb.x_id = bb.x_id AND fb.y_id = bb.y_id
+    WHERE fb.margin_m >= 1020000
+    """,
+)
+def embed_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-set pair mining
+    (`similarity_df.margin_mine`, Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER bitext-mining scorer): even vec_ids are the source
+    set, odd vec_ids plus identical-vector clones of every 20th source
+    (the planted "translations") are the target set; a pair is mined
+    iff it is the margin-argmax of BOTH directions' 4-NN lists and its
+    margin cos/((a_x+b_y)/2) ≥ 1.02.  Hubness-corrected — a hub vector
+    must beat its own neighbourhood mean, where a raw cosine cutoff
+    drowns.  Micro-unit cosines, integer kNN means, and the half-away
+    integer micro-margin make every step order-independent; the oracle
+    replays the kNN lists, both means, both argmaxes, and the
+    threshold.  At corpus scale the cross-join kNN stage swaps for any
+    ANN kernel via ``knn_pairs`` (margin math is candidate-agnostic);
+    all post-scoring relations are top-k-sized."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import margin_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = emb.filter(F.col("vec_id") % 2 == 0)
+    ys = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    return margin_mine(xs, ys, k=4, threshold=1.02)
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

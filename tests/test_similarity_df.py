@@ -294,3 +294,93 @@ def test_ivfsq_empty_query_relation(spark):
     emb = _emb(spark)
     none = emb.filter(F.col("vec_id") < 0)
     assert D.ivfsq_topk(emb, none, k=3, n_centroids=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# margin-based pair mining (margin_mine)
+# ---------------------------------------------------------------------------
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def _sep_vectors(n, dim=16, seed=11):
+    rng = np.random.RandomState(seed)
+    v = rng.standard_normal((n, dim))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_margin_mine_planted_clones(spark):
+    """Identical-vector clones across the two sets are mined: cosine 1,
+    margin above the neighbourhood mean; each mined pair is the mutual
+    margin-argmax."""
+    base = _sep_vectors(8)
+    xs = _vec_df(spark, [(i, base[i]) for i in range(8)])
+    ys = _vec_df(
+        spark,
+        [(100 + i, base[i]) for i in range(8)]
+        + [(200 + i, v) for i, v in enumerate(_sep_vectors(4, seed=99))],
+    )
+    out = D.margin_mine(xs, ys, k=3, threshold=1.02).collect()
+    mined = {(r.x_id, r.y_id) for r in out}
+    assert {(i, 100 + i) for i in range(8)} <= mined
+    for r in out:
+        if r.y_id == 100 + r.x_id:
+            assert r.cosine_r6 == 1.0
+            assert r.margin_r6 >= 1.02
+
+
+def test_margin_mine_requires_mutual_argmax(spark):
+    """y's best x wins: when x1 and x2 both point at y but x2 is closer,
+    (x1, y) is not mined even though y is x1's forward argmax."""
+    d = 8
+    e = np.eye(d)
+    # x1 and x2 both similar to y=e0; x2 closer.  Fillers keep kNN lists
+    # populated without competing.
+    x1 = 0.80 * e[0] + 0.60 * e[1]
+    x2 = 0.95 * e[0] + np.sqrt(1 - 0.95**2) * e[2]
+    xs = _vec_df(spark, [(1, x1), (2, x2), (3, e[3]), (4, e[4])])
+    ys = _vec_df(spark, [(10, e[0]), (11, e[5]), (12, e[6]), (13, e[7])])
+    out = D.margin_mine(xs, ys, k=2, threshold=0.0).collect()
+    mined = {(r.x_id, r.y_id) for r in out}
+    assert (2, 10) in mined
+    assert (1, 10) not in mined
+
+
+def test_margin_mine_partition_invariant(spark):
+    emb = _emb(spark)
+    xs = emb.filter(F.col("vec_id") % 2 == 0)
+    ys = emb.filter(F.col("vec_id") % 2 == 1)
+    a = _rows(D.margin_mine(xs, ys, k=4, threshold=1.0))
+    b = _rows(
+        D.margin_mine(xs.repartition(7), ys.repartition(5), k=4, threshold=1.0)
+    )
+    assert a == b and len(a) > 0
+
+
+def test_margin_mine_knn_pairs_passthrough(spark):
+    """A precomputed candidate relation (the ANN-kernel hand-off shape)
+    reproduces the default cross-join path exactly when it carries the
+    same pairs."""
+    emb = _emb(spark)
+    xs = emb.filter(F.col("vec_id") % 2 == 0).limit(40)
+    ys = emb.filter(F.col("vec_id") % 2 == 1).limit(40)
+    x = xs.select(F.col("vec_id").alias("x_id"), D._dvec(F.col("embedding")).alias("_xv"))
+    y = ys.select(F.col("vec_id").alias("y_id"), D._dvec(F.col("embedding")).alias("_yv"))
+    pairs = x.crossJoin(y).select(
+        "x_id", "y_id", D._micro_cosine(F.col("_xv"), F.col("_yv")).alias("cm")
+    )
+    a = _rows(D.margin_mine(xs, ys, k=3, threshold=1.0))
+    b = _rows(D.margin_mine(xs, ys, k=3, threshold=1.0, knn_pairs=pairs))
+    assert a == b
+
+
+def test_margin_mine_nonpositive_denominator_dropped(spark):
+    """Anti-correlated sets (kNN means sum ≤ 0) drop before the division
+    — empty result, no sign-flipped margins, no error."""
+    v = np.ones(4) / 2.0
+    xs = _vec_df(spark, [(1, v)])
+    ys = _vec_df(spark, [(2, -v)])
+    assert D.margin_mine(xs, ys, k=1, threshold=0.0).count() == 0
