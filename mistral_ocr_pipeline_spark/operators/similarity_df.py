@@ -1401,3 +1401,105 @@ def margin_mine(
             (F.col("bm").cast("double") / 1e6).alias("knn_y_r6"),
         )
     )
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persisted IVF-Flat cell index: one row per corpus vector —
+    (vec_id, cell, cd_m) where cell is the in-plan argmax over frozen
+    centroid dots (`_argmax_cell`, = row_number ORDER BY d DESC, c) and
+    cd_m the winning raw dot in integer micro-units.  Build ONCE over
+    the historical corpus (write via ``TableCatalog``); daily batches
+    then join 100 TB of history by CELL without recomputing a single
+    historical dot — the FAISS add()/IndexIVF maintenance shape, and
+    the symmetric twin of the MinHash/BM25/substring posting indexes.
+    cd_m rides along for cell health stats (mean affinity, outlier
+    distance) and SemDeDup-style within-cell ordering, both integer
+    facts."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    c0 = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    d = c0.select("vec_id", _cell_dots("_cv", cent).alias("_d"))
+    cell = _argmax_cell(F.col("_d"))
+    return d.select(
+        "vec_id",
+        cell.alias("cell"),
+        F.round(F.element_at(F.col("_d"), cell + 1) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("cd_m"),
+    )
+
+
+def ivf_index_append(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY the batch against
+    the FROZEN trained centroids and union with the persisted index —
+    history vectors are never rescanned, so the daily increment costs
+    O(|batch|·n_centroids) regardless of index size.  append(build(A),
+    B) ≡ build(A ∪ B) exactly, because assignment is per-row against
+    frozen centroids (no cross-row state to merge — unlike the capped
+    posting-list indexes, nothing here can truncate).  Re-TRAINING the
+    centroids is deliberately out of scope: that is a rebuild, and
+    mixing the two silently degrades recall (FAISS makes the same
+    split: add() vs train())."""
+    return index.unionByName(ivf_index_build(batch, centroids, id_col, vec_col))
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF search served by a PERSISTED cell index instead of in-plan
+    assignment — the read path of `ivf_index_build`/`ivf_index_append`:
+    query probes are the top-``n_probe`` centroid cells (identical to
+    `ivf_topk_df`), candidates come from the index's (cell → vec_id)
+    postings, and vectors are fetched by an equi-join on vec_id for the
+    exact-cosine verify.  Value-identical to `ivf_topk_df` under the
+    same centroids (pinned in tests); the corpus scan here reads ONLY
+    the id+vector columns of probed candidates' rows, which is the
+    point of persisting the assignment."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    )
+    qd = q0.select(
+        "query_id",
+        "_qv",
+        F.posexplode(_cell_dots("_qv", cent)).alias("cell", "_d"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell").asc())
+    probes = (
+        qd.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    )
+    cand = probes.join(index.select("cell", "vec_id"), "cell").join(vecs, "vec_id")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    return _rank_topk(scored, k, "cosine", descending=True)

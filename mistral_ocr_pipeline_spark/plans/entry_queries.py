@@ -10755,6 +10755,86 @@ def embed_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental IVF index maintenance (similarity_df.ivf_index_*)
+# --------------------------------------------------------------------------
+def _ivf_index_append_oracle_sql() -> str:
+    """Full value oracle for the MAINTAINED IVF index: every vector's
+    cell is the argmax dot against the 16 frozen centroid literals
+    (rn=1 over d DESC, c — the engine's first-hit argmax), cd the
+    winning dot in micro-units; the merged-index rows must equal this
+    one-shot assignment of history ∪ batch, so the hash match IS the
+    append ≡ rebuild claim, per row, at full value strength."""
+    cent = _ivf_fixed_centroids()
+    vals = ",\n      ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    return f"""
+    WITH cents(c, cv) AS (VALUES
+      {vals}),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cd AS (SELECT corp.vec_id, cents.c,
+                  list_dot_product(corp.v, cents.cv) AS d
+           FROM corp CROSS JOIN cents),
+    a AS (SELECT vec_id, c, d,
+                 row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, c) AS rn
+          FROM cd)
+    SELECT vec_id, c AS cell,
+           round(d * 1000000.0)::BIGINT::DOUBLE / 1000000.0 AS cd_r6,
+           (vec_id >= 400) AS from_batch,
+           TRUE AS append_consistent
+    FROM a WHERE rn = 1
+    """
+
+
+@register("ann_ivf_index_append", oracle=_ivf_index_append_oracle_sql())
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance
+    (`similarity_df.ivf_index_build`/`ivf_index_append`): the cell
+    index built over history (vec_id < 400), the daily batch (≥ 400)
+    appended against the FROZEN centroids — history dots never
+    recomputed.  Output is the merged index itself (cell, micro-unit
+    centroid dot, batch provenance) plus a per-row
+    ``append_consistent`` flag comparing the merged row to a one-shot
+    rebuild over history ∪ batch (cell AND cd_m, null-safe full outer
+    join so a row missing from either side also fails).  The oracle
+    replays the full one-shot assignment, so the value hash certifies
+    both the assignment math and the append ≡ rebuild claim; the
+    maintained index also SERVES search identically
+    (`ivf_topk_from_index` ≡ `ivf_topk_df`, pinned in
+    test_similarity_df)."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    cent = _ivf_fixed_centroids()
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    merged = ivf_index_append(ivf_index_build(base, cent), batch, cent)
+    rebuilt = ivf_index_build(emb, cent).select(
+        F.col("vec_id").alias("_rv"),
+        F.col("cell").alias("_rc"),
+        F.col("cd_m").alias("_rm"),
+    )
+    return (
+        merged.join(rebuilt, merged.vec_id == rebuilt._rv, "full")
+        .select(
+            F.coalesce("vec_id", "_rv").alias("vec_id"),
+            "cell",
+            (F.col("cd_m").cast("double") / 1e6).alias("cd_r6"),
+            (F.coalesce("vec_id", "_rv") >= 400).alias("from_batch"),
+            (
+                F.col("cell").eqNullSafe(F.col("_rc"))
+                & F.col("cd_m").eqNullSafe(F.col("_rm"))
+            ).alias("append_consistent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

@@ -384,3 +384,46 @@ def test_margin_mine_nonpositive_denominator_dropped(spark):
     xs = _vec_df(spark, [(1, v)])
     ys = _vec_df(spark, [(2, -v)])
     assert D.margin_mine(xs, ys, k=1, threshold=0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF index maintenance (ivf_index_build/append, search-from-index)
+# ---------------------------------------------------------------------------
+def _fixed_cent(n=16, dim=64, seed=23):
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n, dim))
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
+def test_ivf_index_append_equals_rebuild(spark):
+    emb = _emb(spark)
+    cent = _fixed_cent()
+    base = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter(F.col("vec_id") >= 150)
+    merged = D.ivf_index_append(D.ivf_index_build(base, cent), batch, cent)
+    rebuilt = D.ivf_index_build(emb, cent)
+    assert _rows(merged) == _rows(rebuilt)
+    assert merged.count() == emb.count()
+
+
+def test_ivf_index_append_empty_batch_noop(spark):
+    emb = _emb(spark)
+    cent = _fixed_cent()
+    idx = D.ivf_index_build(emb, cent)
+    merged = D.ivf_index_append(idx, emb.filter(F.col("vec_id") < 0), cent)
+    assert _rows(merged) == _rows(idx)
+
+
+def test_ivf_search_from_maintained_index_matches_inplan(spark):
+    """The persisted (and appended) index serves search identically to
+    the in-plan assignment: ivf_topk_from_index == ivf_topk_df under
+    the same frozen centroids."""
+    emb = _emb(spark)
+    cent = _fixed_cent()
+    q = emb.filter(F.col("vec_id") < 8)
+    base = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter(F.col("vec_id") >= 150)
+    idx = D.ivf_index_append(D.ivf_index_build(base, cent), batch, cent)
+    a = _rows(D.ivf_topk_from_index(idx, emb, q, cent, k=5, n_probe=4))
+    b = _rows(D.ivf_topk_df(emb, q, k=5, n_probe=4, centroids=cent))
+    assert a == b and len(a) > 0
