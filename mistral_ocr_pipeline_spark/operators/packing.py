@@ -175,3 +175,77 @@ def pack_rollup(packed: DataFrame, budget: int = 2048) -> DataFrame:
             F.round(F.col("total_tokens") / F.lit(float(budget)), 6),
         )
     )
+
+
+def pack_similar_neighbors(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    vec_col: str,
+    centroids,
+    budget: int = 2048,
+) -> DataFrame:
+    """Similarity-ordered packing — the In-Context Pretraining recipe
+    (Shi et al. 2024: training on related documents concatenated into
+    one context beats i.i.d. shuffling): documents are grouped into
+    semantic cells (argmax dot against frozen centroids, the IVF
+    assignment), ordered within each cell by centroid affinity
+    (cd_m DESC, id — coherent neighbourhoods adjacent), and packed by
+    the same exclusive-prefix-sum next-fit rule as `pack_token_budget`
+    — so a context window fills with topically related documents
+    instead of random ones.
+
+    Output: (id, cell, cd_r6, tokens, start_offset, pack_id, pos).
+
+    Scale: ONE shuffle keyed on cell; the window sort within a cell is
+    per-key, so n_centroids is the parallelism/skew dial — size it to
+    corpus_tokens / (≈10³ · budget) so cells stay task-sized (re-train
+    a larger codebook rather than salting: splitting a cell across
+    tasks would break the in-context adjacency the operator exists to
+    create).  Assignment itself is map-only centroid-literal
+    arithmetic; every downstream fact (cd_m, offsets, pack ids) is
+    integer, partition-invariant, and SQL-replayable."""
+    import numpy as np
+
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        _argmax_cell,
+        _cell_dots,
+        _dvec,
+    )
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).alias("tokens"),
+        _dvec(F.col(vec_col)).alias("_v"),
+    ).select("id", "tokens", _cell_dots("_v", cent).alias("_d"))
+    cell = _argmax_cell(F.col("_d"))
+    assigned = d.select(
+        "id",
+        "tokens",
+        cell.alias("cell"),
+        F.round(F.element_at(F.col("_d"), cell + 1) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("cd_m"),
+    )
+    w = W.partitionBy("cell").orderBy(F.col("cd_m").desc(), F.col("id").asc())
+    run = w.rowsBetween(W.unboundedPreceding, -1)
+    return (
+        assigned.withColumn(
+            "start_offset",
+            F.coalesce(F.sum("tokens").over(run), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            "id",
+            "cell",
+            (F.col("cd_m").cast("double") / 1e6).alias("cd_r6"),
+            "tokens",
+            "start_offset",
+            "pack_id",
+            "pos",
+        )
+    )

@@ -10835,6 +10835,82 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# similarity-ordered packing (packing.pack_similar_neighbors)
+# --------------------------------------------------------------------------
+def _pack_similar_oracle_sql(budget: int = 256) -> str:
+    """Value oracle for In-Context-Pretraining packing: centroid-literal
+    cell assignment (rn=1 over d DESC, c), within-cell (cd_m DESC, id)
+    ordering, exclusive prefix sum of ws token counts, next-fit
+    pack_id = offset // budget."""
+    cent = _ivf_fixed_centroids()
+    vals = ",\n      ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    return f"""
+    WITH cents(c, cv) AS (VALUES
+      {vals}),
+    d AS (SELECT doc_id AS id,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(
+                               trim(coalesce(text, '')), '\\s+')) END::BIGINT
+                     AS tokens,
+                 e.embedding::DOUBLE[] AS v
+          FROM documents JOIN embeddings e ON e.vec_id = doc_id),
+    cd AS (SELECT d.id, d.tokens, cents.c,
+                  list_dot_product(d.v, cents.cv) AS dt
+           FROM d CROSS JOIN cents),
+    a AS (SELECT id, tokens, c AS cell,
+                 round(dt * 1000000.0)::BIGINT AS cd_m
+          FROM (SELECT *, row_number() OVER (PARTITION BY id
+                     ORDER BY dt DESC, c) AS rn FROM cd)
+          WHERE rn = 1),
+    o AS (SELECT *,
+                 coalesce(sum(tokens) OVER (PARTITION BY cell
+                      ORDER BY cd_m DESC, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_offset,
+                 row_number() OVER (PARTITION BY cell
+                      ORDER BY cd_m DESC, id) AS pos
+          FROM a)
+    SELECT id, cell, cd_m::DOUBLE / 1000000.0 AS cd_r6, tokens,
+           start_offset, (start_offset // {budget})::BIGINT AS pack_id, pos
+    FROM o
+    """
+
+
+@register("pack_similar_order", oracle=_pack_similar_oracle_sql())
+def pack_similar_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-ordered packing (`packing.pack_similar_neighbors` —
+    the In-Context Pretraining recipe, Shi et al. 2024): documents
+    joined to their embeddings (doc_id = vec_id), assigned to frozen
+    semantic cells, ordered within each cell by centroid affinity, and
+    next-fit packed into 256-token budgets — so each context window
+    fills with topically related documents instead of i.i.d. ones.
+    One cell-keyed shuffle; n_centroids is the skew dial (see the
+    operator docstring).  The oracle replays cell assignment,
+    within-cell ordering, the exclusive prefix sum, and the pack-id
+    rule."""
+    from mistral_ocr_pipeline_spark.operators.packing import (
+        pack_similar_neighbors,
+    )
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("id"),
+        ws_token_count(F.coalesce(F.col("text"), F.lit(""))).alias("tokens"),
+        "embedding",
+    )
+    return pack_similar_neighbors(
+        joined, "id", "tokens", "embedding", _ivf_fixed_centroids(), budget=256
+    )
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

@@ -1405,6 +1405,72 @@ class TestSequencePacking:
         }
         assert roll[(0, 0)] == (2, 110) and roll[(0, 1)] == (2, 110)
 
+    def test_pack_similar_neighbors_clusters_adjacent(self, spark):
+        """In-context-pretraining packing: two planted clusters land in
+        separate cells, members pack adjacently in affinity order, and
+        offsets follow the same next-fit rule as pack_token_budget."""
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.packing import (
+            pack_similar_neighbors,
+        )
+
+        # centroids = e0, e1; cluster A docs near e0, cluster B near e1
+        cent = np.eye(2, 8)
+        rows = []
+        for i, a in enumerate([0.99, 0.95, 0.90]):      # cluster A ids 0-2
+            v = [0.0] * 8
+            v[0], v[2] = a, (1 - a**2) ** 0.5
+            rows.append((i, 60, v))
+        for i, a in enumerate([0.98, 0.93]):             # cluster B ids 10-11
+            v = [0.0] * 8
+            v[1], v[3] = a, (1 - a**2) ** 0.5
+            rows.append((10 + i, 70, v))
+        df = spark.createDataFrame(
+            rows, "id long, tokens long, embedding array<double>"
+        )
+        out = {
+            r.id: r
+            for r in pack_similar_neighbors(
+                df, "id", "tokens", "embedding", cent, budget=100
+            ).collect()
+        }
+        assert {out[i].cell for i in (0, 1, 2)} == {0}
+        assert {out[i].cell for i in (10, 11)} == {1}
+        # affinity order within cell 0: 0 (0.99), 1 (0.95), 2 (0.90)
+        assert [out[i].pos for i in (0, 1, 2)] == [1, 2, 3]
+        assert [out[i].start_offset for i in (0, 1, 2)] == [0, 60, 120]
+        assert [out[i].pack_id for i in (0, 1, 2)] == [0, 0, 1]
+        assert [out[i].start_offset for i in (10, 11)] == [0, 70]
+
+    def test_pack_similar_neighbors_partition_invariant(self, spark):
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.packing import (
+            pack_similar_neighbors,
+        )
+
+        rng = np.random.RandomState(3)
+        cent = rng.standard_normal((4, 8))
+        rows = [
+            (i, int(10 + i % 37), [float(x) for x in rng.standard_normal(8)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, tokens long, embedding array<double>"
+        )
+        a = sorted(
+            map(tuple, pack_similar_neighbors(
+                df, "id", "tokens", "embedding", cent, budget=64
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, pack_similar_neighbors(
+                df.repartition(11), "id", "tokens", "embedding", cent, budget=64
+            ).collect())
+        )
+        assert a == b and len(a) == 120
+
     def test_chunk_text_tokens_overlap_and_edges(self, spark):
         """Window/overlap arithmetic: starts advance by window-overlap,
         consecutive chunks share exactly `overlap` tokens, the tail chunk
