@@ -1305,6 +1305,84 @@ def line_dedup(
     ).withColumnRenamed("id", id_col)
 
 
+def host_boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    min_docs: int = 4,
+    df_num: int = 3,
+    df_den: int = 10,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """HOST-scoped template stripping — the CCNet/RefinedWeb step
+    `line_dedup` cannot express: a line is boilerplate for a host iff
+    it appears in ≥ df_num/df_den of THAT host's documents (hosts with
+    < ``min_docs`` documents are exempt; a line needs ≥ 2 documents).
+    Frequency is DISTINCT-document frequency, not occurrences — the
+    right granularity for per-site nav/footer templates: a 4-page
+    site's footer (3/4 pages) strips, while a line that merely happens
+    twice across a 10⁶-page host does not (corpus-global occurrence
+    counting gets both of those wrong).  All occurrences of a
+    boilerplate line are removed (no canonical survivor — same
+    rationale as `line_dedup`); the threshold is the RATIONAL
+    df_num/df_den compared in integers, so the gate is exact in any
+    engine.
+
+    Plan: explode lines → distinct (host, digest, id) → one map-side-
+    combined count shuffle per host keyed on the md5 digest (32-char
+    digests move, never line text) → tiny per-host doc totals join →
+    flag-back equi-join on (host, digest) → one groupBy(id) rebuild.
+    Host skew is bounded: the per-host hot-line relation is
+    count-filtered before the join-back and AQE broadcasts it.
+    Returns (id, host, text_clean, n_kept, n_removed)."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    key = F.md5(F.trim(F.col("line")))
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    keyed = lines.withColumn("k", F.when(eligible, key))
+    host_docs = (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count(F.lit(1)).alias("_total"))
+        .filter(F.col("_total") >= min_docs)
+    )
+    hot = (
+        keyed.filter(F.col("k").isNotNull())
+        .select("host", "k", "id")
+        .distinct()
+        .groupBy("host", "k")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .join(host_docs, "host")
+        .filter(F.col("_ndocs") * df_den >= F.col("_total") * df_num)
+        .select("host", "k", F.lit(True).alias("_hot"))
+    )
+    flagged = keyed.join(hot, ["host", "k"], "left").select(
+        "id",
+        "host",
+        "pos",
+        "line",
+        F.coalesce("_hot", F.lit(False)).alias("_drop"),
+    )
+    kept_lines = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("pos", "line", "_drop"))),
+            lambda s: ~s["_drop"],
+        ),
+        lambda s: s["line"],
+    )
+    return flagged.groupBy("id", "host").agg(
+        F.array_join(kept_lines, "\n").alias("text_clean"),
+        F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
+        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,

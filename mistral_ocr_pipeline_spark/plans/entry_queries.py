@@ -10911,6 +10911,81 @@ def pack_similar_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# host-scoped boilerplate stripping (dedup.host_boilerplate_strip)
+# --------------------------------------------------------------------------
+@register(
+    "text_host_boilerplate",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id, source AS host,
+             coalesce(text, '') || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'shared footer for ' || source
+                  ELSE 'unique line ' || doc_id END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN chr(10) || 'promo of the week' ELSE '' END AS t
+      FROM documents),
+    ls AS (SELECT id, host, string_split(t, chr(10)) AS arr FROM base),
+    l AS (SELECT id, host, i - 1 AS pos, arr[i] AS ln
+          FROM ls, unnest(generate_series(1, len(arr))) AS u(i)),
+    el AS (SELECT *, length(trim(ln)) >= 8 AS elig,
+                  md5(trim(ln)) AS k
+           FROM l),
+    hd AS (SELECT host, k, count(DISTINCT id) AS ndocs
+           FROM el WHERE elig GROUP BY 1, 2),
+    hc AS (SELECT host, count(*) AS total FROM base GROUP BY 1),
+    hot AS (SELECT hd.host, hd.k FROM hd JOIN hc USING (host)
+            WHERE hc.total >= 4 AND hd.ndocs >= 2
+              AND hd.ndocs * 10 >= hc.total * 3),
+    f AS (SELECT el.id, el.host, el.pos, el.ln,
+                 (el.elig AND hot.k IS NOT NULL) AS dr
+          FROM el LEFT JOIN hot
+               ON hot.host = el.host AND hot.k = el.k)
+    SELECT id, host,
+           coalesce(string_agg(ln, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT dr), '') AS text_clean,
+           count(*) FILTER (WHERE NOT dr)::BIGINT AS n_kept,
+           count(*) FILTER (WHERE dr)::BIGINT AS n_removed
+    FROM f GROUP BY 1, 2
+    """,
+)
+def text_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template stripping
+    (`dedup.host_boilerplate_strip`): each document gets a planted
+    per-host footer (in half the host's pages → above the 3/10
+    distinct-doc-frequency gate, stripped everywhere) plus a 'promo'
+    line (1/5 of pages → below the gate, kept) and a unique line
+    (kept); host = the documents table's source.  Distinct-document
+    frequency per host vs per-host totals in exact integer rational
+    arithmetic; digests shuffle, not line text.  The oracle replays
+    line explosion, the eligibility gate, distinct-doc counting, the
+    rational threshold, and the ordered rebuild."""
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        host_boilerplate_strip,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fixt = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("shared footer for "), F.col("source")),
+            ).otherwise(F.concat(F.lit("unique line "), F.col("doc_id"))),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\npromo of the week")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return host_boilerplate_strip(
+        fixt, "doc_id", "t", "source", min_docs=4, df_num=3, df_den=10
+    )
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

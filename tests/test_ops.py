@@ -389,6 +389,71 @@ class TestEmbeddingOps:
             assert (i, i + 100000) in pairs
 
 
+class TestHostBoilerplateStrip:
+    def test_host_scoped_gate_and_small_host_exemption(self, spark):
+        """The footer strips only on the host where it clears the
+        distinct-doc ratio; a < min_docs host is exempt even at 100%
+        frequency; within-doc repetition does not create frequency."""
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            host_boilerplate_strip,
+        )
+
+        rows = []
+        # host A: 4 docs, footer on 3 (75% >= 30%) -> stripped
+        for i in range(4):
+            t = f"prose A{i}"
+            if i < 3:
+                t += "\nfooter line A"
+            rows.append((i, "a", t))
+        # host B: 10 docs, footer on 2 (20% < 30%) -> kept
+        for i in range(10):
+            t = f"prose B{i}"
+            if i < 2:
+                t += "\nfooter line B"
+            rows.append((100 + i, "b", t))
+        # host C: 3 docs (< min_docs), all share a footer -> exempt
+        for i in range(3):
+            rows.append((200 + i, "c", f"prose C{i}\nfooter line C"))
+        # host D: footer repeated 5x INSIDE one doc, once in another ->
+        # distinct-doc freq 2/4 -> stripped (occurrence counting would
+        # agree here; the within-doc case below disambiguates)
+        rows.append((300, "d", "spam line D\n" * 5 + "prose D0"))
+        rows.append((301, "d", "prose D1"))
+        rows.append((302, "d", "prose D2"))
+        rows.append((303, "d", "prose D3"))
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {
+            r.id: r
+            for r in host_boilerplate_strip(
+                df, "doc_id", "text", "host", min_docs=4, df_num=3, df_den=10
+            ).collect()
+        }
+        assert got[0].text_clean == "prose A0" and got[0].n_removed == 1
+        assert got[3].text_clean == "prose A3" and got[3].n_removed == 0
+        assert got[100].text_clean == "prose B0\nfooter line B"
+        assert got[200].text_clean == "prose C0\nfooter line C"
+        # host D: 'spam line D' appears in only ONE distinct doc (5x) ->
+        # ndocs=1 < 2 -> kept everywhere
+        assert got[300].n_removed == 0 and got[300].text_clean.count("spam line D") == 5
+
+    def test_null_text_doc_survives(self, spark):
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            host_boilerplate_strip,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "h", None), (2, "h", "x\ny"), (3, "h", "x\nz"), (4, "h", "w")],
+            "doc_id long, host string, text string",
+        )
+        got = {
+            r.id: r
+            for r in host_boilerplate_strip(
+                df, "doc_id", "text", "host", min_docs=2, df_num=1, df_den=2
+            ).collect()
+        }
+        assert 1 in got and got[1].text_clean == "" and got[1].n_kept == 1
+
+
 class TestLineDedup:
     def test_hot_lines_removed_everywhere_order_kept(self, spark):
         from mistral_ocr_pipeline_spark.operators.dedup import line_dedup
