@@ -180,6 +180,10 @@ def main() -> None:
         "html_link_graph",
         "host_authority",
         "md_section_chunks",
+        "embed_margin_mine",
+        "ann_ivf_index_append",
+        "pack_similar_order",
+        "text_host_boilerplate",
     ]
     # Best-of-N with adaptive extension: this box shows periodic
     # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query

@@ -12872,6 +12872,68 @@ def text_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# committee-disagreement annotation audit (NB × LR)
+# --------------------------------------------------------------------------
+@register(
+    "quality_disagreement_audit",
+    oracle=f"""
+    WITH {_NB_LABEL_SQL},
+    {_NB_MODEL_SQL.format(key=_KEY.format(c='text'))},
+    {_lr_model_sql(16, 6, 4.0)}
+    SELECT n.doc_id, n.is_train, n.label,
+           n.pred AS nb_pred, l.pred AS lr_pred,
+           (n.pred <> l.pred) AS disagree,
+           n.score AS nb_score, l.score AS lr_score
+    FROM nbscored n JOIN lrscored l ON l.doc_id = n.doc_id
+    """,
+)
+def quality_disagreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-committee disagreement audit (Seung et al. 1992 — the
+    active-learning step after model-based filtering): the repo's two
+    engine-replayable quality filters, closed-form Naive Bayes and
+    6-step-GD logistic regression, score every document off the SAME
+    persisted pseudo-labeled spine, and the rows where the committee
+    splits are exactly the ones worth human/LLM annotation budget — a
+    filter both models agree on needs no review, a disagreement marks
+    the decision boundary.  One doc_id equi-join of two already-scored
+    relations; the labeled spine persists once and feeds both trainers.
+    The oracle chains both published CTE blocks (`_NB_MODEL_SQL`,
+    `_lr_model_sql`) off the shared `lab` spine, so the hash certifies
+    the composition end to end."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        lr_quality_classifier,
+        nb_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = _nb_labeled(docs)
+    nb = nb_quality_classifier(lab, "doc_id", "label", "is_train").select(
+        "doc_id",
+        "is_train",
+        "label",
+        F.col("pred").alias("nb_pred"),
+        F.col("score").alias("nb_score"),
+    )
+    lr = lr_quality_classifier(
+        lab, "doc_id", "label", "is_train", n_buckets=16, n_iters=6, lr=4.0
+    ).select(
+        "doc_id",
+        F.col("pred").alias("lr_pred"),
+        F.col("score").alias("lr_score"),
+    )
+    return nb.join(lr, "doc_id").select(
+        "doc_id",
+        "is_train",
+        "label",
+        "nb_pred",
+        "lr_pred",
+        (F.col("nb_pred") != F.col("lr_pred")).alias("disagree"),
+        "nb_score",
+        "lr_score",
+    )
+
+
 @register(
     "text_kn_surprisal",
     oracle=f"""

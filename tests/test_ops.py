@@ -4808,6 +4808,25 @@ class TestJLRefine:
         assert out.count() == 0
 
 
+class TestQualityDisagreementAudit:
+    def test_committee_consistency(self, spark):
+        """Composite sanity on sf0.001: every document is audited once,
+        the disagree flag is exactly nb_pred != lr_pred, and each
+        model's published score signs its own decision."""
+        from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+        rows = QUERIES["quality_disagreement_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows and len({r.doc_id for r in rows}) == len(rows)
+        for r in rows:
+            assert r.disagree == (r.nb_pred != r.lr_pred)
+            assert r.nb_pred == (r.nb_score > 0)
+            # lr score is the 6-dp margin; pred is margin > 0 (micro ints)
+            if abs(r.lr_score) > 1e-6:
+                assert r.lr_pred == (r.lr_score > 0)
+
+
 class TestQualityMixPipeline:
     def test_rollup_invariants(self, spark):
         """Composite sanity on sf0.001: selection never exceeds the
