@@ -25,7 +25,7 @@ stripper's DOM walk, not this scan-level pass).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from mistral_ocr_pipeline_spark.operators.urls import (
     canonicalize_url,
@@ -354,3 +354,79 @@ def canonical_dedup(
         (-F.col("b").getField("ni")).alias("canonical_id"),
         "group_size",
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    n_iter: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the UNDIRECTED host graph — the cheap
+    community pass that complements the family's PageRank (authority),
+    HITS (hubs), and connected components (reachability): LPA splits a
+    connected web neighbourhood into its densely-linked cores, which is
+    what per-community crawl budgeting, mirror-cluster triage, and
+    domain-mix audits actually want (components are far too coarse —
+    the web is one giant component).
+
+    Deterministic variant: edges are symmetrized, de-duplicated, and
+    self-loop-stripped; every node starts labeled with its own id; each
+    round every node adopts the PLURALITY label of its neighbours, ties
+    broken to the SMALLEST label string (the published random tie-break
+    would destroy replayability) — and runs a FIXED ``n_iter`` rounds,
+    not to convergence (synchronous LPA can 2-cycle on bipartite
+    structure; fixed rounds keep the recurrence SQL-unrollable, the
+    unrolled-Lloyd convention).  Known consequence of determinism: when
+    a round's vote TIES (e.g. two 3-cliques across a bridge), the
+    min-label wins and can leak across the cut — communities are crisp
+    where plurality actually decides (dense cores vs bridges), which is
+    the web-host regime; tie-dominated toy graphs degrade toward
+    connected components (pinned in tests).
+
+    Scale shape mirrors `host_pagerank`: the host-pair relation is
+    orders of magnitude smaller than the page corpus; each round is ONE
+    join of the label table to the symmetric edge list, one map-side-
+    combinable (node, label) count, and a per-node argmax window;
+    lineage is truncated per round (labels are referenced once per
+    round but the plan would still double).  Returns (host, community)
+    — community ids are the winning member host, so they are stable,
+    human-readable keys."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = _ckpt(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lab = _ckpt(
+        und.select(F.col("src").alias("host"))
+        .distinct()
+        .select("host", F.col("host").alias("lab"))
+    )
+    for _ in range(n_iter):
+        nbr = und.join(
+            lab.select(F.col("host").alias("dst"), "lab"), "dst"
+        ).select(F.col("src").alias("host"), "lab")
+        cnt = nbr.groupBy("host", "lab").agg(F.count(F.lit(1)).alias("n"))
+        w = W.partitionBy("host").orderBy(F.col("n").desc(), F.col("lab").asc())
+        lab = _ckpt(
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("host", "lab")
+        )
+    return lab.select("host", F.col("lab").alias("community"))

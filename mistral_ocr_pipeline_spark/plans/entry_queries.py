@@ -13831,6 +13831,62 @@ def _host_pagerank_oracle_sql(n_iter: int = 5, tail: str | None = None) -> str:
     )
 
 
+def _lpa_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled synchronous label propagation over the link-graph
+    fixture's external edges: symmetrize + dedup + strip self-loops,
+    seed each node with its own id, then per round the plurality
+    neighbour label with (count DESC, label ASC) tie-break — exactly
+    `htmllinks.label_propagation`."""
+    ctes = [
+        f"""{_LINK_ROWS_SQL},
+    {_url_canon_ctes('lk2')},
+    eg AS (SELECT DISTINCT src_host AS src,
+                  regexp_extract(canon_url, '{_URLRE}', 2) AS dst
+           FROM lk2_c
+           WHERE src_host <> regexp_extract(canon_url, '{_URLRE}', 2)),
+    und AS (SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM eg
+              UNION ALL
+              SELECT dst, src FROM eg)
+            WHERE src <> dst),
+    l0 AS (SELECT DISTINCT src AS host, src AS lab FROM und)"""
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""c{k} AS (
+      SELECT und.src AS host, l.lab, count(*)::BIGINT AS n
+      FROM und JOIN l{k - 1} l ON l.host = und.dst
+      GROUP BY 1, 2),
+    l{k} AS (SELECT host, lab FROM (
+               SELECT *, row_number() OVER (PARTITION BY host
+                    ORDER BY n DESC, lab ASC) AS rn FROM c{k})
+             WHERE rn = 1)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT host, lab AS community FROM l{n_iter} ORDER BY host"
+    )
+
+
+@register("host_communities", oracle=_lpa_oracle_sql())
+def host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host communities (`htmllinks.label_propagation`, Raghavan et al.
+    2007): deterministic synchronous LPA — plurality neighbour label,
+    smallest-label tie-break, fixed 4 rounds — over the link graph's
+    symmetrized external edges; completes the graph family next to
+    PageRank (authority), HITS (hubs), and connected components
+    (reachability).  Each round is one edge⋈label join + one counted
+    groupBy + a per-node argmax window on the HOST-pair relation; the
+    oracle unrolls all 4 rounds."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import (
+        label_propagation,
+        link_graph,
+    )
+
+    g = link_graph(_link_pages(spark, sf_dir), "id", "html", "src_host")
+    edges = g.filter(F.col("src_host") != F.col("dst_host"))
+    return label_propagation(edges).orderBy("host")
+
+
 @register("host_authority", oracle=_host_pagerank_oracle_sql())
 def host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host authority (`htmllinks.host_pagerank`): DIRECTED PageRank

@@ -270,6 +270,82 @@ class TestHostPagerank:
         assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
 
 
+class TestLabelPropagation:
+    def _edges(self, spark, pairs):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        return spark.createDataFrame(pairs, "src_host string, dst_host string")
+
+    def test_two_cliques_one_bridge_split(self, spark):
+        """Two 4-cliques joined by a single bridge edge resolve to two
+        communities with member-host ids.  4-cliques, not 3: in a
+        3-clique + bridge every round's vote TIES and the deterministic
+        min-label tie-break floods the smaller label across the bridge
+        (exactly why published LPA randomizes ties); with 4-cliques the
+        within-clique plurality strictly outvotes the bridge, which is
+        the regime the operator documents."""
+        import itertools
+
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            label_propagation,
+        )
+
+        a = ["a1", "a2", "a3", "a4"]
+        b = ["b1", "b2", "b3", "b4"]
+        pairs = (
+            list(itertools.combinations(a, 2))
+            + list(itertools.combinations(b, 2))
+            + [("a1", "b1")]
+        )
+        out = {
+            r.host: r.community
+            for r in label_propagation(
+                self._edges(spark, pairs), n_iter=4
+            ).collect()
+        }
+        assert len(out) == 8
+        assert {out[h] for h in a} == {"a1"}
+        assert {out[h] for h in b} == {"b1"}
+
+    def test_deterministic_under_repartition_and_direction(self, spark):
+        """Symmetrization makes edge direction irrelevant; labels are
+        partition-invariant (smallest-label tie-break, no randomness)."""
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            label_propagation,
+        )
+
+        pairs = [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")]
+        fwd = self._edges(spark, pairs)
+        rev = self._edges(spark, [(b, a) for a, b in pairs]).repartition(5)
+        a = sorted(map(tuple, label_propagation(fwd, n_iter=3).collect()))
+        b = sorted(map(tuple, label_propagation(rev, n_iter=3).collect()))
+        assert a == b and len(a) == 4
+
+    def test_self_loops_and_duplicate_edges_ignored(self, spark):
+        """Self-loops are stripped and duplicate edges carry no extra
+        plurality weight (the edge set is DISTINCT)."""
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            label_propagation,
+        )
+
+        # p-q duplicated 3x must not outvote the q-r side of the triangle
+        pairs = [("p", "p"), ("p", "q"), ("p", "q"), ("p", "q"), ("q", "r")]
+        out = {
+            r.host: r.community
+            for r in label_propagation(
+                self._edges(spark, pairs), n_iter=2
+            ).collect()
+        }
+        assert set(out) == {"p", "q", "r"}
+        base = {
+            r.host: r.community
+            for r in label_propagation(
+                self._edges(spark, [("p", "q"), ("q", "r")]), n_iter=2
+            ).collect()
+        }
+        assert out == base
+
+
 class TestMdSectionText:
     def test_sec_text_slices_back_to_source(self, spark):
         from mistral_ocr_pipeline_spark.operators.mdstruct import (
