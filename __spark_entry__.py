@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # `python tools/check_oracle.py` (full-registry sweep).
 _NEWEST_FIRST = [
     "embed_margin_mine",        # r5+: CCMatrix margin-based pair mining, full oracle
+    "embed_margin_mine_ivf",    # r5+: margin mining over IVF candidates, full oracle
     "ann_ivf_index_append",     # r5+: IVF index maintenance ≡ rebuild, full oracle
     "pack_similar_order",       # r5+: in-context-pretraining packing, full oracle
     "text_host_boilerplate",    # r5+: host-scoped DF-ratio template strip, full oracle

@@ -10755,6 +10755,159 @@ def embed_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# margin mining over ANN candidates (the knn_pairs hand-off, certified)
+# --------------------------------------------------------------------------
+def _margin_mine_ivf_oracle_sql(n_probe: int = 4, k: int = 4) -> str:
+    """Full oracle for margin mining restricted to IVF candidates: y
+    side assigned to frozen centroid cells (argmax dot), x side probes
+    its top-``n_probe`` cells, candidate pairs are the cell equi-join,
+    and the ENTIRE margin chain (micro cosines, kNN means, integer
+    micro-margin, mutual argmax, threshold) replays over exactly that
+    candidate relation."""
+    cent = _ivf_fixed_centroids()
+    vals = ",\n      ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    return f"""
+    WITH cents(c, cv) AS (VALUES
+      {vals}),
+    x AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS xv
+          FROM embeddings WHERE vec_id % 2 = 0),
+    y AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS yv
+          FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT vec_id + 1000000, embedding::DOUBLE[]
+          FROM embeddings WHERE vec_id % 20 = 0),
+    ya AS (SELECT y_id, c AS cell FROM (
+             SELECT y.y_id, cents.c,
+                    row_number() OVER (PARTITION BY y.y_id
+                         ORDER BY list_dot_product(y.yv, cents.cv) DESC,
+                                  cents.c) AS rn
+             FROM y CROSS JOIN cents) WHERE rn = 1),
+    xp AS (SELECT x_id, c AS cell FROM (
+             SELECT x.x_id, cents.c,
+                    row_number() OVER (PARTITION BY x.x_id
+                         ORDER BY list_dot_product(x.xv, cents.cv) DESC,
+                                  cents.c) AS rn
+             FROM x CROSS JOIN cents) WHERE rn <= {n_probe}),
+    p AS (SELECT DISTINCT xp.x_id, ya.y_id,
+                 round(list_dot_product(x.xv, y.yv) /
+                       (sqrt(list_dot_product(x.xv, x.xv)) *
+                        sqrt(list_dot_product(y.yv, y.yv)))
+                       * 1000000.0)::BIGINT AS cm
+          FROM xp JOIN ya USING (cell)
+          JOIN x ON x.x_id = xp.x_id
+          JOIN y ON y.y_id = ya.y_id),
+    f AS (SELECT x_id, y_id, cm FROM (
+            SELECT *, row_number() OVER (PARTITION BY x_id
+                 ORDER BY cm DESC, y_id) AS rn FROM p) WHERE rn <= {k}),
+    b AS (SELECT x_id, y_id, cm FROM (
+            SELECT *, row_number() OVER (PARTITION BY y_id
+                 ORDER BY cm DESC, x_id) AS rn FROM p) WHERE rn <= {k}),
+    ax AS (SELECT x_id, (CASE WHEN sum(cm) < 0 THEN -1 ELSE 1 END)
+                 * ((abs(sum(cm)) * 2 + count(*)) // (2 * count(*))) AS am
+           FROM f GROUP BY 1),
+    byy AS (SELECT y_id, (CASE WHEN sum(cm) < 0 THEN -1 ELSE 1 END)
+                 * ((abs(sum(cm)) * 2 + count(*)) // (2 * count(*))) AS bm
+            FROM b GROUP BY 1),
+    fs AS (SELECT f.x_id, f.y_id, f.cm, ax.am, byy.bm,
+                  (CASE WHEN f.cm < 0 THEN -1 ELSE 1 END)
+                  * ((abs(f.cm) * 4000000 + (ax.am + byy.bm))
+                     // (2 * (ax.am + byy.bm))) AS margin_m
+           FROM f JOIN ax USING (x_id) JOIN byy USING (y_id)
+           WHERE ax.am + byy.bm > 0),
+    bs AS (SELECT b.x_id, b.y_id,
+                  (CASE WHEN b.cm < 0 THEN -1 ELSE 1 END)
+                  * ((abs(b.cm) * 4000000 + (ax.am + byy.bm))
+                     // (2 * (ax.am + byy.bm))) AS margin_m
+           FROM b JOIN ax USING (x_id) JOIN byy USING (y_id)
+           WHERE ax.am + byy.bm > 0),
+    fbest AS (SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY x_id
+                     ORDER BY margin_m DESC, y_id) AS r2 FROM fs)
+              WHERE r2 = 1),
+    bbest AS (SELECT x_id, y_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY y_id
+                     ORDER BY margin_m DESC, x_id) AS r2 FROM bs)
+              WHERE r2 = 1)
+    SELECT fb.x_id, fb.y_id,
+           fb.cm::DOUBLE / 1000000.0 AS cosine_r6,
+           fb.margin_m::DOUBLE / 1000000.0 AS margin_r6,
+           fb.am::DOUBLE / 1000000.0 AS knn_x_r6,
+           fb.bm::DOUBLE / 1000000.0 AS knn_y_r6
+    FROM fbest fb JOIN bbest bb
+         ON fb.x_id = bb.x_id AND fb.y_id = bb.y_id
+    WHERE fb.margin_m >= 1020000
+    """
+
+
+@register("embed_margin_mine_ivf", oracle=_margin_mine_ivf_oracle_sql())
+def embed_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin mining at ANN scale — the ``knn_pairs`` hand-off
+    CERTIFIED: the target set is indexed by the maintained IVF cell
+    table (`similarity_df.ivf_index_build` — today's append path), the
+    source set probes its top-4 cells in-plan, and the candidate cell
+    equi-join (never a cross join) feeds `margin_mine`'s scorer —
+    corpus-sized mining with every relation either cell-bucketed or
+    top-k-sized.  Same sets and planted translations as
+    `embed_margin_mine`; identical vectors share a cell by
+    construction, so the planted pairs survive the candidate
+    restriction.  Candidates are single-direction (x probes y's index)
+    — at production scale run the mirrored probe and union when recall
+    on the backward lists matters.  The oracle replays cell
+    assignment, probing, the candidate join, and the full margin
+    chain."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        _cell_dots,
+        _dvec,
+        _micro_cosine,
+        ivf_index_build,
+        margin_mine,
+    )
+
+    cent = _ivf_fixed_centroids()
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = emb.filter(F.col("vec_id") % 2 == 0)
+    ys = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    y_index = ivf_index_build(ys, cent).select("cell", "vec_id")
+    xv = xs.select(
+        F.col("vec_id").alias("x_id"), _dvec(F.col("embedding")).alias("_xv")
+    )
+    probes = (
+        xv.select(
+            "x_id", "_xv", F.posexplode(_cell_dots("_xv", cent)).alias("cell", "_d")
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("x_id").orderBy(
+                    F.col("_d").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= 4)
+        .select("x_id", "_xv", "cell")
+    )
+    yv = ys.select(
+        F.col("vec_id").alias("y_id"), _dvec(F.col("embedding")).alias("_yv")
+    )
+    cand = (
+        probes.join(y_index.withColumnRenamed("vec_id", "y_id"), "cell")
+        .join(yv, "y_id")
+        .select(
+            "x_id", "y_id", _micro_cosine(F.col("_xv"), F.col("_yv")).alias("cm")
+        )
+        .distinct()
+    )
+    return margin_mine(xs, ys, k=4, threshold=1.02, knn_pairs=cand)
+
+
+# --------------------------------------------------------------------------
 # incremental IVF index maintenance (similarity_df.ivf_index_*)
 # --------------------------------------------------------------------------
 def _ivf_index_append_oracle_sql() -> str:

@@ -427,3 +427,25 @@ def test_ivf_search_from_maintained_index_matches_inplan(spark):
     a = _rows(D.ivf_topk_from_index(idx, emb, q, cent, k=5, n_probe=4))
     b = _rows(D.ivf_topk_df(emb, q, k=5, n_probe=4, centroids=cent))
     assert a == b and len(a) > 0
+
+
+def test_margin_mine_ivf_candidates_keep_planted_pairs(spark):
+    """The ANN-candidate path (cell equi-join feeding knn_pairs) still
+    mines the planted identical-vector translations: an identical
+    vector shares its source's argmax cell by construction, so the
+    candidate restriction cannot lose those pairs."""
+    from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["embed_margin_mine_ivf"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    planted = {
+        (r.x_id, r.y_id) for r in rows if r.y_id == r.x_id + 1000000
+    }
+    n_sources = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id % 20 = 0").count()
+    assert len(planted) == n_sources
+    for r in rows:
+        if (r.x_id, r.y_id) in planted:
+            assert r.cosine_r6 == 1.0 and r.margin_r6 >= 1.02
