@@ -1305,6 +1305,159 @@ def line_dedup(
     ).withColumnRenamed("id", id_col)
 
 
+def _host_lines_keyed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    min_line_chars: int,
+) -> DataFrame:
+    """(id, host, pos, line, k) — k is md5(trim(line)) for ELIGIBLE
+    lines (≥ min_line_chars after trim), NULL otherwise.  The shared
+    line spine of `host_boilerplate_facts` and the strip join."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    key = F.md5(F.trim(F.col("line")))
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    return lines.withColumn("k", F.when(eligible, key))
+
+
+def host_boilerplate_facts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    min_line_chars: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The maintainable fact pair behind `host_boilerplate_strip`:
+    ``facts(host, k, ndocs)`` — distinct-document frequency of each
+    eligible line digest within its host — and ``totals(host, total)``
+    — documents per host.  Both are ADDITIVE lattices under the ingest
+    contract that each document arrives in exactly one batch (a doc's
+    contribution to a (host, k) cell is 0/1 and lands with its batch),
+    so `host_boilerplate_facts_append` merging batch facts by SUM
+    equals a one-shot rebuild — the same merge law as the
+    BM25/link-graph/pathology fact tables."""
+    keyed = _host_lines_keyed(df, id_col, text_col, host_col, min_line_chars)
+    facts = (
+        keyed.filter(F.col("k").isNotNull())
+        .select("host", "k", "id")
+        .distinct()
+        .groupBy("host", "k")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+    )
+    totals = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    return facts, totals
+
+
+def host_boilerplate_facts_append(
+    facts: DataFrame,
+    totals: DataFrame,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    min_line_chars: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a new document batch into the persisted boilerplate facts
+    WITHOUT re-scanning history: batch facts are built over the batch
+    alone and summed into the stored cells (append ≡ rebuild by the
+    additive lattice law; pinned against a one-shot rebuild in
+    tests/test_streaming_boilerplate.py)."""
+    bf, bt = host_boilerplate_facts(
+        batch_df, id_col, text_col, host_col, min_line_chars
+    )
+    merged_facts = (
+        facts.unionByName(bf)
+        .groupBy("host", "k")
+        .agg(F.sum("ndocs").alias("ndocs"))
+    )
+    merged_totals = (
+        totals.unionByName(bt)
+        .groupBy("host")
+        .agg(F.sum("total").alias("total"))
+    )
+    return merged_facts, merged_totals
+
+
+def boilerplate_hot_lines(
+    facts: DataFrame,
+    totals: DataFrame,
+    min_docs: int = 4,
+    df_num: int = 3,
+    df_den: int = 10,
+) -> DataFrame:
+    """(host, k, _hot=TRUE) — the line digests the DF-ratio gate marks
+    as host boilerplate, derived from the (maintainable) fact pair:
+    host total ≥ min_docs, line in ≥ 2 docs, ndocs·df_den ≥
+    total·df_num.  Count-filtered and tiny; AQE broadcasts it into the
+    strip join."""
+    host_docs = totals.filter(F.col("total") >= min_docs).select(
+        "host", F.col("total").alias("_total")
+    )
+    return (
+        facts.filter(F.col("ndocs") >= 2)
+        .join(host_docs, "host")
+        .filter(F.col("ndocs") * df_den >= F.col("_total") * df_num)
+        .select("host", "k", F.lit(True).alias("_hot"))
+    )
+
+
+def host_boilerplate_strip_with_facts(
+    batch_df: DataFrame,
+    facts: DataFrame,
+    totals: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    min_docs: int = 4,
+    df_num: int = 3,
+    df_den: int = 10,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Strip a document batch using a MAINTAINED fact pair instead of
+    recomputing frequencies from the corpus — the online/streaming
+    shape: arriving pages are cleaned with everything the corpus knows
+    about their host so far.  Same flag-and-rebuild path as
+    `host_boilerplate_strip`; only the hot-line derivation differs."""
+    keyed = _host_lines_keyed(
+        batch_df, id_col, text_col, host_col, min_line_chars
+    )
+    hot = boilerplate_hot_lines(facts, totals, min_docs, df_num, df_den)
+    flagged = keyed.join(hot, ["host", "k"], "left").select(
+        "id",
+        "host",
+        "pos",
+        "line",
+        F.coalesce("_hot", F.lit(False)).alias("_drop"),
+    )
+    return _rebuild_kept_lines(flagged)
+
+
+def _rebuild_kept_lines(flagged: DataFrame) -> DataFrame:
+    """(id, host, text_clean, n_kept, n_removed) from flagged lines —
+    ordered rebuild shared by both strip forms."""
+    kept_lines = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("pos", "line", "_drop"))),
+            lambda s: ~s["_drop"],
+        ),
+        lambda s: s["line"],
+    )
+    return flagged.groupBy("id", "host").agg(
+        F.array_join(kept_lines, "\n").alias("text_clean"),
+        F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
+        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+    )
+
+
 def host_boilerplate_strip(
     df: DataFrame,
     id_col: str,
@@ -1336,32 +1489,11 @@ def host_boilerplate_strip(
     Host skew is bounded: the per-host hot-line relation is
     count-filtered before the join-back and AQE broadcasts it.
     Returns (id, host, text_clean, n_kept, n_removed)."""
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-        ).alias("pos", "line"),
+    keyed = _host_lines_keyed(df, id_col, text_col, host_col, min_line_chars)
+    facts, totals = host_boilerplate_facts(
+        df, id_col, text_col, host_col, min_line_chars
     )
-    key = F.md5(F.trim(F.col("line")))
-    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
-    keyed = lines.withColumn("k", F.when(eligible, key))
-    host_docs = (
-        df.groupBy(F.col(host_col).alias("host"))
-        .agg(F.count(F.lit(1)).alias("_total"))
-        .filter(F.col("_total") >= min_docs)
-    )
-    hot = (
-        keyed.filter(F.col("k").isNotNull())
-        .select("host", "k", "id")
-        .distinct()
-        .groupBy("host", "k")
-        .agg(F.count(F.lit(1)).alias("_ndocs"))
-        .filter(F.col("_ndocs") >= 2)
-        .join(host_docs, "host")
-        .filter(F.col("_ndocs") * df_den >= F.col("_total") * df_num)
-        .select("host", "k", F.lit(True).alias("_hot"))
-    )
+    hot = boilerplate_hot_lines(facts, totals, min_docs, df_num, df_den)
     flagged = keyed.join(hot, ["host", "k"], "left").select(
         "id",
         "host",
@@ -1369,18 +1501,7 @@ def host_boilerplate_strip(
         "line",
         F.coalesce("_hot", F.lit(False)).alias("_drop"),
     )
-    kept_lines = F.transform(
-        F.filter(
-            F.array_sort(F.collect_list(F.struct("pos", "line", "_drop"))),
-            lambda s: ~s["_drop"],
-        ),
-        lambda s: s["line"],
-    )
-    return flagged.groupBy("id", "host").agg(
-        F.array_join(kept_lines, "\n").alias("text_clean"),
-        F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
-        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
-    )
+    return _rebuild_kept_lines(flagged)
 
 
 def paragraph_dedup(
