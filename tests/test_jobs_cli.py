@@ -407,3 +407,85 @@ def test_frontier_job_cli(tmp_path, spark):
     assert p2b.returncode == 0, p2b.stderr[-2000:]
     assert open(head).read().strip() == head_after_2
     assert "no-op" in p2b.stdout
+
+
+def test_boilerplate_job_cli(tmp_path, spark):
+    """Incremental host-boilerplate maintenance through the spark-submit
+    surface: batch 1 bootstraps, batch 2 merges (facts ≡ one-shot over
+    both batches), the restrip compaction equals the one-shot batch
+    operator, and a rerun of batch 2 is an idempotent no-op."""
+    import duckdb
+    import pandas as pd
+
+    def pages(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            host = f"h{i % 2}"
+            t = f"unique prose line {i}"
+            if host == "h0" and i % 3 == 0:
+                t += "\nshared footer zero!"
+            rows.append((i, t, host))
+        return rows
+
+    b1 = str(tmp_path / "bp_b1.parquet")
+    b2 = str(tmp_path / "bp_b2.parquet")
+    cols = ["doc_id", "text", "host"]
+    pd.DataFrame(pages(0, 30), columns=cols).to_parquet(b1, index=False)
+    pd.DataFrame(pages(30, 70), columns=cols).to_parquet(b2, index=False)
+    wh = str(tmp_path / "wh_bp")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    common = dict(cwd="/root/repo", env=env, capture_output=True, text=True,
+                  timeout=400)
+
+    def run(inp, batch, *extra):
+        return subprocess.run(
+            [sys.executable, "spark_jobs/boilerplate_job.py",
+             "--input", inp, "--warehouse", wh, "--batch-id", batch, *extra],
+            **common,
+        )
+
+    p1 = run(b1, "batch-1")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    p2 = run(b2, "batch-2", "--restrip")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+
+    head = os.path.join(wh, "_HEAD")
+    head_after_2 = open(head).read().strip()
+    manifest = json.load(open(os.path.join(wh, "_manifests", head_after_2)))
+    assert {"bp_line_facts", "bp_host_totals", "bp_stripped",
+            "bp_lineage", "bp_pages", "restripped"} <= set(manifest["tables"])
+
+    from mistral_ocr_pipeline_spark.operators.dedup import (
+        host_boilerplate_facts,
+        host_boilerplate_strip,
+    )
+
+    everything = spark.createDataFrame(
+        pages(0, 70), "doc_id long, text string, host string"
+    )
+    f1, t1 = host_boilerplate_facts(everything, "doc_id", "text", "host")
+    con = duckdb.connect()
+
+    def table(name, cols_sql):
+        return sorted(con.execute(
+            f"SELECT {cols_sql} FROM read_parquet('"
+            + os.path.join(wh, manifest["tables"][name])
+            + "/*.parquet')"
+        ).fetchall())
+
+    assert table("bp_line_facts", "host, k, ndocs") == sorted(
+        map(tuple, f1.collect())
+    )
+    assert table("bp_host_totals", "host, total") == sorted(
+        map(tuple, t1.collect())
+    )
+    # restrip compaction ≡ one-shot batch operator over every page
+    oneshot = host_boilerplate_strip(everything, "doc_id", "text", "host")
+    assert table(
+        "restripped", "id, host, text_clean, n_kept, n_removed"
+    ) == sorted(map(tuple, oneshot.collect()))
+
+    p2b = run(b2, "batch-2")
+    assert p2b.returncode == 0, p2b.stderr[-2000:]
+    assert open(head).read().strip() == head_after_2
+    assert "no-op" in p2b.stdout
