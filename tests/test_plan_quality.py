@@ -923,3 +923,68 @@ class TestCrawlAdmissionPlans:
         assert "Exchange" not in _plan(
             host_blocklist_gate(urls, "id", "url", ["bad.com"])
         )
+
+
+class TestNewFamilyPlans:
+    """Plan guards for the r5+ additions: margin mining, similarity
+    packing, host boilerplate — all pure Catalyst (no Python nodes),
+    with the shuffle structure each docstring promises."""
+
+    def test_margin_mine_no_python_nodes(self, spark):
+        from mistral_ocr_pipeline_spark.operators.similarity_df import (
+            margin_mine,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        plan = _plan(
+            margin_mine(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                k=4,
+            )
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_pack_similar_one_cell_exchange_no_python(self, spark):
+        """Assignment is map-only centroid-literal arithmetic; the only
+        hash exchange the packing itself introduces is keyed on cell
+        (the window), exactly as documented."""
+        import numpy as np
+
+        from mistral_ocr_pipeline_spark.operators.packing import (
+            pack_similar_neighbors,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            F.col("vec_id").alias("id"),
+            F.lit(7).alias("tokens"),
+            "embedding",
+        )
+        cent = np.random.RandomState(5).standard_normal((8, 64))
+        plan = _plan(
+            pack_similar_neighbors(emb, "id", "tokens", "embedding", cent, 64)
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert (
+            "cell"
+            in plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
+        )
+
+    def test_host_boilerplate_digest_shuffles_no_python(self, spark):
+        """The strip never shuffles raw line text: every hash exchange
+        key set is (host, k)/(id, host)-shaped — 32-char digests and
+        ids move, the `line` column rides only inside its own doc's
+        rebuild group."""
+        from mistral_ocr_pipeline_spark.operators.dedup import (
+            host_boilerplate_strip,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(
+            host_boilerplate_strip(docs, "doc_id", "text", "source")
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        for frag in plan.split("Exchange hashpartitioning")[1:]:
+            keys = frag.splitlines()[0]
+            assert "line#" not in keys, keys
