@@ -2775,3 +2775,108 @@ def kn_bigram_surprisal(
         )
         .select(F.col("id").alias(id_col), "n_pairs", "kn_surprisal")
     )
+
+
+def texttile_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 10,
+) -> DataFrame:
+    """Topic segmentation by lexical cohesion — TextTiling (Hearst
+    1997), the content-aware complement to heading-based sectioning
+    (`mdstruct.md_sections` needs markdown structure; transcripts and
+    boilerplate-stripped prose often have none): the token stream is
+    cut into ``w``-token blocks, each gap between adjacent blocks gets
+    a cohesion score (term-frequency cosine of the two blocks), and a
+    gap is a SEGMENT BOUNDARY when its valley is deep — depth_i =
+    (peak_left − s_i) + (peak_right − s_i) — relative to the doc's own
+    depth distribution (the Hearst cutoff μ − σ/2).
+
+    Deterministic simplifications, stated: peaks are the prefix/suffix
+    maxima of the score sequence (Hearst climbs to the nearest local
+    max; the global form is order-free and SQL-replayable), and the
+    cutoff comparison is exact integer arithmetic — with depths in
+    MILLI-units d, boundary ⟺ 2·(d_i·m − Σd) > −sqrt(m·Σd² − (Σd)²)
+    (both sides derived from exact BIGINTs; milli not micro keeps
+    m·Σd² far inside BIGINT even for 100k-gap documents).
+
+    Everything is per-document array arithmetic — map-only, ZERO
+    shuffles, no UDF: block slicing, the tf-cosines (integer dot/norm
+    folds over ≤w-token blocks), prefix/suffix maxima, and the cutoff
+    all run as one Catalyst projection, then one posexplode emits (id,
+    gap_idx, token_offset, score_r6, depth_r6, is_boundary).  Documents
+    with fewer than two blocks emit no rows (no gap exists).  Feed the
+    boundaries to a chunker to get topic-coherent passages where
+    `md_section_chunks` would fall back to fixed windows."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import (
+        norm_key_col,
+    )
+
+    def _dot(a: str, b: str, v: str) -> str:
+        # integer tf dot product of two ≤w-token string arrays: for each
+        # distinct term of `a`, count(a) * count(b).  Exact BIGINT —
+        # fold order cannot matter.
+        return (
+            f"aggregate(array_distinct({a}), cast(0 as bigint), "
+            f"(acc{v}, t{v}) -> acc{v} + "
+            f"cast(size(filter({a}, p{v} -> p{v} = t{v})) as bigint) * "
+            f"cast(size(filter({b}, q{v} -> q{v} = t{v})) as bigint))"
+        )
+
+    blk = f"(i - 1) * {w} + 1"
+    a = f"slice(_toks, {blk}, {w})"
+    b = f"slice(_toks, {blk} + {w}, {w})"
+    cos_m = (
+        f"cast(round({_dot(a, b, '1')} / "
+        f"(sqrt({_dot(a, a, '2')}) * sqrt({_dot(b, b, '3')})) "
+        f"* 1000000.0) as bigint)"
+    )
+    t = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(norm_key_col(F.col(text_col)), " "), lambda x: x != ""
+            ).alias("_toks"),
+        )
+        .withColumn(
+            "_nb",
+            F.expr(f"cast((size(_toks) + {w} - 1) div {w} as int)"),
+        )
+        .filter(F.col("_nb") >= 2)
+        .withColumn("_m", (F.col("_nb") - 1).cast("int"))
+        .withColumn("_s", F.expr(f"transform(sequence(1, _m), i -> {cos_m})"))
+    )
+    depth = (
+        "(array_max(slice(_s, 1, i)) - element_at(_s, i))"
+        " + (array_max(slice(_s, i, _m - i + 1)) - element_at(_s, i))"
+    )
+    t = (
+        t.withColumn(
+            "_d2", F.expr(f"transform(sequence(1, _m), i -> ({depth}) div 1000)")
+        )
+        .withColumn(
+            "_dsum", F.expr("aggregate(_d2, cast(0 as bigint), (a, x) -> a + x)")
+        )
+        .withColumn(
+            "_dsq",
+            F.expr("aggregate(_d2, cast(0 as bigint), (a, x) -> a + x * x)"),
+        )
+    )
+    flags = (
+        "transform(sequence(1, _m), i -> "
+        "cast(2 * (element_at(_d2, i) * _m - _dsum) as double) > "
+        "-sqrt(cast(_m * _dsq - _dsum * _dsum as double)))"
+    )
+    z = t.withColumn("_f", F.expr(flags)).select(
+        "id",
+        F.posexplode(F.expr("arrays_zip(_s, _d2, _f)")).alias("p", "z"),
+    )
+    return z.select(
+        "id",
+        (F.col("p") + 1).cast("int").alias("gap_idx"),
+        ((F.col("p") + 1) * w).cast("long").alias("token_offset"),
+        (F.col("z.`_s`").cast("double") / 1e6).alias("score_r6"),
+        (F.col("z.`_d2`").cast("double") / 1e3).alias("depth_r3"),
+        F.col("z.`_f`").alias("is_boundary"),
+    )

@@ -11139,6 +11139,78 @@ def text_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TextTiling topic segmentation (text_analysis.texttile_segments)
+# --------------------------------------------------------------------------
+@register(
+    "text_texttile_segments",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id AS id,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         x -> x <> '') AS toks
+      FROM documents),
+    m1 AS (SELECT id, toks, ((len(toks) + 9) // 10)::INT AS nb
+           FROM tk),
+    m2 AS (SELECT id, toks, nb - 1 AS m FROM m1 WHERE nb >= 2),
+    sc AS (SELECT id, m,
+        list_transform(generate_series(1, m), i ->
+          round(
+            list_sum(list_transform(
+                list_distinct(toks[(i-1)*10+1 : (i-1)*10+10]), t ->
+                  len(list_filter(toks[(i-1)*10+1 : (i-1)*10+10],
+                                  p -> p = t))::BIGINT
+                  * len(list_filter(toks[i*10+1 : i*10+10],
+                                    q -> q = t))::BIGINT))
+            / (sqrt(list_sum(list_transform(
+                 list_distinct(toks[(i-1)*10+1 : (i-1)*10+10]), t2 ->
+                   len(list_filter(toks[(i-1)*10+1 : (i-1)*10+10],
+                                   p2 -> p2 = t2))::BIGINT
+                   * len(list_filter(toks[(i-1)*10+1 : (i-1)*10+10],
+                                     q2 -> q2 = t2))::BIGINT)))
+               * sqrt(list_sum(list_transform(
+                 list_distinct(toks[i*10+1 : i*10+10]), t3 ->
+                   len(list_filter(toks[i*10+1 : i*10+10],
+                                   p3 -> p3 = t3))::BIGINT
+                   * len(list_filter(toks[i*10+1 : i*10+10],
+                                     q3 -> q3 = t3))::BIGINT))))
+            * 1000000.0)::BIGINT) AS s
+        FROM m2),
+    dp AS (SELECT id, m, s,
+        list_transform(generate_series(1, m), i ->
+          ((list_max(s[1:i]) - s[i]) + (list_max(s[i:m]) - s[i])) // 1000)
+            AS d2
+        FROM sc),
+    st AS (SELECT id, m, s, d2,
+                  list_sum(d2)::BIGINT AS dsum,
+                  list_sum(list_transform(d2, x -> x * x))::BIGINT AS dsq
+           FROM dp),
+    g AS (SELECT id, i, s[i] AS sm, d2[i] AS dm, m, dsum, dsq
+          FROM st, unnest(generate_series(1, m)) u(i))
+    SELECT id, i::INT AS gap_idx, (i * 10)::BIGINT AS token_offset,
+           sm::DOUBLE / 1000000.0 AS score_r6,
+           dm::DOUBLE / 1000.0 AS depth_r3,
+           (2 * (dm * m - dsum))::DOUBLE
+               > -sqrt((m * dsq - dsum * dsum)::DOUBLE) AS is_boundary
+    FROM g
+    """,
+)
+def text_texttile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation
+    (`text_analysis.texttile_segments`, Hearst 1997): 10-token blocks,
+    integer tf-cosine cohesion per gap, prefix/suffix-peak valley
+    depths, and the Hearst μ − σ/2 cutoff rendered as an exact
+    integer/sqrt comparison — boundaries where the document's lexical
+    cohesion dips, with no structure required.  Map-only, zero
+    shuffles, no UDF; the oracle replays tokenization, block slicing,
+    every integer dot/norm, the depths, and the cutoff inequality."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        texttile_segments,
+    )
+
+    return texttile_segments(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

@@ -4808,6 +4808,49 @@ class TestJLRefine:
         assert out.count() == 0
 
 
+class TestTextTiling:
+    def test_topic_shift_marks_the_valley(self, spark):
+        """Two 30-token topics: the only boundary is the gap where the
+        vocabulary flips; uniform neighbouring gaps score cosine 1 and
+        depth 0."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            texttile_segments,
+        )
+
+        text = (
+            "cat dog cat bird cat dog bird cat dog cat " * 3
+            + "car road car truck road car truck road car road " * 3
+        )
+        df = spark.createDataFrame(
+            [(1, text), (2, "short text"), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r.id, r.gap_idx): r
+            for r in texttile_segments(df, "doc_id", "text", w=10).collect()
+        }
+        assert {i for (i, _) in rows} == {1}  # short/NULL docs: no gaps
+        assert rows[(1, 3)].is_boundary and rows[(1, 3)].score_r6 == 0.0
+        assert rows[(1, 3)].token_offset == 30
+        for g in (1, 2, 4, 5):
+            assert not rows[(1, g)].is_boundary
+            assert rows[(1, g)].score_r6 == 1.0 and rows[(1, g)].depth_r3 == 0.0
+
+    def test_uniform_document_has_no_boundaries(self, spark):
+        """Constant cohesion → zero variance → the strict cutoff
+        inequality fails everywhere: no spurious boundaries."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            texttile_segments,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon " * 20)],
+            "doc_id long, text string",
+        )
+        rows = texttile_segments(df, "doc_id", "text", w=10).collect()
+        assert rows and not any(r.is_boundary for r in rows)
+
+
 class TestQualityDisagreementAudit:
     def test_committee_consistency(self, spark):
         """Composite sanity on sf0.001: every document is audited once,
