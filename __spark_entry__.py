@@ -46,6 +46,7 @@ _NEWEST_FIRST = [
     "quality_disagreement_audit",  # r5+: NB×LR committee disagreement, full oracle
     "host_communities",         # r5+: deterministic LPA communities, unrolled oracle
     "text_texttile_segments",   # r5+: TextTiling topic segmentation, full oracle
+    "text_texttile_passages",   # r5+: materialized topic passages, full oracle
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts
     "robots_crawl_delays",      # r5 final: Crawl-delay via the group machine
     "crawl_politeness_rated",   # r5 final: delay-aware per-host wave budgets

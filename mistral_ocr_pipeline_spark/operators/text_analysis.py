@@ -2880,3 +2880,113 @@ def texttile_segments(
         (F.col("z.`_d2`").cast("double") / 1e3).alias("depth_r3"),
         F.col("z.`_f`").alias("is_boundary"),
     )
+
+
+def texttile_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 10,
+) -> DataFrame:
+    """Materialized TextTiling passages — the consumer half of
+    `texttile_segments`: the boundary gaps become cut points and each
+    document re-emits as topic-coherent passages of whole ``w``-token
+    blocks, (id, seg_idx, start_token, n_tokens, seg_text).  The
+    structureless-prose analog of `mdstruct.md_section_text`, and the
+    RAG-chunking input where fixed windows would straddle topics.
+
+    Same zero-shuffle shape: the boundary flags are recomputed in the
+    same projection (they are pure array arithmetic — cheaper than a
+    join against a materialized `texttile_segments`), cut offsets
+    derive from the flags with a filter over gap indices, and passages
+    slice straight out of the token array.  Documents with fewer than
+    two blocks emit one passage covering the whole document (seg_idx
+    0) — segmentation never loses text (Σ n_tokens = doc tokens,
+    pinned in tests)."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import (
+        norm_key_col,
+    )
+
+    def _dot(a: str, b: str, v: str) -> str:
+        return (
+            f"aggregate(array_distinct({a}), cast(0 as bigint), "
+            f"(acc{v}, t{v}) -> acc{v} + "
+            f"cast(size(filter({a}, p{v} -> p{v} = t{v})) as bigint) * "
+            f"cast(size(filter({b}, q{v} -> q{v} = t{v})) as bigint))"
+        )
+
+    blk = f"(i - 1) * {w} + 1"
+    a = f"slice(_toks, {blk}, {w})"
+    b = f"slice(_toks, {blk} + {w}, {w})"
+    cos_m = (
+        f"cast(round({_dot(a, b, '1')} / "
+        f"(sqrt({_dot(a, a, '2')}) * sqrt({_dot(b, b, '3')})) "
+        f"* 1000000.0) as bigint)"
+    )
+    depth = (
+        "(array_max(slice(_s, 1, i)) - element_at(_s, i))"
+        " + (array_max(slice(_s, i, _m - i + 1)) - element_at(_s, i))"
+    )
+    t = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(norm_key_col(F.col(text_col)), " "), lambda x: x != ""
+            ).alias("_toks"),
+        )
+        .withColumn(
+            "_nb", F.expr(f"cast((size(_toks) + {w} - 1) div {w} as int)")
+        )
+        .withColumn("_m", F.greatest(F.col("_nb") - 1, F.lit(0)).cast("int"))
+        .withColumn(
+            "_s",
+            F.expr(
+                "CASE WHEN _m < 1 THEN array() ELSE "
+                f"transform(sequence(1, _m), i -> {cos_m}) END"
+            ),
+        )
+        .withColumn(
+            "_d2",
+            F.expr(
+                "CASE WHEN _m < 1 THEN array() ELSE "
+                f"transform(sequence(1, _m), i -> ({depth}) div 1000) END"
+            ),
+        )
+        .withColumn(
+            "_dsum", F.expr("aggregate(_d2, cast(0 as bigint), (a, x) -> a + x)")
+        )
+        .withColumn(
+            "_dsq",
+            F.expr("aggregate(_d2, cast(0 as bigint), (a, x) -> a + x * x)"),
+        )
+    )
+    # cut points in TOKEN units: boundary gap i cuts before block i
+    # (token i·w); always cut at 0 so slices pair up as (cut, next_cut)
+    cuts = (
+        "concat(array(0), CASE WHEN _m < 1 THEN array() ELSE "
+        "transform(filter(sequence(1, _m), i -> "
+        "cast(2 * (element_at(_d2, i) * _m - _dsum) as double) > "
+        f"-sqrt(cast(_m * _dsq - _dsum * _dsum as double))), i -> i * {w}) END)"
+    )
+    t = t.withColumn("_cuts", F.expr(cuts))
+    seg = (
+        "transform(sequence(1, size(_cuts)), j -> named_struct("
+        "'seg_idx', j - 1, "
+        "'start_token', element_at(_cuts, j), "
+        "'n_tokens', (CASE WHEN j < size(_cuts) "
+        "  THEN element_at(_cuts, j + 1) ELSE size(_toks) END)"
+        "  - element_at(_cuts, j), "
+        "'seg_text', array_join(slice(_toks, element_at(_cuts, j) + 1, "
+        "  (CASE WHEN j < size(_cuts) THEN element_at(_cuts, j + 1) "
+        "   ELSE size(_toks) END) - element_at(_cuts, j)), ' ')))"
+    )
+    z = t.filter(F.expr("size(_toks) > 0")).select(
+        "id", F.explode(F.expr(seg)).alias("z")
+    )
+    return z.select(
+        "id",
+        F.col("z.seg_idx").cast("int").alias("seg_idx"),
+        F.col("z.start_token").cast("long").alias("start_token"),
+        F.col("z.n_tokens").cast("long").alias("n_tokens"),
+        F.col("z.seg_text").alias("seg_text"),
+    )

@@ -11210,6 +11210,85 @@ def text_texttile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texttile_segments(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "text_texttile_passages",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id AS id,
+             list_filter(string_split({_KEY.format(c='text')}, ' '),
+                         x -> x <> '') AS toks
+      FROM documents),
+    m2 AS (SELECT id, toks,
+                  greatest(((len(toks) + 9) // 10) - 1, 0)::INT AS m
+           FROM tk WHERE len(toks) > 0),
+    sc AS (SELECT id, toks, m,
+        list_transform(generate_series(1, m), i ->
+          round(
+            list_sum(list_transform(
+                list_distinct(toks[(i-1)*10+1 : (i-1)*10+10]), t ->
+                  len(list_filter(toks[(i-1)*10+1 : (i-1)*10+10],
+                                  p -> p = t))::BIGINT
+                  * len(list_filter(toks[i*10+1 : i*10+10],
+                                    q -> q = t))::BIGINT))
+            / (sqrt(list_sum(list_transform(
+                 list_distinct(toks[(i-1)*10+1 : (i-1)*10+10]), t2 ->
+                   len(list_filter(toks[(i-1)*10+1 : (i-1)*10+10],
+                                   p2 -> p2 = t2))::BIGINT
+                   * len(list_filter(toks[(i-1)*10+1 : (i-1)*10+10],
+                                     q2 -> q2 = t2))::BIGINT)))
+               * sqrt(list_sum(list_transform(
+                 list_distinct(toks[i*10+1 : i*10+10]), t3 ->
+                   len(list_filter(toks[i*10+1 : i*10+10],
+                                   p3 -> p3 = t3))::BIGINT
+                   * len(list_filter(toks[i*10+1 : i*10+10],
+                                     q3 -> q3 = t3))::BIGINT))))
+            * 1000000.0)::BIGINT) AS s
+        FROM m2),
+    dp AS (SELECT id, toks, m, s,
+        list_transform(generate_series(1, m), i ->
+          ((list_max(s[1:i]) - s[i]) + (list_max(s[i:m]) - s[i])) // 1000)
+            AS d2
+        FROM sc),
+    st AS (SELECT id, toks, m, d2,
+                  list_sum(d2)::BIGINT AS dsum,
+                  list_sum(list_transform(d2, x -> x * x))::BIGINT AS dsq
+           FROM dp),
+    ct AS (SELECT id, toks,
+        list_concat([0], list_transform(list_filter(
+            generate_series(1, m), i ->
+              (2 * (d2[i] * m - dsum))::DOUBLE
+                  > -sqrt((m * dsq - dsum * dsum)::DOUBLE)),
+            i -> i * 10)) AS cuts
+        FROM st),
+    g AS (SELECT id, toks, cuts, j
+          FROM ct, unnest(generate_series(1, len(cuts))) u(j))
+    SELECT id, (j - 1)::INT AS seg_idx,
+           cuts[j]::BIGINT AS start_token,
+           ((CASE WHEN j < len(cuts) THEN cuts[j + 1]
+                  ELSE len(toks) END) - cuts[j])::BIGINT AS n_tokens,
+           array_to_string(
+               toks[cuts[j] + 1 :
+                    CASE WHEN j < len(cuts) THEN cuts[j + 1]
+                         ELSE len(toks) END], ' ') AS seg_text
+    FROM g
+    """,
+)
+def text_texttile_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized TextTiling passages
+    (`text_analysis.texttile_passages`): the boundary gaps of
+    `text_texttile_segments` become cut points and each document
+    re-emits as topic-coherent passages — the structureless-prose
+    analog of `md_section_chunks`'s section assembly, with the
+    lossless-cover invariant (Σ n_tokens = doc tokens; single-block
+    docs emit one whole-document passage).  Map-only, zero shuffle;
+    the oracle replays the boundary math and the passage slicing."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        texttile_passages,
+    )
+
+    return texttile_passages(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------

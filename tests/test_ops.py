@@ -4836,6 +4836,36 @@ class TestTextTiling:
             assert not rows[(1, g)].is_boundary
             assert rows[(1, g)].score_r6 == 1.0 and rows[(1, g)].depth_r3 == 0.0
 
+    def test_passages_cover_document_losslessly(self, spark):
+        """Passage materialization: the two-topic doc splits into two
+        passages at the valley; every doc's passages cover its tokens
+        exactly (sum of n_tokens = token count), and a single-block doc
+        emits one whole-document passage."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            texttile_passages,
+        )
+
+        text = (
+            "cat dog cat bird cat dog bird cat dog cat " * 3
+            + "car road car truck road car truck road car road " * 3
+        )
+        df = spark.createDataFrame(
+            [(1, text), (2, "short text"), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = texttile_passages(df, "doc_id", "text", w=10).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.id, []).append(r)
+        assert set(by_doc) == {1, 2}
+        segs = sorted(by_doc[1], key=lambda r: r.seg_idx)
+        assert [(s.start_token, s.n_tokens) for s in segs] == [(0, 30), (30, 30)]
+        assert segs[0].seg_text.startswith("cat dog")
+        assert segs[1].seg_text.startswith("car road")
+        assert sum(s.n_tokens for s in by_doc[1]) == 60
+        assert by_doc[2][0].seg_text == "short text"
+        assert by_doc[2][0].n_tokens == 2
+
     def test_uniform_document_has_no_boundaries(self, spark):
         """Constant cohesion → zero variance → the strict cutoff
         inequality fails everywhere: no spurious boundaries."""
