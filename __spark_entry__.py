@@ -47,6 +47,8 @@ _NEWEST_FIRST = [
     "host_communities",         # r5+: deterministic LPA communities, unrolled oracle
     "text_texttile_segments",   # r5+: TextTiling topic segmentation, full oracle
     "text_texttile_passages",   # r5+: materialized topic passages, full oracle
+    "warc_parse_records",       # r5+: WARC framing walk as a map-only fold
+    "warc_cdx_index",           # r5+: CDX lookup index from parsed records
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts
     "robots_crawl_delays",      # r5 final: Crawl-delay via the group machine
     "crawl_politeness_rated",   # r5 final: delay-aware per-host wave budgets

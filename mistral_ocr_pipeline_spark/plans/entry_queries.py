@@ -11290,6 +11290,176 @@ def text_texttile_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# WARC record parsing + CDX index (sources/warc.py)
+# --------------------------------------------------------------------------
+# fixture: 50 synthetic WARC files (10 records each) built from the
+# documents table — ASCII bodies (norm-key text behind an HTTP header
+# block), every 7th record a 'request', Content-Length = exact char
+# length (≡ bytes under the module's latin-1 contract)
+_WARC_CRLF = "chr(13) || chr(10)"
+_WARC_FIXTURE_SQL = f"""doc AS (
+      SELECT doc_id, doc_id // 10 AS file_id,
+             'HTTP/1.1 200 OK' || {_WARC_CRLF} ||
+             'Content-Type: text/plain' || {_WARC_CRLF} || {_WARC_CRLF} ||
+             {_KEY.format(c='text')} AS body,
+             CASE WHEN doc_id % 7 = 0 THEN 'request'
+                  ELSE 'response' END AS typ
+      FROM documents),
+    rec0 AS (
+      SELECT doc_id, file_id,
+             'WARC/1.0' || {_WARC_CRLF} ||
+             'WARC-Type: ' || typ || {_WARC_CRLF} ||
+             'WARC-Target-URI: https://site' || (doc_id % 5)
+                 || '.example.com/p/' || doc_id || {_WARC_CRLF} ||
+             'Content-Length: ' || length(body)
+                 || {_WARC_CRLF} || {_WARC_CRLF} ||
+             body || {_WARC_CRLF} || {_WARC_CRLF} AS rec
+      FROM doc),
+    f AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS w
+          FROM rec0 GROUP BY 1)"""
+
+_WARC_HEND = (
+    "CASE WHEN strpos(substring(w, pos), {crlf2}) = 0 THEN 0 "
+    "ELSE pos + strpos(substring(w, pos), {crlf2}) - 1 END"
+).format(crlf2=f"{_WARC_CRLF} || {_WARC_CRLF}")
+
+_WARC_CLEN = (
+    "try_cast(nullif(regexp_extract(substring(w, pos, "
+    "CASE WHEN {hend} = 0 THEN length(w) ELSE {hend} - pos END), "
+    "'Content-Length: ([0-9]+)', 1), '') AS INT)"
+).format(hend=_WARC_HEND)
+
+_WARC_PARSE_SQL = f"""walk AS (
+      SELECT file_id, w, 0 AS rec_idx, 1::BIGINT AS pos FROM f
+      UNION ALL
+      SELECT file_id, w, rec_idx + 1,
+             CASE WHEN hend = 0 OR clen IS NULL THEN length(w) + 1
+                  ELSE hend + 4 + clen + 4 END
+      FROM (SELECT file_id, w, rec_idx, pos,
+                   {_WARC_HEND} AS hend, {_WARC_CLEN} AS clen
+            FROM walk) s
+      WHERE pos <= length(w) AND rec_idx < 63),
+    prs AS (
+      SELECT file_id, rec_idx, pos, {_WARC_HEND} AS hend,
+             {_WARC_CLEN} AS clen, w
+      FROM walk WHERE pos <= length(w)),
+    wrec AS (
+      SELECT file_id, rec_idx::INT AS rec_idx,
+             (pos - 1)::BIGINT AS offset,
+             nullif(regexp_extract(
+                 substring(w, pos, CASE WHEN hend = 0 THEN length(w)
+                                        ELSE hend - pos END),
+                 'WARC-Type: ([^\\r\\n]+)', 1), '') AS warc_type,
+             nullif(regexp_extract(
+                 substring(w, pos, CASE WHEN hend = 0 THEN length(w)
+                                        ELSE hend - pos END),
+                 'WARC-Target-URI: ([^\\r\\n]+)', 1), '') AS target_uri,
+             clen::BIGINT AS content_length,
+             CASE WHEN hend = 0 OR clen IS NULL THEN NULL
+                  ELSE md5(substring(w, hend + 4, clen)) END AS digest,
+             (hend = 0 OR clen IS NULL
+              OR hend + 3 + clen > length(w)) AS truncated
+      FROM prs)"""
+
+
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_WARC_FIXTURE_SQL`."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import (
+        norm_key_col,
+    )
+
+    d = F.col("doc_id")
+    crlf = "\r\n"
+    body = F.concat(
+        F.lit(f"HTTP/1.1 200 OK{crlf}Content-Type: text/plain{crlf}{crlf}"),
+        norm_key_col(F.col("text")),
+    )
+    typ = F.when(d % 7 == 0, F.lit("request")).otherwise(F.lit("response"))
+    rec = F.concat(
+        F.lit(f"WARC/1.0{crlf}WARC-Type: "),
+        typ,
+        F.lit(f"{crlf}WARC-Target-URI: https://site"),
+        (d % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.lit(f"{crlf}Content-Length: "),
+        F.length(body).cast("string"),
+        F.lit(f"{crlf}{crlf}"),
+        body,
+        F.lit(f"{crlf}{crlf}"),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.expr("doc_id div 10").alias("file_id"),
+            F.struct(d.alias("doc_id"), rec.alias("rec")).alias("p"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("p")),
+                    lambda s: s.getField("rec"),
+                ),
+                "",
+            ).alias("warc")
+        )
+    )
+
+
+@register(
+    "warc_parse_records",
+    oracle=f"""
+    WITH RECURSIVE {_WARC_FIXTURE_SQL},
+    {_WARC_PARSE_SQL}
+    SELECT * FROM wrec
+    """,
+)
+def warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parsing (`sources/warc.parse_warc_records`, ISO
+    28500): 50 synthetic WARC files of 10 records each, walked by the
+    sequential Content-Length framing as ONE map-only `aggregate` fold
+    per file — files parallelize, records within a file are the linear
+    scan the format forces.  Offsets are true byte offsets under the
+    latin-1 decode contract; the body digest certifies byte-exact
+    slicing.  The oracle replays the walk as a recursive CTE over the
+    identical fixture."""
+    from mistral_ocr_pipeline_spark.sources.warc import parse_warc_records
+
+    return parse_warc_records(
+        _warc_fixture(spark, sf_dir), "file_id", "warc", max_records=64
+    )
+
+
+@register(
+    "warc_cdx_index",
+    oracle=f"""
+    WITH RECURSIVE {_WARC_FIXTURE_SQL},
+    {_WARC_PARSE_SQL}
+    SELECT target_uri, file_id, "offset", content_length AS length, digest
+    FROM wrec WHERE warc_type = 'response' AND NOT truncated
+    """,
+)
+def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX lookup index over the parsed WARC fixture
+    (`sources/warc.cdx_index`): one row per intact response record —
+    (url, file, byte offset, record length, body digest) — the
+    refetch-free random-access index wayback-style readers and corpus
+    reprocessors serve from.  Request records and truncated frames are
+    excluded, exactly as CDX generation does."""
+    from mistral_ocr_pipeline_spark.sources.warc import (
+        cdx_index,
+        parse_warc_records,
+    )
+
+    return cdx_index(
+        parse_warc_records(
+            _warc_fixture(spark, sf_dir), "file_id", "warc", max_records=64
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

@@ -1,0 +1,105 @@
+"""WARC parsing (`sources/warc.py`): frame walk, malformed-frame stop,
+byte-exact bodies, CDX derivation."""
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_pipeline_spark.sources.warc import (
+    cdx_index,
+    parse_warc_records,
+)
+
+CRLF = "\r\n"
+
+
+def _rec(typ, uri, body, clen=None):
+    clen = len(body) if clen is None else clen
+    return (
+        f"WARC/1.0{CRLF}WARC-Type: {typ}{CRLF}WARC-Target-URI: {uri}{CRLF}"
+        f"Content-Length: {clen}{CRLF}{CRLF}{body}{CRLF}{CRLF}"
+    )
+
+
+def _parse(spark, files, **kw):
+    df = spark.createDataFrame(files, "file_id long, warc string")
+    return sorted(
+        parse_warc_records(df, **kw).collect(),
+        key=lambda r: (r.file_id, r.rec_idx),
+    )
+
+
+def test_two_record_file_offsets_and_digest(spark):
+    import hashlib
+
+    b1, b2 = "hello body one", "second body with crlf\r\ninside it"
+    w = _rec("response", "https://a/1", b1) + _rec("request", "https://a/2", b2)
+    rows = _parse(spark, [(1, w)])
+    assert len(rows) == 2
+    r1, r2 = rows
+    assert (r1.offset, r1.warc_type, r1.target_uri) == (
+        0, "response", "https://a/1"
+    )
+    assert r1.content_length == len(b1)
+    assert r1.digest == hashlib.md5(b1.encode()).hexdigest()
+    assert not r1.truncated
+    # record 2 starts exactly where record 1's framing says it does
+    assert r2.offset == len(_rec("response", "https://a/1", b1))
+    assert r2.digest == hashlib.md5(b2.encode()).hexdigest()
+    # a body containing CRLF CRLF would break naive splitting; the
+    # Content-Length walk is immune
+    assert not r2.truncated
+
+
+def test_body_containing_separator_is_not_resplit(spark):
+    body = f"x{CRLF}{CRLF}y"  # contains the record separator
+    w = _rec("response", "u1", body) + _rec("response", "u2", "tail")
+    rows = _parse(spark, [(1, w)])
+    assert [r.target_uri for r in rows] == ["u1", "u2"]
+    assert rows[0].content_length == len(body)
+
+
+def test_malformed_length_stops_walk_with_flag(spark):
+    # record 2 lies about its length (runs past EOF): flagged truncated,
+    # walk stops — no fabricated record 3
+    w = (
+        _rec("response", "u1", "good body")
+        + _rec("response", "u2", "short", clen=9999)
+        + _rec("response", "u3", "never reached")
+    )
+    rows = _parse(spark, [(1, w)])
+    assert len(rows) == 2
+    assert not rows[0].truncated
+    assert rows[1].truncated and rows[1].target_uri == "u2"
+
+
+def test_missing_header_terminator_flags_and_stops(spark):
+    w = _rec("response", "u1", "ok") + "WARC/1.0\r\nWARC-Type: response"
+    rows = _parse(spark, [(1, w)])
+    assert len(rows) == 2
+    assert rows[1].truncated and rows[1].digest is None
+    assert rows[1].content_length is None
+
+
+def test_cdx_keeps_only_intact_responses(spark):
+    w = (
+        _rec("warcinfo", "u0", "meta")
+        + _rec("response", "u1", "body a")
+        + _rec("request", "u2", "GET /")
+        + _rec("response", "u3", "body b")
+    )
+    df = spark.createDataFrame([(7, w)], "file_id long, warc string")
+    rows = sorted(
+        cdx_index(parse_warc_records(df)).collect(),
+        key=lambda r: r.target_uri,
+    )
+    assert [r.target_uri for r in rows] == ["u1", "u3"]
+    assert all(r.file_id == 7 and r.length > 0 for r in rows)
+
+
+def test_empty_and_partition_invariance(spark):
+    files = [(i, _rec("response", f"u{i}", f"body {i}") * 3) for i in range(20)]
+    df = spark.createDataFrame(files, "file_id long, warc string")
+    a = sorted(map(tuple, parse_warc_records(df).collect()))
+    b = sorted(map(tuple, parse_warc_records(df.repartition(7)).collect()))
+    assert a == b and len(a) == 60
+    empty = spark.createDataFrame([(1, "")], "file_id long, warc string")
+    assert parse_warc_records(empty).count() == 0
