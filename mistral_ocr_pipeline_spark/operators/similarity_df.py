@@ -1317,18 +1317,37 @@ def margin_mine(
 
     Output: (x_id, y_id, cosine_r6, margin_r6, knn_x_r6, knn_y_r6).
     """
+    from mistral_ocr_pipeline_spark.operators.similarity import fold_dot
+
     if knn_pairs is not None:
         pairs = knn_pairs.select("x_id", "y_id", "cm")
     else:
+        # norms hoisted per SIDE, not recomputed per pair — sqrt(fold)
+        # on the same vector is the same IEEE double either way, so the
+        # oracle's per-pair sqrt(dot(x,x))*sqrt(dot(y,y)) denominator is
+        # bit-identical while the pair loop does ONE fold, not three
         x = x_df.select(
             F.col(id_col).alias("x_id"), _dvec(F.col(vec_col)).alias("_xv")
-        )
+        ).withColumn("_xn", F.sqrt(fold_dot(F.col("_xv"), F.col("_xv"))))
         y = y_df.select(
             F.col(id_col).alias("y_id"), _dvec(F.col(vec_col)).alias("_yv")
-        )
+        ).withColumn("_yn", F.sqrt(fold_dot(F.col("_yv"), F.col("_yv"))))
         pairs = x.crossJoin(y).select(
-            "x_id", "y_id", _micro_cosine(F.col("_xv"), F.col("_yv")).alias("cm")
+            "x_id",
+            "y_id",
+            F.round(
+                fold_dot(F.col("_xv"), F.col("_yv"))
+                / (F.col("_xn") * F.col("_yn"))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("cm"),
         )
+    # four consumers read the scored pairs (fwd/bwd lists, both means);
+    # without a persist the (possibly cross-join) scoring re-evaluates
+    # per consumer — measured 4x the whole kNN stage at sf0.1
+    pairs = pairs.persist()
 
     wf = W.partitionBy("x_id").orderBy(F.col("cm").desc(), F.col("y_id").asc())
     wb = W.partitionBy("y_id").orderBy(F.col("cm").desc(), F.col("x_id").asc())
