@@ -47,6 +47,7 @@ _NEWEST_FIRST = [
     "host_communities",         # r5+: deterministic LPA communities, unrolled oracle
     "text_texttile_segments",   # r5+: TextTiling topic segmentation, full oracle
     "text_texttile_passages",   # r5+: materialized topic passages, full oracle
+    "warc_html_extract",        # r5+: WARC -> HTTP payload -> DOM extract, one plan
     "warc_parse_records",       # r5+: WARC framing walk as a map-only fold
     "warc_cdx_index",           # r5+: CDX lookup index from parsed records
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts

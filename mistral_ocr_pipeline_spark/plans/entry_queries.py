@@ -11460,6 +11460,139 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# end-to-end: WARC archive -> HTTP payload -> DOM extraction (north-star)
+# --------------------------------------------------------------------------
+@register(
+    "warc_html_extract",
+    oracle=f"""
+    SELECT doc_id,
+           'https://site' || (doc_id % 5) || '.example.com/p/' || doc_id
+               AS target_uri,
+           'Doc ' || doc_id::varchar || chr(10) || chr(10) ||
+               {_NORM.format(c='text')} AS extracted_text,
+           '# Doc ' || doc_id::varchar || chr(10) || chr(10) ||
+               {_NORM.format(c='text')} AS md
+    FROM documents
+    WHERE doc_id % 7 <> 0 AND {_NORM.format(c='text')} != ''
+    """,
+)
+def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star path end to end from the archive surface: WARC
+    files (HTML pages behind HTTP headers, every 7th record a request)
+    → `parse_warc_records` framing walk → intact responses → HTTP
+    header strip → the REAL mapInPandas DOM extractor
+    (`extract_transcripts`, the same boilerplate classifier
+    `extract_html_boilerplate` certifies) → per-page text + markdown,
+    with the target URI carried from the WARC headers.  One plan:
+    fold-parse, payload slice, and Arrow extraction chain without a
+    single driver action; the oracle reconstructs the expected
+    extraction for every response record directly from the documents
+    table."""
+    from mistral_ocr_pipeline_spark.functions.text_functions import (  # noqa: F401
+        norm_key_col,
+    )
+    from mistral_ocr_pipeline_spark.plans.extract_pipeline import (
+        extract_transcripts,
+    )
+    from mistral_ocr_pipeline_spark.sources.warc import parse_warc_records
+
+    crlf = "\r\n"
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>x</title><style>p{color:red}</style></head><body>"
+            '<nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">More</a></nav>'
+            "<header><p>Site tagline boilerplate</p></header><article><h1>Doc "
+        ),
+        d.cast("string"),
+        F.lit("</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(
+            "</p></article>"
+            '<p><a href="/x">read</a> <a href="/y">more</a> <a href="/z">links</a></p>'
+            '<aside><ul><li><a href="/r">Related article teaser junk</a></li></ul></aside>'
+            "<footer><p>© 2024 example.org</p></footer></body></html>"
+        ),
+    )
+    body = F.concat(
+        F.lit(f"HTTP/1.1 200 OK{crlf}Content-Type: text/html{crlf}{crlf}"),
+        F.when(d % 7 == 0, F.concat(F.lit("GET /p/"), d.cast("string"))).otherwise(
+            html
+        ),
+    )
+    typ = F.when(d % 7 == 0, F.lit("request")).otherwise(F.lit("response"))
+    rec = F.concat(
+        F.lit(f"WARC/1.0{crlf}WARC-Type: "),
+        typ,
+        F.lit(f"{crlf}WARC-Target-URI: https://site"),
+        (d % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.lit(f"{crlf}Content-Length: "),
+        F.length(body).cast("string"),
+        F.lit(f"{crlf}{crlf}"),
+        body,
+        F.lit(f"{crlf}{crlf}"),
+    )
+    files = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.expr("doc_id div 10").alias("file_id"),
+            F.struct(d.alias("doc_id"), rec.alias("rec")).alias("p"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("p")),
+                    lambda s: s.getField("rec"),
+                ),
+                "",
+            ).alias("warc")
+        )
+    )
+    recs = parse_warc_records(files, "file_id", "warc", 64, keep_body=True)
+    resp = recs.filter(
+        (F.col("warc_type") == "response") & ~F.col("truncated")
+    ).select(
+        "file_id",
+        "rec_idx",
+        "target_uri",
+        F.expr(
+            "CASE WHEN locate('\\r\\n\\r\\n', body) = 0 THEN body "
+            "ELSE substring(body, locate('\\r\\n\\r\\n', body) + 4) END"
+        ).alias("payload"),
+    )
+    t = resp.select(
+        F.col("file_id").cast("string").alias("conv_id"),
+        F.col("rec_idx").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("payload").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = extract_transcripts(t).select(
+        (F.col("conv_id").cast("long") * 10 + F.col("turn_idx")).alias(
+            "doc_id"
+        ),
+        "extracted_text",
+        "md",
+    )
+    uri = resp.select(
+        (F.col("file_id") * 10 + F.col("rec_idx")).alias("doc_id"),
+        "target_uri",
+    )
+    return (
+        out.join(uri, "doc_id")
+        .filter(
+            F.col("extracted_text")
+            != F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+        )
+        .select("doc_id", "target_uri", "extracted_text", "md")
+    )
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

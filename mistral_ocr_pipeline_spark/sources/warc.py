@@ -38,13 +38,17 @@ def parse_warc_records(
     id_col: str = "file_id",
     warc_col: str = "warc",
     max_records: int = 4096,
+    keep_body: bool = False,
 ) -> DataFrame:
     """(file_id, rec_idx, offset, warc_type, target_uri, content_length,
     digest, truncated) per record, in file order.  ``offset`` is the
     0-based byte offset of the record start (the CDX convention);
-    ``digest`` is md5 of the exact body slice.  ``max_records`` bounds
-    the fold (a backstop far above real per-file record counts —
-    Common Crawl WARCs hold a few thousand)."""
+    ``digest`` is md5 of the exact body slice.  ``keep_body`` adds the
+    raw body column (the downstream-extraction feed — off by default so
+    the index/dedup shapes never carry payload bytes through their
+    shuffles).  ``max_records`` bounds the fold (a backstop far above
+    real per-file record counts — Common Crawl WARCs hold a few
+    thousand)."""
     step = (
         "CASE WHEN acc.pos > length(_w) THEN acc ELSE "
         "named_struct("
@@ -96,6 +100,16 @@ def parse_warc_records(
             "r.hend = 0 OR r.clen IS NULL "
             "OR r.hend + 3 + r.clen > length(_w)"
         ).alias("truncated"),
+        *(
+            [
+                F.expr(
+                    "CASE WHEN r.hend = 0 OR r.clen IS NULL THEN NULL "
+                    f"ELSE {body} END"
+                ).alias("body")
+            ]
+            if keep_body
+            else []
+        ),
     )
 
 

@@ -103,3 +103,21 @@ def test_empty_and_partition_invariance(spark):
     assert a == b and len(a) == 60
     empty = spark.createDataFrame([(1, "")], "file_id long, warc string")
     assert parse_warc_records(empty).count() == 0
+
+
+def test_warc_html_extract_end_to_end(spark):
+    """Registry composite at sf0.001: every intact response page comes
+    back as extracted text + markdown with its WARC target URI; request
+    records never reach the extractor."""
+    from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["warc_html_extract"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 7 != 0
+        assert r.target_uri.endswith(f"/p/{r.doc_id}")
+        assert r.extracted_text.startswith(f"Doc {r.doc_id}\n\n")
+        assert r.md.startswith(f"# Doc {r.doc_id}\n\n")
+        assert "boilerplate" not in r.extracted_text
