@@ -489,3 +489,80 @@ def test_boilerplate_job_cli(tmp_path, spark):
     assert p2b.returncode == 0, p2b.stderr[-2000:]
     assert open(head).read().strip() == head_after_2
     assert "no-op" in p2b.stdout
+
+
+def test_warc_job_cli(tmp_path):
+    """WARC ingest through the spark-submit surface: batch 1 bootstraps
+    cdx + extracted pages in one atomic commit, batch 2 appends, and a
+    rerun of batch 2 is an idempotent no-op."""
+    import duckdb
+    import pandas as pd
+
+    CRLF = "\r\n"
+
+    def rec(uri, body, typ="response"):
+        return (
+            f"WARC/1.0{CRLF}WARC-Type: {typ}{CRLF}WARC-Target-URI: {uri}"
+            f"{CRLF}Content-Length: {len(body)}{CRLF}{CRLF}{body}{CRLF}{CRLF}"
+        )
+
+    def files(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            body = (
+                f"HTTP/1.1 200 OK{CRLF}{CRLF}"
+                f"<html><body><h1>T{i}</h1><p>page body {i} with words"
+                "</p></body></html>"
+            )
+            w = rec(f"https://h/{i}", body) + rec(
+                f"https://h/{i}r", f"GET /{i}", typ="request"
+            )
+            rows.append((i, w))
+        return rows
+
+    b1 = str(tmp_path / "w_b1.parquet")
+    b2 = str(tmp_path / "w_b2.parquet")
+    cols = ["file_id", "warc"]
+    pd.DataFrame(files(0, 6), columns=cols).to_parquet(b1, index=False)
+    pd.DataFrame(files(6, 15), columns=cols).to_parquet(b2, index=False)
+    wh = str(tmp_path / "wh_warc")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    common = dict(cwd="/root/repo", env=env, capture_output=True, text=True,
+                  timeout=400)
+
+    def run(inp, batch):
+        return subprocess.run(
+            [sys.executable, "spark_jobs/warc_job.py",
+             "--input", inp, "--warehouse", wh, "--batch-id", batch,
+             "--extract"],
+            **common,
+        )
+
+    p1 = run(b1, "batch-1")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    p2 = run(b2, "batch-2")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+
+    head = os.path.join(wh, "_HEAD")
+    head_after_2 = open(head).read().strip()
+    manifest = json.load(open(os.path.join(wh, "_manifests", head_after_2)))
+    assert {"cdx", "pages", "warc_lineage"} <= set(manifest["tables"])
+
+    con = duckdb.connect()
+    cdx = con.execute(
+        "SELECT target_uri FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["cdx"]) + "/*.parquet')"
+    ).fetchall()
+    assert len(cdx) == 15  # responses only, both batches
+    pages = con.execute(
+        "SELECT file_id, extracted_text FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["pages"]) + "/*.parquet')"
+        " ORDER BY file_id"
+    ).fetchall()
+    assert len(pages) == 15
+    assert pages[3][1].startswith("T3")
+
+    p2b = run(b2, "batch-2")
+    assert p2b.returncode == 0, p2b.stderr[-2000:]
+    assert open(head).read().strip() == head_after_2
+    assert "no-op" in p2b.stdout
