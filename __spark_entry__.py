@@ -48,6 +48,7 @@ _NEWEST_FIRST = [
     "text_texttile_segments",   # r5+: TextTiling topic segmentation, full oracle
     "text_texttile_passages",   # r5+: materialized topic passages, full oracle
     "warc_html_extract",        # r5+: WARC -> HTTP payload -> DOM extract, one plan
+    "crawl_community_waves",    # r5+: mirror-cluster politeness budgets, LPA-fed
     "warc_parse_records",       # r5+: WARC framing walk as a map-only fold
     "warc_cdx_index",           # r5+: CDX lookup index from parsed records
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts

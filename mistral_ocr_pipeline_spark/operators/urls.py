@@ -686,3 +686,67 @@ def host_mirror_pairs(
             ).alias("jaccard_micro"),
         )
     )
+
+
+def crawl_community_waves(
+    df: DataFrame,
+    url_col: str,
+    priority_col: str,
+    communities: DataFrame,
+    per_wave: int = 4,
+) -> DataFrame:
+    """Politeness waves budgeted per link-graph COMMUNITY instead of per
+    host — the mirror-cluster rate cap: sister hosts that LPA (or
+    `host_mirror_pairs`) groups together usually share infrastructure,
+    so a per-host budget multiplied across 40 mirrors still hammers one
+    origin.  ``communities`` is (host, community) — e.g.
+    `htmllinks.label_propagation` over the host graph; hosts the graph
+    has never seen fall back to their own singleton community, which
+    degrades exactly to per-host politeness.
+
+    Same deterministic schedule contract as `crawl_politeness_waves`:
+    TOTAL (priority DESC, canon_url) order within community, wave =
+    (rank−1) div per_wave.  The communities relation is host-cardinality
+    (broadcast); the per-community window is the semantics — a shared
+    origin's fetch order is inherently sequential.  Compose with the
+    per-host form by scheduling against whichever is the binding
+    constraint for the fleet; the two waves are separate facts, not a
+    max (a max() merge can stack two same-host URLs into one wave and
+    silently break the host cap).
+
+    Output: (canon_url, host, community, priority, community_rank,
+    wave)."""
+    from pyspark.sql import Window
+
+    keyed = (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canon_url"),
+            F.col(priority_col).alias("priority"),
+        )
+        .withColumn("host", F.regexp_extract("canon_url", _URL_RE, 2))
+        .join(
+            F.broadcast(
+                communities.select(
+                    F.col("host").alias("_ch"), F.col("community").alias("_cc")
+                )
+            ),
+            F.col("host") == F.col("_ch"),
+            "left",
+        )
+        .withColumn("community", F.coalesce(F.col("_cc"), F.col("host")))
+        .drop("_ch", "_cc")
+    )
+    w = Window.partitionBy("community").orderBy(
+        F.col("priority").desc(), F.col("canon_url")
+    )
+    return keyed.select(
+        "canon_url",
+        "host",
+        "community",
+        "priority",
+        F.row_number().over(w).cast("long").alias("community_rank"),
+    ).withColumn(
+        # true integer division (div): exact at any rank, no float rounding
+        "wave",
+        F.expr(f"(community_rank - 1) div {int(per_wave)}").cast("long"),
+    )

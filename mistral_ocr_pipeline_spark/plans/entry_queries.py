@@ -14438,7 +14438,7 @@ def _host_pagerank_oracle_sql(n_iter: int = 5, tail: str | None = None) -> str:
     )
 
 
-def _lpa_oracle_sql(n_iter: int = 4) -> str:
+def _lpa_oracle_sql(n_iter: int = 4, tail: str | None = None) -> str:
     """Unrolled synchronous label propagation over the link-graph
     fixture's external edges: symmetrize + dedup + strip self-loops,
     seed each node with its own id, then per round the plurality
@@ -14470,7 +14470,12 @@ def _lpa_oracle_sql(n_iter: int = 4) -> str:
     return (
         "WITH "
         + ",\n    ".join(ctes)
-        + f"\n    SELECT host, lab AS community FROM l{n_iter} ORDER BY host"
+        + (
+            tail
+            if tail is not None
+            else f"\n    SELECT host, lab AS community FROM l{n_iter}"
+            " ORDER BY host"
+        )
     )
 
 
@@ -14492,6 +14497,76 @@ def host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = link_graph(_link_pages(spark, sf_dir), "id", "html", "src_host")
     edges = g.filter(F.col("src_host") != F.col("dst_host"))
     return label_propagation(edges).orderBy("host")
+
+
+def _community_waves_oracle_sql() -> str:
+    """LPA communities (unrolled) + frontier canonicalization + the
+    per-community wave arithmetic, in one statement."""
+    tail = f""",
+    comm AS (SELECT host, lab AS community FROM l4),
+    cw AS (SELECT doc_id AS id,
+                  'https://site' || (doc_id % 5) || '.example.com/p/'
+                      || doc_id AS url
+           FROM documents),
+    {_url_canon_ctes('cw')},
+    fr AS (SELECT canon_url, max((id * 37) % 101)::BIGINT AS priority
+           FROM cw_c GROUP BY canon_url),
+    jh AS (SELECT canon_url, priority,
+                  regexp_extract(canon_url, '{_URLRE}', 2) AS host
+           FROM fr),
+    j2 AS (SELECT jh.*, coalesce(c.community, jh.host) AS community
+           FROM jh LEFT JOIN comm c ON c.host = jh.host),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY community
+              ORDER BY priority DESC, canon_url)::BIGINT AS community_rank
+          FROM j2)
+    SELECT canon_url, host, community, priority, community_rank,
+           ((community_rank - 1) // 4)::BIGINT AS wave
+    FROM r"""
+    return _lpa_oracle_sql(4, tail=tail)
+
+
+@register("crawl_community_waves", oracle=_community_waves_oracle_sql())
+def crawl_community_waves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-cluster politeness (`urls.crawl_community_waves`): the
+    frontier is budgeted per link-graph COMMUNITY (LPA over the host
+    graph) instead of per host — sister hosts that share infrastructure
+    share one fetch budget, and graph-unseen hosts degrade to their own
+    singleton community (per-host politeness).  The oracle chains the
+    unrolled LPA, the shared URL canonicalizer, and the wave arithmetic
+    in one statement."""
+    from mistral_ocr_pipeline_spark.operators.htmllinks import (
+        label_propagation,
+        link_graph,
+    )
+    from mistral_ocr_pipeline_spark.operators.urls import (
+        canonicalize_url,
+        crawl_community_waves,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    g = link_graph(_link_pages(spark, sf_dir), "id", "html", "src_host")
+    comm = label_propagation(
+        g.filter(F.col("src_host") != F.col("dst_host"))
+    ).select("host", "community")
+    frontier = (
+        docs.select(
+            canonicalize_url(
+                F.concat(
+                    F.lit("https://site"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("canon_url"),
+            ((F.col("doc_id") * 37) % 101).cast("long").alias("priority"),
+        )
+        .groupBy("canon_url")
+        .agg(F.max("priority").alias("priority"))
+    )
+    return crawl_community_waves(
+        frontier, "canon_url", "priority", comm, per_wave=4
+    )
 
 
 @register("host_authority", oracle=_host_pagerank_oracle_sql())

@@ -518,3 +518,39 @@ class TestHostMirrors:
         # sizes count boiler and the NULL page; shared counts only d0..d3
         assert (m.shared, m.n_a, m.n_b) == (4, 6, 5)
         assert m.jaccard_micro == 4 * 1000000 // 7
+
+
+class TestCommunityWaves:
+    def test_mirror_hosts_share_one_budget(self, spark):
+        """Two mirror hosts in one community: their URLs interleave into
+        a SHARED wave budget (≤ per_wave per community per wave), while
+        a graph-unseen host falls back to its own singleton community."""
+        from mistral_ocr_pipeline_spark.operators.urls import (
+            crawl_community_waves,
+        )
+
+        comm = spark.createDataFrame(
+            [("a.com", "c1"), ("b.com", "c1")], "host string, community string"
+        )
+        rows = [
+            (f"https://a.com/p/{i}", 10 - i) for i in range(3)
+        ] + [
+            (f"https://b.com/p/{i}", 20 - i) for i in range(3)
+        ] + [
+            (f"https://lone.org/q/{i}", i) for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "url string, pr long")
+        out = crawl_community_waves(df, "url", "pr", comm, per_wave=2).collect()
+        by_comm = {}
+        for r in out:
+            by_comm.setdefault((r.community, r.wave), []).append(r)
+        # c1 holds all 6 mirror URLs -> 3 waves of exactly 2
+        c1_waves = {w: len(v) for (c, w), v in by_comm.items() if c == "c1"}
+        assert c1_waves == {0: 2, 1: 2, 2: 2}
+        # highest-priority URLs (b.com, pr 20,19) fetch first
+        wave0 = sorted(r.canon_url for r in by_comm[("c1", 0)])
+        assert all("b.com" in u for u in wave0)
+        # unseen host: singleton community named after itself
+        lone = [r for r in out if r.host == "lone.org"]
+        assert {r.community for r in lone} == {"lone.org"}
+        assert {r.wave for r in lone} == {0, 1}
