@@ -49,6 +49,8 @@ _NEWEST_FIRST = [
     "text_texttile_passages",   # r5+: materialized topic passages, full oracle
     "warc_html_extract",        # r5+: WARC -> HTTP payload -> DOM extract, one plan
     "crawl_community_waves",    # r5+: mirror-cluster politeness budgets, LPA-fed
+    "ann_mrl_topk",             # r5+: Matryoshka prefix-dim ANN, full oracle
+    "ann_mrl_recall",           # r5+: MRL recall claim (floor 0.6, both SFs)
     "warc_parse_records",       # r5+: WARC framing walk as a map-only fold
     "warc_cdx_index",           # r5+: CDX lookup index from parsed records
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts

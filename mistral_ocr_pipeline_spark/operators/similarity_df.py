@@ -1522,3 +1522,61 @@ def ivf_topk_from_index(
         cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
     )
     return _rank_topk(scored, k, "cosine", descending=True)
+
+
+def mrl_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 16,
+    refine: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Matryoshka prefix-dimension ANN (Kusupati et al. 2022, MRL; the
+    truncation trick OpenAI/Nomic embedding APIs expose as
+    ``dimensions=``): score the FIRST ``prefix_dim`` components only —
+    MRL-trained encoders pack coarse semantics into the prefix — cut to
+    ``refine`` candidates per query, then exact full-dimension cosine
+    re-ranks.  The zero-math cousin of `jl_refine_topk`: no planes, no
+    training, just ``slice``; prefix scoring reads prefix_dim/d of the
+    vector bytes, which at 100 TB is the scan-cost lever (store the
+    prefix as its own column/file group and the prefilter never touches
+    full vectors).  Recall depends on the encoder actually being
+    MRL-trained — `ann_mrl_recall` measures it honestly on this
+    corpus's generic embeddings (the unfavourable case).
+
+    Same determinism/tie-break contract as the other kernels: 6-dp
+    cosines, (score DESC, id) ties, so the whole path has a SQL twin."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cp", F.slice(F.col("_cv"), 1, prefix_dim))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qp", F.slice(F.col("_qv"), 1, prefix_dim))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    red = joined.select(
+        "query_id",
+        "vec_id",
+        "_qv",
+        "_cv",
+        cosine_expr(F.col("_qp"), F.col("_cp")).alias("_rcos"),
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("_rcos").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        red.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= refine)
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    return _rank_topk(cand, k, "cosine", descending=True)

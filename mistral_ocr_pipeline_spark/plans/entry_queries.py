@@ -11593,6 +11593,118 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Matryoshka prefix-dimension ANN (similarity_df.mrl_refine_topk)
+# --------------------------------------------------------------------------
+def _mrl_base_sql(prefix: int = 32, refine: int = 160) -> str:
+    """CTE chain replaying `similarity_df.mrl_refine_topk`: prefix-slice
+    cosine prefilter cut at ``refine``, exact full-dimension re-rank.
+    Emits through ``mr(qid, vec_id, cosine, rank)`` plus ``c``/``q``."""
+    pc = f"[1:{prefix}]"
+    return f"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+    mred AS (
+      SELECT q.qid, c.vec_id,
+             round(list_dot_product(qv{pc}, v{pc}) /
+                   (sqrt(list_dot_product(qv{pc}, qv{pc})) *
+                    sqrt(list_dot_product(v{pc}, v{pc}))), 6) AS rcos
+      FROM c CROSS JOIN q WHERE c.vec_id != q.qid),
+    mcand AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+            PARTITION BY qid ORDER BY rcos DESC, vec_id) AS rn FROM mred)
+      WHERE rn <= {refine}),
+    ms AS (SELECT mcand.qid, mcand.vec_id,
+             round(list_dot_product(q.qv, c.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+           FROM mcand JOIN q ON q.qid = mcand.qid
+           JOIN c ON c.vec_id = mcand.vec_id),
+    mr AS (SELECT *, row_number() OVER (
+             PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM ms)"""
+
+
+@register(
+    "ann_mrl_topk",
+    oracle=f"""
+    WITH {_mrl_base_sql()}
+    SELECT qid AS query_id, vec_id, cosine, rank FROM mr WHERE rank <= 5
+    """,
+)
+def ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension ANN
+    (`similarity_df.mrl_refine_topk`, Kusupati et al. 2022): the first
+    32 of 64 components score the prefilter (the truncation trick
+    embedding APIs expose as ``dimensions=``), 160 candidates per
+    query, exact re-rank — zero training, zero extra math, and at
+    column-layout scale the prefilter reads half the vector bytes.
+    Whole path SQL-replayed."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        mrl_refine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mrl_refine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, prefix_dim=32, refine=160
+    )
+
+
+@register(
+    "ann_mrl_recall",
+    oracle=f"""
+    WITH {_mrl_base_sql()},
+    mxs AS (
+      SELECT qid, c.vec_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM q CROSS JOIN c WHERE c.vec_id != qid),
+    mxr AS (SELECT qid, vec_id, row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+            FROM mxs),
+    mhits AS (
+      SELECT mxr.qid,
+             sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+      FROM mxr LEFT JOIN (SELECT * FROM mr WHERE rank <= 5) a
+        ON a.qid = mxr.qid AND a.vec_id = mxr.vec_id
+      WHERE mxr.rank <= 5 GROUP BY mxr.qid)
+    SELECT qid AS query_id, round(h / 5.0, 6) AS recall,
+           h / 5.0 >= 0.6 AS recall_ok
+    FROM mhits
+    """,
+)
+def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the 32-prefix MRL path vs exact cosine
+    top-5 — the honesty row, on GENERIC (non-MRL-trained) embeddings,
+    i.e. the unfavourable case the operator docstring warns about:
+    claim floor 0.6 (measured min 0.6 at sf0.1, 1.0 at sf0.01); an
+    MRL-trained encoder only improves the prefix's share of the
+    signal."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        brute_force_topk_df,
+        mrl_refine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    approx = mrl_refine_topk(emb, q, k=5, prefix_dim=32, refine=160).select(
+        "query_id", "vec_id"
+    )
+    exact = brute_force_topk_df(emb, q, k=5).select("query_id", "vec_id")
+    hits = (
+        exact.join(
+            approx.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("h"))
+    )
+    return hits.select(
+        "query_id",
+        F.round(F.col("h") / F.lit(5.0), 6).alias("recall"),
+        (F.col("h") / F.lit(5.0) >= 0.6).alias("recall_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

@@ -449,3 +449,23 @@ def test_margin_mine_ivf_candidates_keep_planted_pairs(spark):
     for r in rows:
         if (r.x_id, r.y_id) in planted:
             assert r.cosine_r6 == 1.0 and r.margin_r6 >= 1.02
+
+
+def test_mrl_full_prefix_equals_exact(spark):
+    """prefix_dim = full dimension degrades MRL to exact brute force —
+    the identity boundary that pins the slicing arithmetic."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    a = _rows(D.mrl_refine_topk(emb, q, k=5, prefix_dim=64, refine=10**6))
+    b = _rows(D.brute_force_topk_df(emb, q, k=5))
+    assert a == b and len(a) > 0
+
+
+def test_mrl_recall_floor_both_sfs(spark):
+    """Recall claim at BOTH SFs (the recall-claim scale-independence
+    rule): every query's recall_ok holds at sf0.001 and sf0.1."""
+    from mistral_ocr_pipeline_spark.plans.entry_queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        rows = QUERIES["ann_mrl_recall"](spark, sf).collect()
+        assert rows and all(r.recall_ok for r in rows), (sf, rows)
