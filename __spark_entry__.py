@@ -51,6 +51,7 @@ _NEWEST_FIRST = [
     "crawl_community_waves",    # r5+: mirror-cluster politeness budgets, LPA-fed
     "ann_mrl_topk",             # r5+: Matryoshka prefix-dim ANN, full oracle
     "ann_mrl_recall",           # r5+: MRL recall claim (floor 0.6, both SFs)
+    "pack_length_buckets",      # r5+: padding-waste audit, integer micro eff
     "warc_parse_records",       # r5+: WARC framing walk as a map-only fold
     "warc_cdx_index",           # r5+: CDX lookup index from parsed records
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts

@@ -249,3 +249,56 @@ def pack_similar_neighbors(
             "pos",
         )
     )
+
+
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching — the
+    dynamic-batching accounting every serving/training stack runs
+    before picking bucket boundaries (pad-to-longest inside a
+    power-of-two bucket; sequences above the top bucket truncate to
+    it): per bucket, document count, real tokens, padded waste, and
+    padding efficiency = tokens / (n_docs · bucket) in exact integer
+    micro-units.  The bucket ladder is a fixed CASE chain
+    (16…2048) — no log/pow floats, so the assignment is bit-identical
+    in any engine.  One map-side-combined groupBy on ≤8 bucket keys;
+    the efficiency number is precisely the fraction of batch FLOPs
+    spent on real tokens, which is what motivates moving a boundary."""
+    t = F.col(tokens_col)
+    eff = F.least(t, F.lit(_LEN_BUCKETS[-1]))
+    bucket = F.lit(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS[:-1]):
+        bucket = F.when(t <= b, F.lit(b)).otherwise(bucket)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        eff.alias("_eff"),
+        bucket.cast("long").alias("bucket"),
+        (t > F.lit(_LEN_BUCKETS[-1])).alias("_trunc"),
+    )
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_eff").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("_eff")).alias("total_waste"),
+            F.sum(F.col("_trunc").cast("long")).alias("n_truncated"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            "total_waste",
+            "n_truncated",
+            (
+                F.expr(
+                    "(total_tokens * 1000000) div (n_docs * bucket)"
+                ).cast("long")
+            ).alias("pad_eff_micro"),
+        )
+    )

@@ -11705,6 +11705,57 @@ def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# length-bucket padding audit (packing.length_bucket_stats)
+# --------------------------------------------------------------------------
+@register(
+    "pack_length_buckets",
+    oracle=r"""
+    WITH tkc AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                              '\s+')) END::BIGINT AS t
+      FROM documents),
+    kb AS (
+      SELECT doc_id, least(t, 2048) AS eff,
+             (CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32
+                   WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128
+                   WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512
+                   WHEN t <= 1024 THEN 1024 ELSE 2048 END)::BIGINT AS bucket,
+             (t > 2048) AS trunc
+      FROM tkc)
+    SELECT bucket, count(*)::BIGINT AS n_docs,
+           sum(eff)::BIGINT AS total_tokens,
+           sum(bucket - eff)::BIGINT AS total_waste,
+           sum(CASE WHEN trunc THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+           ((sum(eff) * 1000000) // (count(*) * bucket))::BIGINT
+               AS pad_eff_micro
+    FROM kb GROUP BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket padding audit (`packing.length_bucket_stats`):
+    whitespace token counts over documents assigned to the fixed
+    power-of-two bucket ladder, per-bucket doc counts, real tokens,
+    padded waste, truncations, and the integer micro-unit padding
+    efficiency — the number a batching stack reads before moving a
+    bucket boundary.  CASE-chain assignment (no log/pow floats), one
+    tiny groupBy; the oracle replays every column."""
+    from mistral_ocr_pipeline_spark.operators.packing import (
+        length_bucket_stats,
+    )
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws_token_count(F.coalesce(F.col("text"), F.lit(""))).alias("tokens"),
+    )
+    return length_bucket_stats(docs, "doc_id", "tokens")
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

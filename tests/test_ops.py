@@ -4808,6 +4808,28 @@ class TestJLRefine:
         assert out.count() == 0
 
 
+class TestLengthBuckets:
+    def test_bucket_boundaries_waste_and_truncation(self, spark):
+        from mistral_ocr_pipeline_spark.operators.packing import (
+            length_bucket_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 16), (3, 17), (4, 100), (5, 3000)],
+            "doc_id long, tokens long",
+        )
+        out = {r.bucket: r for r in length_bucket_stats(df, "doc_id", "tokens").collect()}
+        # 10 and 16 share bucket 16 (boundary inclusive); 17 spills to 32
+        assert out[16].n_docs == 2 and out[16].total_waste == (16 - 10)
+        assert out[32].n_docs == 1 and out[32].total_waste == 15
+        assert out[128].n_docs == 1 and out[128].total_waste == 28
+        # above the ladder: truncated to 2048, zero waste, flagged
+        assert out[2048].n_docs == 1 and out[2048].n_truncated == 1
+        assert out[2048].total_waste == 0 and out[2048].total_tokens == 2048
+        # efficiency is exact integer micro math
+        assert out[16].pad_eff_micro == (26 * 1000000) // (2 * 16)
+
+
 class TestTextTiling:
     def test_topic_shift_marks_the_valley(self, spark):
         """Two 30-token topics: the only boundary is the gap where the
