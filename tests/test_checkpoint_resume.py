@@ -667,3 +667,65 @@ def test_two_process_concurrent_appends_all_land(tmp_path):
     assert keys == sorted(
         (tag, str(i)) for tag in ("pa", "pb") for i in range(5)
     )
+
+
+class TestDiffSnapshots:
+    def test_keyed_diff_add_remove_change(self, spark, tmp_path):
+        """Content diff across a MERGE rewrite: the path-diff CDC read
+        would refuse here (files rewritten); the keyed diff reports the
+        exact add/remove/change set and nothing else."""
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        cat = TableCatalog(spark, str(tmp_path / "wh"))
+        base_df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k long, v string, n long",
+        )
+        cat.commit({"t": cat.stage_overwrite(base_df, "t")})
+        base_snap = cat.current_tables()["t"]
+
+        upd = spark.createDataFrame(
+            [(2, "B", 20), (4, "d", 40)], "k long, v string, n long"
+        )
+        cat.merge_upsert(upd, "t", ["k"])
+        dels = spark.createDataFrame([(3,)], "k long")
+        cat.merge_delete(dels, "t", ["k"])
+
+        diff = {
+            r.k: r.status
+            for r in cat.diff_snapshots("t", base_snap, key_cols=["k"]).collect()
+        }
+        assert diff == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_keyless_diff_is_set_difference(self, spark, tmp_path):
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        cat = TableCatalog(spark, str(tmp_path / "wh2"))
+        cat.commit({
+            "t": cat.stage_overwrite(
+                spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"),
+                "t",
+            )
+        })
+        s1 = cat.current_tables()["t"]
+        cat.commit({
+            "t": cat.stage_overwrite(
+                spark.createDataFrame([(2, "y"), (9, "z")], "k long, v string"),
+                "t",
+            )
+        })
+        rows = {
+            (r.k, r.v, r.status)
+            for r in cat.diff_snapshots("t", s1).collect()
+        }
+        assert rows == {(9, "z", "added"), (1, "x", "removed")}
+
+    def test_identical_snapshots_empty_diff(self, spark, tmp_path):
+        from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+
+        cat = TableCatalog(spark, str(tmp_path / "wh3"))
+        df = spark.createDataFrame([(1, "x")], "k long, v string")
+        cat.commit({"t": cat.stage_overwrite(df, "t")})
+        s1 = cat.current_tables()["t"]
+        assert cat.diff_snapshots("t", s1, key_cols=["k"]).count() == 0
+        assert cat.diff_snapshots("t", s1).count() == 0
