@@ -184,6 +184,14 @@ def main() -> None:
         "ann_ivf_index_append",
         "pack_similar_order",
         "text_host_boilerplate",
+        "embed_margin_mine_ivf",
+        "host_communities",
+        "text_texttile_segments",
+        "warc_parse_records",
+        "warc_html_extract",
+        "crawl_community_waves",
+        "ann_mrl_topk",
+        "pack_length_buckets",
     ]
     # Best-of-N with adaptive extension: this box shows periodic
     # multi-MINUTE whole-VM stall phases (an untouched pure-JVM query

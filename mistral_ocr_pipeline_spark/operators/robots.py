@@ -228,3 +228,33 @@ def robots_txt_gate(
         "rule_allow",
         F.coalesce(F.col("rule_allow"), F.lit(True)).alias("fetch_allowed"),
     )
+
+
+def robots_sitemap_directives(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` directives from per-host robots.txt payloads — the
+    DISCOVERY half the sitemap pipeline needs before `urls.sitemap_entries`
+    can parse anything: per sitemaps.org/RFC 9309, Sitemap lines are
+    host-GLOBAL (they live outside user-agent groups and bind regardless
+    of agent), the key is case-insensitive, and a file may list several.
+    Comments strip first; the value keeps its original case (URLs are
+    case-sensitive past the authority).
+
+    Output: (host, line_idx, sitemap_url) in file order — feed the URLs
+    to the fetcher, the fetched XML to `sitemap_entries`, and the
+    entries to `sitemap_recrawl_queue`; line_idx keeps re-fetch plans
+    deterministic.  Map-only line explode, no grouping at all."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("i", "line"),
+    ).select(
+        "host",
+        (F.col("i") + 1).cast("int").alias("line_idx"),
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("ln"),
+    )
+    key = F.lower(F.trim(F.expr("split_part(ln, ':', 1)")))
+    val = F.trim(F.expr("regexp_replace(ln, '^[^:]*:', '')"))
+    return lines.filter(key == "sitemap").select(
+        "host", "line_idx", val.alias("sitemap_url")
+    )

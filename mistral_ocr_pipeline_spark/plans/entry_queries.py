@@ -9350,16 +9350,18 @@ def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # allow/disallow tie.
 _ROBOTS_TXT = {
     "news.example.com": (
+        "Sitemap: https://news.example.com/sitemap.xml\n"
         "User-agent: *\nDisallow: /cal/\nAllow: /cal/2024/\n"
         "Crawl-delay: 2\n\n"
-        "User-agent: badbot\nDisallow: /"
+        "User-agent: badbot\nDisallow: /\n"
+        "Sitemap: https://news.example.com/sitemap-archive.xml"
     ),
     "cdn.news.example.com": (
         "User-agent: badbot\nUser-agent: *\n"
         "Disallow: /s/\nAllow: /s/public/"
     ),
     # non-star group: its rules AND its Crawl-delay must be ignored
-    "blog.sample.org": "User-agent: googlebot\nDisallow: /x/\nCrawl-delay: 7",
+    "blog.sample.org": "User-agent: googlebot\nDisallow: /x/\nCrawl-delay: 7\nsitemap: https://blog.sample.org/sm.xml",
     "sample.org": "User-agent: *\nDisallow:\nCrawl-delay: 10",
     # junk delay value: dropped by the numeric cast, never a crash
     "ads.tracker.net": "User-agent: *\nDisallow: /\nCrawl-delay: fast",
@@ -9433,6 +9435,44 @@ _ROBOTS_RULES_CTES = f"""
         AND try_cast(val AS BIGINT) IS NOT NULL
       GROUP BY host)
 """
+
+
+@register(
+    "robots_sitemap_urls",
+    oracle=f"""
+    WITH {_robots_fixture_sql()},
+    smln AS (
+      SELECT host, string_split(robots_txt, chr(10)) AS ls FROM rb),
+    sml2 AS (
+      SELECT host, unnest(generate_series(1, len(ls)))::INT AS line_idx, ls
+      FROM smln),
+    smkv AS (
+      SELECT host, line_idx,
+        trim(regexp_replace(ls[line_idx], '#.*$', '')) AS ln
+      FROM sml2)
+    SELECT host, line_idx,
+           trim(regexp_replace(ln, '^[^:]*:', '')) AS sitemap_url
+    FROM smkv
+    WHERE lower(trim(split_part(ln, ':', 1))) = 'sitemap'
+    ORDER BY host, line_idx
+    """,
+)
+def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt
+    (`robots.robots_sitemap_directives`): the host-global, group-
+    independent ``Sitemap:`` lines (case-insensitive key, value case
+    preserved, multiple per file) — the missing first link of the
+    sitemap chain (directive → fetch → `sitemap_entries` →
+    `sitemap_recrawl_queue`).  Map-only; the oracle replays the line
+    explode, comment strip, and key match."""
+    from mistral_ocr_pipeline_spark.operators.robots import (
+        robots_sitemap_directives,
+    )
+
+    rb = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    return robots_sitemap_directives(rb).orderBy("host", "line_idx")
 
 
 @register(
