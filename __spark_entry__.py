@@ -53,6 +53,7 @@ _NEWEST_FIRST = [
     "ann_mrl_recall",           # r5+: MRL recall claim (floor 0.6, both SFs)
     "pack_length_buckets",      # r5+: padding-waste audit, integer micro eff
     "robots_sitemap_urls",      # r5+: Sitemap: discovery from robots.txt
+    "text_homoglyph_fold",      # r5+: Cyrillic-confusable fold, dedup-restoring
     "warc_parse_records",       # r5+: WARC framing walk as a map-only fold
     "warc_cdx_index",           # r5+: CDX lookup index from parsed records
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts

@@ -2990,3 +2990,38 @@ def texttile_passages(
         F.col("z.n_tokens").cast("long").alias("n_tokens"),
         F.col("z.seg_text").alias("seg_text"),
     )
+
+
+# Cyrillic → Latin confusable pairs (the classic homoglyph spoof set:
+# identical glyphs in most fonts).  ONE string pair so both engines'
+# translate() see byte-identical tables.
+_HOMOGLYPH_FROM = "АВЕКМНОРСТХаеорсух"
+_HOMOGLYPH_TO = "ABEKMHOPCTXaeopcyx"
+
+
+def fold_homoglyphs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Homoglyph folding — the remediation step behind
+    `script_profile`'s mixed-script FLAG: spam/SEO evasion swaps Latin
+    letters for identical-looking Cyrillic ones ('раypal', 'сlick') to
+    slip past exact dedup, keyword gates, and decontamination digests;
+    folding the confusable set back to Latin restores every
+    digest-keyed operator's ability to see through the spoof.  Pure
+    ``translate`` (codepoint-for-codepoint, length-preserving) plus a
+    confusable count via one regexp scan — map-only, zero shuffle.
+
+    Deliberately NOT applied corpus-wide by default: genuine Cyrillic
+    prose contains these letters legitimately — fold where a
+    mixed-script or wrong-script signal fires (`script_profile`,
+    `transcript_script_mismatch`), which is why the count and flag ride
+    the output.  Output: (id, text_folded, n_homoglyphs,
+    had_homoglyphs)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.regexp_count(t, F.lit(f"[{_HOMOGLYPH_FROM}]")).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.translate(t, _HOMOGLYPH_FROM, _HOMOGLYPH_TO).alias("text_folded"),
+        n.alias("n_homoglyphs"),
+        (n > 0).alias("had_homoglyphs"),
+    )

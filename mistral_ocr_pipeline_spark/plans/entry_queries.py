@@ -11796,6 +11796,53 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# homoglyph folding (text_analysis.fold_homoglyphs)
+# --------------------------------------------------------------------------
+@register(
+    "text_homoglyph_fold",
+    oracle="""
+    WITH hb AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0
+                  THEN translate(coalesce(text, ''), 'aeo', 'аео')
+                  ELSE coalesce(text, '') END AS t
+      FROM documents)
+    SELECT doc_id AS id,
+           translate(t, 'АВЕКМНОРСТХаеорсух', 'ABEKMHOPCTXaeopcyx')
+               AS text_folded,
+           len(regexp_extract_all(t, '[АВЕКМНОРСТХаеорсух]'))::BIGINT
+               AS n_homoglyphs,
+           len(regexp_extract_all(t, '[АВЕКМНОРСТХаеорсух]')) > 0
+               AS had_homoglyphs
+    FROM hb
+    """,
+)
+def text_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph folding (`text_analysis.fold_homoglyphs`): every 6th
+    document gets its a/e/o spoofed to Cyrillic а/е/о (the SEO-spam
+    evasion that defeats digest-keyed dedup and decontam), and the fold
+    restores them with a per-doc confusable count — on folded output,
+    exact dedup sees the spoofed clone again.  Pure translate +
+    regexp count, map-only; the oracle replays the spoof and the fold
+    with byte-identical confusable tables."""
+    from mistral_ocr_pipeline_spark.operators.text_analysis import (
+        fold_homoglyphs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spoofed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.translate(F.coalesce(F.col("text"), F.lit("")), "aeo", "аео"),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("t"),
+    )
+    return fold_homoglyphs(spoofed, "doc_id", "t")
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

@@ -4808,6 +4808,29 @@ class TestJLRefine:
         assert out.count() == 0
 
 
+class TestHomoglyphFold:
+    def test_spoofed_clone_rejoins_exact_dedup(self, spark):
+        """The point of the fold: a Cyrillic-spoofed clone that exact
+        dedup cannot see becomes digest-identical after folding; clean
+        Latin text passes through untouched with a zero count."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            fold_homoglyphs,
+        )
+
+        clean = "paypal click here to verify your account"
+        spoof = clean.replace("a", "\u0430").replace("e", "\u0435")
+        df = spark.createDataFrame(
+            [(1, clean), (2, spoof), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in fold_homoglyphs(df, "doc_id", "text").collect()}
+        assert spoof != clean
+        assert out[2].text_folded == clean and out[2].had_homoglyphs
+        assert out[2].n_homoglyphs == clean.count("a") + clean.count("e")
+        assert out[1].text_folded == clean and out[1].n_homoglyphs == 0
+        assert out[3].text_folded == "" and not out[3].had_homoglyphs
+
+
 class TestLengthBuckets:
     def test_bucket_boundaries_waste_and_truncation(self, spark):
         from mistral_ocr_pipeline_spark.operators.packing import (
