@@ -988,3 +988,33 @@ class TestNewFamilyPlans:
         for frag in plan.split("Exchange hashpartitioning")[1:]:
             keys = frag.splitlines()[0]
             assert "line#" not in keys, keys
+
+
+class TestFoldParserPlans:
+    """The r5+ fold-scan parsers keep their map-only promises."""
+
+    def test_texttile_zero_exchange_no_python(self, spark):
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            texttile_segments,
+            texttile_passages,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for op in (texttile_segments, texttile_passages):
+            plan = _plan(op(docs, "doc_id", "text"))
+            assert "Exchange" not in plan, plan
+            assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_warc_parse_no_python_no_extra_exchange(self, spark):
+        """Parsing itself adds NO shuffle: a pre-assembled (file_id,
+        warc) relation parses as scan → fold → Generate, zero Exchange,
+        zero Python."""
+        from mistral_ocr_pipeline_spark.sources.warc import parse_warc_records
+
+        df = spark.createDataFrame(
+            [(1, "WARC/1.0\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")],
+            "file_id long, warc string",
+        )
+        plan = _plan(parse_warc_records(df))
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
