@@ -205,3 +205,60 @@ def merge_profiles(profiles: DataFrame, k: int = 256) -> DataFrame:
             F.coalesce(est, F.lit(0.0)).alias("est_distinct"),
         )
     )
+
+
+_CONSTRAINT_METRICS = (
+    "n_rows", "n_null", "n_distinct", "null_frac_micro", "mean_micro"
+)
+_CONSTRAINT_OPS = ("le", "ge", "eq")
+
+
+def check_constraints(
+    profile: DataFrame, constraints: list[tuple]
+) -> DataFrame:
+    """Deequ/Great-Expectations-style declarative DATA CONTRACT
+    evaluated against a `profile_columns` relation: each constraint is
+    ``(column, metric, op, threshold)`` with metric one of
+    ``n_rows/n_null/n_distinct/null_frac_micro/mean_micro`` (the
+    null fraction in integer micro-units, derived as n_null·10⁶ div
+    n_rows) and op ``le/ge/eq``.  The contract is DATA (a tiny joined
+    relation), not code — add a row, not a branch — and the evaluation
+    costs one broadcast join over the #columns-row profile, so gating a
+    10^12-row table's ingest on its contract is free once the profile
+    exists.  A constraint naming an unprofiled column fails closed
+    (passed = false, observed NULL) — a contract must never silently
+    skip.  Output: (column, metric, op, threshold, observed, passed)."""
+    for c in constraints:
+        if c[1] not in _CONSTRAINT_METRICS:
+            raise ValueError(f"unknown metric {c[1]!r}")
+        if c[2] not in _CONSTRAINT_OPS:
+            raise ValueError(f"unknown op {c[2]!r}")
+    spark = profile.sparkSession
+    cdf = spark.createDataFrame(
+        [(str(a), str(m), str(o), int(t)) for a, m, o, t in constraints],
+        "column string, metric string, op string, threshold long",
+    )
+    j = cdf.join(F.broadcast(profile), "column", "left")
+    observed = (
+        F.when(F.col("metric") == "n_rows", F.col("n_rows"))
+        .when(F.col("metric") == "n_null", F.col("n_null"))
+        .when(F.col("metric") == "n_distinct", F.col("n_distinct"))
+        .when(
+            F.col("metric") == "null_frac_micro",
+            F.expr(
+                "CASE WHEN n_rows > 0 THEN (n_null * 1000000) div n_rows END"
+            ),
+        )
+        .when(F.col("metric") == "mean_micro", F.col("mean_micro"))
+    ).cast("long")
+    j = j.withColumn("observed", observed)
+    passed = (
+        F.when(F.col("observed").isNull(), F.lit(False))
+        .when(F.col("op") == "le", F.col("observed") <= F.col("threshold"))
+        .when(F.col("op") == "ge", F.col("observed") >= F.col("threshold"))
+        .otherwise(F.col("observed") == F.col("threshold"))
+    )
+    return j.select(
+        "column", "metric", "op", "threshold", "observed",
+        passed.alias("passed"),
+    )

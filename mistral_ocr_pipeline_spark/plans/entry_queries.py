@@ -2559,6 +2559,84 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(docs)
 
 
+# (column, metric, op, threshold) — 'source n_distinct >= 100' fails by
+# design at every SF (20 sources): a contract gate must show a red row
+_PROFILE_CONSTRAINTS = (
+    ("doc_id", "null_frac_micro", "eq", 0),
+    ("text", "null_frac_micro", "le", 100000),
+    ("lang", "n_distinct", "le", 10),
+    ("source", "n_distinct", "ge", 100),
+    ("n_chars", "mean_micro", "ge", 1000000),
+    ("missing_col", "n_rows", "ge", 1),
+)
+
+
+def _contract_oracle() -> str:
+    prof_union = _profile_oracle().split("WITH src AS", 1)[1]
+    prof_union = prof_union[prof_union.index(")") + 1 :]
+    cons = ", ".join(
+        f"('{c}', '{m}', '{o}', {t}::BIGINT)"
+        for c, m, o, t in _PROFILE_CONSTRAINTS
+    )
+    return f"""
+    WITH src AS ({_PROFILE_SRC}),
+    prof AS ({prof_union}),
+    cons("column", metric, op, threshold) AS (VALUES {cons}),
+    j AS (
+      SELECT cons.*, prof.n_rows, prof.n_null, prof.n_distinct,
+             prof.mean_micro
+      FROM cons LEFT JOIN prof USING ("column")),
+    o AS (
+      SELECT "column", metric, op, threshold,
+             (CASE metric
+                WHEN 'n_rows' THEN n_rows
+                WHEN 'n_null' THEN n_null
+                WHEN 'n_distinct' THEN n_distinct
+                WHEN 'null_frac_micro' THEN
+                  CASE WHEN n_rows > 0
+                       THEN (n_null * 1000000) // n_rows END
+                WHEN 'mean_micro' THEN mean_micro
+              END)::BIGINT AS observed
+      FROM j)
+    SELECT "column", metric, op, threshold, observed,
+           CASE WHEN observed IS NULL THEN FALSE
+                WHEN op = 'le' THEN observed <= threshold
+                WHEN op = 'ge' THEN observed >= threshold
+                ELSE observed = threshold END AS passed
+    FROM o
+    """
+
+
+@register("profile_contract_gate", oracle=_contract_oracle())
+def profile_contract_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract (`profiling.check_constraints`,
+    the Deequ/Great-Expectations gate): the single-pass profile of the
+    null-punched documents table evaluated against a six-row contract —
+    null-fraction caps, cardinality bounds, a mean floor, one
+    deliberately failing cardinality bound, and one constraint naming a
+    column the profile has never seen (fails CLOSED, observed NULL) —
+    the go/no-go an ingest job checks before curation touches a batch.
+    Contract rows are data, not code; evaluation is one broadcast join
+    over the #columns-row profile."""
+    from mistral_ocr_pipeline_spark.operators.profiling import (
+        check_constraints,
+        profile_columns,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return check_constraints(
+        profile_columns(docs), list(_PROFILE_CONSTRAINTS)
+    )
+
+
 def _script_fixture_text() -> "F.Column":
     """The doc_id-keyed multi-script text transform, Spark side (shared
     by `text_script_detect` and `transcript_script_mismatch`)."""

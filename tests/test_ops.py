@@ -4808,6 +4808,54 @@ class TestJLRefine:
         assert out.count() == 0
 
 
+class TestProfileContract:
+    def test_contract_rows_and_fail_closed(self, spark):
+        from mistral_ocr_pipeline_spark.operators.profiling import (
+            check_constraints,
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x", 5), (2, None, 7), (3, "y", None)],
+            "k long, v string, n long",
+        )
+        prof = profile_columns(df)
+        out = {
+            (r.column, r.metric): r
+            for r in check_constraints(
+                prof,
+                [
+                    ("k", "null_frac_micro", "eq", 0),
+                    ("v", "null_frac_micro", "le", 400000),
+                    ("v", "n_distinct", "ge", 3),
+                    ("ghost", "n_rows", "ge", 1),
+                ],
+            ).collect()
+        }
+        assert out[("k", "null_frac_micro")].passed
+        r = out[("v", "null_frac_micro")]
+        assert r.observed == 333333 and r.passed
+        assert not out[("v", "n_distinct")].passed  # 2 < 3
+        g = out[("ghost", "n_rows")]
+        assert g.observed is None and not g.passed  # fail closed
+
+    def test_bad_specs_rejected(self, spark):
+        import pytest
+
+        from mistral_ocr_pipeline_spark.operators.profiling import (
+            check_constraints,
+            profile_columns,
+        )
+
+        prof = profile_columns(
+            spark.createDataFrame([(1,)], "k long")
+        )
+        with pytest.raises(ValueError):
+            check_constraints(prof, [("k", "bogus", "le", 1)])
+        with pytest.raises(ValueError):
+            check_constraints(prof, [("k", "n_rows", "between", 1)])
+
+
 class TestHomoglyphFold:
     def test_spoofed_clone_rejoins_exact_dedup(self, spark):
         """The point of the fold: a Cyrillic-spoofed clone that exact
