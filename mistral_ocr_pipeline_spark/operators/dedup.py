@@ -1344,17 +1344,23 @@ def host_boilerplate_facts(
     equals a one-shot rebuild — the same merge law as the
     BM25/link-graph/pathology fact tables."""
     keyed = _host_lines_keyed(df, id_col, text_col, host_col, min_line_chars)
-    facts = (
+    totals = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    return _facts_from_keyed(keyed), totals
+
+
+def _facts_from_keyed(keyed: DataFrame) -> DataFrame:
+    """facts(host, k, ndocs) from an already-built line spine — shared
+    so `host_boilerplate_strip` explodes the corpus ONCE for both the
+    frequency side and the flag-back side."""
+    return (
         keyed.filter(F.col("k").isNotNull())
         .select("host", "k", "id")
         .distinct()
         .groupBy("host", "k")
         .agg(F.count(F.lit(1)).alias("ndocs"))
     )
-    totals = df.groupBy(F.col(host_col).alias("host")).agg(
-        F.count(F.lit(1)).alias("total")
-    )
-    return facts, totals
 
 
 def host_boilerplate_facts_append(
@@ -1490,10 +1496,12 @@ def host_boilerplate_strip(
     count-filtered before the join-back and AQE broadcasts it.
     Returns (id, host, text_clean, n_kept, n_removed)."""
     keyed = _host_lines_keyed(df, id_col, text_col, host_col, min_line_chars)
-    facts, totals = host_boilerplate_facts(
-        df, id_col, text_col, host_col, min_line_chars
+    totals = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("total")
     )
-    hot = boilerplate_hot_lines(facts, totals, min_docs, df_num, df_den)
+    hot = boilerplate_hot_lines(
+        _facts_from_keyed(keyed), totals, min_docs, df_num, df_den
+    )
     flagged = keyed.join(hot, ["host", "k"], "left").select(
         "id",
         "host",
