@@ -10976,10 +10976,10 @@ def embed_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the backward lists matters.  The oracle replays cell
     assignment, probing, the candidate join, and the full margin
     chain."""
+    from mistral_ocr_pipeline_spark.operators.similarity import fold_dot
     from mistral_ocr_pipeline_spark.operators.similarity_df import (
         _cell_dots,
         _dvec,
-        _micro_cosine,
         ivf_index_build,
         margin_mine,
     )
@@ -10993,12 +10993,17 @@ def embed_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     y_index = ivf_index_build(ys, cent).select("cell", "vec_id")
+    # norms hoisted per side (same IEEE sequence as per-pair sqrt —
+    # the margin_mine scorer convention; the bench exposed the 3x fold)
     xv = xs.select(
         F.col("vec_id").alias("x_id"), _dvec(F.col("embedding")).alias("_xv")
-    )
+    ).withColumn("_xn", F.sqrt(fold_dot(F.col("_xv"), F.col("_xv"))))
     probes = (
         xv.select(
-            "x_id", "_xv", F.posexplode(_cell_dots("_xv", cent)).alias("cell", "_d")
+            "x_id",
+            "_xv",
+            "_xn",
+            F.posexplode(_cell_dots("_xv", cent)).alias("cell", "_d"),
         )
         .withColumn(
             "_rn",
@@ -11009,18 +11014,29 @@ def embed_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("_rn") <= 4)
-        .select("x_id", "_xv", "cell")
+        .select("x_id", "_xv", "_xn", "cell")
     )
     yv = ys.select(
         F.col("vec_id").alias("y_id"), _dvec(F.col("embedding")).alias("_yv")
-    )
+    ).withColumn("_yn", F.sqrt(fold_dot(F.col("_yv"), F.col("_yv"))))
     cand = (
         probes.join(y_index.withColumnRenamed("vec_id", "y_id"), "cell")
         .join(yv, "y_id")
         .select(
-            "x_id", "y_id", _micro_cosine(F.col("_xv"), F.col("_yv")).alias("cm")
+            "x_id",
+            "y_id",
+            F.round(
+                fold_dot(F.col("_xv"), F.col("_yv"))
+                / (F.col("_xn") * F.col("_yn"))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("cm"),
         )
-        .distinct()
+        # no distinct: a y vector lives in exactly ONE cell (argmax) and
+        # a query's probed cells are distinct, so (x_id, y_id) is unique
+        # by construction — the dedup shuffle would be pure cost
     )
     return margin_mine(xs, ys, k=4, threshold=1.02, knn_pairs=cand)
 
@@ -11670,6 +11686,8 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     recs = parse_warc_records(files, "file_id", "warc", 64, keep_body=True)
+    # two consumers (extractor feed + URI join-back) — materialize the
+    # parse once or the fixture build + framing fold run twice
     resp = recs.filter(
         (F.col("warc_type") == "response") & ~F.col("truncated")
     ).select(
@@ -11680,7 +11698,7 @@ def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN locate('\\r\\n\\r\\n', body) = 0 THEN body "
             "ELSE substring(body, locate('\\r\\n\\r\\n', body) + 4) END"
         ).alias("payload"),
-    )
+    ).persist()
     t = resp.select(
         F.col("file_id").cast("string").alias("conv_id"),
         F.col("rec_idx").cast("int").alias("turn_idx"),
