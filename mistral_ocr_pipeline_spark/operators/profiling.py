@@ -208,7 +208,8 @@ def merge_profiles(profiles: DataFrame, k: int = 256) -> DataFrame:
 
 
 _CONSTRAINT_METRICS = (
-    "n_rows", "n_null", "n_distinct", "null_frac_micro", "mean_micro"
+    "n_rows", "n_null", "n_distinct", "null_frac_micro", "mean_micro",
+    "est_distinct",
 )
 _CONSTRAINT_OPS = ("le", "ge", "eq")
 
@@ -228,9 +229,21 @@ def check_constraints(
     exists.  A constraint naming an unprofiled column fails closed
     (passed = false, observed NULL) — a contract must never silently
     skip.  Output: (column, metric, op, threshold, observed, passed)."""
+    # metrics this profile FORM can answer: direct columns, the derived
+    # null fraction, and (mergeable form) the KMV distinct estimate —
+    # a constraint the form cannot answer is a SPEC error, not a data
+    # failure, and raises at submission
+    avail = set(profile.columns) & set(_CONSTRAINT_METRICS)
+    if {"n_rows", "n_null"} <= set(profile.columns):
+        avail.add("null_frac_micro")
     for c in constraints:
         if c[1] not in _CONSTRAINT_METRICS:
             raise ValueError(f"unknown metric {c[1]!r}")
+        if c[1] not in avail:
+            raise ValueError(
+                f"metric {c[1]!r} not available in this profile form "
+                f"(has: {sorted(avail)})"
+            )
         if c[2] not in _CONSTRAINT_OPS:
             raise ValueError(f"unknown op {c[2]!r}")
     spark = profile.sparkSession
@@ -239,18 +252,27 @@ def check_constraints(
         "column string, metric string, op string, threshold long",
     )
     j = cdf.join(F.broadcast(profile), "column", "left")
-    observed = (
-        F.when(F.col("metric") == "n_rows", F.col("n_rows"))
-        .when(F.col("metric") == "n_null", F.col("n_null"))
-        .when(F.col("metric") == "n_distinct", F.col("n_distinct"))
-        .when(
-            F.col("metric") == "null_frac_micro",
-            F.expr(
-                "CASE WHEN n_rows > 0 THEN (n_null * 1000000) div n_rows END"
-            ),
+    observed = F.when(F.col("metric") == "n_rows", F.col("n_rows")).when(
+        F.col("metric") == "n_null", F.col("n_null")
+    )
+    if "n_distinct" in profile.columns:
+        observed = observed.when(
+            F.col("metric") == "n_distinct", F.col("n_distinct")
         )
-        .when(F.col("metric") == "mean_micro", F.col("mean_micro"))
-    ).cast("long")
+    if "est_distinct" in profile.columns:
+        observed = observed.when(
+            F.col("metric") == "est_distinct",
+            F.round(F.col("est_distinct"), 0),
+        )
+    observed = observed.when(
+        F.col("metric") == "null_frac_micro",
+        F.expr("CASE WHEN n_rows > 0 THEN (n_null * 1000000) div n_rows END"),
+    )
+    if "mean_micro" in profile.columns:
+        observed = observed.when(
+            F.col("metric") == "mean_micro", F.col("mean_micro")
+        )
+    observed = observed.cast("long")
     j = j.withColumn("observed", observed)
     passed = (
         F.when(F.col("observed").isNull(), F.lit(False))
