@@ -1580,3 +1580,91 @@ def mrl_refine_topk(
         )
     )
     return _rank_topk(cand, k, "cosine", descending=True)
+
+
+def retrieval_rank_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality metrics per query — the IR eval layer
+    (TREC-style) for any of this module's retrieval kernels:
+    ``results`` is (query_id, vec_id, rank) from a top-k search,
+    ``qrels`` is (query_id, vec_id, grade ≥ 0) graded relevance.
+
+    Per query over the top ``k``:
+      * precision@k  = relevant-retrieved / k,
+      * MRR          = 1 / rank of the first relevant hit (0 if none),
+      * NDCG@k       = DCG/IDCG with DCG = Σ grade/log₂(rank+1) and
+                       IDCG from the query's grades sorted descending
+                       (capped at k) — the standard graded form.
+
+    Determinism: every DCG/IDCG TERM rounds to integer micro-units
+    before the cross-row sum (grade and rank are exact ints and
+    ln is correctly rounded, so the per-term double is bit-identical in
+    any engine; rounding BEFORE summation makes the total
+    order-independent — the repo's micro-unit convention), and the
+    final ratios are single double divisions rounded to 6 dp.  Zero
+    driver actions; both inputs are top-k/qrel-sized relations, so
+    nothing corpus-sized moves."""
+    r = results.filter(F.col("rank") <= k).select(
+        "query_id", "vec_id", "rank"
+    )
+    q = qrels.select(
+        "query_id", "vec_id", F.col("grade").cast("long").alias("grade")
+    )
+    j = r.join(q, ["query_id", "vec_id"], "left").withColumn(
+        "grade", F.coalesce("grade", F.lit(0))
+    )
+    term = F.expr(
+        "CASE WHEN grade > 0 THEN cast(round(grade / (ln(rank + 1) / ln(2))"
+        " * 1000000.0) as bigint) ELSE cast(0 as bigint) END"
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum(term).alias("dcg_m"),
+        F.sum((F.col("grade") > 0).cast("long")).alias("n_rel_ret"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias("first_rel"),
+    )
+    # ideal DCG from the query's own qrels: grades sorted DESC, ideal
+    # rank = position in that order, capped at k
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("grade").desc(), F.col("vec_id").asc()
+    )
+    ideal = (
+        q.filter(F.col("grade") > 0)
+        .withColumn("irank", F.row_number().over(wq))
+        .filter(F.col("irank") <= k)
+        .withColumn(
+            "iterm",
+            F.expr(
+                "cast(round(grade / (ln(irank + 1) / ln(2)) * 1000000.0)"
+                " as bigint)"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("iterm").alias("idcg_m"),
+            F.count(F.lit(1)).alias("n_rel_total"),
+        )
+    )
+    out = per_q.join(ideal, "query_id", "left")
+    return out.select(
+        "query_id",
+        F.round(F.col("n_rel_ret").cast("double") / F.lit(float(k)), 6).alias(
+            "precision_r6"
+        ),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr_r6"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("idcg_m"), F.lit(0)) > 0,
+                F.col("dcg_m").cast("double") / F.col("idcg_m").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_r6"),
+        F.coalesce(F.col("n_rel_total"), F.lit(0)).alias("n_rel_total"),
+    )

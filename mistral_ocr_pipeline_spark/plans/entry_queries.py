@@ -11939,6 +11939,102 @@ def text_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# retrieval ranking metrics (similarity_df.retrieval_rank_metrics)
+# --------------------------------------------------------------------------
+@register(
+    "retrieval_eval_metrics",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlab
+          FROM embeddings WHERE vec_id < 8),
+    s AS (SELECT q.qid, c.vec_id,
+                 round(list_dot_product(qv, v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(v, v))), 6) AS cosine
+          FROM q CROSS JOIN c WHERE c.vec_id != q.qid),
+    r AS (SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+          FROM s),
+    qr AS (SELECT q.qid, c.vec_id,
+                  CASE WHEN c.label = q.qlab
+                       AND c.vec_id % 3 = q.qid % 3 THEN 2
+                       WHEN c.label = q.qlab THEN 1 ELSE 0 END AS grade
+           FROM q CROSS JOIN c WHERE c.vec_id != q.qid),
+    topk AS (SELECT r.qid, r.vec_id, r.rank,
+                    coalesce(qr.grade, 0) AS grade
+             FROM r LEFT JOIN qr ON qr.qid = r.qid
+                  AND qr.vec_id = r.vec_id
+             WHERE r.rank <= 10),
+    pq AS (SELECT qid,
+                  sum(CASE WHEN grade > 0 THEN
+                      round(grade / (ln(rank + 1) / ln(2))
+                            * 1000000.0)::BIGINT ELSE 0 END)::BIGINT AS dcg_m,
+                  sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::BIGINT
+                      AS n_rel_ret,
+                  min(CASE WHEN grade > 0 THEN rank END) AS first_rel
+           FROM topk GROUP BY qid),
+    ig AS (SELECT qid, grade, row_number() OVER (
+               PARTITION BY qid ORDER BY grade DESC, vec_id) AS irank
+           FROM qr WHERE grade > 0),
+    ideal AS (SELECT qid,
+                     sum(round(grade / (ln(irank + 1) / ln(2))
+                               * 1000000.0)::BIGINT)::BIGINT AS idcg_m,
+                     count(*)::BIGINT AS n_rel_total
+              FROM ig WHERE irank <= 10 GROUP BY qid)
+    SELECT pq.qid AS query_id,
+           round(n_rel_ret / 10.0, 6) AS precision_r6,
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr_r6,
+           round(CASE WHEN coalesce(idcg_m, 0) > 0
+                      THEN dcg_m::DOUBLE / idcg_m ELSE 0.0 END, 6)
+               AS ndcg_r6,
+           coalesce(n_rel_total, 0) AS n_rel_total
+    FROM pq LEFT JOIN ideal ON ideal.qid = pq.qid
+    """,
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC-style ranking metrics
+    (`similarity_df.retrieval_rank_metrics`): exact cosine top-10 per
+    query judged against GRADED qrels derived from the embeddings'
+    label column (same label = relevant, same label + matching
+    residue = highly relevant) — precision@10, MRR, and graded
+    NDCG@10, with every DCG/IDCG term rounded to integer micro-units
+    before the cross-row sum so the totals are order-independent.  The
+    eval layer for the module's retrieval kernels; the oracle replays
+    ranking, qrels, both DCG sides, and all three ratios."""
+    from mistral_ocr_pipeline_spark.operators.similarity_df import (
+        brute_force_topk_df,
+        retrieval_rank_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    results = brute_force_topk_df(emb, q, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
+    qrels = (
+        q.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+        )
+        .crossJoin(emb.select("vec_id", "label"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(
+                (F.col("label") == F.col("qlab"))
+                & (F.col("vec_id") % 3 == F.col("query_id") % 3),
+                F.lit(2),
+            )
+            .when(F.col("label") == F.col("qlab"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("grade"),
+        )
+    )
+    return retrieval_rank_metrics(results, qrels, k=10)
+
+
+# --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
 # shared CTE block ending in relations b (per-domain boost) and t2

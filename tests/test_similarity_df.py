@@ -469,3 +469,49 @@ def test_mrl_recall_floor_both_sfs(spark):
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
         rows = QUERIES["ann_mrl_recall"](spark, sf).collect()
         assert rows and all(r.recall_ok for r in rows), (sf, rows)
+
+
+# ---------------------------------------------------------------------------
+# retrieval ranking metrics (retrieval_rank_metrics)
+# ---------------------------------------------------------------------------
+def test_rank_metrics_hand_computed(spark):
+    """Tiny hand-checkable case: known ranks and grades give the exact
+    precision/MRR/NDCG values, and a query with no relevant docs scores
+    zeros rather than nulls."""
+    import math
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11, 2), (1, 12, 1), (1, 99, 1)],  # 99 not retrieved
+        "query_id long, vec_id long, grade long",
+    )
+    out = {r.query_id: r for r in D.retrieval_rank_metrics(results, qrels, k=3).collect()}
+    r1 = out[1]
+    assert r1.precision_r6 == round(2 / 3, 6)
+    assert r1.mrr_r6 == 0.5  # first relevant at rank 2
+    dcg = round(2 / math.log2(3) * 1e6) + round(1 / math.log2(4) * 1e6)
+    idcg = round(2 / math.log2(2) * 1e6) + round(1 / math.log2(3) * 1e6) + round(1 / math.log2(4) * 1e6)
+    assert r1.ndcg_r6 == round(dcg / idcg, 6)
+    assert r1.n_rel_total == 3
+    r2 = out[2]
+    assert r2.precision_r6 == 0.0 and r2.mrr_r6 == 0.0 and r2.ndcg_r6 == 0.0
+    assert r2.n_rel_total == 0
+
+
+def test_rank_metrics_perfect_ranking_is_one(spark):
+    """Retrieving every relevant doc in ideal order scores NDCG 1.0 and
+    MRR 1.0 — the identity anchor."""
+    results = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2), (7, 3, 3)],
+        "query_id long, vec_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(7, 1, 3), (7, 2, 2), (7, 3, 1)],
+        "query_id long, vec_id long, grade long",
+    )
+    r = D.retrieval_rank_metrics(results, qrels, k=3).collect()[0]
+    assert r.ndcg_r6 == 1.0 and r.mrr_r6 == 1.0 and r.precision_r6 == 1.0
