@@ -121,3 +121,68 @@ def test_warc_html_extract_end_to_end(spark):
         assert r.extracted_text.startswith(f"Doc {r.doc_id}\n\n")
         assert r.md.startswith(f"# Doc {r.doc_id}\n\n")
         assert "boilerplate" not in r.extracted_text
+
+
+def test_streaming_warc_ingest_exactly_once(spark, tmp_path):
+    """Streaming twin (`streaming/warc.py`): two drains append CDX +
+    extracted pages exactly once each; a drain with nothing new is a
+    no-op; the accumulated CDX equals a one-shot parse of every file."""
+    import pandas as pd
+
+    from mistral_ocr_pipeline_spark.sources.catalog import TableCatalog
+    from mistral_ocr_pipeline_spark.streaming.warc import run_warc_ingest
+
+    def files(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            body = (
+                f"HTTP/1.1 200 OK{CRLF}{CRLF}"
+                f"<html><body><h1>T{i}</h1><p>page body {i} words"
+                "</p></body></html>"
+            )
+            rows.append((i, _rec("response", f"https://h/{i}", body)))
+        return rows
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    catalog = TableCatalog(spark, str(tmp_path / "wh"))
+    schema = "file_id long, warc string"
+
+    all_rows = []
+    for b, (lo, hi) in enumerate([(0, 5), (5, 12)]):
+        rows = files(lo, hi)
+        all_rows += rows
+        pd.DataFrame(rows, columns=["file_id", "warc"]).to_parquet(
+            input_dir / f"b{b}.parquet", index=False
+        )
+        run_warc_ingest(
+            spark, str(input_dir), schema, catalog, ckpt, extract=True
+        )
+
+    cdx = sorted(r.target_uri for r in catalog.read("cdx").collect())
+    assert cdx == sorted(f"https://h/{i}" for i in range(12))
+    pages = {r.file_id: r for r in catalog.read("pages").collect()}
+    assert len(pages) == 12
+    assert pages[7].extracted_text.startswith("T7")
+    assert pages[7].target_uri == "https://h/7"
+
+    # one-shot twin
+    from mistral_ocr_pipeline_spark.sources.warc import (
+        cdx_index,
+        parse_warc_records,
+    )
+
+    oneshot = cdx_index(
+        parse_warc_records(spark.createDataFrame(all_rows, schema))
+    )
+    assert sorted(map(tuple, catalog.read("cdx").collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+    # replay no-op
+    n = catalog.read("cdx").count()
+    run_warc_ingest(
+        spark, str(input_dir), schema, catalog, ckpt, extract=True
+    )
+    assert catalog.read("cdx").count() == n
