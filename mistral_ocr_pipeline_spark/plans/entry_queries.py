@@ -12034,6 +12034,44 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_rank_metrics(results, qrels, k=10)
 
 
+@register(
+    "retrieval_eval_summary",
+    oracle=f"""
+    WITH perq AS ({ORACLES["retrieval_eval_metrics"]})
+    SELECT count(*)::BIGINT AS n_queries,
+           ((sum(round(precision_r6 * 1000000.0)::BIGINT) * 2 + count(*))
+            // (2 * count(*)))::DOUBLE / 1000000.0 AS macro_precision_r6,
+           ((sum(round(mrr_r6 * 1000000.0)::BIGINT) * 2 + count(*))
+            // (2 * count(*)))::DOUBLE / 1000000.0 AS macro_mrr_r6,
+           ((sum(round(ndcg_r6 * 1000000.0)::BIGINT) * 2 + count(*))
+            // (2 * count(*)))::DOUBLE / 1000000.0 AS macro_ndcg_r6
+    FROM perq
+    """,
+)
+def retrieval_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged ranking report — the single numbers a retrieval
+    paper/leaderboard actually quotes: mean precision@10 / MRR / NDCG@10
+    across queries, each mean an exact half-away integer micro-unit
+    fold over the per-query 6-dp values (which are themselves exact at
+    that precision, so the rollup is order-independent).  One
+    #queries-row aggregation over `retrieval_eval_metrics`; the oracle
+    nests that query's full oracle and replays the integer means."""
+    per_q = QUERIES["retrieval_eval_metrics"](spark, sf_dir)
+    m = lambda c: (  # noqa: E731 — half-away integer micro mean
+        F.expr(
+            f"(sum(cast(round({c} * 1000000.0) as bigint)) * 2 + count(*))"
+            " div (2 * count(*))"
+        ).cast("double")
+        / 1e6
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        m("precision_r6").alias("macro_precision_r6"),
+        m("mrr_r6").alias("macro_mrr_r6"),
+        m("ndcg_r6").alias("macro_ndcg_r6"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------
