@@ -566,3 +566,73 @@ def test_warc_job_cli(tmp_path):
     assert p2b.returncode == 0, p2b.stderr[-2000:]
     assert open(head).read().strip() == head_after_2
     assert "no-op" in p2b.stdout
+
+
+def test_contract_job_cli(tmp_path):
+    """Contract enforcement through the spark-submit surface: a clean
+    batch records and passes; a null-heavy second batch passes ALONE
+    but tips the corpus cap — the job records both scopes and exits 3
+    under --fail-on-violation; a rerun is an idempotent no-op."""
+    import duckdb
+    import pandas as pd
+
+    def batch(lo, hi, null_every):
+        return [
+            (i, None if (null_every and i % null_every == 0) else f"t {i}")
+            for i in range(lo, hi)
+        ]
+
+    b1 = str(tmp_path / "c_b1.parquet")
+    b2 = str(tmp_path / "c_b2.parquet")
+    cols = ["doc_id", "text"]
+    pd.DataFrame(batch(0, 80, 0), columns=cols).to_parquet(b1, index=False)
+    # batch 2: 11 nulls in 22 rows (50% alone); corpus 11/102 = 10.78%
+    # — strictly over the 10% cap (10/100 would sit AT the inclusive cap)
+    pd.DataFrame(batch(80, 102, 2), columns=cols).to_parquet(
+        b2, index=False
+    )
+    contract = str(tmp_path / "contract.json")
+    import json as _json
+
+    _json.dump([["text", "null_frac_micro", "le", 100000]], open(contract, "w"))
+    wh = str(tmp_path / "wh_ct")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    common = dict(cwd="/root/repo", env=env, capture_output=True, text=True,
+                  timeout=400)
+
+    def run(inp, bid):
+        return subprocess.run(
+            [sys.executable, "spark_jobs/contract_job.py",
+             "--input", inp, "--warehouse", wh, "--batch-id", bid,
+             "--contract", contract, "--fail-on-violation"],
+            **common,
+        )
+
+    p1 = run(b1, "batch-1")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+
+    p2 = run(b2, "batch-2")
+    assert p2.returncode == 3, (p2.returncode, p2.stdout, p2.stderr[-1500:])
+    assert "corpus_violations" in p2.stdout and "text" in p2.stdout
+
+    head = os.path.join(wh, "_HEAD")
+    head_after_2 = open(head).read().strip()
+    manifest = json.load(open(os.path.join(wh, "_manifests", head_after_2)))
+    con = duckdb.connect()
+    corpus = con.execute(
+        "SELECT \"column\", observed, passed FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["contract_verdicts"])
+        + "/*.parquet')"
+    ).fetchall()
+    assert corpus == [("text", (11 * 1000000) // 102, False)]
+    bv = con.execute(
+        "SELECT batch_id, passed FROM read_parquet('"
+        + os.path.join(wh, manifest["tables"]["batch_verdicts"])
+        + "/*.parquet') ORDER BY batch_id"
+    ).fetchall()
+    assert bv[0] == ("batch-1", True)
+    assert bv[1][0] == "batch-2" and not bv[1][1]  # 50% alone
+
+    p2b = run(b2, "batch-2")
+    assert p2b.returncode == 0 and "no-op" in p2b.stdout
+    assert open(head).read().strip() == head_after_2
