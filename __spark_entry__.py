@@ -57,6 +57,7 @@ _NEWEST_FIRST = [
     "profile_contract_gate",    # r5+: declarative data contract, fails closed
     "retrieval_eval_metrics",   # r5+: precision/MRR/graded NDCG, full oracle
     "retrieval_eval_summary",   # r5+: macro-averaged report, integer means
+    "warc_robots_rules",        # r5+: robots rules recovered through the archive
     "warc_parse_records",       # r5+: WARC framing walk as a map-only fold
     "warc_cdx_index",           # r5+: CDX lookup index from parsed records
     "host_mirror_pairs",        # r5 final: content-set Jaccard mirror hosts

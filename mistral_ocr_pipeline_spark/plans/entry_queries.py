@@ -12072,6 +12072,114 @@ def retrieval_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_robots_oracle_sql() -> str:
+    """robots.txt rules recovered THROUGH the WARC archive: the robots
+    fixture's payloads are framed into per-host WARC files (one page
+    record + one robots.txt response each), the framing walk and HTTP
+    header strip recover the payloads, and the SAME rules CTE chain
+    parses them — the archive round-trip provably loses nothing (the
+    output equals `robots_txt_rules` exactly)."""
+    crlf = _WARC_CRLF
+    fixture = f"""{_robots_fixture_sql()},
+    wparts AS (SELECT host,
+        'HTTP/1.1 200 OK' || {crlf} || {crlf} || '<html>hi</html>' AS pb,
+        'HTTP/1.1 200 OK' || {crlf} || {crlf} || robots_txt AS rbody
+      FROM rb),
+    f AS (SELECT host AS file_id,
+        'WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf}
+          || 'WARC-Target-URI: https://' || host || '/index' || {crlf}
+          || 'Content-Length: ' || length(pb) || {crlf} || {crlf}
+          || pb || {crlf} || {crlf}
+          || 'WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf}
+          || 'WARC-Target-URI: https://' || host || '/robots.txt' || {crlf}
+          || 'Content-Length: ' || length(rbody) || {crlf} || {crlf}
+          || rbody || {crlf} || {crlf} AS w
+      FROM wparts)"""
+    tail = f""",
+    rbp AS (
+      SELECT file_id AS host,
+             CASE WHEN strpos(substring(w, hend + 4, clen),
+                              {crlf} || {crlf}) = 0
+                  THEN substring(w, hend + 4, clen)
+                  ELSE substring(substring(w, hend + 4, clen),
+                       strpos(substring(w, hend + 4, clen),
+                              {crlf} || {crlf}) + 4) END AS robots_txt
+      FROM prs
+      WHERE regexp_extract(substring(w, pos,
+                CASE WHEN hend = 0 THEN length(w) ELSE hend - pos END),
+            'WARC-Target-URI: ([^\\r\\n]+)', 1) LIKE '%/robots.txt'
+        AND NOT (hend = 0 OR clen IS NULL
+                 OR hend + 3 + clen > length(w)))"""
+    rules_body = "rln AS" + _ROBOTS_RULES_CTES.split("rln AS", 1)[1]
+    rules_body = rules_body.replace("FROM rb)", "FROM rbp)")
+    return (
+        "WITH RECURSIVE " + fixture + ",\n    " + _WARC_PARSE_SQL + tail
+        + ",\n    " + rules_body
+        + "\n    SELECT host, path, allow, rule_len FROM rules"
+        " ORDER BY host, path, allow"
+    )
+
+
+@register("warc_robots_rules", oracle=_warc_robots_oracle_sql())
+def warc_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop CLOSED through the archive: per-host WARC files
+    carry each fixture host's robots.txt as a captured response (next
+    to an ordinary page), the framing walk + HTTP header strip recover
+    the payloads, and `robots.robots_txt_rules` parses them into the
+    fetch-gate rule table — output provably identical to parsing the
+    payloads directly (same 9 rules), certifying that archives alone
+    can bootstrap robots compliance for a re-crawl.  One plan: fold
+    parse → payload slice → group-machine windows."""
+    from mistral_ocr_pipeline_spark.operators.robots import robots_txt_rules
+    from mistral_ocr_pipeline_spark.sources.warc import parse_warc_records
+
+    crlf = "\r\n"
+    rb = spark.createDataFrame(
+        sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    pb = F.lit(f"HTTP/1.1 200 OK{crlf}{crlf}<html>hi</html>")
+    rbody = F.concat(
+        F.lit(f"HTTP/1.1 200 OK{crlf}{crlf}"), F.col("robots_txt")
+    )
+
+    def rec(uri: F.Column, body: F.Column) -> F.Column:
+        return F.concat(
+            F.lit(f"WARC/1.0{crlf}WARC-Type: response{crlf}WARC-Target-URI: "),
+            uri,
+            F.lit(f"{crlf}Content-Length: "),
+            F.length(body).cast("string"),
+            F.lit(f"{crlf}{crlf}"),
+            body,
+            F.lit(f"{crlf}{crlf}"),
+        )
+
+    files = rb.select(
+        F.col("host").alias("file_id"),
+        F.concat(
+            rec(F.concat(F.lit("https://"), F.col("host"), F.lit("/index")), pb),
+            rec(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/robots.txt")
+                ),
+                rbody,
+            ),
+        ).alias("warc"),
+    )
+    recs = parse_warc_records(files, "file_id", "warc", 16, keep_body=True)
+    robots = recs.filter(
+        F.col("target_uri").endswith("/robots.txt")
+        & (F.col("warc_type") == "response")
+        & ~F.col("truncated")
+    ).select(
+        F.col("file_id").alias("host"),
+        F.expr(
+            "CASE WHEN locate('\\r\\n\\r\\n', body) = 0 THEN body "
+            "ELSE substring(body, locate('\\r\\n\\r\\n', body) + 4) END"
+        ).alias("robots_txt"),
+    )
+    return robots_txt_rules(robots).orderBy("host", "path", "allow")
+
+
 # --------------------------------------------------------------------------
 # DoReMi one-step domain reweighting (sampling.doremi_weights)
 # --------------------------------------------------------------------------

@@ -186,3 +186,27 @@ def test_streaming_warc_ingest_exactly_once(spark, tmp_path):
         spark, str(input_dir), schema, catalog, ckpt, extract=True
     )
     assert catalog.read("cdx").count() == n
+
+
+def test_warc_robots_roundtrip_equals_direct_parse(spark):
+    """Registry composite: robots.txt rules recovered through the WARC
+    archive equal the direct parse of the same payloads exactly."""
+    from mistral_ocr_pipeline_spark.operators.robots import robots_txt_rules
+    from mistral_ocr_pipeline_spark.plans.entry_queries import (
+        _ROBOTS_TXT,
+        QUERIES,
+    )
+
+    via_archive = sorted(
+        map(tuple, QUERIES["warc_robots_rules"](
+            spark, "/root/testdata/sf0.001"
+        ).collect())
+    )
+    direct = sorted(
+        map(tuple, robots_txt_rules(
+            spark.createDataFrame(
+                sorted(_ROBOTS_TXT.items()), "host string, robots_txt string"
+            )
+        ).collect())
+    )
+    assert via_archive == direct and len(direct) > 0
