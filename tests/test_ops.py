@@ -4959,6 +4959,41 @@ class TestTextTiling:
         assert by_doc[2][0].seg_text == "short text"
         assert by_doc[2][0].n_tokens == 2
 
+    def test_lossless_cover_at_any_block_size(self, spark):
+        """Property: for any block size w, the passages of any document
+        cover its tokens exactly — segmentation never gains or loses a
+        token."""
+        from mistral_ocr_pipeline_spark.operators.text_analysis import (
+            texttile_passages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(40)
+        from mistral_ocr_pipeline_spark.functions.text_functions import (
+            norm_key_col,
+        )
+        from pyspark.sql import functions as F
+
+        want = {
+            r.doc_id: r.n
+            for r in docs.select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        F.split(norm_key_col(F.col("text")), " "),
+                        lambda x: x != "",
+                    )
+                ).alias("n"),
+            ).collect()
+            if r.n > 0
+        }
+        for w in (5, 10, 24):
+            got = {}
+            for r in texttile_passages(docs, "doc_id", "text", w=w).collect():
+                got[r.id] = got.get(r.id, 0) + r.n_tokens
+            assert got == want, f"w={w}"
+
     def test_uniform_document_has_no_boundaries(self, spark):
         """Constant cohesion → zero variance → the strict cutoff
         inequality fails everywhere: no spurious boundaries."""

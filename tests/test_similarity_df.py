@@ -515,3 +515,17 @@ def test_rank_metrics_perfect_ranking_is_one(spark):
     )
     r = D.retrieval_rank_metrics(results, qrels, k=3).collect()[0]
     assert r.ndcg_r6 == 1.0 and r.mrr_r6 == 1.0 and r.precision_r6 == 1.0
+
+
+def test_margin_mine_threshold_monotone(spark):
+    """Raising the threshold can only shrink the mined set, and every
+    surviving pair is in the lower-threshold result with identical
+    scores — the filter is the ONLY thing the threshold touches."""
+    emb = _emb(spark)
+    xs = emb.filter(F.col("vec_id") % 2 == 0)
+    ys = emb.filter(F.col("vec_id") % 2 == 1)
+    lo = {(r.x_id, r.y_id): r for r in D.margin_mine(xs, ys, k=4, threshold=1.0).collect()}
+    hi = {(r.x_id, r.y_id): r for r in D.margin_mine(xs, ys, k=4, threshold=1.05).collect()}
+    assert set(hi) <= set(lo) and len(hi) < len(lo)
+    for k, r in hi.items():
+        assert r.margin_r6 >= 1.05 and r.margin_r6 == lo[k].margin_r6

@@ -210,3 +210,24 @@ def test_warc_robots_roundtrip_equals_direct_parse(spark):
         ).collect())
     )
     assert via_archive == direct and len(direct) > 0
+
+
+def test_warc_concatenation_shifts_offsets(spark):
+    """Framing property: parsing the concatenation of two well-formed
+    files yields A's records at their offsets followed by B's records
+    shifted by len(A) — the walk never loses sync at a boundary."""
+    a = _rec("response", "ua", "body a")
+    b = _rec("response", "ub", "body bee") + _rec("request", "uc", "GET /")
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a + b)], "file_id long, warc string"
+    )
+    rows = {f: [] for f in (1, 2, 3)}
+    for r in sorted(
+        parse_warc_records(df).collect(), key=lambda r: (r.file_id, r.rec_idx)
+    ):
+        rows[r.file_id].append(r)
+    combo = [(r.target_uri, r.offset, r.digest) for r in rows[3]]
+    want = [(r.target_uri, r.offset, r.digest) for r in rows[1]] + [
+        (r.target_uri, r.offset + len(a), r.digest) for r in rows[2]
+    ]
+    assert combo == want
