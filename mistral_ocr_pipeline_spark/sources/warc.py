@@ -141,3 +141,57 @@ def cdx_index(records: DataFrame) -> DataFrame:
         F.col("content_length").alias("length"),
         "digest",
     )
+
+
+def write_warc_records(
+    df: DataFrame,
+    file_col: str,
+    uri_col: str,
+    body_col: str,
+    order_col: str,
+    type_col: str | None = None,
+) -> DataFrame:
+    """The WRITER half: format (file, uri, body) rows into WARC files —
+    one ``(file_id, warc)`` row per file, records in ``order_col``
+    order, each framed ``headers CRLF CRLF body CRLF CRLF`` with
+    Content-Length = the body's length under the module's latin-1
+    byte↔char contract.  ``parse_warc_records(write_warc_records(x))``
+    recovers every record with byte-exact bodies and correct offsets
+    (the inverse property pinned in tests/test_warc.py) — which is what
+    lets a curation pipeline re-emit cleaned corpora in the archive
+    format crawlers and CDX readers already speak.  One ordered
+    string_agg per file; the per-record format is pure concat."""
+    crlf = "\r\n"
+    typ = (
+        F.col(type_col) if type_col is not None else F.lit("response")
+    )
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    rec = F.concat(
+        F.lit(f"WARC/1.0{crlf}WARC-Type: "),
+        typ,
+        F.lit(f"{crlf}WARC-Target-URI: "),
+        F.col(uri_col),
+        F.lit(f"{crlf}Content-Length: "),
+        F.length(body).cast("string"),
+        F.lit(f"{crlf}{crlf}"),
+        body,
+        F.lit(f"{crlf}{crlf}"),
+    )
+    return (
+        df.select(
+            F.col(file_col).alias("file_id"),
+            F.struct(F.col(order_col).alias("o"), rec.alias("rec")).alias(
+                "p"
+            ),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("p")),
+                    lambda s: s.getField("rec"),
+                ),
+                "",
+            ).alias("warc")
+        )
+    )
