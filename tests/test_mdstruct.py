@@ -321,6 +321,29 @@ class TestLabelPropagation:
         b = sorted(map(tuple, label_propagation(rev, n_iter=3).collect()))
         assert a == b and len(a) == 4
 
+    def test_labels_are_always_member_hosts(self, spark):
+        """Invariant: every community id is the id of some node in the
+        graph (labels only ever copy existing node ids), and every node
+        gets exactly one label."""
+        from mistral_ocr_pipeline_spark.operators.htmllinks import (
+            label_propagation,
+        )
+
+        import random
+
+        rng = random.Random(9)
+        hosts = [f"h{i}" for i in range(30)]
+        pairs = [
+            (rng.choice(hosts), rng.choice(hosts)) for _ in range(80)
+        ]
+        out = label_propagation(
+            self._edges(spark, pairs), n_iter=4
+        ).collect()
+        nodes = {h for p in pairs for h in p if p[0] != p[1]}
+        seen = [r.host for r in out]
+        assert sorted(seen) == sorted(set(seen))  # one row per node
+        assert {r.community for r in out} <= nodes
+
     def test_self_loops_and_duplicate_edges_ignored(self, spark):
         """Self-loops are stripped and duplicate edges carry no extra
         plurality weight (the edge set is DISTINCT)."""

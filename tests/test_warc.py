@@ -273,3 +273,19 @@ def test_writer_parser_roundtrip_byte_exact(spark):
     a = {r.file_id: r.warc for r in files.collect()}
     b = {r.file_id: r.warc for r in rewritten.collect()}
     assert a == b
+
+
+def test_cdx_offsets_point_at_record_starts(spark):
+    """CDX contract: seeking to `offset` in the decoded file lands on a
+    'WARC/1.0' record header — the random-access guarantee wayback-style
+    readers depend on."""
+    files = [(i, _rec("response", f"u{i}a", f"alpha {i}")
+              + _rec("response", f"u{i}b", f"beta {i * i} longer body"))
+             for i in range(6)]
+    df = spark.createDataFrame(files, "file_id long, warc string")
+    from mistral_ocr_pipeline_spark.sources.warc import cdx_index
+
+    warc_by_file = dict(files)
+    for r in cdx_index(parse_warc_records(df)).collect():
+        w = warc_by_file[r.file_id]
+        assert w[r.offset : r.offset + 8] == "WARC/1.0", (r.file_id, r.offset)
